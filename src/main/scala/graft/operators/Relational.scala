@@ -1,0 +1,718 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Relational operator surface: projections/filters, the full join family
+  * (inner/left/full/semi/anti, broadcast vs shuffle), aggregations
+  * (grouped, distinct, rollup/cube/grouping sets, exact quantiles),
+  * window analytics (top-N per group, rank/lag/running frames), set
+  * operations, scalar function families (string/date/JSON), and the
+  * event-time joins (as-of, range) the reference's time-series queries
+  * imply.
+  *
+  * Reference capability mapping (SURVEY.md §2): P1-P6 → `q0`, A1-A10 →
+  * `q1/q13/q14/q15/q16/q17`, J1-J3 → `q3-q7/q19/q20`, W1-W6 → `q2/q9/
+  * q_top_global`, U1-U2 → `q8`, F7-F10 → `q10/q11/q12`, and the flagship
+  * per-sensor heuristic (Analyzer.scala:47-59 semantics) → `q18` over the
+  * `events` table.
+  *
+  * Scale notes: small dimensions (region/nation/supplier/part at any SF,
+  * customer at test SFs) are explicitly `broadcast()` so fact-side scans
+  * never shuffle for dimension joins; large fact aggregations rely on
+  * Catalyst's partial/final HashAggregate (map-side combine) so shuffle
+  * volume is proportional to group cardinality, not row count; window
+  * operators shuffle once on their partition key and sort within
+  * partitions (no global sort until the final presentation ORDER BY).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- q0
+  /** Filter + projection with arithmetic — predicate and column pruning
+    * must reach the parquet scan (reference P1-P5:
+    * lib/CassandraClient.scala:38-53's pushed per-key SELECT). */
+  private def q0(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R" && $"l_quantity" > 45)
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        // no rounding: a single IEEE multiply is bit-identical across
+        // engines, while round() itself diverges on half-way doubles
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val q0Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |       l_extendedprice * (1.0 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary: the canonical grouped aggregation
+    * (reference A1-A3: count/mean/stddev loop in Analyzer.scala:47-52,
+    * generalized). Partial aggregation makes shuffle size = #groups. */
+  private def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("2001-06-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2)       AS sum_qty,
+      |       round(sum(l_extendedprice), 2)  AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 4)       AS avg_qty,
+      |       round(avg(l_extendedprice), 4)  AS avg_price,
+      |       round(avg(l_discount), 6)       AS avg_disc,
+      |       count(*)                        AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Top-N per group — THE canonical window op of the engine (reference
+    * W2: per-sensor `LIMIT n` under ts-DESC clustering,
+    * lib/CassandraClient.scala:38-43). One shuffle on the partition key;
+    * rank ties broken by unique o_orderkey for determinism. */
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  private val q2Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Multi-way dimension join with explicit broadcast of the small sides
+    * (region 5 rows, nation 25): the fact scan joins without shuffling
+    * the fact table for the dims (reference J1's tiny-side join). */
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = broadcast(Tables.region(spark, dir))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name")
+  }
+
+  private val q3Sql =
+    """SELECT r_name,
+      |       round(sum(o_totalprice), 2) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** Left outer join preserving zero-order customers (reference J1's
+    * left-outer model join: model may be absent, Analyzer.scala:143-147). */
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q4Sql =
+    """SELECT c_custkey,
+      |       count(o_orderkey) AS n_orders,
+      |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+      |FROM customer
+      |LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Left-semi join (EXISTS): customers having at least one order. */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).select($"o_custkey")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  private val q5Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  private def q6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).select($"o_custkey")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  private val q6Sql =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Full outer join of two daily aggregates (order activity vs ship
+    * activity) — preserves days present on either side. */
+  private def q7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // dates rendered as ISO strings: unambiguous across engines/parquet
+    val o = Tables.orders(spark, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("d"), "full_outer")
+      .select(
+        $"d",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ships", lit(0L)).as("n_ships"))
+      .orderBy($"d")
+  }
+
+  private val q7Sql =
+    """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |     l AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, count(*) AS n_ships
+      |           FROM lineitem GROUP BY 1)
+      |SELECT coalesce(o.d, l.d) AS d,
+      |       coalesce(n_orders, 0) AS n_orders,
+      |       coalesce(n_ships, 0) AS n_ships
+      |FROM o FULL OUTER JOIN l ON o.d = l.d
+      |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Set operations (reference U1/U2): BUILDING-segment customers vs
+    * customers that placed orders — intersect, except, union sizes
+    * reported as one tagged result. */
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("k"))
+    val active = Tables.orders(spark, dir)
+      .select($"o_custkey".as("k")).distinct()
+    val both = seg.intersect(active).withColumn("tag", lit("both"))
+    val segOnly = seg.except(active).withColumn("tag", lit("seg_only"))
+    val activeOnly = active.except(seg).withColumn("tag", lit("active_only"))
+    both.unionByName(segOnly).unionByName(activeOnly)
+      .select($"tag", $"k")
+      .orderBy($"tag", $"k")
+  }
+
+  private val q8Sql =
+    """WITH seg AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     active AS (SELECT DISTINCT o_custkey AS k FROM orders)
+      |SELECT 'both' AS tag, k FROM (SELECT k FROM seg INTERSECT SELECT k FROM active) t1
+      |UNION ALL
+      |SELECT 'seg_only' AS tag, k FROM (SELECT k FROM seg EXCEPT SELECT k FROM active) t2
+      |UNION ALL
+      |SELECT 'active_only' AS tag, k FROM (SELECT k FROM active EXCEPT SELECT k FROM seg) t3
+      |ORDER BY tag, k""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** Window analytics frames (reference W6): rank, lag, running sum and
+    * moving average per customer ordered by order date. Running frames
+    * accumulate left-to-right in both engines → fp-deterministic. */
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("running_total", round(sum($"o_totalprice").over(running), 2))
+      .withColumn("moving_avg3", round(avg($"o_totalprice").over(moving), 4))
+      .select($"o_custkey", $"o_orderkey", $"rnk", $"prev_price",
+        $"running_total", $"moving_avg3")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q9Sql =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(rank() OVER w AS INTEGER) AS rnk,
+      |       lag(o_totalprice, 1) OVER w AS prev_price,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  /** String scalar family (reference F7/F10): case, substring, length,
+    * regex extraction, concatenation over `part`. */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        substring($"p_name", 1, 10).as("name10"),
+        length($"p_name").as("name_len"),
+        regexp_extract($"p_name", "([a-z]+)", 1).as("first_word"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q10Sql =
+    """SELECT p_partkey,
+      |       upper(p_brand)                        AS brand_u,
+      |       substr(p_name, 1, 10)                 AS name10,
+      |       CAST(length(p_name) AS INTEGER)       AS name_len,
+      |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |       concat(p_brand, ':', p_type)          AS brand_type
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  /** Date/time scalar family (reference F6/F10 minus nondeterminism):
+    * month truncation, extraction, grouped rollup by calendar month. */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month"),
+        year($"o_orderdate").as("yr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"),
+        round(avg($"o_totalprice"), 4).as("avg_price"))
+      .orderBy($"month")
+  }
+
+  private val q11Sql =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  /** JSON extraction (reference F10; `events.props` carries a JSON
+    * payload exactly like the reference's serialized envelopes). */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_type",
+        (get_json_object($"props", "$.k").cast("int") % 10).as("k_bucket"),
+        $"value")
+      .groupBy($"event_type", $"k_bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type", $"k_bucket")
+  }
+
+  private val q12Sql =
+    """SELECT event_type,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |       count(*) AS n,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, k_bucket""".stripMargin
+
+  // --------------------------------------------------------------- q13
+  /** Exact distinct aggregation (reference A10): per-group distinct part
+    * and supplier counts. Spark expands distinct aggs into a two-phase
+    * plan; shuffle carries (group, distinct-key) pairs. */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q13Sql =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** ROLLUP hierarchy totals over region→nation customer counts. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = broadcast(Tables.nation(spark, dir))
+    val region = broadcast(Tables.region(spark, dir))
+    Tables.customer(spark, dir)
+      .join(nation, col("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_customers", $"total_bal")
+      .orderBy($"region", $"nation")
+  }
+
+  private val q14Sql =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |       coalesce(n_name, 'ALL') AS nation,
+      |       count(*) AS n_customers,
+      |       round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  /** CUBE over order status × priority. */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  private val q15Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  /** GROUPING SETS via the engine's SQL front-end (Catalyst parses,
+    * optimizes and plans it like the DataFrame queries). */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q16")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 2) AS qty,
+        |       count(*) AS n
+        |FROM lineitem_q16
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  private val q16Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       round(sum(l_quantity), 2) AS qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // --------------------------------------------------------------- q17
+  /** Exact interpolated quantiles + IQR whiskers (reference A8: the
+    * dashboard box plot, resources/dashboard/js/box.js:23-30). Uses exact
+    * `percentile` (not approx) to hash-match DuckDB's quantile_cont. */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"),
+        min($"l_quantity").as("lo"),
+        max($"l_quantity").as("hi"))
+      .select(
+        $"l_returnflag",
+        round($"p25", 4).as("q25"),
+        round($"p50", 4).as("q50"),
+        round($"p75", 4).as("q75"),
+        round($"p75" + (lit(1.5) * ($"p75" - $"p25")), 4).as("whisker_hi"),
+        $"lo", $"hi")
+      .orderBy($"l_returnflag")
+  }
+
+  private val q17Sql =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_quantity, 0.25) AS p25,
+      |         quantile_cont(l_quantity, 0.5)  AS p50,
+      |         quantile_cont(l_quantity, 0.75) AS p75,
+      |         min(l_quantity) AS lo,
+      |         max(l_quantity) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |       round(p25, 4) AS q25,
+      |       round(p50, 4) AS q50,
+      |       round(p75, 4) AS q75,
+      |       round(p75 + 1.5 * (p75 - p25), 4) AS whisker_hi,
+      |       lo, hi
+      |FROM s
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q18
+  /** The flagship anomaly heuristic of the reference's speed layer
+    * (Analyzer.scala:47-59), re-expressed as one grouped aggregation over
+    * `events`: per event_type, n / mean / POPULATION stddev / latest
+    * value (max_by on unique event_id ≈ latest-by-ts head of the DESC
+    * stream, Analyzer.scala:139-140), then
+    * `clamp((|last-avg|-σ)/(2σ), 0, 1)` — exactly the reference formula.
+    * Replaces the reference's per-sensor actor loop with groupBy. */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        avg($"value").as("avg_v"),
+        stddev_pop($"value").as("std_v"),
+        max_by($"value", $"event_id").as("last_v"))
+      .select(
+        $"event_type",
+        $"n",
+        round($"avg_v", 4).as("avg_value"),
+        round($"std_v", 4).as("std_value"),
+        $"last_v".as("last_value"),
+        round(
+          least(greatest((abs($"last_v" - $"avg_v") - $"std_v") / (lit(2.0) * $"std_v"), lit(0.0)), lit(1.0)),
+          4).as("fast_anomaly"))
+      .orderBy($"event_type")
+  }
+
+  private val q18Sql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |         count(*) AS n,
+      |         avg(value) AS avg_v,
+      |         stddev_pop(value) AS std_v,
+      |         arg_max(value, event_id) AS last_v
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |       round(avg_v, 4) AS avg_value,
+      |       round(std_v, 4) AS std_value,
+      |       last_v AS last_value,
+      |       round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4) AS fast_anomaly
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q19
+  /** As-of join (reference J3 extension; the time-series "most recent
+    * prior reading" pattern): each purchase event joined to the user's
+    * most recent strictly-earlier click. Spark-side implementation is the
+    * scalable union+ordered-window trick — ONE shuffle on user_id, no
+    * row explosion (vs a range self-join): tag both streams, sort within
+    * user by (epoch_us, side), carry the last click forward, keep
+    * purchases. Equal-timestamp clicks sort after purchases (side=1) so
+    * strict `click.ts < purchase.ts` holds. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", $"us", lit(0).as("side"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"value", $"us", lit(1).as("side"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"side".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    purchases.unionByName(clicks)
+      .withColumn("prev_click_id",
+        last(when($"side" === 1, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("prev_click_value",
+        last(when($"side" === 1, $"value"), ignoreNulls = true).over(w))
+      .filter($"side" === 0)
+      .select(
+        $"event_id",
+        $"prev_click_id",
+        ($"value" - $"prev_click_value").as("delta"))
+      .orderBy($"event_id")
+  }
+
+  private val q19Sql =
+    """SELECT a.event_id AS event_id,
+      |       b.event_id AS prev_click_id,
+      |       a.value - b.value AS delta
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON a.user_id = b.user_id AND a.ts > b.ts
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- q20
+  /** Range (interval) join: per event, activity by the same user in the
+    * following 5 minutes. Equi-key on user_id keeps it a partitioned
+    * sort-merge join with a residual range predicate — no cross product.
+    * Timestamp arithmetic on epoch micros for engine parity. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val a = ev.select($"event_id".as("a_id"), $"user_id".as("a_user"),
+      unix_micros($"ts").as("a_us"))
+    val b = ev.select($"event_id".as("b_id"), $"user_id".as("b_user"),
+      $"value".as("b_value"), unix_micros($"ts").as("b_us"))
+    a.join(b,
+        $"a_user" === $"b_user" && $"b_id" =!= $"a_id" &&
+          $"b_us" >= $"a_us" && $"b_us" <= $"a_us" + lit(300000000L),
+        "left_outer")
+      .groupBy($"a_id")
+      .agg(
+        count($"b_id").as("n_next_5min"),
+        round(coalesce(sum($"b_value"), lit(0.0)), 2).as("sum_next"))
+      .select($"a_id".as("event_id"), $"n_next_5min", $"sum_next")
+      .orderBy($"event_id")
+  }
+
+  private val q20Sql =
+    """SELECT a.event_id AS event_id,
+      |       count(b.event_id) AS n_next_5min,
+      |       round(coalesce(sum(b.value), 0.0), 2) AS sum_next
+      |FROM events a
+      |LEFT JOIN events b
+      |  ON a.user_id = b.user_id AND b.event_id <> a.event_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+      |GROUP BY a.event_id
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- q21
+  /** Broadcast dimension join + aggregation over supplier/nation. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = broadcast(Tables.nation(spark, dir))
+    Tables.supplier(spark, dir)
+      .join(nation, col("s_nationkey") === nation("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum($"s_acctbal"), 2).as("total_bal"),
+        round(avg($"s_acctbal"), 4).as("avg_bal"))
+      .orderBy($"n_name")
+  }
+
+  private val q21Sql =
+    """SELECT n_name,
+      |       count(*) AS n_suppliers,
+      |       round(sum(s_acctbal), 2) AS total_bal,
+      |       round(avg(s_acctbal), 4) AS avg_bal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------ q_top_global
+  /** Global order-by + limit (reference W1/W4): plans as
+    * TakeOrderedAndProject — per-partition top-k then driver merge, never
+    * a full global sort. */
+  private def qTopGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  private val qTopGlobalSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q0_filter_project", q0, Some(q0Sql)),
+    Q("q1_pricing_summary", q1, Some(q1Sql)),
+    Q("q2_topn_per_group", q2, Some(q2Sql)),
+    Q("q3_join_broadcast_dims", q3, Some(q3Sql)),
+    Q("q4_join_left_outer", q4, Some(q4Sql)),
+    Q("q5_join_semi", q5, Some(q5Sql)),
+    Q("q6_join_anti", q6, Some(q6Sql)),
+    Q("q7_join_full_outer", q7, Some(q7Sql)),
+    Q("q8_set_ops", q8, Some(q8Sql)),
+    Q("q9_window_analytics", q9, Some(q9Sql)),
+    Q("q10_string_funcs", q10, Some(q10Sql)),
+    Q("q11_date_funcs", q11, Some(q11Sql)),
+    Q("q12_json_extract", q12, Some(q12Sql)),
+    Q("q13_distinct_agg", q13, Some(q13Sql)),
+    Q("q14_rollup", q14, Some(q14Sql)),
+    Q("q15_cube", q15, Some(q15Sql)),
+    Q("q16_grouping_sets", q16, Some(q16Sql)),
+    Q("q17_quantiles", q17, Some(q17Sql)),
+    Q("q18_sensor_heuristic", q18, Some(q18Sql)),
+    Q("q19_asof_join", q19, Some(q19Sql)),
+    Q("q20_range_join", q20, Some(q20Sql)),
+    Q("q21_supplier_balance", q21, Some(q21Sql)),
+    Q("q22_top_global", qTopGlobal, Some(qTopGlobalSql)),
+  )
+}
