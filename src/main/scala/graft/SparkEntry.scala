@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def catalog: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship analysis (lambda-sample

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents`: language identification,
+  * quality scoring, token statistics, and document fingerprinting — the
+  * per-document featurization pass of a training-data pipeline.
+  *
+  * All four are embarrassingly parallel per-row column algebra (single
+  * scan, no shuffle except the final presentation sort) — at 100 TB they
+  * run map-side at scan throughput. No UDFs: everything is built-in
+  * expressions, so the whole stage codegens.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Order of `langs` (alphabetical) is the
+    * deterministic tiebreak. */
+  private val langs = Seq("de", "en", "es", "fr", "zh")
+  private val stop: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "mit", "ein", "zu"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "you", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "il"),
+    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"),
+  )
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  private val enList = inList(stop("en"))
+
+  // --------------------------------------------------------------- q31
+  /** Stopword-profile language ID: score = #tokens in each language's
+    * profile; prediction = argmax with alphabetical tiebreak (expressed
+    * as a first-match CASE chain — identical semantics both engines). */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .select(
+        Seq($"doc_id", $"lang") ++
+          langs.map(l => expr(s"size(filter(t, x -> x IN (${inList(stop(l))})))").as(s"s_$l")): _*)
+    val predicted = langs.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+      case (l, rest) =>
+        val geAll = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(geAll, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_correct", ($"predicted_lang" === $"lang").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  private val q31Sql: String = {
+    val scores = langs
+      .map(l => s"         CAST(len(list_filter(t, x -> x IN (${inList(stop(l))}))) AS INTEGER) AS s_$l")
+      .mkString(",\n")
+    val chain = langs.init.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |$scores
+       |  FROM toks
+       |)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |       predicted_lang,
+       |       CAST(predicted_lang = lang AS INTEGER) AS is_correct
+       |FROM (SELECT *, $chain AS predicted_lang FROM scored) p
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q32
+  /** Quality scoring: length/punctuation/stopword ratios blended into a
+    * [0,1] score. Pure per-row scalar math on identical inputs → bit-
+    * identical doubles in both engines, so nothing is rounded. */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .withColumn("len_chars", length($"text"))
+      .withColumn("n_tokens", size($"t"))
+      .withColumn("n_punct", length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+      .withColumn("n_stop", expr(s"size(filter(t, x -> x IN ($enList)))"))
+      .select(
+        $"doc_id",
+        $"len_chars",
+        $"n_tokens",
+        ((length(regexp_replace($"text", " ", "")).cast("double")) / $"n_tokens").as("avg_token_len"),
+        ($"n_punct".cast("double") / $"len_chars").as("punct_ratio"),
+        ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"),
+        (lit(0.4) * ($"n_stop".cast("double") / $"n_tokens")
+          + lit(0.3) * least($"n_tokens".cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - $"n_punct".cast("double") / $"len_chars")).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val q32Sql =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) AS INTEGER) AS len_chars,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |                              x -> x IN ($enList))) AS INTEGER) AS n_stop,
+       |         CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_nonspace
+       |  FROM documents
+       |)
+       |SELECT doc_id, len_chars, n_tokens,
+       |       CAST(n_nonspace AS DOUBLE) / n_tokens AS avg_token_len,
+       |       CAST(n_punct AS DOUBLE) / len_chars AS punct_ratio,
+       |       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       |       0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+       |         + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |         + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / len_chars) AS quality
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q33
+  /** Token statistics: whitespace tokens, BPE-ish regex pieces
+    * (letter runs / digit runs / single symbols), distinct token count. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .select(
+        $"doc_id",
+        size($"t").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))").as("n_bpe_pieces"),
+        size(array_distinct($"t")).as("n_distinct_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val q33Sql =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_pieces,
+       |       CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS INTEGER) AS n_distinct_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q34
+  /** Position-weighted rolling-hash fingerprint over the first 64
+    * tokens: fp = Σ_{i<64} (hash32(tᵢ) mod 1000003)·(i+1) mod 2^31-1.
+    * Bounded terms keep the sum well inside int64 on the Spark side
+    * (DuckDB promotes to HUGEINT; the final CAST re-aligns types). */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(Portable.tokens($"text")).as(Seq("pos", "w")))
+      .filter($"pos" < 64)
+      .withColumn("h", Portable.hash32($"w"))
+      .groupBy($"doc_id")
+      .agg((sum(($"h" % 1000003L) * ($"pos" + 1)) % 2147483647L).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val q34Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t[i] AS w, i
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, least(len(t), 64))) AS i
+       |        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents))
+       |)
+       |SELECT doc_id,
+       |       CAST(sum((${Portable.hash32Sql("w")} % 1000003) * i) % 2147483647 AS BIGINT) AS fp
+       |FROM tok
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q31_lang_id", q31, Some(q31Sql)),
+    Q("q32_quality_score", q32, Some(q32Sql)),
+    Q("q33_token_stats", q33, Some(q33Sql)),
+    Q("q34_fingerprint", q34, Some(q34Sql)),
+  )
+}
