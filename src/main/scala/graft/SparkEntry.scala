@@ -14,14 +14,15 @@ object SparkEntry {
     operators.Relational.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
-      operators.TextAnalysis.all
+      operators.TextAnalysis.all ++
+      operators.Anomaly.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship analysis (lambda-sample
     * analyzer/Analyzer.scala:47-59) re-expressed as one grouped
     * aggregation over the events table. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q18_sensor_heuristic")(spark, "/root/testdata/sf0.001")
+    queries("q35_flagship_analysis")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -69,9 +69,12 @@ object Relational {
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        // averages of fixed-decimal data: round the SUM to the data's
+        // scale (recovering its exact decimal value in both engines),
+        // then divide — bit-identical, no round-half knife edges
+        (round(sum($"l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (round(sum($"l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (round(sum($"l_discount"), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -82,9 +85,9 @@ object Relational {
       |       round(sum(l_extendedprice), 2)  AS sum_base_price,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
       |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |       round(avg(l_quantity), 4)       AS avg_qty,
-      |       round(avg(l_extendedprice), 4)  AS avg_price,
-      |       round(avg(l_discount), 6)       AS avg_disc,
+      |       round(sum(l_quantity), 2) / count(*)      AS avg_qty,
+      |       round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+      |       round(sum(l_discount), 2) / count(*)      AS avg_disc,
       |       count(*)                        AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-06-01'
@@ -283,7 +286,8 @@ object Relational {
       .withColumn("rnk", rank().over(w))
       .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
       .withColumn("running_total", round(sum($"o_totalprice").over(running), 2))
-      .withColumn("moving_avg3", round(avg($"o_totalprice").over(moving), 4))
+      .withColumn("moving_avg3",
+        round(sum($"o_totalprice").over(moving), 2) / count(lit(1)).over(moving))
       .select($"o_custkey", $"o_orderkey", $"rnk", $"prev_price",
         $"running_total", $"moving_avg3")
       .orderBy($"o_custkey", $"o_orderkey")
@@ -296,9 +300,12 @@ object Relational {
       |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
       |             ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-      |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
       |             ORDER BY o_orderdate, o_orderkey
-      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+      |         / count(*) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -341,7 +348,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         round(sum($"o_totalprice"), 2).as("total"),
-        round(avg($"o_totalprice"), 4).as("avg_price"))
+        (round(sum($"o_totalprice"), 2) / count(lit(1))).as("avg_price"))
       .orderBy($"month")
   }
 
@@ -350,7 +357,7 @@ object Relational {
       |       CAST(year(o_orderdate) AS INTEGER) AS yr,
       |       count(*) AS n_orders,
       |       round(sum(o_totalprice), 2) AS total,
-      |       round(avg(o_totalprice), 4) AS avg_price
+      |       round(sum(o_totalprice), 2) / count(*) AS avg_price
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY month""".stripMargin
@@ -538,12 +545,13 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         avg($"value").as("avg_v"),
+        sum($"value").as("sum_v"),
         stddev_pop($"value").as("std_v"),
         max_by($"value", $"event_id").as("last_v"))
       .select(
         $"event_type",
         $"n",
-        round($"avg_v", 4).as("avg_value"),
+        (round($"sum_v", 2) / $"n").as("avg_value"),
         round($"std_v", 4).as("std_value"),
         $"last_v".as("last_value"),
         round(
@@ -557,11 +565,12 @@ object Relational {
       |  SELECT event_type,
       |         count(*) AS n,
       |         avg(value) AS avg_v,
+      |         sum(value) AS sum_v,
       |         stddev_pop(value) AS std_v,
       |         arg_max(value, event_id) AS last_v
       |  FROM events GROUP BY 1)
       |SELECT event_type, n,
-      |       round(avg_v, 4) AS avg_value,
+      |       round(sum_v, 2) / n AS avg_value,
       |       round(std_v, 4) AS std_value,
       |       last_v AS last_value,
       |       round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4) AS fast_anomaly
@@ -658,7 +667,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_suppliers"),
         round(sum($"s_acctbal"), 2).as("total_bal"),
-        round(avg($"s_acctbal"), 4).as("avg_bal"))
+        (round(sum($"s_acctbal"), 2) / count(lit(1))).as("avg_bal"))
       .orderBy($"n_name")
   }
 
@@ -666,7 +675,7 @@ object Relational {
     """SELECT n_name,
       |       count(*) AS n_suppliers,
       |       round(sum(s_acctbal), 2) AS total_bal,
-      |       round(avg(s_acctbal), 4) AS avg_bal
+      |       round(sum(s_acctbal), 2) / count(*) AS avg_bal
       |FROM supplier
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name

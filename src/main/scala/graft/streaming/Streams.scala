@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.core.{Entry, Heuristic, SensorMeta}
+
+/** Structured Streaming re-expression of the reference's speed/serving
+  * layers (SURVEY.md §2.8, §3.2, §3.4):
+  *
+  *  - [[IngestStream]] — MQTT-consumer equivalent (mqtt/Consumer.scala:
+  *    52-66): payload stream → ts stamped at consume time → exactly-once
+  *    append into the partitioned entry table (micro-batch trigger =
+  *    the reference's 200 ms tick).
+  *  - [[AnalysisStream]] — HistoryWriter/Analyzer loop (analyzer/
+  *    HistoryWriter.scala:40-111): per-sensor sliding recent window kept
+  *    as typed stream state (`flatMapGroupsWithState`), emitting a
+  *    SensorMeta per sensor per micro-batch that touched it — the
+  *    pull-and-check freshness dance disappears because the stream IS
+  *    the freshness mechanism (T3). Results append to the analysis table
+  *    and refresh [[SnapshotStore]].
+  *  - [[SnapshotStore]] — the serving layer (Redis `fast-analysis` hash
+  *    + stress-mode `lastMeta`, Analyzer.scala:93,117-121): latest meta
+  *    per sensor, served without touching storage.
+  *
+  * Scale: state per key is a bounded ring (≤ recentN doubles) → state
+  * size = sensors × N regardless of input volume; the only shuffle is
+  * the groupByKey on sensor.
+  */
+object IngestStream {
+
+  /** `source` must be a streaming DataFrame with (sensor, value,
+    * anomaly) — the MqttEntry shape. Timestamps are assigned HERE, at
+    * consume time, exactly like Consumer.scala:64 (T2: processing-time
+    * semantics, no watermarks by design). */
+  def start(
+      source: DataFrame,
+      entryDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery =
+    source
+      .withColumn("ts", current_timestamp())
+      .select("sensor", "ts", "value", "anomaly")
+      .writeStream
+      .format("parquet")
+      .option("path", entryDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("sensor")
+      .trigger(trigger)
+      .start()
+}
+
+/** Bounded per-sensor window state: most recent `n` (tsMicros, value)
+  * pairs, newest first. */
+final case class SensorWindow(tsMicros: Seq[Long], values: Seq[Double])
+
+object AnalysisStream {
+
+  /** Merge a micro-batch of entries into the bounded window and emit the
+    * refreshed analysis for this sensor (reference analyze(),
+    * Analyzer.scala:138-151; scorer optionally injects the batch-layer
+    * model posterior). */
+  private def update(recentN: Int, scorer: String => Option[Double => Double])(
+      sensor: String,
+      batch: Iterator[Entry],
+      state: GroupState[SensorWindow]): Iterator[SensorMeta] = {
+    val prev = state.getOption.getOrElse(SensorWindow(Nil, Nil))
+    val incoming = batch.map(e => (e.ts.getTime * 1000L, e.value)).toSeq
+    val merged = (prev.tsMicros.zip(prev.values) ++ incoming)
+      .sortBy(-_._1)
+      .take(recentN)
+    state.update(SensorWindow(merged.map(_._1), merged.map(_._2)))
+    if (merged.isEmpty) Iterator.empty
+    else {
+      val values = merged.map(_._2)
+      val mean = values.sum / values.size
+      val std = Heuristic.stdDevPop(values)
+      val latest = values.head
+      val fast = Heuristic.score(latest, mean, std)
+      val (full, avg) = Heuristic.blend(fast, scorer(sensor).map(f => f(latest)))
+      Iterator.single(SensorMeta(
+        sensor, new Timestamp(merged.head._1 / 1000L), fast, full, avg))
+    }
+  }
+
+  /** Start the analysis stream over a typed entry stream. Emits to the
+    * analysis table (append, exactly-once via checkpoint) and refreshes
+    * the serving snapshot in the same micro-batch. */
+  def start(
+      entryStream: Dataset[Entry],
+      analysisDir: String,
+      checkpointDir: String,
+      recentN: Int = 200,
+      scorer: String => Option[Double => Double] = _ => None,
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery = {
+    val spark = entryStream.sparkSession
+    import spark.implicits._
+    entryStream
+      .groupByKey(_.sensor)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update(recentN, scorer))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[SensorMeta], _: Long) =>
+        val metas = batch.collect() // ≤ one row per sensor per micro-batch
+        if (metas.nonEmpty) {
+          batch.sparkSession.createDataFrame(metas.toSeq)
+            .write.mode("append").parquet(analysisDir)
+          SnapshotStore.update(metas.toSeq)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
+/** Serving-layer snapshot: latest SensorMeta per sensor (the Redis
+  * `fast-analysis` hash, HistoryWriter.scala:69-74, plus the analyzers'
+  * stress-mode `lastMeta` cache). Process-local; refreshed by
+  * [[AnalysisStream]]'s micro-batches; reads never touch storage. */
+object SnapshotStore {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, SensorMeta]()
+
+  def update(metas: Seq[SensorMeta]): Unit = metas.foreach(x => m.put(x.name, x))
+  def get(sensor: String): Option[SensorMeta] = Option(m.get(sensor))
+  def all: Seq[SensorMeta] = {
+    import scala.jdk.CollectionConverters._
+    m.values.asScala.toSeq.sortBy(_.name)
+  }
+  def clear(): Unit = m.clear()
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** One shared local session per JVM (getOrCreate) + the reference golden
+  * fixture loader (entries.csv carried over from lambda-sample
+  * src/test/resources — 23 164 rows, 4 sensors, ts DESC, loader
+  * semantics of lib/EntriesFixture.scala:19-48). */
+trait SparkSpecBase extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference fixture tolerance (EntriesFixture.scala:10). */
+  val Precision = 0.0002
+
+  lazy val fixture: DataFrame = {
+    val path = getClass.getResource("/entries.csv").getPath
+    spark.read
+      .schema(graft.core.Schemas.entry)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSZ")
+      .csv(path)
+  }
+
+  /** First sensor of the fixture (head of the reference config list). */
+  val FirstSensor = "Motel 6"
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{Entry, Heuristic, MqttEntry}
+import graft.streaming.{AnalysisStream, IngestStream, SnapshotStore}
+
+/** Streaming-layer tests (SURVEY.md §2.8/§3.2/§3.4): micro-batch ingest
+  * with consume-time timestamps, stateful bounded-window analysis, and
+  * snapshot serving semantics. MemoryStream + processAllAvailable make
+  * the micro-batch ticks synchronous and deterministic. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("ingest stream stamps ts at consume time and appends partitioned entries (T2/T4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[MqttEntry]
+    val entryDir = tmp("graft-entry")
+    val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-ckpt"),
+      Trigger.ProcessingTime(0))
+    val t0 = System.currentTimeMillis()
+    source.addData(
+      MqttEntry("s1", 10.0, 0), MqttEntry("s1", 120.0, 1),
+      MqttEntry("s2", -5.0, 0), MqttEntry("s2", 7.5, 0))
+    q.processAllAvailable()
+    source.addData(MqttEntry("s1", 11.0, 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(entryDir)
+    out.count() shouldBe 5
+    out.columns.toSet shouldBe Set("sensor", "ts", "value", "anomaly")
+    // consume-time stamping: every ts falls inside the test's time window
+    val ts = out.select($"ts").as[Timestamp].collect()
+    all(ts.map(_.getTime)) should be >= t0 - 1000
+    all(ts.map(_.getTime)) should be <= System.currentTimeMillis() + 1000
+    // partitioned layout by sensor (the Cassandra partition-key analog)
+    new java.io.File(entryDir).list().count(_.startsWith("sensor=")) shouldBe 2
+  }
+
+  test("stateful analysis: bounded window, snapshot refresh, change detection (T3/W5)") {
+    implicit val sqlCtx = spark.sqlContext
+    SnapshotStore.clear()
+    val source = MemoryStream[Entry]
+    val analysisDir = tmp("graft-analysis")
+    val q = AnalysisStream.start(source.toDS(), analysisDir, tmp("graft-ackpt"),
+      recentN = 3, trigger = Trigger.ProcessingTime(0))
+    def ts(s: Long) = new Timestamp(s * 1000L)
+
+    // batch 1: sensor a gets 3 values; sensor b gets 1
+    source.addData(
+      Entry("a", ts(1), 1.0, 0), Entry("a", ts(2), 2.0, 0), Entry("a", ts(3), 3.0, 0),
+      Entry("b", ts(1), 5.0, 0))
+    q.processAllAvailable()
+
+    val snapA = SnapshotStore.get("a").get
+    val vals1 = Seq(3.0, 2.0, 1.0)
+    snapA.fastAnomaly shouldBe Heuristic.score(3.0, vals1.sum / 3, Heuristic.stdDevPop(vals1))
+    snapA.fullAnomaly shouldBe -1.0 // no model → sentinel
+    snapA.avgAnomaly shouldBe snapA.fastAnomaly // fallback blend
+    snapA.ts shouldBe ts(3)
+    SnapshotStore.get("b").get.ts shouldBe ts(1)
+
+    // batch 2: only sensor a moves; window caps at 3 (oldest evicted)
+    source.addData(Entry("a", ts(4), 10.0, 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val snapA2 = SnapshotStore.get("a").get
+    val vals2 = Seq(10.0, 3.0, 2.0)
+    snapA2.fastAnomaly shouldBe Heuristic.score(10.0, vals2.sum / 3, Heuristic.stdDevPop(vals2))
+    snapA2.ts shouldBe ts(4)
+
+    // analysis table: a appended twice, b once (no change → no rewrite)
+    val hist = spark.read.parquet(analysisDir)
+    hist.filter($"name" === "a").count() shouldBe 2
+    hist.filter($"name" === "b").count() shouldBe 1
+  }
+
+  test("streaming fast scores match the batch column pipeline on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    SnapshotStore.clear()
+    val source = MemoryStream[Entry]
+    val q = AnalysisStream.start(source.toDS(), tmp("graft-an2"), tmp("graft-ck2"),
+      recentN = 200, trigger = Trigger.ProcessingTime(0))
+    val rows = fixture.filter($"sensor" === FirstSensor).as[Entry].collect()
+    source.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = SnapshotStore.get(FirstSensor).get
+    val batch = graft.operators.Anomaly.fastAnalysis(
+      graft.operators.Anomaly.recentWindow(fixture.filter($"sensor" === FirstSensor), 200))
+      .collect().head
+    streamed.fastAnomaly shouldBe batch.getAs[Double]("fast_anomaly") +- 1e-9
+  }
+}
