@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
-      operators.Anomaly.all
+      operators.Anomaly.all ++
+      multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship analysis (lambda-sample

@@ -91,6 +91,11 @@ object AnomalyForest {
   def saveAll(models: Map[String, RandomForestClassificationModel], dir: String): Unit =
     models.foreach { case (s, m) => m.write.overwrite().save(s"$dir/$s") }
 
+  /** Human-readable forest dump (reference M5: the decision-tree dot
+    * export of README.md:235-239). */
+  def describe(model: RandomForestClassificationModel): String =
+    model.toDebugString
+
   def load(dir: String, sensors: Seq[String]): Map[String, RandomForestClassificationModel] =
     sensors.flatMap { s =>
       Try(RandomForestClassificationModel.load(s"$dir/$s")).toOption.map(s -> _)

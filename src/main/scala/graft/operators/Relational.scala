@@ -681,6 +681,28 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // --------------------------------------------------------------- q37
+  /** Load-share normalization v/Σv (reference A6/A9: per-analyzer
+    * request distribution, Endpoint.scala:96-109): count per event type
+    * over the total via an empty-frame window. The global window runs
+    * over the 5-row AGGREGATED result, never the raw scan. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share",
+        $"n".cast("double") / sum($"n").over(Window.partitionBy()))
+      .orderBy($"event_type")
+  }
+
+  private val q37Sql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ q_top_global
   /** Global order-by + limit (reference W1/W4): plans as
     * TakeOrderedAndProject — per-partition top-k then driver merge, never
@@ -723,5 +745,6 @@ object Relational {
     Q("q20_range_join", q20, Some(q20Sql)),
     Q("q21_supplier_balance", q21, Some(q21Sql)),
     Q("q22_top_global", qTopGlobal, Some(qTopGlobalSql)),
+    Q("q37_load_share", q37, Some(q37Sql)),
   )
 }

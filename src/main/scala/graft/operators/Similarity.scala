@@ -46,16 +46,20 @@ object Similarity {
     }
   }
 
-  /** embeddings + f64 vector `v` + L2 norm `nrm`. */
+  /** embeddings + f64 vector `v` + L2 norm `nrm`. Registers the native
+    * vector expressions ([[graft.functions.DotProduct]]) used by the N²
+    * stages — fused codegen loop, no per-pair array allocation, same
+    * left-to-right accumulation as the algebraic form. */
   private def embNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("v", transform($"embedding", x => x.cast("double")))
       .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native fused dot product over two array<double> columns (by name). */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   private val normsCte =
     """norms AS (
@@ -75,7 +79,7 @@ object Similarity {
   private def q28(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
@@ -103,7 +107,7 @@ object Similarity {
     val e = embNorm(spark, dir)
     val queries = e.filter($"vec_id".isin(QueryIds: _*))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val cos = dot($"qv", $"v") / ($"qnrm" * $"nrm")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
     e.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .withColumn("rn", row_number().over(w))
@@ -146,7 +150,7 @@ object Similarity {
     val e = bucketed(spark, dir)
     val queries = e.filter($"vec_id".isin(QueryIds: _*))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket")
-    val cos = dot($"qv", $"v") / ($"qnrm" * $"nrm")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
     e.join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")

@@ -21,13 +21,8 @@ trait SparkSpecBase extends AnyFunSuite with Matchers {
   /** Reference fixture tolerance (EntriesFixture.scala:10). */
   val Precision = 0.0002
 
-  lazy val fixture: DataFrame = {
-    val path = getClass.getResource("/entries.csv").getPath
-    spark.read
-      .schema(graft.core.Schemas.entry)
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSZ")
-      .csv(path)
-  }
+  lazy val fixture: DataFrame =
+    graft.sources.Csv.readEntries(spark, getClass.getResource("/entries.csv").getPath)
 
   /** First sensor of the fixture (head of the reference config list). */
   val FirstSensor = "Motel 6"
