@@ -195,13 +195,17 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q6
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  /** Left-anti join (NOT EXISTS): lapsed customers — no orders after
+    * mid-2000 (the right side is filtered so the anti-join produces real
+    * rows in this dense synthetic data; the filter pushes to the scan). */
   private def q6(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val customer = Tables.customer(spark, dir)
-    val orders = Tables.orders(spark, dir).select($"o_custkey")
+    val recentOrders = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2000-06-01").cast("timestamp"))
+      .select($"o_custkey")
     customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .join(recentOrders, customer("c_custkey") === recentOrders("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_name", $"c_nationkey")
       .orderBy($"c_custkey")
   }
@@ -209,7 +213,9 @@ object Relational {
   private val q6Sql =
     """SELECT c_custkey, c_name, c_nationkey
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q7
@@ -703,6 +709,21 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q39
+  /** HLL approximate distinct (A10): sketch-based, so the count is
+    * engine-specific — declared without an oracle (rows-only check); the
+    * exact counterpart is q13. At 100 TB this replaces q13's two-phase
+    * expansion with a fixed-size sketch merge. */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+      .orderBy($"l_returnflag")
+  }
+
   // ------------------------------------------------------ q_top_global
   /** Global order-by + limit (reference W1/W4): plans as
     * TakeOrderedAndProject — per-partition top-k then driver merge, never
@@ -746,5 +767,6 @@ object Relational {
     Q("q21_supplier_balance", q21, Some(q21Sql)),
     Q("q22_top_global", qTopGlobal, Some(qTopGlobalSql)),
     Q("q37_load_share", q37, Some(q37Sql)),
+    Q("q39_approx_distinct", q39, None), // HLL sketches differ per engine → rows-only check
   )
 }

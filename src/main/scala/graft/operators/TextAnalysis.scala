@@ -176,10 +176,39 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q38
+  /** Array-function family (F10): slice/sort/join/contains over the
+    * token array — per-row, map-side, codegen'd. */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .select(
+        $"doc_id",
+        array_join(slice($"t", 1, 3), " ").as("first3"),
+        array_join(slice(sort_array($"t"), 1, 3), " ").as("sorted3"),
+        array_contains($"t", "spark").cast("int").as("has_spark"),
+        element_at($"t", -1).as("last_token"))
+      .orderBy($"doc_id")
+  }
+
+  private val q38Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |)
+       |SELECT doc_id,
+       |       array_to_string(list_slice(t, 1, 3), ' ') AS first3,
+       |       array_to_string(list_slice(list_sort(t), 1, 3), ' ') AS sorted3,
+       |       CAST(list_contains(t, 'spark') AS INTEGER) AS has_spark,
+       |       t[-1] AS last_token
+       |FROM toks
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
     Q("q33_token_stats", q33, Some(q33Sql)),
     Q("q34_fingerprint", q34, Some(q34Sql)),
+    Q("q38_array_funcs", q38, Some(q38Sql)),
   )
 }
