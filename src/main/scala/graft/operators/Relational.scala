@@ -724,6 +724,29 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // --------------------------------------------------------------- q40
+  /** Correlated scalar subquery (SURVEY §4: Catalyst decorrelation —
+    * free once SQL is exposed): parts priced >10% above their type's
+    * mean. Catalyst rewrites the correlated aggregate into an
+    * aggregate+join; the oracle runs the same SQL. The inner mean uses
+    * the exact-decimal round(sum)/count form for engine parity. */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_q40")
+    spark.sql(
+      """SELECT p_partkey, p_type, p_retailprice
+        |FROM part_q40 p
+        |WHERE p_retailprice > 1.1 * (SELECT round(sum(p2.p_retailprice), 2) / count(*)
+        |                             FROM part_q40 p2 WHERE p2.p_type = p.p_type)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  private val q40Sql =
+    """SELECT p_partkey, p_type, p_retailprice
+      |FROM part p
+      |WHERE p_retailprice > 1.1 * (SELECT round(sum(p2.p_retailprice), 2) / count(*)
+      |                             FROM part p2 WHERE p2.p_type = p.p_type)
+      |ORDER BY p_partkey""".stripMargin
+
   // ------------------------------------------------------ q_top_global
   /** Global order-by + limit (reference W1/W4): plans as
     * TakeOrderedAndProject — per-partition top-k then driver merge, never
@@ -768,5 +791,6 @@ object Relational {
     Q("q22_top_global", qTopGlobal, Some(qTopGlobalSql)),
     Q("q37_load_share", q37, Some(q37Sql)),
     Q("q39_approx_distinct", q39, None), // HLL sketches differ per engine → rows-only check
+    Q("q40_correlated_subquery", q40, Some(q40Sql)),
   )
 }

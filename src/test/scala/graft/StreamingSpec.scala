@@ -82,6 +82,30 @@ class StreamingSpec extends SparkSpecBase {
     hist.filter($"name" === "b").count() shouldBe 1
   }
 
+  test("analysis stream blends a live RF scorer (batch layer inside the stream)") {
+    import org.apache.spark.ml.linalg.Vectors
+    implicit val sqlCtx = spark.sqlContext
+    SnapshotStore.clear()
+    val models = graft.ml.AnomalyForest.train(fixture.filter($"sensor" === FirstSensor))
+    val scorer: String => Option[Double => Double] = s =>
+      models.get(s).map(m => (v: Double) => m.predictProbability(Vectors.dense(v))(1))
+    val source = MemoryStream[Entry]
+    val q = AnalysisStream.start(source.toDS(), tmp("graft-an3"), tmp("graft-ck3"),
+      recentN = 200, scorer = scorer, trigger = Trigger.ProcessingTime(0))
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    source.addData(
+      Entry(FirstSensor, ts(1), 10.0, 0), Entry(FirstSensor, ts(2), -20.0, 0),
+      Entry(FirstSensor, ts(3), 35.0, 0), Entry(FirstSensor, ts(4), 140.0, 1))
+    q.processAllAvailable()
+    q.stop()
+    val snap = SnapshotStore.get(FirstSensor).get
+    val expectedFull = models(FirstSensor).predictProbability(Vectors.dense(140.0))(1)
+    snap.fullAnomaly shouldBe expectedFull
+    snap.avgAnomaly shouldBe (snap.fastAnomaly * 35 + expectedFull * 65) / 100 +- 1e-12
+    // the anomalous latest value scores high under the batch model
+    expectedFull should be > 0.5
+  }
+
   test("streaming fast scores match the batch column pipeline on the same data") {
     implicit val sqlCtx = spark.sqlContext
     SnapshotStore.clear()
