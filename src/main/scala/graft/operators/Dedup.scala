@@ -38,15 +38,19 @@ object Dedup {
   /** Distinct 3-word shingles per document. Spark arrays are 0-indexed
     * (`t[i]`), DuckDB lists 1-indexed — both enumerate all consecutive
     * triples, yielding identical shingle sets. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private def shinglesFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .withColumn("t", Portable.tokens($"text"))
       .filter(size($"t") >= 3)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
   }
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesFrom(Tables.documents(spark, dir))
 
   private val shinglesCte =
     """toks AS (
@@ -57,13 +61,18 @@ object Dedup {
       |        FROM toks WHERE len(t) >= 3)
       |)""".stripMargin
 
-  /** doc_id → m0..m7 MinHash signature. */
-  private def signature(spark: SparkSession, dir: String): DataFrame = {
-    val hs = shingles(spark, dir).withColumn("h", Portable.hash32(col("s")))
+  /** doc_id → m0..m7 MinHash signature over a (possibly cached) shingle
+    * set — q26 shares one shingle scan across signature, sizes and
+    * intersection instead of re-exploding per consumer. */
+  private def signatureFrom(sh: DataFrame): DataFrame = {
+    val hs = sh.withColumn("h", Portable.hash32(col("s")))
     val mins = (0 until K).map(j =>
       min((col("h") * lit(A(j)) + lit(B(j))) % lit(P)).as(s"m$j"))
     hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  private def signature(spark: SparkSession, dir: String): DataFrame =
+    signatureFrom(shingles(spark, dir))
 
   private val signatureCte: String = {
     val mins = (0 until K)
@@ -80,9 +89,9 @@ object Dedup {
 
   /** LSH candidate pairs: 4 bands × 2 rows; docs sharing any band bucket
     * become a candidate pair (unsorted — callers order). */
-  private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private def lshCandidatesFrom(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
     import spark.implicits._
-    val sig = signature(spark, dir)
     val bands = (0 until K / 2).map(bi =>
       sig.select(lit(bi).as("band"),
         col(s"m${2 * bi}").as("h1"), col(s"m${2 * bi + 1}").as("h2"), $"doc_id"))
@@ -93,6 +102,9 @@ object Dedup {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
   }
+
+  private def lshCandidates(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesFrom(signature(spark, dir))
 
   private val lshCandidatesCte: String = {
     val bandSelects = (0 until K / 2)
@@ -158,9 +170,19 @@ object Dedup {
     * division → bit-identical across engines, no rounding needed. */
   private def q26(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir)
+    // candidates are tiny (LSH prunes ~all pairs) — checkpoint them once
+    // so the three downstream consumers don't replay the LSH chain, then
+    // re-shingle ONLY candidate documents for the intersection: the
+    // full-corpus explode happens exactly once (inside the candidate
+    // computation), the verification stage touches candidate docs only.
+    val cands = lshCandidatesFrom(signature(spark, dir)).localCheckpoint()
+    val candDocIds = cands.select($"doc_a".as("doc_id"))
+      .union(cands.select($"doc_b".as("doc_id"))).distinct()
+    val candDocs = Tables.documents(spark, dir)
+      .join(broadcast(candDocIds), Seq("doc_id"), "left_semi")
+    val sh = shinglesFrom(candDocs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = lshCandidates(spark, dir)
+    val inter = cands
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.s" === $"sb.s", "left_outer")
       .groupBy($"doc_a", $"doc_b")

@@ -1,0 +1,88 @@
+package graft.tools
+
+import java.sql.Timestamp
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.SensorMeta
+import graft.operators.Anomaly
+import graft.sources.Tables
+import graft.streaming.{Serving, SnapshotStore}
+
+/** Serving-latency bench mirroring the reference load-test methodology
+  * (`hey -n 500 -c 10` against `/` and `/stress`, lambda-sample
+  * README.md:328-331, dashboard/Dashboard.scala:87-104):
+  *
+  *  - STRESS mode = serve the cached snapshot (reference `lastMeta`,
+  *    Analyzer.scala:117-121): 500 requests, concurrency 10, quartile
+  *    latencies — the box-plot metric of the reference dashboard.
+  *  - FULL mode = recompute the flagship analysis per request (the
+  *    reference `GET /` path): fewer requests, same metric.
+  *
+  * Prints one JSON line with quartiles in milliseconds.
+  */
+object ServeBench {
+
+  private def quartiles(xs: Seq[Double]): (Double, Double, Double, Double) = {
+    val s = xs.sorted
+    def q(p: Double) = s((p * (s.size - 1)).round.toInt)
+    (q(0.25), q(0.5), q(0.75), s.last)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    def fullAnalysis(): String = {
+      val entries = Tables.events(spark, sfDir).select(
+        col("event_type").as("sensor"), col("ts"), col("value"), lit(0).as("anomaly"))
+      val fast = Anomaly.fastAnalysis(Anomaly.recentWindow(entries, 200))
+      val metas = fast.select(col("sensor"), col("ts"), col("fast_anomaly")).collect().map(r =>
+        SensorMeta(r.getString(0), r.getTimestamp(1), r.getDouble(2), -1.0, r.getDouble(2)))
+      SnapshotStore.update(metas.toSeq)
+      Serving.allMetaJson(metas.toSeq)
+    }
+
+    // warm + populate the snapshot
+    fullAnalysis()
+
+    // FULL mode: 20 sequential recomputes (the reference "GET /")
+    val fullLat = (1 to 20).map { _ =>
+      val t0 = System.nanoTime(); fullAnalysis(); (System.nanoTime() - t0) / 1e6
+    }
+
+    // STRESS mode: 500 requests at concurrency 10 from the snapshot
+    val pool = Executors.newFixedThreadPool(10)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stressLat = Await.result(
+      Future.sequence((1 to 500).map { _ =>
+        Future {
+          val t0 = System.nanoTime()
+          val json = Serving.serveSnapshot()
+          require(json.startsWith("""{"entries":["""))
+          (System.nanoTime() - t0) / 1e6
+        }
+      }), 5.minutes)
+    pool.shutdown()
+
+    val (fq25, fq50, fq75, fmax) = quartiles(fullLat)
+    val (sq25, sq50, sq75, smax) = quartiles(stressLat.toSeq)
+    println(
+      s"""{"metric":"serve_latency_ms","sf":"$sfDir",""" +
+        s""""full":{"n":20,"p25":$fq25,"p50":$fq50,"p75":$fq75,"max":$fmax},""" +
+        s""""stress":{"n":500,"concurrency":10,"p25":$sq25,"p50":$sq50,"p75":$sq75,"max":$smax}}""")
+    spark.stop()
+  }
+}
