@@ -190,9 +190,40 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  // --------------------------------------------------------------- q41
+  /** IVF-style ANN (the other scale path, alongside SRP-LSH): MLlib
+    * KMeans partitions vectors into 16 inverted lists; a query probes
+    * only its own centroid's list, top-5 by rounded cosine. Training is
+    * seeded but KMeans assignments are not portable to DuckDB → rows-
+    * only check; IvfSpec covers structure + recall against brute force.
+    * At 100 TB the fit runs on a sample and `transform` assigns at scan
+    * throughput; the candidate join is an equi-join on cluster id. */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val e = embNorm(spark, dir).withColumn("features", array_to_vector($"v"))
+    val model = new KMeans().setK(16).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(e)
+    val assigned = model.transform(e)
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    val queries = assigned.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cluster")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    assigned.join(broadcast(queries), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"cluster", $"vec_id".as("neighbor_id"),
+        round(cos, 4).as("cosine"), $"rn")
+      .orderBy($"query_id", $"rn")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
     Q("q30_knn_srp_lsh", q30, Some(q30Sql)),
+    Q("q41_knn_ivf", q41, None), // KMeans assignments not oracle-portable
   )
 }

@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSpecBase {
     expectedFull should be > 0.5
   }
 
+  test("watermarked tumbling windows finalize and drop late data (T2 extension)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Entry]
+    val windowed = graft.streaming.WindowedStats.tumbling(
+      source.toDF(), windowLength = "1 minute", lateness = "1 minute")
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // window [60,120) gets 2 values; then the watermark advances past it
+    source.addData(Entry("a", ts(70), 10.0, 0), Entry("a", ts(80), 20.0, 0))
+    q.processAllAvailable()
+    source.addData(Entry("a", ts(400), 1.0, 0)) // watermark → 400-60 = 340
+    q.processAllAvailable()
+    // a late row for the finalized [60,120) window must be dropped
+    source.addData(Entry("a", ts(90), 999.0, 0))
+    q.processAllAvailable()
+    source.addData(Entry("a", ts(700), 2.0, 0)) // flush: finalize [360,420)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select($"window_start", $"n", $"avg_v").as[(Timestamp, Long, Double)]
+      .collect().sortBy(_._1.getTime)
+    rows.head._1 shouldBe ts(60)
+    rows.head._2 shouldBe 2L // the 999.0 late row did NOT land
+    rows.head._3 shouldBe 15.0
+    rows.map(_._1) should contain(ts(360))
+  }
+
   test("streaming fast scores match the batch column pipeline on the same data") {
     implicit val sqlCtx = spark.sqlContext
     SnapshotStore.clear()
