@@ -43,6 +43,27 @@ class StreamingSpec extends SparkSpecBase {
     new java.io.File(entryDir).list().count(_.startsWith("sensor=")) shouldBe 2
   }
 
+  test("DSv2 broker source feeds the ingest pipeline exactly once (S1)") {
+    import graft.sources.broker.Broker
+    Broker.clear()
+    val source = spark.readStream
+      .format("graft.sources.broker.BrokerSourceProvider").load()
+    val entryDir = tmp("graft-broker-entry")
+    val q = IngestStream.start(source, entryDir, tmp("graft-broker-ckpt"),
+      Trigger.ProcessingTime(0))
+    Broker.publish(MqttEntry("s1", 10.0, 0), MqttEntry("s2", 120.0, 1))
+    q.processAllAvailable()
+    Broker.publish(MqttEntry("s1", 11.0, 0))
+    q.processAllAvailable()
+    // re-processing must not re-read committed offsets
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(entryDir)
+    out.count() shouldBe 3
+    out.select($"sensor").as[String].collect().sorted shouldBe Array("s1", "s1", "s2")
+    Broker.clear()
+  }
+
   test("stateful analysis: bounded window, snapshot refresh, change detection (T3/W5)") {
     implicit val sqlCtx = spark.sqlContext
     SnapshotStore.clear()
