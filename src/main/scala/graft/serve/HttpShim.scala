@@ -1,0 +1,76 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.{MqttEntry, SensorMeta}
+import graft.sources.broker.Broker
+import graft.streaming.Serving
+
+/** Thin HTTP serving shim — the engine-scope remainder of the
+  * reference's endpoint layer (SURVEY §2.11: everything else of
+  * analyzer/Endpoint.scala and lib/HttpClient.scala is distribution
+  * substrate that Spark subsumes). Routes mirror the reference:
+  *
+  *  - `GET /`        → on-demand full analysis (Endpoint.scala:54-66)
+  *  - `GET /stress`  → cached snapshot, no recompute (Analyzer.scala:117-121)
+  *  - `GET /history` → recent analysis rows (dashboard history view)
+  *  - `POST /mqtt`   → publish a reading to the broker topic
+  *                     (`sensor=<s>&value=<v>&anomaly=<0|1>` query form,
+  *                     the producer's control surface, Producer.scala:85-92)
+  *
+  * Analysis/history come in as functions so the shim stays a pure
+  * transport layer: the Spark pipelines behind them are tested on their
+  * own; swap in anything. Single-threaded executor is deliberate — the
+  * serving path is the snapshot map, and the reference's own answer to
+  * serving load is stress mode, not server tuning.
+  */
+final class HttpShim(
+    fullAnalyze: () => Seq[SensorMeta],
+    history: Int => Seq[SensorMeta],
+    port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+      .toMap
+
+  server.createContext("/", (ex: HttpExchange) =>
+    ex.getRequestURI.getPath match {
+      case "/" => respond(ex, 200, Serving.allMetaJson(fullAnalyze()))
+      case "/stress" => respond(ex, 200, Serving.serveSnapshot())
+      case "/history" =>
+        val n = queryParams(ex).get("n").map(_.toInt).getOrElse(10)
+        respond(ex, 200, Serving.allMetaJson(history(n)))
+      case "/mqtt" if ex.getRequestMethod == "POST" =>
+        val p = queryParams(ex)
+        (p.get("sensor"), p.get("value")) match {
+          case (Some(s), Some(v)) =>
+            Broker.publish(MqttEntry(s, v.toDouble, p.get("anomaly").map(_.toInt).getOrElse(0)))
+            respond(ex, 200, s"""{"published":1,"topic_size":${Broker.size}}""")
+          case _ => respond(ex, 400, """{"error":"sensor and value required"}""")
+        }
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    })
+
+  def start(): Int = {
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}

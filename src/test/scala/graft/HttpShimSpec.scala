@@ -1,0 +1,62 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import graft.core.SensorMeta
+import graft.serve.HttpShim
+import graft.sources.broker.Broker
+import graft.streaming.SnapshotStore
+
+/** The reference endpoint surface over HTTP: `/` (full analysis),
+  * `/stress` (snapshot), `/history`, `POST /mqtt` (publish). */
+class HttpShimSpec extends SparkSpecBase {
+
+  private val meta = SensorMeta("s1",
+    Timestamp.from(java.time.Instant.parse("2017-11-07T08:14:10.001Z")), 0.2, -1.0, 0.2)
+
+  test("all four reference routes respond") {
+    SnapshotStore.clear()
+    Broker.clear()
+    var analyzeCalls = 0
+    val shim = new HttpShim(
+      fullAnalyze = () => { analyzeCalls += 1; SnapshotStore.update(Seq(meta)); Seq(meta) },
+      history = n => Seq.fill(math.min(n, 3))(meta))
+    val port = shim.start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // full analysis recomputes and refreshes the snapshot
+      val root = get("/")
+      root.statusCode() shouldBe 200
+      root.body() should include(""""name":"s1"""")
+      analyzeCalls shouldBe 1
+
+      // stress mode serves the snapshot without recompute
+      val stress = get("/stress")
+      stress.body() should include(""""name":"s1"""")
+      analyzeCalls shouldBe 1
+
+      get("/history?n=2").body().count(_ == '{') shouldBe 3 // envelope + 2
+
+      // publish to the broker topic
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/mqtt?sensor=s9&value=42.5&anomaly=0"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      post.statusCode() shouldBe 200
+      Broker.size shouldBe 1
+      Broker.slice(0, 1).head.sensor shouldBe "s9"
+
+      get("/nope").statusCode() shouldBe 404
+    } finally {
+      shim.stop()
+      Broker.clear()
+      SnapshotStore.clear()
+    }
+  }
+}

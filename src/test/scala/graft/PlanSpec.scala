@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression gate: the properties that make the catalog
+  * scale (SCALE.md) must stay visible in the executed plans — pushed
+  * filters, pruned scans, broadcast dimensions, pre-shuffle window
+  * group limits, and shuffle counts. A refactor that silently trades
+  * one of these away fails here, not at 100 TB. */
+class PlanSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q0: predicates and projection reach the parquet scan") {
+    val p = plan("q0_filter_project")
+    p should include("PushedFilters: [IsNotNull(l_returnflag)")
+    p should include("EqualTo(l_returnflag,R)")
+    p should include("GreaterThan(l_quantity,45.0)")
+    (p should not).include("l_shipdate") // pruned column never read
+  }
+
+  test("q3: dimension joins broadcast, never shuffle the fact side") {
+    val p = plan("q3_join_broadcast_dims")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q35: top-N pushes a pre-shuffle window group limit") {
+    val p = plan("q35_flagship_analysis")
+    p should include("WindowGroupLimit")
+    p.split("Exchange").head // partial limit must appear before the first exchange:
+    p.indexOf("WindowGroupLimit") should be > 0
+    val firstExchange = p.indexOf("Exchange")
+    p.lastIndexOf("WindowGroupLimit") should be > firstExchange
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    p should include("partial_sum")
+    p should include("HashAggregate")
+  }
+
+  test("q29: query vectors broadcast against the scan (no N×N shuffle)") {
+    val p = plan("q29_knn_brute_force")
+    p should include("BroadcastNestedLoopJoin")
+    p.toLowerCase should include("dotproduct") // the native expression, not zip_with
+  }
+
+  test("q22: global top-k plans as TakeOrderedAndProject") {
+    val p = plan("q22_top_global")
+    p should include("TakeOrderedAndProject")
+  }
+}
