@@ -724,6 +724,54 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // --------------------------------------------------------------- q42
+  /** Multiset set operations (U2 completion): EXCEPT ALL / INTERSECT ALL
+    * keep multiplicities — bag semantics the DISTINCT forms of q8 drop. */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val highValue = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 100000.0).select($"o_custkey".as("k"))
+    val finished = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+    val exceptAll = highValue.exceptAll(finished).withColumn("tag", lit("except_all"))
+    val intersectAll = highValue.intersectAll(finished).withColumn("tag", lit("intersect_all"))
+    exceptAll.unionByName(intersectAll)
+      .groupBy($"tag", $"k").agg(count(lit(1)).as("multiplicity"))
+      .orderBy($"tag", $"k")
+  }
+
+  private val q42Sql =
+    """WITH hv AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0),
+      |     fin AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |     ea AS (SELECT 'except_all' AS tag, k FROM (SELECT k FROM hv EXCEPT ALL SELECT k FROM fin) t1),
+      |     ia AS (SELECT 'intersect_all' AS tag, k FROM (SELECT k FROM hv INTERSECT ALL SELECT k FROM fin) t2)
+      |SELECT tag, k, count(*) AS multiplicity
+      |FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia) u
+      |GROUP BY tag, k
+      |ORDER BY tag, k""".stripMargin
+
+  // --------------------------------------------------------------- q43
+  /** Map-function family (F10): build a map column, explode it back to
+    * deterministic (key, value) rows — the map type itself never crosses
+    * the engine boundary (map encodings differ), its SEMANTICS do. */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array($"lang", $"source")).as("m"))
+      .select($"doc_id", explode($"m").as(Seq("k", "v")))
+      .orderBy($"doc_id", $"k")
+  }
+
+  private val q43Sql =
+    """SELECT doc_id, e.key AS k, e.value AS v
+      |FROM (SELECT doc_id,
+      |             unnest(map_entries(map(['lang', 'source'], [lang, source]))) AS e
+      |      FROM documents) t
+      |ORDER BY doc_id, k""".stripMargin
+
   // --------------------------------------------------------------- q40
   /** Correlated scalar subquery (SURVEY §4: Catalyst decorrelation —
     * free once SQL is exposed): parts priced >10% above their type's
@@ -792,5 +840,7 @@ object Relational {
     Q("q37_load_share", q37, Some(q37Sql)),
     Q("q39_approx_distinct", q39, None), // HLL sketches differ per engine → rows-only check
     Q("q40_correlated_subquery", q40, Some(q40Sql)),
+    Q("q42_setops_multiset", q42, Some(q42Sql)),
+    Q("q43_map_funcs", q43, Some(q43Sql)),
   )
 }
