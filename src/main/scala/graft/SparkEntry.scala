@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.Anomaly.all ++
+      operators.Behavioral.all ++
       multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

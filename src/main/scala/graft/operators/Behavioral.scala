@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Behavioral event analytics over the `events` stream table — the
+  * classic user-journey workloads (sessionization, funnels, cohort
+  * retention) that exercise exactly the engine's event-time machinery:
+  * ordered windows per user, gap detection, step-ordered joins.
+  *
+  * Scale: every query shuffles once on user_id (sessionize) or runs
+  * per-step aggregates joined on user keys (funnel/cohort) — no
+  * self-join row explosion anywhere; timestamp arithmetic on epoch
+  * micros for oracle parity.
+  */
+object Behavioral {
+
+  private val SessionGapUs = 1800000000L // 30 min
+
+  // --------------------------------------------------------------- q44
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * > 30 min; session ids are running counts of session starts. One
+    * shuffle on user_id; the running sum rides the same window sort. */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(running).cast("int"))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (((max($"us") - min($"us")) / lit(1000000.0))).as("duration_s"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private val q44Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |), g AS (
+       |  SELECT user_id, event_id, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, us,
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+       |  FROM g
+       |)
+       |SELECT user_id, session_id,
+       |       count(*) AS n_events,
+       |       (max(us) - min(us)) / 1000000.0 AS duration_s
+       |FROM s
+       |GROUP BY 1, 2
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------------- q45
+  /** Ordered funnel signup → click → purchase: each step's first
+    * occurrence must follow the previous step's. Per-step aggregates
+    * joined on user_id — no event×event explosion. */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").as("e")
+      .join(s1, Seq("user_id"))
+      .filter($"us" >= $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").as("e")
+      .join(s2, Seq("user_id"))
+      .filter($"us" >= $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    val step = (name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), $"n_users")
+    step("1_signup", s1)
+      .unionByName(step("2_then_click", s2))
+      .unionByName(step("3_then_purchase", s3))
+      .orderBy($"step")
+  }
+
+  private val q45Sql =
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+      |  GROUP BY 1
+      |)
+      |SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_then_click', count(*) FROM s2
+      |UNION ALL SELECT '3_then_purchase', count(*) FROM s3
+      |ORDER BY step""".stripMargin
+
+  // --------------------------------------------------------------- q46
+  /** Weekly cohort retention: users grouped by first-seen week × the
+    * weeks they were active, distinct-user counts. Weeks render as ISO
+    * date strings (both engines truncate to Monday). */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_format(date_trunc("week", $"ts"), "yyyy-MM-dd").as("week"))
+    val cohort = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy($"cohort_week", $"week".as("activity_week"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"activity_week")
+  }
+
+  private val q46Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+      |  FROM events
+      |), cohort AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1
+      |)
+      |SELECT c.cohort_week, e.week AS activity_week,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, activity_week""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q44_sessionize", q44, Some(q44Sql)),
+    Q("q45_funnel", q45, Some(q45Sql)),
+    Q("q46_cohort_retention", q46, Some(q46Sql)),
+  )
+}
