@@ -772,6 +772,99 @@ object Relational {
       |      FROM documents) t
       |ORDER BY doc_id, k""".stripMargin
 
+  // --------------------------------------------------------------- q47
+  /** Pivot: event counts per user bucket × event type. Spark's .pivot()
+    * with an explicit value list compiles to the same CASE-based
+    * aggregation the oracle spells out — fixed columns, fully
+    * partial-aggregated. */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(($"user_id" % 10).as("user_bucket"), $"event_type")
+      .groupBy($"user_bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
+  private val q47Sql =
+    """SELECT user_id % 10 AS user_bucket,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY user_bucket""".stripMargin
+
+  // --------------------------------------------------------------- q48
+  /** Time-series resample with gap filling: daily per-type activity
+    * joined against a generated calendar spine so silent days appear as
+    * zeros — the standard densify step before any windowed model. The
+    * spine is sequence+explode (generate_series in the oracle): rows
+    * materialize distributed, never on the driver. */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"), $"value")
+    val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(to_date(d0), to_date(d1), interval 1 day)")).as("d"))
+      .select(date_format($"d", "yyyy-MM-dd").as("day"))
+      .crossJoin(ev.select($"event_type").distinct())
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+    spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(
+        $"event_type", $"day",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q48Sql =
+    """WITH ev AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+      |), bounds AS (
+      |  SELECT CAST(min(day) AS DATE) AS d0, CAST(max(day) AS DATE) AS d1 FROM ev
+      |), spine AS (
+      |  SELECT t.event_type, strftime(gs.d, '%Y-%m-%d') AS day
+      |  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bounds) gs
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+      |), daily AS (
+      |  SELECT event_type, day, count(*) AS n, round(sum(value), 2) AS sum_value
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT s.event_type, s.day,
+      |       coalesce(d.n, 0) AS n,
+      |       coalesce(d.sum_value, 0.0) AS sum_value
+      |FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+      |ORDER BY s.event_type, s.day""".stripMargin
+
+  // --------------------------------------------------------------- q49
+  /** Distribution ranking: order-value deciles (ntile) and percent_rank
+    * per order — W6 completion. percent_rank = (rank-1)/(n-1), exact
+    * integer arithmetic → bit-identical. */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q49Sql =
+    """SELECT o_orderkey, o_totalprice,
+      |       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+      |       percent_rank() OVER w AS pct_rank
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
   // --------------------------------------------------------------- q40
   /** Correlated scalar subquery (SURVEY §4: Catalyst decorrelation —
     * free once SQL is exposed): parts priced >10% above their type's
@@ -842,5 +935,8 @@ object Relational {
     Q("q40_correlated_subquery", q40, Some(q40Sql)),
     Q("q42_setops_multiset", q42, Some(q42Sql)),
     Q("q43_map_funcs", q43, Some(q43Sql)),
+    Q("q47_pivot", q47, Some(q47Sql)),
+    Q("q48_resample_gapfill", q48, Some(q48Sql)),
+    Q("q49_rank_distribution", q49, Some(q49Sql)),
   )
 }
