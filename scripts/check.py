@@ -15,9 +15,20 @@ import pandas as pd
 import numpy as np
 
 def canon(df):
+    # sort keys: non-float columns first, floats rounded to 9dp — so a
+    # sub-tolerance fp difference can never reorder rows between frames
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
-    return df.reset_index(drop=True)
+    keyed = df.copy()
+    keys = []
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            keyed[f"__k_{c}"] = df[c].round(9)
+            keys.append(f"__k_{c}")
+        else:
+            keys.append(c)
+    order = [k for k in keys if not k.startswith("__k_")] + [k for k in keys if k.startswith("__k_")]
+    keyed = keyed.sort_values(by=order, kind="mergesort", na_position="first")
+    return keyed[list(df.columns)].reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()

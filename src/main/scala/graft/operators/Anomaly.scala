@@ -97,9 +97,13 @@ object Anomaly {
         (round($"sum_v", 2) / $"n").as("avg_value"),
         round($"std_v", 4).as("std_value"),
         $"last_v".as("last_value"),
-        round(heuristicScore($"last_v", $"avg_v", $"std_v"), 4).as("fast_anomaly"),
+        // σ=0 guard for oracle parity: Spark 0/0 → NULL, DuckDB → NaN;
+        // both sides CASE to NULL explicitly
+        when($"std_v" === 0.0, lit(null).cast("double"))
+          .otherwise(round(heuristicScore($"last_v", $"avg_v", $"std_v"), 4)).as("fast_anomaly"),
         lit(-1.0).as("full_anomaly"),
-        round(heuristicScore($"last_v", $"avg_v", $"std_v"), 4).as("avg_anomaly"))
+        when($"std_v" === 0.0, lit(null).cast("double"))
+          .otherwise(round(heuristicScore($"last_v", $"avg_v", $"std_v"), 4)).as("avg_anomaly"))
       .orderBy($"sensor")
   }
 
@@ -124,9 +128,13 @@ object Anomaly {
       |       round(sum_v, 2) / n AS avg_value,
       |       round(std_v, 4) AS std_value,
       |       last_v AS last_value,
-      |       round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4) AS fast_anomaly,
+      |       CASE WHEN std_v = 0.0 THEN NULL ELSE
+      |         round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4)
+      |       END AS fast_anomaly,
       |       -1.0 AS full_anomaly,
-      |       round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4) AS avg_anomaly
+      |       CASE WHEN std_v = 0.0 THEN NULL ELSE
+      |         round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4)
+      |       END AS avg_anomaly
       |FROM s
       |ORDER BY sensor""".stripMargin
 

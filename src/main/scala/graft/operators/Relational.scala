@@ -560,9 +560,11 @@ object Relational {
         (round($"sum_v", 2) / $"n").as("avg_value"),
         round($"std_v", 4).as("std_value"),
         $"last_v".as("last_value"),
-        round(
+        // σ=0 guard: Spark's 0/0 yields NULL but DuckDB yields NaN —
+        // both sides CASE to NULL explicitly so the hash can't diverge
+        when($"std_v" === 0.0, lit(null).cast("double")).otherwise(round(
           least(greatest((abs($"last_v" - $"avg_v") - $"std_v") / (lit(2.0) * $"std_v"), lit(0.0)), lit(1.0)),
-          4).as("fast_anomaly"))
+          4)).as("fast_anomaly"))
       .orderBy($"event_type")
   }
 
@@ -579,7 +581,9 @@ object Relational {
       |       round(sum_v, 2) / n AS avg_value,
       |       round(std_v, 4) AS std_value,
       |       last_v AS last_value,
-      |       round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4) AS fast_anomaly
+      |       CASE WHEN std_v = 0.0 THEN NULL ELSE
+      |         round(least(greatest((abs(last_v - avg_v) - std_v) / (2.0 * std_v), 0.0), 1.0), 4)
+      |       END AS fast_anomaly
       |FROM s
       |ORDER BY event_type""".stripMargin
 

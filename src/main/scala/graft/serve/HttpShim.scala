@@ -42,28 +42,36 @@ final class HttpShim(
     ex.close()
   }
 
-  private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").toSeq
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
       .filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+      .map { kv => val Array(k, v) = kv.split("=", 2); dec(k) -> dec(v) }
       .toMap
+  }
 
   server.createContext("/", (ex: HttpExchange) =>
-    ex.getRequestURI.getPath match {
-      case "/" => respond(ex, 200, Serving.allMetaJson(fullAnalyze()))
-      case "/stress" => respond(ex, 200, Serving.serveSnapshot())
-      case "/history" =>
-        val n = queryParams(ex).get("n").map(_.toInt).getOrElse(10)
-        respond(ex, 200, Serving.allMetaJson(history(n)))
-      case "/mqtt" if ex.getRequestMethod == "POST" =>
-        val p = queryParams(ex)
-        (p.get("sensor"), p.get("value")) match {
-          case (Some(s), Some(v)) =>
-            Broker.publish(MqttEntry(s, v.toDouble, p.get("anomaly").map(_.toInt).getOrElse(0)))
-            respond(ex, 200, s"""{"published":1,"topic_size":${Broker.size}}""")
-          case _ => respond(ex, 400, """{"error":"sensor and value required"}""")
-        }
-      case _ => respond(ex, 404, """{"error":"not found"}""")
+    try {
+      ex.getRequestURI.getPath match {
+        case "/" => respond(ex, 200, Serving.allMetaJson(fullAnalyze()))
+        case "/stress" => respond(ex, 200, Serving.serveSnapshot())
+        case "/history" =>
+          val n = queryParams(ex).get("n").map(_.toInt).getOrElse(10)
+          respond(ex, 200, Serving.allMetaJson(history(n)))
+        case "/mqtt" if ex.getRequestMethod == "POST" =>
+          val p = queryParams(ex)
+          (p.get("sensor"), p.get("value")) match {
+            case (Some(s), Some(v)) =>
+              Broker.publish(MqttEntry(s, v.toDouble, p.get("anomaly").map(_.toInt).getOrElse(0)))
+              respond(ex, 200, s"""{"published":1,"topic_size":${Broker.size}}""")
+            case _ => respond(ex, 400, """{"error":"sensor and value required"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      // malformed numbers etc. must yield a 400, not a dropped connection
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":"${e.getMessage}"}""".replace('\n', ' '))
     })
 
   def start(): Int = {

@@ -17,10 +17,16 @@ object Serving {
       case c => c.toString
     }
 
+  /** NaN/Infinity are not legal JSON — a zero-variance window makes the
+    * heuristic score NaN (0/0), which must render as null, not break
+    * every consumer's parser. */
+  private def num(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   private def one(m: SensorMeta): String = {
     val iso = m.ts.toInstant.toString
-    s"""{"name":"${esc(m.name)}","ts":"$iso","fastAnomaly":${m.fastAnomaly},""" +
-      s""""fullAnomaly":${m.fullAnomaly},"avgAnomaly":${m.avgAnomaly}}"""
+    s"""{"name":"${esc(m.name)}","ts":"$iso","fastAnomaly":${num(m.fastAnomaly)},""" +
+      s""""fullAnomaly":${num(m.fullAnomaly)},"avgAnomaly":${num(m.avgAnomaly)}}"""
   }
 
   /** The `GET /` response body: every sensor's latest analysis. */

@@ -105,11 +105,16 @@ object AnalysisStream {
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[SensorMeta], _: Long) =>
+      .foreachBatch { (batch: Dataset[SensorMeta], batchId: Long) =>
         val metas = batch.collect() // ≤ one row per sensor per micro-batch
         if (metas.nonEmpty) {
+          // idempotent under foreachBatch's at-least-once replay: each
+          // micro-batch owns a partition directory keyed by batchId, so
+          // a restarted batch OVERWRITES its own output instead of
+          // appending duplicates; SnapshotStore.update is last-write-
+          // wins and needs no guard
           batch.sparkSession.createDataFrame(metas.toSeq)
-            .write.mode("append").parquet(analysisDir)
+            .write.mode("overwrite").parquet(s"$analysisDir/batch=$batchId")
           SnapshotStore.update(metas.toSeq)
         }
       }

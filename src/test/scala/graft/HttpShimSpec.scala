@@ -53,6 +53,22 @@ class HttpShimSpec extends SparkSpecBase {
       Broker.slice(0, 1).head.sensor shouldBe "s9"
 
       get("/nope").statusCode() shouldBe 404
+
+      // percent-encoded names decode (the reference's sensors have spaces)
+      client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/mqtt?sensor=Motel%206&value=7.5&anomaly=0"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() shouldBe 200
+      Broker.slice(1, 2).head.sensor shouldBe "Motel 6"
+
+      // malformed numbers yield a 400, not a dropped connection
+      get("/history?n=abc").statusCode() shouldBe 400
+      client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/mqtt?sensor=s&value=abc"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() shouldBe 400
     } finally {
       shim.stop()
       Broker.clear()

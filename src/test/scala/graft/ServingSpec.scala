@@ -28,6 +28,15 @@ class ServingSpec extends SparkSpecBase {
     json should include("""b \"x\"""")
   }
 
+  test("NaN scores render as JSON null, never invalid NaN tokens") {
+    val m = SensorMeta("z", new Timestamp(0), Double.NaN, Double.PositiveInfinity, 0.5)
+    val json = Serving.allMetaJson(Seq(m))
+    json should include(""""fastAnomaly":null""")
+    json should include(""""fullAnomaly":null""")
+    json should include(""""avgAnomaly":0.5""")
+    (json should not).include("NaN")
+  }
+
   test("stress-mode serving reads the snapshot store") {
     SnapshotStore.clear()
     Serving.serveSnapshot() shouldBe """{"entries":[]}"""
