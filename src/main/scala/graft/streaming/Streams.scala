@@ -123,6 +123,20 @@ object AnalysisStream {
   }
 }
 
+/** Streaming deduplication — the T3 alternate mapping (SURVEY §2.8:
+  * `dropDuplicates(["sensor","ts"])` on the analysis stream): duplicate
+  * deliveries of the same keyed reading are dropped exactly-once within
+  * the watermark horizon, after which the key's state is evicted — at
+  * 100 TB state stays bounded by (keys active within the horizon). */
+object DedupStream {
+  def dropDuplicateReadings(
+      entries: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    entries
+      .withWatermark("ts", horizon)
+      .dropDuplicates(Seq("sensor", "ts"))
+}
+
 /** Serving-layer snapshot: latest SensorMeta per sensor (the Redis
   * `fast-analysis` hash, HistoryWriter.scala:69-74, plus the analyzers'
   * stress-mode `lastMeta` cache). Process-local; refreshed by

@@ -127,6 +127,25 @@ class StreamingSpec extends SparkSpecBase {
     expectedFull should be > 0.5
   }
 
+  test("streaming dedup drops duplicate keyed readings across micro-batches (T3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Entry]
+    val deduped = graft.streaming.DedupStream.dropDuplicateReadings(source.toDF())
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    source.addData(Entry("a", ts(10), 1.0, 0), Entry("a", ts(10), 1.0, 0)) // same batch dup
+    q.processAllAvailable()
+    source.addData(Entry("a", ts(10), 1.0, 0)) // redelivery in a later batch
+    source.addData(Entry("a", ts(11), 2.0, 0)) // genuinely new reading
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").select($"sensor", $"ts").as[(String, Timestamp)].collect()
+    rows.length shouldBe 2
+    rows.map(_._2.getTime).sorted shouldBe Array(10000L, 11000L)
+  }
+
   test("watermarked tumbling windows finalize and drop late data (T2 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Entry]
