@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Heuristic
+import graft.functions.Portable
+
+/** Foundation guards: the portable hash (basis of every MinHash/SimHash/
+  * fingerprint oracle) must equal a plain-JVM md5 computation, and the
+  * σ=0 heuristic edge keeps its documented semantics. */
+class PortableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hash32 equals plain-JVM first-32-md5-bits for varied inputs") {
+    def jvmHash32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val samples = Seq("", "a", "spark join merge", "the fast key",
+      "ünïcode Ω 中文", "0", "a b c", "x" * 500)
+    val fromSpark = samples.toDF("s")
+      .select($"s", Portable.hash32($"s").as("h")).as[(String, Long)]
+      .collect().toMap
+    samples.foreach { s =>
+      fromSpark(s) shouldBe jvmHash32(s)
+      fromSpark(s) should be >= 0L
+      fromSpark(s) should be < (1L << 32)
+    }
+  }
+
+  test("zero-variance window: heuristic is NaN in Scala (reference semantics), NULL in oracle queries") {
+    // the plain-Scala reference formula propagates 0/0 = NaN, exactly
+    // like the reference's Double arithmetic (Analyzer.scala:54-58)
+    Heuristic.score(5.0, 5.0, 0.0).isNaN shouldBe true
+    // the serving layer renders that as JSON null (ServingSpec) and the
+    // oracle-checked queries CASE it to NULL on both engines — assert
+    // the column guard here on a constant-value group
+    val df = Seq(("k", 7.0), ("k", 7.0), ("k", 7.0)).toDF("sensor", "value")
+      .groupBy($"sensor")
+      .agg(avg($"value").as("avg_v"), stddev_pop($"value").as("std_v"), max($"value").as("last_v"))
+      .select(when($"std_v" === 0.0, lit(null).cast("double"))
+        .otherwise(graft.operators.Anomaly.heuristicScore($"last_v", $"avg_v", $"std_v"))
+        .as("fast"))
+    df.head().isNullAt(0) shouldBe true
+  }
+}
