@@ -29,10 +29,10 @@ object Dedup {
 
   /** MinHash permutation constants: h_j(x) = (A(j)*x + B(j)) mod P with
     * P prime > 2^32. A,B < 2^17 keep A*x < 2^49 (no Long overflow). */
-  private val P = 4294967311L
-  private val A = Seq(131L, 521L, 1031L, 2053L, 4099L, 8209L, 16411L, 32771L)
-  private val B = Seq(7L, 911L, 3571L, 9041L, 17389L, 28657L, 51437L, 75577L)
-  private val K = 8 // signature width; banded 4 × 2 for LSH
+  private[graft] val P = 4294967311L
+  private[graft] val A = IndexedSeq(131L, 521L, 1031L, 2053L, 4099L, 8209L, 16411L, 32771L)
+  private[graft] val B = IndexedSeq(7L, 911L, 3571L, 9041L, 17389L, 28657L, 51437L, 75577L)
+  private[graft] val K = 8 // signature width; banded 4 × 2 for LSH
 
   // ---------------------------------------------------------- shingles
   /** Distinct 3-word shingles per document. Spark arrays are 0-indexed
