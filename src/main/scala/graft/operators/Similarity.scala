@@ -9,46 +9,77 @@ import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Cosine is computed in f64 column algebra (`transform`/`zip_with`/
-  * `aggregate` — codegen'd, no UDF):
-  * `cos(a,b) = Σ aᵢbᵢ / (‖a‖‖b‖)`. Oracle side uses the identical
-  * formula shape via DuckDB list comprehensions (NOT
-  * `list_cosine_similarity`, which accumulates in f32 — ~1e-8 drift).
-  * All emitted cosines are rounded (4 dp) and ranked on the rounded
-  * value with a vec_id tiebreak, so ulp-level association drift can
-  * never flip the hash.
+  * Cosine is computed in f64 via the native fused
+  * [[graft.functions.DotProduct]] expression (codegen'd, no UDF, no
+  * per-pair array allocation): `cos(a,b) = Σ aᵢbᵢ / (‖a‖‖b‖)`. Oracle
+  * side uses the identical formula shape via DuckDB list comprehensions
+  * (NOT `list_cosine_similarity`, which accumulates in f32 — ~1e-8
+  * drift). All emitted cosines are rounded (4 dp) and ranked on the
+  * rounded value with a vec_id tiebreak, and every hyperplane /
+  * centroid projection is rounded (6 dp) before its sign or argmax is
+  * taken, so ulp-level association drift can never flip a bucket,
+  * cluster, or the output hash.
   *
-  * Scale design (100 TB): brute-force kNN (`q29`) is the per-query
-  * baseline — a broadcast of Q query vectors against a partitioned scan,
-  * O(N·Q) with no shuffle. The scale path is SRP-LSH bucketing (`q30`):
-  * 4 fixed random hyperplanes → 16 buckets; candidates only join within
-  * a bucket (equi-join on the bucket id — shuffle width = bucket sizes,
-  * not N²). Hyperplane signs are derived from md5 at build time
-  * (deterministic, embedded as literals in both engines). Near-dup
-  * mining (`q28`) is the all-pairs verifier kept for the oracle; at
-  * scale it is replaced by `q30`'s bucketed candidates exactly like
-  * MinHash-LSH replaces all-pairs Jaccard.
+  * Scale design (100 TB): nothing here compares all pairs.
+  *  - `q29` brute-force kNN: broadcast of Q query vectors against a
+  *    partitioned scan, O(N·Q), no shuffle — the per-query baseline and
+  *    the recall oracle for the ANN paths.
+  *  - `q30` SRP-LSH ANN: 4 fixed hyperplanes → 16 buckets; candidates
+  *    only join within a bucket (equi-join on bucket id — shuffle width
+  *    = bucket sizes, not N²).
+  *  - `q28` near-dup mining: banded SRP candidates (16 bands × 3 bits —
+  *    the MinHash-LSH banding trick applied to hyperplane signs;
+  *    ≥99% recall at cosine 0.4) + exact-cosine verification of
+  *    candidates only. The all-pairs form survives only as a test-tier
+  *    recall verifier ([[Similarity.allPairsNearDup]], SimilaritySpec).
+  *  - `q41` IVF ANN: 16 deterministic hash-derived centroids (the same
+  *    build-free trick as the SRP hyperplanes) partition vectors into
+  *    inverted lists; a query probes only its own cell. No in-query
+  *    model fit: assignment is pure portable column algebra, so the
+  *    index "build" is a scan-speed map and the query is an equi-join
+  *    on cluster id. At 100 TB, real learned centroids would come from
+  *    a sampled offline build step; the query-side plan is identical.
+  *
+  * All hyperplanes/centroids derive from md5 bit parity — reproducible
+  * from the formula, embedded as literals so both engines share exact
+  * values (reference for the LSH framing: lambda-sample has no vector
+  * ops; this is the §2.10 training-data-pipeline extension surface).
   */
 object Similarity {
 
   private val Dim = 64
   private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
 
-  /** SRP hyperplane signs: HP(j)(i) = ±1 from bit parity of the first 32
-    * md5 bits of "j_i" — reproducible from the formula, embedded as
-    * literals so both engines share exact values. */
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  private val HP: IndexedSeq[IndexedSeq[Int]] = (0 until 4).map { j =>
+
+  /** ±1 sign vector derived from md5 bit parity of "prefix_i". */
+  private def signVector(prefix: String): IndexedSeq[Int] =
     (0 until Dim).map { i =>
-      (java.lang.Long.parseLong(md5hex(s"${j}_$i").substring(0, 8), 16) % 2).toInt * 2 - 1
+      (java.lang.Long.parseLong(md5hex(s"${prefix}_$i").substring(0, 8), 16) % 2).toInt * 2 - 1
     }
-  }
+
+  /** SRP hyperplanes for q30's 16-bucket ANN. */
+  private val HP: IndexedSeq[IndexedSeq[Int]] = (0 until 4).map(j => signVector(j.toString))
+
+  /** Banded-SRP hyperplanes for q28: 16 bands × 3 bits = 48 planes.
+    * Recall for a pair at cosine c: 1-(1-p³)¹⁶ with p = 1-acos(c)/π —
+    * ≈0.99 at c=0.4, higher above. */
+  private val NBands = 16
+  private val BandBits = 3
+  private val HB: IndexedSeq[IndexedSeq[Int]] =
+    (0 until NBands * BandBits).map(p => signVector(s"b$p"))
+
+  /** IVF centroids for q41: 16 ±1 vertices; all share norm √64 so
+    * argmax dot ≡ argmax cosine. */
+  private val NClusters = 16
+  private val Cent: IndexedSeq[IndexedSeq[Int]] =
+    (0 until NClusters).map(j => signVector(s"c$j"))
 
   /** embeddings + f64 vector `v` + L2 norm `nrm`. Registers the native
-    * vector expressions ([[graft.functions.DotProduct]]) used by the N²
-    * stages — fused codegen loop, no per-pair array allocation, same
+    * vector expressions ([[graft.functions.DotProduct]]) used by every
+    * pair stage — fused codegen loop, no per-pair array allocation, same
     * left-to-right accumulation as the algebraic form. */
   private def embNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -61,6 +92,10 @@ object Similarity {
   /** Native fused dot product over two array<double> columns (by name). */
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Fused dot of column `vcol` with a ±1 literal vector. */
+  private def dotLit(vcol: String, w: Seq[Int]): Column =
+    expr(s"graft_dot($vcol, array(${w.map(x => s"${x}.0D").mkString(",")}))")
+
   private val normsCte =
     """norms AS (
       |  SELECT vec_id, label, embedding,
@@ -71,12 +106,78 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) for i in generate_series(1, $Dim)])"
 
+  /** DuckDB literal-rows CTE body for a (j, w) sign-vector table. */
+  private def signTableSql(vs: IndexedSeq[IndexedSeq[Int]]): String =
+    vs.zipWithIndex.map { case (w, j) =>
+      s"  SELECT $j AS j, [${w.mkString(", ")}] AS w"
+    }.mkString("\n  UNION ALL\n")
+
   // --------------------------------------------------------------- q28
-  /** Embedding-cosine near-dup pairs: all pairs (a<b) with rounded
-    * cosine ≥ 0.4 (threshold calibrated to the synthetic data — no pair
-    * exceeds 0.52). All-pairs is the oracle-checkable verifier; see q30
-    * for the bucketed scale path. */
+  /** Embedding-cosine near-dup pairs, bucketed (the shipped scale path):
+    * banded-SRP candidate generation (equi-join on (band, bucket) — the
+    * MinHash-LSH candidates→verify pattern of q25→q26 applied to
+    * vectors) followed by exact-cosine verification of candidates only.
+    * Emits pairs with rounded cosine ≥ 0.4 (threshold calibrated to the
+    * synthetic data — no pair exceeds 0.52). Never materializes a cross
+    * product: candidate volume is O(Σ bucket²) per band. */
   private def q28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    // 48 rounded hyperplane signs folded into 16 per-band bucket ids
+    val bucketCols = (0 until NBands).map { b =>
+      (0 until BandBits).map { r =>
+        val d = dotLit("v", HB(b * BandBits + r))
+        when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val banded = e.select($"vec_id", posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .where($"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+      .distinct()
+    val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
+    cands
+      .join(e.as("a"), $"vec_a" === $"a.vec_id")
+      .join(e.as("b"), $"vec_b" === $"b.vec_id")
+      .select(
+        $"vec_a", $"vec_b",
+        round(cos, 4).as("cosine"),
+        (col("a.label") === col("b.label")).cast("int").as("same_label"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val q28Sql: String =
+    s"""WITH $normsCte, hp AS (
+       |${signTableSql(HB)}
+       |), bits AS (
+       |  SELECT e.vec_id, h.j,
+       |         CASE WHEN round(list_sum([CAST(e.embedding[i] AS DOUBLE) * h.w[i]
+       |                                   for i in generate_series(1, $Dim)]), 6) > 0
+       |              THEN (1 << (h.j % $BandBits)) ELSE 0 END AS bit
+       |  FROM norms e CROSS JOIN hp h
+       |), bands AS (
+       |  SELECT vec_id, j // $BandBits AS band, sum(bit) AS bucket
+       |  FROM bits GROUP BY 1, 2
+       |), cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |)
+       |SELECT c.vec_a, c.vec_b,
+       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) AS cosine,
+       |       CAST(a.label = b.label AS INTEGER) AS same_label
+       |FROM cands c
+       |JOIN norms a ON a.vec_id = c.vec_a
+       |JOIN norms b ON b.vec_id = c.vec_b
+       |WHERE round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** All-pairs exact near-dup — the O(N²) verifier the bucketed q28 is
+    * measured against. Test-tier only (SimilaritySpec asserts q28 ⊆
+    * this and reports recall); NOT in the catalog because a cross join
+    * is a scale-killer at 100 TB. */
+  private[graft] def allPairsNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
     val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
@@ -89,15 +190,6 @@ object Similarity {
       .filter($"cosine" >= 0.4)
       .orderBy($"vec_a", $"vec_b")
   }
-
-  private val q28Sql =
-    s"""WITH $normsCte
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) AS cosine,
-       |       CAST(a.label = b.label AS INTEGER) AS same_label
-       |FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-       |WHERE round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) >= 0.4
-       |ORDER BY vec_a, vec_b""".stripMargin
 
   // --------------------------------------------------------------- q29
   /** Brute-force cosine top-k: for 5 fixed query vectors, the 10 nearest
@@ -133,14 +225,14 @@ object Similarity {
   // --------------------------------------------------------------- q30
   /** SRP-LSH bucketed ANN (the scale path): 4 hyperplanes → 16 buckets;
     * neighbors only searched within the query's bucket (equi-join on
-    * bucket id), top-5 by rounded cosine. */
+    * bucket id), top-5 by rounded cosine. Projections are rounded (6 dp)
+    * before the sign test so a near-zero projection cannot land in
+    * different buckets on the two engines. */
   private def bucketed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
     val bucket = (0 until 4).map { j =>
-      val hp = typedlit(HP(j))
-      val d = aggregate(zip_with($"v", hp, (x, s) => x * s), lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1 << j)).otherwise(lit(0))
+      when(round(dotLit("v", HP(j)), 6) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     e.withColumn("bucket", bucket)
   }
@@ -161,17 +253,14 @@ object Similarity {
       .orderBy($"query_id", $"rn")
   }
 
-  private val q30Sql: String = {
-    val hpCte = HP.zipWithIndex.map { case (w, j) =>
-      s"  SELECT $j AS j, [${w.mkString(", ")}] AS w"
-    }.mkString("\n  UNION ALL\n")
+  private val q30Sql: String =
     s"""WITH $normsCte, hp AS (
-       |$hpCte
+       |${signTableSql(HP)}
        |), buckets AS (
        |  SELECT e.vec_id,
-       |         CAST(sum(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * h.w[i]
-       |                                      for i in generate_series(1, $Dim)]) > 0
-       |                       THEN (1 << h.j) ELSE 0 END) AS INTEGER) AS bucket
+       |         CAST(sum(CASE WHEN round(list_sum([CAST(e.embedding[i] AS DOUBLE) * h.w[i]
+       |                                            for i in generate_series(1, $Dim)]), 6) > 0
+       |                        THEN (1 << h.j) ELSE 0 END) AS INTEGER) AS bucket
        |  FROM norms e CROSS JOIN hp h GROUP BY e.vec_id
        |), nb AS (
        |  SELECT n.vec_id, n.nrm, n.embedding, b.bucket
@@ -188,24 +277,26 @@ object Similarity {
        |      FROM scored) t
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
-  }
 
   // --------------------------------------------------------------- q41
-  /** IVF-style ANN (the other scale path, alongside SRP-LSH): MLlib
-    * KMeans partitions vectors into 16 inverted lists; a query probes
-    * only its own centroid's list, top-5 by rounded cosine. Training is
-    * seeded but KMeans assignments are not portable to DuckDB → rows-
-    * only check; IvfSpec covers structure + recall against brute force.
-    * At 100 TB the fit runs on a sample and `transform` assigns at scan
-    * throughput; the candidate join is an equi-join on cluster id. */
+  /** IVF ANN with deterministic centroids: each vector is assigned to
+    * its argmax-dot centroid (16 ±1 vertices, equal norms → argmax dot ≡
+    * argmax cosine; rounded 6 dp, ties broken to the lowest centroid id
+    * on both engines via first-match / row_number). A query probes only
+    * its own inverted list — an equi-join on cluster id, exactly q30's
+    * shape. No model fit anywhere: the "index build" is a scan-speed
+    * projection, which also makes assignment portable column algebra →
+    * fully oracle-checked (the round-1 KMeans form was neither: 13 s of
+    * in-query fit and unportable seeded assignments). */
   private def q41(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-    val e = embNorm(spark, dir).withColumn("features", array_to_vector($"v"))
-    val model = new KMeans().setK(16).setSeed(42)
-      .setFeaturesCol("features").setPredictionCol("cluster").fit(e)
-    val assigned = model.transform(e)
+    val e = embNorm(spark, dir)
+    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
+    val arr = array(scores: _*)
+    // array_position is 1-based and returns the FIRST occurrence of the
+    // max — the deterministic lowest-j tiebreak
+    val assigned = e
+      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
       .select($"vec_id", $"v", $"nrm", $"cluster")
     val queries = assigned.filter($"vec_id".isin(QueryIds: _*))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cluster")
@@ -220,10 +311,39 @@ object Similarity {
       .orderBy($"query_id", $"rn")
   }
 
+  private val q41Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assign a ON n.vec_id = a.vec_id
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, q.cluster, c.vec_id AS neighbor_id,
+       |         ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cos
+       |  FROM nb q JOIN nb c ON c.cluster = q.cluster AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |)
+       |SELECT query_id, cluster, neighbor_id, round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
+       |      FROM pairs) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
     Q("q30_knn_srp_lsh", q30, Some(q30Sql)),
-    Q("q41_knn_ivf", q41, None), // KMeans assignments not oracle-portable
+    Q("q41_knn_ivf", q41, Some(q41Sql)),
   )
 }
