@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.core.{MqttEntry, SensorMeta}
 import graft.sources.broker.Broker
-import graft.streaming.Serving
+import graft.streaming.{ProducerSim, Serving}
 
 /** Thin HTTP serving shim — the engine-scope remainder of the
   * reference's endpoint layer (SURVEY §2.11: everything else of
@@ -18,8 +18,10 @@ import graft.streaming.Serving
   *  - `GET /stress`  → cached snapshot, no recompute (Analyzer.scala:117-121)
   *  - `GET /history` → recent analysis rows (dashboard history view)
   *  - `POST /mqtt`   → publish a reading to the broker topic
-  *                     (`sensor=<s>&value=<v>&anomaly=<0|1>` query form,
-  *                     the producer's control surface, Producer.scala:85-92)
+  *                     (`sensor=<s>&value=<v>&anomaly=<0|1>` query form)
+  *  - `POST /update` → flip a sensor's anomaly episode state on the
+  *                     producer (`sensor=<s>&anomaly=<0|1>`, the
+  *                     reference's control route, Producer.scala:85-92)
   *
   * Analysis/history come in as functions so the shim stays a pure
   * transport layer: the Spark pipelines behind them are tested on their
@@ -66,12 +68,24 @@ final class HttpShim(
               respond(ex, 200, s"""{"published":1,"topic_size":${Broker.size}}""")
             case _ => respond(ex, 400, """{"error":"sensor and value required"}""")
           }
+        case "/update" if ex.getRequestMethod == "POST" =>
+          // the reference producer's state flip (mqtt/Producer.scala:85-92):
+          // toggles a sensor's anomaly episode on/off
+          val p = queryParams(ex)
+          p.get("sensor") match {
+            case Some(s) =>
+              val on = p.get("anomaly").map(_.toInt).getOrElse(1) != 0
+              ProducerSim.setAnomalous(s, on)
+              respond(ex, 200, s"""{"sensor":"${Serving.esc(s)}","anomaly":${if (on) 1 else 0}}""")
+            case _ => respond(ex, 400, """{"error":"sensor required"}""")
+          }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
-      // malformed numbers etc. must yield a 400, not a dropped connection
+      // malformed numbers etc. must yield a 400, not a dropped connection;
+      // the message is escaped — exception text may contain quotes
       case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":"${e.getMessage}"}""".replace('\n', ' '))
+        respond(ex, 400, s"""{"error":"${Serving.esc(e.getMessage)}"}""")
     })
 
   def start(): Int = {

@@ -42,27 +42,52 @@ object Broker {
     StructField("sensor", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false),
     StructField("anomaly", IntegerType, nullable = false)))
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("payload", BinaryType, nullable = false)))
 }
 
+/** Typed view of the topic: the broker decodes for you (the round-1
+  * path; Encoder-equivalent of pre-parsed records). */
 class BrokerSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = Broker.schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new BrokerTable
+      properties: util.Map[String, String]): Table =
+    new BrokerTable("graft_broker", Broker.schema, e => new GenericInternalRow(
+      Array[Any](UTF8String.fromString(e.sensor), e.value, e.anomaly)))
 }
 
-class BrokerTable extends Table with SupportsRead {
-  override def name(): String = "graft_broker"
-  override def schema(): StructType = Broker.schema
+/** Raw view of the topic: rows are the wire bytes (`payload` binary),
+  * exactly what a real MQTT client hands over — decode happens in the
+  * pipeline ([[PayloadCodec]]), not in the connector. This is the S2
+  * path the reference exercises in mqtt/Consumer.scala:53-57 (bytes →
+  * typed record via lib/BinarySerializer.scala:58-74). */
+class RawBrokerSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Broker.rawSchema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BrokerTable("graft_broker_raw", Broker.rawSchema,
+      e => new GenericInternalRow(Array[Any](PayloadCodec.encode(e))))
+}
+
+class BrokerTable(
+    tableName: String,
+    tableSchema: StructType,
+    toRow: MqttEntry => InternalRow) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
-      override def readSchema(): StructType = Broker.schema
+      override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new BrokerMicroBatchStream
+        new BrokerMicroBatchStream(toRow)
     }
 }
 
@@ -73,7 +98,7 @@ case class BrokerOffset(pos: Int) extends Offset {
 /** One partition per micro-batch, carrying its message slice. */
 case class BrokerPartition(rows: Seq[MqttEntry]) extends InputPartition
 
-class BrokerMicroBatchStream extends MicroBatchStream {
+class BrokerMicroBatchStream(toRow: MqttEntry => InternalRow) extends MicroBatchStream {
   override def latestOffset(): Offset = BrokerOffset(Broker.size)
   override def initialOffset(): Offset = BrokerOffset(0)
   override def deserializeOffset(json: String): Offset = BrokerOffset(json.toInt)
@@ -85,13 +110,19 @@ class BrokerMicroBatchStream extends MicroBatchStream {
     Array(BrokerPartition(Broker.slice(s, e)))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => new PartitionReader[InternalRow] {
+  override def createReaderFactory(): PartitionReaderFactory = BrokerReaderFactory(toRow)
+}
+
+/** Serializable reader factory — ships to the task with only the row
+  * mapper, never the (driver-side, offset-tracking) stream object. */
+case class BrokerReaderFactory(toRow: MqttEntry => InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
       private val it = partition.asInstanceOf[BrokerPartition].rows.iterator
       private var current: MqttEntry = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(current.sensor), current.value, current.anomaly))
+      override def get(): InternalRow = toRow(current)
       override def close(): Unit = ()
     }
 }

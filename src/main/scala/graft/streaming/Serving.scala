@@ -9,8 +9,10 @@ import graft.core.SensorMeta
   * strings; doubles in their shortest Scala form. */
 object Serving {
 
-  private def esc(s: String): String =
-    s.flatMap {
+  /** JSON string escaper — shared with every shim that interpolates
+    * uncontrolled text (e.g. exception messages) into a JSON body. */
+  private[graft] def esc(s: String): String =
+    Option(s).getOrElse("").flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"

@@ -33,16 +33,35 @@ import graft.core.{Entry, Heuristic, SensorMeta}
 object IngestStream {
 
   /** `source` must be a streaming DataFrame with (sensor, value,
-    * anomaly) — the MqttEntry shape. Timestamps are assigned HERE, at
-    * consume time, exactly like Consumer.scala:64 (T2: processing-time
-    * semantics, no watermarks by design). */
+    * anomaly) — the MqttEntry shape — and optionally a `ts` column. When
+    * `ts` is absent it is assigned HERE, at consume time, exactly like
+    * Consumer.scala:64 (T2: processing-time semantics).
+    *
+    * Upsert parity (T4): the reference's CQL `UPDATE` keyed (sensor, ts)
+    * is last-write-wins — two writes to the same key collapse to one row
+    * (mqtt/Consumer.scala:59-66, schema.sql:9). An append-only parquet
+    * log has no keys, so the upsert is re-expressed as streaming
+    * deduplication ON THE WAY IN: [[DedupStream.dropDuplicateReadings]]
+    * drops every later delivery of an already-seen (sensor, ts) within
+    * the watermark horizon — state survives restarts via the checkpoint,
+    * so a producer redelivering across a query bounce still cannot
+    * duplicate a row. Which same-key delivery survives inside one
+    * micro-batch is arbitrary, matching CQL's own same-timestamp
+    * concurrent-write behavior. `dedupe = false` restores the raw
+    * append-only log. */
   def start(
       source: DataFrame,
       entryDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery =
-    source
-      .withColumn("ts", current_timestamp())
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"),
+      dedupe: Boolean = true,
+      horizon: String = "1 hour"): StreamingQuery = {
+    val stamped =
+      if (source.columns.contains("ts")) source
+      else source.withColumn("ts", current_timestamp())
+    val upserted =
+      if (dedupe) DedupStream.dropDuplicateReadings(stamped, horizon) else stamped
+    upserted
       .select("sensor", "ts", "value", "anomaly")
       .writeStream
       .format("parquet")
@@ -51,6 +70,7 @@ object IngestStream {
       .partitionBy("sensor")
       .trigger(trigger)
       .start()
+  }
 }
 
 /** Bounded per-sensor window state: most recent `n` (tsMicros, value)

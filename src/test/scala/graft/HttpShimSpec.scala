@@ -75,4 +75,54 @@ class HttpShimSpec extends SparkSpecBase {
       SnapshotStore.clear()
     }
   }
+
+  test("POST /update flips per-sensor anomaly episodes on the producer") {
+    import graft.streaming.ProducerSim
+    ProducerSim.reset()
+    val shim = new HttpShim(fullAnalyze = () => Seq.empty, history = _ => Seq.empty)
+    val port = shim.start()
+    val client = HttpClient.newHttpClient()
+    def post(path: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      val rnd = new java.util.Random(7)
+      post("/update?sensor=s1&anomaly=1").statusCode() shouldBe 200
+      // an EPISODE: every tick while the state is on is anomalous, with
+      // out-of-band magnitude — not an i.i.d. per-record draw
+      (1 to 3).foreach { _ =>
+        val ep = ProducerSim.tick(Seq("s1", "s2"), 100.0, rnd)
+        val s1 = ep.find(_.sensor == "s1").get
+        s1.anomaly shouldBe 1
+        math.abs(s1.value) should be >= 100.0
+        val s2 = ep.find(_.sensor == "s2").get
+        s2.anomaly shouldBe 0
+        math.abs(s2.value) should be < 100.0
+      }
+      post("/update?sensor=s1&anomaly=0").statusCode() shouldBe 200
+      val back = ProducerSim.tick(Seq("s1"), 100.0, rnd).head
+      back.anomaly shouldBe 0
+      math.abs(back.value) should be < 100.0
+    } finally {
+      shim.stop()
+      ProducerSim.reset()
+    }
+  }
+
+  test("400 bodies stay valid JSON when the exception message has quotes") {
+    val shim = new HttpShim(fullAnalyze = () => Seq.empty, history = _ => Seq.empty)
+    val port = shim.start()
+    val client = HttpClient.newHttpClient()
+    try {
+      // NumberFormatException's message quotes the input: For input string: "%22"
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/history?n=%22")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      r.statusCode() shouldBe 400
+      r.body() should include("\\\"") // the quote arrived escaped
+      // the whole body parses as {"error": <one well-formed JSON string>}
+      r.body() should fullyMatch regex """\{"error":"(?:[^"\\]|\\.)*"\}"""
+    } finally shim.stop()
+  }
 }

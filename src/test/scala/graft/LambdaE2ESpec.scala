@@ -55,12 +55,20 @@ class LambdaE2ESpec extends SparkSpecBase {
       entryDir, tmp("e2e-ickpt"), Trigger.ProcessingTime(0))
 
     try {
-      // producer publishes through the HTTP control surface
-      Seq(("s1", 10.0, 0), ("s1", 12.0, 0), ("s1", 130.0, 1),
-        ("s2", -5.0, 0), ("s2", -6.5, 0)).foreach { case (s, v, a) =>
-        post(s"/mqtt?sensor=$s&value=$v&anomaly=$a").statusCode() shouldBe 200
+      // producer publishes through the HTTP control surface, one tick
+      // per micro-batch (the reference's 200 ms cadence: one reading per
+      // sensor per tick; ingest upserts on (sensor, consume-ts), so each
+      // tick must be its own batch to persist as its own row)
+      Seq(
+        Seq(("s1", 10.0, 0), ("s2", -5.0, 0)),
+        Seq(("s1", 12.0, 0), ("s2", -6.5, 0)),
+        Seq(("s1", 130.0, 1))).foreach { tick =>
+        tick.foreach { case (s, v, a) =>
+          post(s"/mqtt?sensor=$s&value=$v&anomaly=$a").statusCode() shouldBe 200
+        }
+        ingest.processAllAvailable()
+        Thread.sleep(5) // ticks must land on distinct consume-time millis
       }
-      ingest.processAllAvailable()
 
       // speed layer over the ingested table (batch-start the analysis
       // stream on the entry table as its source)

@@ -18,22 +18,27 @@ class StreamingSpec extends SparkSpecBase {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
-  test("ingest stream stamps ts at consume time and appends partitioned entries (T2/T4)") {
+  test("ingest stream stamps ts at consume time and upserts on (sensor, ts) (T2/T4)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[MqttEntry]
     val entryDir = tmp("graft-entry")
     val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-ckpt"),
       Trigger.ProcessingTime(0))
     val t0 = System.currentTimeMillis()
+    // consume-time ts is the micro-batch instant, so same-key rows in one
+    // batch collapse last-write-wins — the CQL UPDATE on (sensor, ts)
     source.addData(
       MqttEntry("s1", 10.0, 0), MqttEntry("s1", 120.0, 1),
       MqttEntry("s2", -5.0, 0), MqttEntry("s2", 7.5, 0))
     q.processAllAvailable()
-    source.addData(MqttEntry("s1", 11.0, 0))
+    Thread.sleep(5) // next batch must land on a distinct consume-time milli
+    source.addData(MqttEntry("s1", 11.0, 0)) // new batch → new ts → new row
     q.processAllAvailable()
     q.stop()
     val out = spark.read.parquet(entryDir)
-    out.count() shouldBe 5
+    out.count() shouldBe 3
+    out.select($"sensor", $"ts").distinct().count() shouldBe 3 // one row per key
+    out.filter($"sensor" === "s1").count() shouldBe 2
     out.columns.toSet shouldBe Set("sensor", "ts", "value", "anomaly")
     // consume-time stamping: every ts falls inside the test's time window
     val ts = out.select($"ts").as[Timestamp].collect()
@@ -41,6 +46,62 @@ class StreamingSpec extends SparkSpecBase {
     all(ts.map(_.getTime)) should be <= System.currentTimeMillis() + 1000
     // partitioned layout by sensor (the Cassandra partition-key analog)
     new java.io.File(entryDir).list().count(_.startsWith("sensor=")) shouldBe 2
+  }
+
+  test("redelivered (sensor, ts) rows stay collapsed across a query restart (T4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Entry]
+    val entryDir = tmp("graft-upsert-entry")
+    val ckpt = tmp("graft-upsert-ckpt")
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val q1 = IngestStream.start(source.toDF(), entryDir, ckpt, Trigger.ProcessingTime(0))
+    source.addData(Entry("a", ts(10), 1.0, 0), Entry("a", ts(11), 2.0, 0))
+    q1.processAllAvailable()
+    q1.stop()
+    // producer redelivers an already-persisted reading AFTER the query
+    // bounced: the dedup state lives in the checkpoint, so the duplicate
+    // is dropped, not appended (reference CQL UPDATE = idempotent write)
+    source.addData(Entry("a", ts(10), 1.0, 0), Entry("a", ts(12), 3.0, 0))
+    val q2 = IngestStream.start(source.toDF(), entryDir, ckpt, Trigger.ProcessingTime(0))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(entryDir)
+    out.count() shouldBe 3
+    out.select($"ts").as[Timestamp].collect().map(_.getTime).sorted shouldBe
+      Array(10000L, 11000L, 12000L)
+  }
+
+  test("raw binary payloads decode to typed rows and feed ingest (S2)") {
+    import graft.sources.broker.{Broker, PayloadCodec}
+    Broker.clear()
+    val raw = spark.readStream
+      .format("graft.sources.broker.RawBrokerSourceProvider").load()
+    raw.schema.fieldNames shouldBe Array("payload") // wire bytes, not rows
+    val entryDir = tmp("graft-raw-entry")
+    val q = IngestStream.start(PayloadCodec.decodeStage(raw).toDF(),
+      entryDir, tmp("graft-raw-ckpt"), Trigger.ProcessingTime(0))
+    Broker.publish(MqttEntry("s1", 10.5, 0), MqttEntry("s2", -120.25, 1))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(entryDir)
+      .select($"sensor", $"value", $"anomaly").as[(String, Double, Int)]
+      .collect().sortBy(_._1)
+    out shouldBe Array(("s1", 10.5, 0), ("s2", -120.25, 1))
+    Broker.clear()
+  }
+
+  test("payload codec round-trips deterministically (S2)") {
+    import graft.sources.broker.PayloadCodec
+    val cases = Seq(
+      MqttEntry("sensor/power", 8285.425, 0),
+      MqttEntry("üñïçødé-センサー", -0.0, 1),
+      MqttEntry("", Double.MaxValue, 0),
+      MqttEntry("x", Double.MinPositiveValue, 1))
+    cases.foreach { e =>
+      PayloadCodec.decode(PayloadCodec.encode(e)) shouldBe e
+      // byte-stable: encoding is a pure function of the record
+      PayloadCodec.encode(e) shouldBe PayloadCodec.encode(e.copy())
+    }
   }
 
   test("DSv2 broker source feeds the ingest pipeline exactly once (S1)") {
@@ -53,6 +114,7 @@ class StreamingSpec extends SparkSpecBase {
       Trigger.ProcessingTime(0))
     Broker.publish(MqttEntry("s1", 10.0, 0), MqttEntry("s2", 120.0, 1))
     q.processAllAvailable()
+    Thread.sleep(5) // distinct consume-time milli for the upsert key
     Broker.publish(MqttEntry("s1", 11.0, 0))
     q.processAllAvailable()
     // re-processing must not re-read committed offsets
