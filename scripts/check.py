@@ -16,17 +16,24 @@ import numpy as np
 
 def canon(df):
     # sort keys: non-float columns first, floats rounded to 9dp — so a
-    # sub-tolerance fp difference can never reorder rows between frames
+    # sub-tolerance fp difference can never reorder rows between frames —
+    # then the full-precision floats as tiebreakers, so rows identical on
+    # every rounded key still sort frame-independently (two rows equal on
+    # all keys but differing past 9dp must not keep insertion order)
     df = df[sorted(df.columns)]
     keyed = df.copy()
     keys = []
+    float_cols = []
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             keyed[f"__k_{c}"] = df[c].round(9)
             keys.append(f"__k_{c}")
+            float_cols.append(c)
         else:
             keys.append(c)
-    order = [k for k in keys if not k.startswith("__k_")] + [k for k in keys if k.startswith("__k_")]
+    order = ([k for k in keys if not k.startswith("__k_")]
+             + [k for k in keys if k.startswith("__k_")]
+             + float_cols)
     keyed = keyed.sort_values(by=order, kind="mergesort", na_position="first")
     return keyed[list(df.columns)].reset_index(drop=True)
 

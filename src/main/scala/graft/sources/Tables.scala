@@ -31,14 +31,20 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   /** The events table carries TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp type, so read nanos as Long and truncate to microseconds
-    * (identical to DuckDB's nanos→TIMESTAMP truncation, keeping both
-    * engines' `ts` bit-equal for oracle parity). */
+    * timestamp type, so read nanos as Long and FLOOR to microseconds
+    * (DuckDB's nanos→TIMESTAMP conversion floors, so truncate-toward-
+    * zero `div` would diverge on pre-epoch timestamps; the floor-div is
+    * pure integer algebra — a double round-trip would lose precision
+    * above 2^53 ns ≈ 1970+104 days). The `nanosAsLong` conf is also set
+    * at session build by Bench/Verify/SparkSpecBase; setting it here too
+    * (idempotent — it is read at scan planning, same thread) keeps the
+    * loader usable from any entry point, e.g. the driver's smoke check. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          "(ts div 1000) - CAST((ts % 1000) < 0 AS INT)")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -20,4 +20,31 @@ class CatalogSpec extends SparkSpecBase {
       noException should be thrownBy fn(spark, sfDir).count()
     }
   }
+
+  test("q39 approx distinct stays within the configured error of exact (A10)") {
+    import spark.implicits._
+    // a hash oracle is impossible for q39 — the HLL estimate depends on
+    // Spark's sketch implementation, which DuckDB cannot reproduce — so
+    // this bounds the error against the exact counts instead: the rsd
+    // parameter is the sketch's relative standard deviation (default
+    // 0.05; 0.01 for approx_supps), and 4σ makes a false failure
+    // astronomically unlikely while still catching a broken sketch
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q39_approx_distinct")(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, p, s) => k -> (p, s) }.toMap
+    val exact = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.countDistinct($"l_partkey").as("p"),
+        org.apache.spark.sql.functions.countDistinct($"l_suppkey").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, p, s) => k -> (p, s) }.toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (flag, (p, s)) =>
+      val (ap, as_) = approx(flag)
+      math.abs(ap - p).toDouble / p should be <= 4 * 0.05
+      math.abs(as_ - s).toDouble / s should be <= 4 * 0.01
+    }
+  }
 }

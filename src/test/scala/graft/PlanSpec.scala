@@ -54,4 +54,21 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q22_top_global")
     p should include("TakeOrderedAndProject")
   }
+
+  test("sensor-partitioned entry table prunes partitions on sensor predicates") {
+    import spark.implicits._
+    // the Cassandra partition-key analog (reference schema.sql:9): the
+    // entry table is laid out by sensor, so a per-sensor query must
+    // touch only that sensor's directory — a PartitionFilter in the
+    // scan, not a post-scan Filter over all partitions
+    val dir = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+    fixture.write.mode("overwrite").partitionBy("sensor").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"sensor" === FirstSensor).select($"value")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should include("PartitionFilters: [isnotnull(sensor")
+    p should include(s"= $FirstSensor)")
+    // and the pruned scan returns exactly that sensor's rows
+    q.count() shouldBe fixture.filter($"sensor" === FirstSensor).count()
+  }
 }

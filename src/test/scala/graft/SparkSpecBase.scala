@@ -15,6 +15,7 @@ trait SparkSpecBase extends AnyFunSuite with Matchers {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events TIMESTAMP(NANOS)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
