@@ -126,17 +126,22 @@ object AnalysisStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[SensorMeta], batchId: Long) =>
-        val metas = batch.collect() // ≤ one row per sensor per micro-batch
-        if (metas.nonEmpty) {
-          // idempotent under foreachBatch's at-least-once replay: each
-          // micro-batch owns a partition directory keyed by batchId, so
-          // a restarted batch OVERWRITES its own output instead of
-          // appending duplicates; SnapshotStore.update is last-write-
-          // wins and needs no guard
-          batch.sparkSession.createDataFrame(metas.toSeq)
-            .write.mode("overwrite").parquet(s"$analysisDir/batch=$batchId")
-          SnapshotStore.update(metas.toSeq)
-        }
+        // the analysis table write is DISTRIBUTED — executors write the
+        // partition directly; the driver never funnels the rows. Only
+        // the serving-snapshot refresh collects, and that set is bounded
+        // by ≤ one row per sensor per micro-batch (sensor count is a
+        // config dimension, not a data dimension).
+        // Idempotent under foreachBatch's at-least-once replay: each
+        // micro-batch owns a partition directory keyed by batchId, so a
+        // restarted batch OVERWRITES its own output instead of appending
+        // duplicates; SnapshotStore.update is last-write-wins.
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            cached.write.mode("overwrite").parquet(s"$analysisDir/batch=$batchId")
+            SnapshotStore.update(cached.collect().toSeq)
+          }
+        } finally cached.unpersist()
       }
       .trigger(trigger)
       .start()
