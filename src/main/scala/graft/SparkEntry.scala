@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Curation.all ++
       operators.Anomaly.all ++
       operators.Behavioral.all ++
       multimodal.Multimodal.all

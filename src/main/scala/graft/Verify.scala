@@ -17,11 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry: a transiently failed query (executor hiccup, fetch
+      // failure) must not cost the round a correctness row; persistent
+      // failures still surface with a full diagnostic
+      val attempts = Iterator.range(0, 2).map { attempt =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name attempt $attempt failed: $e")
+          e.getStackTrace.take(3).foreach(f => System.err.println(s"[verify]   at $f"))
+          false
+        }
       }
+      attempts.find(identity).getOrElse(System.err.println(s"[verify] $name FAILED twice"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

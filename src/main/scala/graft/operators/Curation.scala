@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Dataset-curation operators — the steps a training-data pipeline runs
+  * AFTER near-dup mining to turn raw corpus + duplicate pairs into a
+  * training set: duplicate-cluster resolution (q50), deterministic
+  * split assignment (q51), and TF-IDF term salience (q52). The
+  * reference has no corpus layer (lambda-sample is a sensor engine);
+  * these extend the same oracle-checked catalog surface as
+  * [[Dedup]]/[[TextAnalysis]].
+  *
+  * Scale design (100 TB):
+  *  - q50's label propagation is the distributed connected-components
+  *    loop: each iteration is one equi-join + one min-aggregate on the
+  *    edge list, iterations bounded by component diameter (near-dup
+  *    clusters are shallow — dupes of one document). The driver sees
+  *    only a convergence COUNT per iteration, never rows. At extreme
+  *    scale the same loop body becomes alternating large-star/
+  *    small-star (Kiveris et al.) — identical join shape, fewer rounds.
+  *  - q51 is a stateless map: split assignment must be a pure function
+  *    of the stable document key (never `rand()`), so re-runs,
+  *    backfills and late-arriving shards land in the same split on any
+  *    engine — the md5-derived bucket is that function.
+  *  - q52 is two hash-aggregates (term frequency, document frequency)
+  *    + a broadcast of the 1-row corpus count; shuffle width = #terms.
+  */
+object Curation {
+
+  // --------------------------------------------------------------- q50
+  /** Duplicate-cluster resolution: connected components over the LSH
+    * candidate pairs (q25's output, shared persisted table), labeling
+    * every involved document with the min doc_id of its component —
+    * the canonical "keeper" — so `is_keeper = 0` rows are exactly the
+    * documents a dedup pass drops. Min-label propagation to fixpoint;
+    * each round persists its labels and unpersists the previous so
+    * lineage stays flat. */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = Dedup.lshCandidates(spark, dir)
+    val edges = cands.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(cands.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    // Lineage control: the loop references `labels` twice per round, so
+    // leaving the SQL plan to grow makes analysis cost DOUBLE per round
+    // (exponential — the classic iterative-DataFrame trap). `freeze`
+    // truncates the SQL lineage to a flat LogicalRDD after each round
+    // (GraphFrames' getCachedDataFrame trick): the persisted RDD keeps
+    // its own lineage for fault recovery, while every round's plan stays
+    // O(1) to analyze.
+    def freeze(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist()
+    var cached = freeze(edges.select($"src".as("doc_id")).distinct()
+      .withColumn("lbl", $"doc_id"))
+    var labels = cached
+    var converged = false
+    var iter = 0
+    // each round: (1) take the min label over self+neighbors, then
+    // (2) pointer-jump — adopt the label OF your label (path halving).
+    // Jumping squares the propagation distance per round, so rounds are
+    // O(log diameter) instead of O(diameter); both steps are equi-joins.
+    while (!converged && iter < 32) {
+      val nbrMin = edges.join(labels.select($"doc_id".as("dst"), $"lbl".as("nbl")), Seq("dst"))
+        .groupBy($"src").agg(min($"nbl").as("nbl"))
+      val relabeled = labels.join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left_outer")
+        .select($"doc_id", least($"lbl", coalesce($"nbl", $"lbl")).as("lbl"), $"lbl".as("olbl"))
+      val parents = relabeled.select($"doc_id".as("pid"), $"lbl".as("plbl"))
+      val stepped = freeze(relabeled.join(parents, relabeled("lbl") === parents("pid"), "left_outer")
+        .select(relabeled("doc_id"),
+          least(relabeled("lbl"), coalesce($"plbl", relabeled("lbl"))).as("nlbl"),
+          $"olbl"))
+      converged = stepped.filter($"nlbl" < $"olbl").isEmpty
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select($"doc_id", $"nlbl".as("lbl"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(
+        $"doc_id",
+        $"lbl".as("cluster_id"),
+        ($"doc_id" === $"lbl").cast("int").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE (fine at oracle scale;
+    * the Spark side is the distributed form). Component label = min over
+    * self and everything reachable. */
+  private val q50Sql: String =
+    s"""WITH RECURSIVE ${Dedup.lshCandidatesCte}, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cands
+       |  UNION
+       |  SELECT doc_b, doc_a FROM cands
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id,
+       |       CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+       |       CAST(src = least(src, min(dst)) AS INTEGER) AS is_keeper
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q51
+  /** Deterministic train/val/test split (80/10/10): bucket = portable
+    * md5 hash of the document key mod 100. A pure function of doc_id —
+    * stable under re-runs, engine changes, and data arrival order,
+    * which `rand()`-based splitting is not. */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = Portable.hash32(concat($"doc_id".cast("string"), lit("#graft-split"))) % 100
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        bucket.as("h_bucket"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val q51Sql: String = {
+    val bucket =
+      s"${Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-split'")} % 100"
+    s"""SELECT doc_id,
+       |       $bucket AS h_bucket,
+       |       CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q52
+  /** Top-3 TF-IDF terms per document: tf × ln((N+1)/(df+1)), ranked on
+    * the rounded score with a term tiebreak (ln is the one libm call in
+    * the catalog — the 6 dp ranking guard and 4 dp output absorb any
+    * ulp divergence between engines, same policy as the cosine
+    * queries). */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select($"doc_id", explode(Portable.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct($"doc_id").as("n"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf", $"tf" * log(($"n" + lit(1.0)) / ($"df" + lit(1.0))))
+    val w = Window.partitionBy($"doc_id").orderBy(round($"tfidf", 6).desc, $"term".asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", round($"tfidf", 4).as("tfidf"), $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  private val q52Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT doc_id) AS n FROM documents
+      |), scored AS (
+      |  SELECT t.doc_id, t.term, t.tf * ln((n.n + 1.0) / (d.df + 1.0)) AS tfidf
+      |  FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, round(tfidf, 4) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY round(tfidf, 6) DESC, term ASC) AS rnk
+      |      FROM scored) s
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q50_dup_clusters", q50, Some(q50Sql)),
+    Q("q51_hash_split", q51, Some(q51Sql)),
+    Q("q52_tfidf", q52, Some(q52Sql)),
+  )
+}

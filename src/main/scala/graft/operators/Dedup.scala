@@ -118,10 +118,17 @@ object Dedup {
       .distinct()
   }
 
-  private def lshCandidates(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "cands")(lshCandidatesFrom(signature(spark, dir)))
+  private[operators] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the signature BEFORE entering the candidates' memo compute:
+    // ConcurrentHashMap.computeIfAbsent throws "Recursive update" when a
+    // compute function re-enters the same map and the keys share a bin —
+    // and the bin collision depends on the session's identity hash, so
+    // the failure is intermittent per JVM. Never nest map computes.
+    val sig = signature(spark, dir)
+    memoized(spark, dir, "cands")(lshCandidatesFrom(sig))
+  }
 
-  private val lshCandidatesCte: String = {
+  private[operators] val lshCandidatesCte: String = {
     val bandSelects = (0 until K / 2)
       .map(bi => s"  SELECT $bi AS band, m${2 * bi} AS h1, m${2 * bi + 1} AS h2, doc_id FROM sig")
       .mkString("\n  UNION ALL\n")
