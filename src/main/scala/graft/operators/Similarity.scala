@@ -152,6 +152,14 @@ object Similarity {
         when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
       }.reduce(_ + _)
     }
+    // STAGED candidates→verify, deliberately: an alternative that
+    // carries the vectors on the banded rows and fuses the cosine into
+    // the band join benches 7× SLOWER here — band buckets are skewed
+    // (structured embeddings do not split evenly under random
+    // hyperplanes), and fusing puts millions of 64-dim dots into the
+    // one task that owns the hot bucket. Keeping candidate generation
+    // narrow (ids only) makes the skewed join cheap per row; the dots
+    // run after `distinct`, uniformly repartitioned by pair.
     val banded = e.select($"vec_id", posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
       .where($"x.vec_id" < $"y.vec_id")
