@@ -183,9 +183,64 @@ object Curation {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- q53
+  /** Deterministic stratified sampling: per-stratum rates applied by
+    * portable hash threshold — the balanced-subsampling step a pipeline
+    * runs to reweight event classes. Stateless map (no shuffle beyond
+    * the presentation sort), a pure function of the row key: re-runs
+    * and engines agree row-for-row, which `TABLESAMPLE`/`rand()` never
+    * guarantees. */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = Portable.hash32(concat($"event_id".cast("string"), lit("#graft-strat"))) % 1000
+    val keepBelow = when($"event_type" === "click", lit(200))
+      .when($"event_type" === "view", lit(200))
+      .when($"event_type" === "error", lit(100))
+      .otherwise(lit(1000)) // purchase/signup kept whole
+    Tables.events(spark, dir)
+      .filter(bucket < keepBelow)
+      .select($"event_id", $"event_type", $"user_id")
+      .orderBy($"event_id")
+  }
+
+  private val q53Sql: String = {
+    val bucket =
+      s"${Portable.hash32Sql("CAST(event_id AS VARCHAR) || '#graft-strat'")} % 1000"
+    s"""SELECT event_id, event_type, user_id
+       |FROM events
+       |WHERE $bucket < CASE event_type
+       |                  WHEN 'click' THEN 200
+       |                  WHEN 'view' THEN 200
+       |                  WHEN 'error' THEN 100
+       |                  ELSE 1000 END
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q54
+  /** Sketch-based quantile profiling: approx_percentile quartiles of
+    * lineitem quantity per return flag. Like q39's HLL, the sketch
+    * estimate is engine-specific — no hash oracle is possible; the
+    * error is bounded against exact percentiles in CurationSpec. At
+    * 100 TB this replaces q17's exact per-group sort with a fixed-size
+    * mergeable sketch (the accuracy knob is the second argument). */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("approx_q"))
+      .select($"l_returnflag",
+        $"approx_q".getItem(0).as("q1"),
+        $"approx_q".getItem(1).as("median"),
+        $"approx_q".getItem(2).as("q3"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
     Q("q52_tfidf", q52, Some(q52Sql)),
+    Q("q53_stratified_sample", q53, Some(q53Sql)),
+    Q("q54_approx_quantiles", q54, None), // sketch estimate — see CurationSpec bound
   )
 }

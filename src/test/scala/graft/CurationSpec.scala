@@ -40,6 +40,42 @@ class CurationSpec extends SparkSpecBase {
     again shouldBe rows
   }
 
+  test("q53: realized sample rates match the per-stratum targets") {
+    val rows = SparkEntry.queries("q53_stratified_sample")(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, Long)].collect()
+    val total = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    val sampled = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val targets = Map("click" -> 0.2, "view" -> 0.2, "error" -> 0.1,
+      "purchase" -> 1.0, "signup" -> 1.0)
+    targets.foreach { case (t, rate) =>
+      sampled.getOrElse(t, 0).toDouble / total(t) shouldBe rate +- 0.05
+    }
+  }
+
+  test("q54: approx quartiles stay within the accuracy bound of exact (A8 sketch)") {
+    // approx_percentile(acc=10000) guarantees rank error <= n/acc; with
+    // n ~ 60k per group that is ~6 ranks — compare against the exact
+    // quantile VALUES at the error-adjusted ranks instead of a value
+    // epsilon (quantity is integer-valued, so value gaps are coarse)
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q54_approx_quantiles")(spark, dir)
+      .as[(String, Double, Double, Double)].collect()
+    val byFlag = graft.sources.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (flag, q1, med, q3) =>
+      val xs = byFlag(flag)
+      val slack = math.max(2, xs.length / 10000 + 1)
+      Seq(0.25 -> q1, 0.5 -> med, 0.75 -> q3).foreach { case (p, got) =>
+        val r = (p * (xs.length - 1)).toInt
+        val lo = xs(math.max(0, r - slack))
+        val hi = xs(math.min(xs.length - 1, r + slack))
+        got should (be >= lo and be <= hi)
+      }
+    }
+  }
+
   test("q52: per-doc ranks are dense from 1 and scores are non-increasing") {
     val rows = SparkEntry.queries("q52_tfidf")(spark, sfDir)
       .as[(Long, String, Double, Int)].collect()
