@@ -98,4 +98,54 @@ class LambdaE2ESpec extends SparkSpecBase {
       SnapshotStore.clear()
     }
   }
+
+  test("anomaly episodes flow through the raw binary path end-to-end (S2+F8+T4)") {
+    import graft.streaming.ProducerSim
+    import graft.sources.broker.PayloadCodec
+    Broker.clear()
+    ProducerSim.reset()
+    val entryDir = tmp("e2e-raw-entry")
+    val shim = new HttpShim(fullAnalyze = () => Seq.empty, history = _ => Seq.empty)
+    val port = shim.start()
+    val http = HttpClient.newHttpClient()
+    def post(path: String) = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+    // ingest consumes the topic as WIRE BYTES and decodes in-pipeline
+    val raw = spark.readStream
+      .format("graft.sources.broker.RawBrokerSourceProvider").load()
+    val ingest = IngestStream.start(PayloadCodec.decodeStage(raw).toDF(),
+      entryDir, tmp("e2e-raw-ckpt"), Trigger.ProcessingTime(0))
+    val rnd = new java.util.Random(11)
+    def tick(): Unit = {
+      ProducerSim.publishTick(Seq("s1", "s2"), rnd = rnd)
+      ingest.processAllAvailable()
+      Thread.sleep(5) // each tick = one consume instant (upsert key)
+    }
+    try {
+      // episode: flip s1 anomalous over the reference control route
+      post("/update?sensor=s1&anomaly=1").statusCode() shouldBe 200
+      (1 to 3).foreach(_ => tick())
+      post("/update?sensor=s1&anomaly=0").statusCode() shouldBe 200
+      tick()
+      ingest.stop()
+      val out = spark.read.parquet(entryDir)
+        .select($"sensor", $"value", $"anomaly").as[(String, Double, Int)].collect()
+      out.length shouldBe 8 // 2 sensors × 4 ticks, one row per (sensor, tick)
+      val s1 = out.filter(_._1 == "s1")
+      s1.count(_._3 == 1) shouldBe 3 // the episode, consecutive, then off
+      s1.filter(_._3 == 1).foreach(r => math.abs(r._2) should be >= 100.0)
+      out.filter(_._1 == "s2").foreach { r =>
+        r._3 shouldBe 0
+        math.abs(r._2) should be < 100.0
+      }
+    } finally {
+      if (ingest.isActive) ingest.stop()
+      shim.stop()
+      Broker.clear()
+      ProducerSim.reset()
+    }
+  }
 }
