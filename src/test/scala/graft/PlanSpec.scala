@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpecBase {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q52: both aggregates are partial+final and the scan reads only doc_id/text") {
+    val p = plan("q52_tfidf")
+    p should include("partial_count")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q53: stratified sample scan prunes to the three output columns") {
+    val p = plan("q53_stratified_sample")
+    p should include("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>")
+  }
+
+  test("q41: IVF probe broadcasts queries and joins on cluster — no fit, no cross join") {
+    val p = plan("q41_knn_ivf")
+    p should include("BroadcastHashJoin")
+    p should include("Left keys [1]: [cluster")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("sensor-partitioned entry table prunes partitions on sensor predicates") {
     import spark.implicits._
     // the Cassandra partition-key analog (reference schema.sql:9): the
