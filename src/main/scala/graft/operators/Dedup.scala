@@ -53,19 +53,18 @@ object Dedup {
     shinglesFrom(Tables.documents(spark, dir))
 
   /** Memoized, persisted intermediates shared across the dedup chain:
-    * q24 (signatures), q25 (candidates) and q26 (verification) all
-    * consume the SAME persisted signature/candidate tables instead of
-    * re-exploding the corpus per query — the "persisted signature table"
-    * a production pipeline would materialize between stages. `persist`
-    * (not `localCheckpoint`) keeps lineage, so an executor loss
-    * recomputes the lost partitions instead of failing the query;
-    * entries are keyed per (session, dir) and live for the session
-    * (signatures are K longs per doc — negligible next to the corpus). */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * q24 (signatures), q25 (candidates), q26 (verification) and q50/q57
+    * (clustering) all consume the SAME persisted signature/candidate
+    * tables instead of re-exploding the corpus per query — the
+    * "persisted signature table" a production pipeline would materialize
+    * between stages. `persist` (not `localCheckpoint`) keeps lineage, so
+    * an executor loss recomputes the lost partitions instead of failing
+    * the query. Entries live in [[graft.core.PersistedMemo]] (keyed per
+    * session + dir), which owns the lifecycle: `release`/`clearAll` and
+    * eviction on session stop. */
   private def memoized(
       spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, dir, key), _ => build.persist())
+    graft.core.PersistedMemo.getOrBuild(spark, dir, s"dedup:$key")(build)
 
   private val shinglesCte =
     """toks AS (
@@ -119,11 +118,6 @@ object Dedup {
   }
 
   private[operators] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // resolve the signature BEFORE entering the candidates' memo compute:
-    // ConcurrentHashMap.computeIfAbsent throws "Recursive update" when a
-    // compute function re-enters the same map and the keys share a bin —
-    // and the bin collision depends on the session's identity hash, so
-    // the failure is intermittent per JVM. Never nest map computes.
     val sig = signature(spark, dir)
     memoized(spark, dir, "cands")(lshCandidatesFrom(sig))
   }

@@ -90,25 +90,23 @@ object Similarity {
     (0 until NClusters).map(j => signVector(s"c$j"))
 
   /** embeddings + f64 vector `v` + L2 norm `nrm`, memoized and persisted
-    * per (session, dir): q28/q29/q30/q41 all start from this table, so
-    * it materializes once per session instead of four rescans — the
+    * per (session, dir): q28/q29/q30/q41/q55 all start from this table,
+    * so it materializes once per session instead of five rescans — the
     * same shared-intermediate pattern as Dedup's signature table.
-    * `persist` keeps lineage (executor loss → recompute, not failure).
-    * Registers the native vector expressions
+    * `persist` keeps lineage (executor loss → recompute, not failure);
+    * [[graft.core.PersistedMemo]] owns the lifecycle (release/clearAll,
+    * eviction on session stop). Registers the native vector expressions
     * ([[graft.functions.DotProduct]]) used by every pair stage — fused
     * codegen loop, no per-pair array allocation, same left-to-right
     * accumulation as the algebraic form. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def embNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    memo.computeIfAbsent((spark, dir), _ => {
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:embNorm") {
       import spark.implicits._
       Tables.embeddings(spark, dir)
         .withColumn("v", transform($"embedding", x => x.cast("double")))
         .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
-        .persist()
-    })
+    }
   }
 
   /** Native fused dot product over two array<double> columns (by name). */

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.PersistedMemo
+
+/** Lifecycle of the shared persisted-intermediate registry (round-2
+  * advisory: memoized tables were pinned for the JVM lifetime). */
+class MemoSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("release(dir) unpersists and drops that dataset's entries") {
+    val before = PersistedMemo.size
+    val df = PersistedMemo.getOrBuild(spark, dir, "memospec:a")(
+      spark.range(100).toDF("id"))
+    df.count()
+    df.storageLevel should not be StorageLevel.NONE
+    PersistedMemo.size shouldBe before + 1
+
+    // a second getOrBuild returns the SAME cached frame, no rebuild
+    val again = PersistedMemo.getOrBuild(spark, dir, "memospec:a")(
+      fail("memo must not rebuild a live entry"))
+    (again eq df) shouldBe true
+
+    PersistedMemo.release(spark, dir)
+    df.storageLevel shouldBe StorageLevel.NONE
+    PersistedMemo.size shouldBe before
+  }
+
+  test("release is scoped to the dataset dir") {
+    // distinct plans: Spark's cache manager dedupes plan-identical
+    // frames, so unpersisting one would clear a same-plan twin too
+    val a = PersistedMemo.getOrBuild(spark, "/tmp/memospec-a", "k")(
+      spark.range(10).toDF("id"))
+    val b = PersistedMemo.getOrBuild(spark, "/tmp/memospec-b", "k")(
+      spark.range(20).toDF("id"))
+    a.count(); b.count()
+    PersistedMemo.release(spark, "/tmp/memospec-a")
+    a.storageLevel shouldBe StorageLevel.NONE
+    b.storageLevel should not be StorageLevel.NONE
+    PersistedMemo.release(spark, "/tmp/memospec-b")
+    b.storageLevel shouldBe StorageLevel.NONE
+  }
+
+  test("nested builds (candidates <- signatures pattern) are safe") {
+    // a build that re-enters the memo: the reentrant build lock makes
+    // this safe where nested ConcurrentHashMap.computeIfAbsent threw
+    // "Recursive update" intermittently (round-2 lesson)
+    val outer = PersistedMemo.getOrBuild(spark, "/tmp/memospec-n", "outer") {
+      val inner = PersistedMemo.getOrBuild(spark, "/tmp/memospec-n", "inner")(
+        spark.range(5).toDF("id"))
+      inner.selectExpr("id * 2 AS id")
+    }
+    outer.count() shouldBe 5
+    PersistedMemo.release(spark, "/tmp/memospec-n")
+  }
+}
