@@ -43,51 +43,34 @@ object Curation {
     * lineage stays flat. */
   private def q50(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cands = Dedup.lshCandidates(spark, dir)
-    val edges = cands.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(cands.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .persist()
-    // Lineage control: the loop references `labels` twice per round, so
-    // leaving the SQL plan to grow makes analysis cost DOUBLE per round
-    // (exponential — the classic iterative-DataFrame trap). `freeze`
-    // truncates the SQL lineage to a flat LogicalRDD after each round
-    // (GraphFrames' getCachedDataFrame trick): the persisted RDD keeps
-    // its own lineage for fault recovery, while every round's plan stays
-    // O(1) to analyze.
-    def freeze(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema).persist()
-    var cached = freeze(edges.select($"src".as("doc_id")).distinct()
-      .withColumn("lbl", $"doc_id"))
-    var labels = cached
-    var converged = false
-    var iter = 0
-    // each round: (1) take the min label over self+neighbors, then
-    // (2) pointer-jump — adopt the label OF your label (path halving).
-    // Jumping squares the propagation distance per round, so rounds are
-    // O(log diameter) instead of O(diameter); both steps are equi-joins.
-    while (!converged && iter < 32) {
-      val nbrMin = edges.join(labels.select($"doc_id".as("dst"), $"lbl".as("nbl")), Seq("dst"))
-        .groupBy($"src").agg(min($"nbl").as("nbl"))
-      val relabeled = labels.join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left_outer")
-        .select($"doc_id", least($"lbl", coalesce($"nbl", $"lbl")).as("lbl"), $"lbl".as("olbl"))
-      val parents = relabeled.select($"doc_id".as("pid"), $"lbl".as("plbl"))
-      val stepped = freeze(relabeled.join(parents, relabeled("lbl") === parents("pid"), "left_outer")
-        .select(relabeled("doc_id"),
-          least(relabeled("lbl"), coalesce($"plbl", relabeled("lbl"))).as("nlbl"),
-          $"olbl"))
-      converged = stepped.filter($"nlbl" < $"olbl").isEmpty
-      cached.unpersist()
-      cached = stepped
-      labels = stepped.select($"doc_id", $"nlbl".as("lbl"))
-      iter += 1
-    }
-    edges.unpersist()
+    // the labels table is itself a shared persisted intermediate (q57's
+    // incremental path consumes it as "the prior run's clusters"), so it
+    // is memoized like the signature/candidate tables — repeated calls
+    // reuse it and PersistedMemo owns unpersist/release. The loop's
+    // per-round caches are dropped inside Components.run.
+    val labels = clusterLabels(spark, dir)
     labels.select(
         $"doc_id",
         $"lbl".as("cluster_id"),
         ($"doc_id" === $"lbl").cast("int").as("is_keeper"))
       .orderBy($"doc_id")
   }
+
+  /** Memoized component labels over the LSH candidate graph: `(doc_id,
+    * lbl)` for every doc incident to a candidate edge. Convergence
+    * telemetry is surfaced (rounds logged; non-convergence THROWS inside
+    * [[Components.run]] rather than returning partial labels). */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "curation:cc-labels") {
+      import spark.implicits._
+      val cands = Dedup.lshCandidates(spark, dir)
+      val r = Components.run(cands.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      System.err.println(
+        s"[graft] q50 connected components converged in ${r.rounds} rounds ($dir)")
+      // hand the persisted frame to the memo; its persist() is a no-op
+      // on the already-cached frame
+      r.labels
+    }
 
   /** Oracle: transitive closure by recursive CTE (fine at oracle scale;
     * the Spark side is the distributed form). Component label = min over

@@ -26,6 +26,26 @@ class CurationSpec extends SparkSpecBase {
     rows.foreach { case (doc, c, keep) => keep shouldBe (if (doc == c) 1 else 0) }
   }
 
+  test("components: a deep chain converges in O(log d) pointer-jumping rounds") {
+    // path graph 0-1-2-...-63: diameter 63. Plain min-propagation needs
+    // ~63 rounds (and would exit the 32-round cap with WRONG labels if
+    // it returned silently); pointer jumping must finish in ~log2(63)+c.
+    val d = 63
+    val edges = spark.range(d).selectExpr("id AS src", "id + 1 AS dst")
+    val r = graft.operators.Components.run(edges)
+    r.rounds should be <= 10
+    val labels = r.labels.as[(Long, Long)].collect().toMap
+    labels.keySet shouldBe (0L to d).toSet
+    labels.values.toSet shouldBe Set(0L)
+    r.labels.unpersist()
+  }
+
+  test("components: non-convergence raises instead of returning partial labels") {
+    val edges = spark.range(200).selectExpr("id AS src", "id + 1 AS dst")
+    an[IllegalStateException] should be thrownBy
+      graft.operators.Components.run(edges, maxRounds = 2)
+  }
+
   test("q51: split proportions approximate 80/10/10 and assignment is doc-stable") {
     val rows = SparkEntry.queries("q51_hash_split")(spark, sfDir)
       .as[(Long, Long, String)].collect()
