@@ -37,6 +37,22 @@ object IngestStream {
     * `ts` is absent it is assigned HERE, at consume time, exactly like
     * Consumer.scala:64 (T2: processing-time semantics).
     *
+    * Consume-time stamps are PER-RECORD distinct: the batch instant
+    * (`current_timestamp()` is micro-batch-constant) plus a per-record
+    * microsecond offset (row-index-in-partition × 1024 + partition id —
+    * distinct for ≤1024 partitions by construction). The reference
+    * stamps each message individually (`Instant.now()` per record,
+    * mqtt/Consumer.scala:64), so same-sensor readings inside one batch
+    * rarely collide there; a batch-constant stamp made that collision
+    * STRUCTURAL here — every same-sensor reading in a 200 ms micro-batch
+    * collapsed under the upsert (round-2 advisory, silent data loss
+    * under multi-reading producers). The offset bounds drift at ~1 ms
+    * per same-partition record — sub-trigger at the reference cadence;
+    * bulk backfills should carry an explicit `ts` column (respected
+    * verbatim). Like the reference's ms-granular stamps, collisions
+    * remain possible across batches that land on the same clock
+    * millisecond — rare, not structural.
+    *
     * Upsert parity (T4): the reference's CQL `UPDATE` keyed (sensor, ts)
     * is last-write-wins — two writes to the same key collapse to one row
     * (mqtt/Consumer.scala:59-66, schema.sql:9). An append-only parquet
@@ -45,10 +61,8 @@ object IngestStream {
     * drops every later delivery of an already-seen (sensor, ts) within
     * the watermark horizon — state survives restarts via the checkpoint,
     * so a producer redelivering across a query bounce still cannot
-    * duplicate a row. Which same-key delivery survives inside one
-    * micro-batch is arbitrary, matching CQL's own same-timestamp
-    * concurrent-write behavior. `dedupe = false` restores the raw
-    * append-only log. */
+    * duplicate a row. `dedupe = false` restores the raw append-only
+    * log. */
   def start(
       source: DataFrame,
       entryDir: String,
@@ -58,7 +72,15 @@ object IngestStream {
       horizon: String = "1 hour"): StreamingQuery = {
     val stamped =
       if (source.columns.contains("ts")) source
-      else source.withColumn("ts", current_timestamp())
+      else {
+        // graft_record_offset: row-in-partition * 1024 + partition id —
+        // the streaming-safe native form of the monotonically_
+        // increasing_id construction (which streaming plans reject)
+        graft.functions.GraftFunctions.register(source.sparkSession)
+        source.withColumn("ts",
+          timestamp_micros(unix_micros(current_timestamp()) +
+            expr("graft_record_offset()")))
+      }
     val upserted =
       if (dedupe) DedupStream.dropDuplicateReadings(stamped, horizon) else stamped
     upserted

@@ -67,7 +67,7 @@ class LambdaE2ESpec extends SparkSpecBase {
           post(s"/mqtt?sensor=$s&value=$v&anomaly=$a").statusCode() shouldBe 200
         }
         ingest.processAllAvailable()
-        Thread.sleep(5) // ticks must land on distinct consume-time millis
+        nextMilli() // ticks must land on distinct consume-time millis
       }
 
       // speed layer over the ingested table (batch-start the analysis
@@ -122,7 +122,7 @@ class LambdaE2ESpec extends SparkSpecBase {
     def tick(): Unit = {
       ProducerSim.publishTick(Seq("s1", "s2"), rnd = rnd)
       ingest.processAllAvailable()
-      Thread.sleep(5) // each tick = one consume instant (upsert key)
+      nextMilli() // each tick = one consume instant (upsert key)
     }
     try {
       // episode: flip s1 anomalous over the reference control route

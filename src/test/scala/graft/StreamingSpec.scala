@@ -18,27 +18,30 @@ class StreamingSpec extends SparkSpecBase {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
-  test("ingest stream stamps ts at consume time and upserts on (sensor, ts) (T2/T4)") {
+  test("ingest stream stamps per-record distinct consume-time ts (T2/T4)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[MqttEntry]
     val entryDir = tmp("graft-entry")
     val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-ckpt"),
       Trigger.ProcessingTime(0))
     val t0 = System.currentTimeMillis()
-    // consume-time ts is the micro-batch instant, so same-key rows in one
-    // batch collapse last-write-wins — the CQL UPDATE on (sensor, ts)
+    // per-record stamping: multiple same-sensor readings in ONE batch
+    // keep distinct ts — nothing collapses (the reference stamps each
+    // message with its own Instant.now(); only true same-instant writes
+    // collide there, and batch-constant stamping must not make the
+    // collision structural)
     source.addData(
       MqttEntry("s1", 10.0, 0), MqttEntry("s1", 120.0, 1),
       MqttEntry("s2", -5.0, 0), MqttEntry("s2", 7.5, 0))
     q.processAllAvailable()
-    Thread.sleep(5) // next batch must land on a distinct consume-time milli
-    source.addData(MqttEntry("s1", 11.0, 0)) // new batch → new ts → new row
+    nextMilli()
+    source.addData(MqttEntry("s1", 11.0, 0))
     q.processAllAvailable()
     q.stop()
     val out = spark.read.parquet(entryDir)
-    out.count() shouldBe 3
-    out.select($"sensor", $"ts").distinct().count() shouldBe 3 // one row per key
-    out.filter($"sensor" === "s1").count() shouldBe 2
+    out.count() shouldBe 5
+    out.select($"sensor", $"ts").distinct().count() shouldBe 5 // all keys distinct
+    out.filter($"sensor" === "s1").count() shouldBe 3
     out.columns.toSet shouldBe Set("sensor", "ts", "value", "anomaly")
     // consume-time stamping: every ts falls inside the test's time window
     val ts = out.select($"ts").as[Timestamp].collect()
@@ -114,7 +117,7 @@ class StreamingSpec extends SparkSpecBase {
       Trigger.ProcessingTime(0))
     Broker.publish(MqttEntry("s1", 10.0, 0), MqttEntry("s2", 120.0, 1))
     q.processAllAvailable()
-    Thread.sleep(5) // distinct consume-time milli for the upsert key
+    nextMilli() // distinct consume-time milli for the upsert key
     Broker.publish(MqttEntry("s1", 11.0, 0))
     q.processAllAvailable()
     // re-processing must not re-read committed offsets
