@@ -69,15 +69,21 @@ final class HttpShim(
             case _ => respond(ex, 400, """{"error":"sensor and value required"}""")
           }
         case "/update" if ex.getRequestMethod == "POST" =>
-          // the reference producer's state flip (mqtt/Producer.scala:85-92):
-          // toggles a sensor's anomaly episode on/off
+          // the reference producer's state flip (mqtt/Producer.scala:85-92).
+          // Divergence, on purpose: the reference REPLACES the whole
+          // sensor-state map from the submitted form fields; this route
+          // sets exactly one sensor and leaves the rest untouched (the
+          // engine has no form-encoded full-map surface). Both params
+          // are required — an omitted `anomaly` is a 400, never an
+          // implicit flip-ON (round-2 advisory: a stray
+          // `POST /update?sensor=s1` must not start an episode).
           val p = queryParams(ex)
-          p.get("sensor") match {
-            case Some(s) =>
-              val on = p.get("anomaly").map(_.toInt).getOrElse(1) != 0
+          (p.get("sensor"), p.get("anomaly")) match {
+            case (Some(s), Some(a)) =>
+              val on = a.toInt != 0
               ProducerSim.setAnomalous(s, on)
               respond(ex, 200, s"""{"sensor":"${Serving.esc(s)}","anomaly":${if (on) 1 else 0}}""")
-            case _ => respond(ex, 400, """{"error":"sensor required"}""")
+            case _ => respond(ex, 400, """{"error":"sensor and anomaly required"}""")
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }

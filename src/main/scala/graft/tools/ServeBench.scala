@@ -33,6 +33,16 @@ object ServeBench {
     (q(0.25), q(0.5), q(0.75), s.last)
   }
 
+  private def p99(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((0.99 * (s.size - 1)).round.toInt)
+  }
+
+  /** The reference's serving SLA: every analyzer ask runs under a 5 s
+    * timeout (BASELINE.md / lambda-sample Endpoint ask-timeout) — a p99
+    * beyond it means requests the reference would have dropped. */
+  val SlaMillis = 5000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -79,10 +89,15 @@ object ServeBench {
 
     val (fq25, fq50, fq75, fmax) = quartiles(fullLat)
     val (sq25, sq50, sq75, smax) = quartiles(stressLat.toSeq)
+    val (fp99, sp99) = (p99(fullLat), p99(stressLat.toSeq))
     println(
-      s"""{"metric":"serve_latency_ms","sf":"$sfDir",""" +
-        s""""full":{"n":20,"p25":$fq25,"p50":$fq50,"p75":$fq75,"max":$fmax},""" +
-        s""""stress":{"n":500,"concurrency":10,"p25":$sq25,"p50":$sq50,"p75":$sq75,"max":$smax}}""")
+      s"""{"metric":"serve_latency_ms","sf":"$sfDir","sla_ms":$SlaMillis,""" +
+        s""""full":{"n":20,"p25":$fq25,"p50":$fq50,"p75":$fq75,"p99":$fp99,"max":$fmax},""" +
+        s""""stress":{"n":500,"concurrency":10,"p25":$sq25,"p50":$sq50,"p75":$sq75,"p99":$sp99,"max":$smax}}""")
+    // the SLA is an assertion, not a report line: breaching it fails the
+    // bench run loudly (reference behavior: the ask times out and drops)
+    require(fp99 <= SlaMillis, f"full-mode p99 $fp99%.1f ms breaches the $SlaMillis%.0f ms SLA")
+    require(sp99 <= SlaMillis, f"stress-mode p99 $sp99%.1f ms breaches the $SlaMillis%.0f ms SLA")
     spark.stop()
   }
 }

@@ -104,6 +104,11 @@ class HttpShimSpec extends SparkSpecBase {
       val back = ProducerSim.tick(Seq("s1"), 100.0, rnd).head
       back.anomaly shouldBe 0
       math.abs(back.value) should be < 100.0
+      // an omitted anomaly param is a 400 and must NOT flip the episode
+      // on (round-2 advisory: accidental POST /update?sensor=s1 started
+      // an episode under the old default)
+      post("/update?sensor=s1").statusCode() shouldBe 400
+      ProducerSim.tick(Seq("s1"), 100.0, rnd).head.anomaly shouldBe 0
     } finally {
       shim.stop()
       ProducerSim.reset()

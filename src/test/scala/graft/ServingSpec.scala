@@ -45,6 +45,20 @@ class ServingSpec extends SparkSpecBase {
     SnapshotStore.clear()
   }
 
+  test("stress-mode serving p99 honors the reference 5 s ask-timeout SLA") {
+    SnapshotStore.clear()
+    SnapshotStore.update((1 to 50).map(i =>
+      SensorMeta(s"s$i", new Timestamp(i * 1000L), 0.1, -1.0, 0.1)))
+    val lat = (1 to 500).map { _ =>
+      val t0 = System.nanoTime()
+      Serving.serveSnapshot() should startWith("""{"entries":[""")
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val p99 = lat((0.99 * (lat.size - 1)).round.toInt)
+    p99 should be <= graft.tools.ServeBench.SlaMillis
+    SnapshotStore.clear()
+  }
+
   test("CSV entry round-trip preserves rows and schema (S12/S13)") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/out"
     val subset = fixture.limit(100)
