@@ -54,6 +54,10 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Test hook: expose the deterministic plane construction so specs
+    * can drive [[bandCandidates]] with ad-hoc calibrations. */
+  private[graft] def testSignVector(prefix: String): IndexedSeq[Int] = signVector(prefix)
+
   /** ±1 sign vector derived from md5 bit parity of "prefix_i". */
   private def signVector(prefix: String): IndexedSeq[Int] =
     (0 until Dim).map { i =>
@@ -82,6 +86,21 @@ object Similarity {
   private val BandBits = 3
   private val HB: IndexedSeq[IndexedSeq[Int]] =
     (0 until NBands * BandBits).map(p => signVector(s"b$p"))
+
+  /** Production-calibration banding for q55: 16 bands × 8 bits. At the
+    * production near-dup threshold (cosine ≥ 0.85, per-plane agreement
+    * p = 1 − acos(0.85)/π ≈ 0.823) recall is 1−(1−p⁸)¹⁶ ≈ 0.98, while a
+    * RANDOM pair (cosine ≈ 0, p = ½) collides in a band with
+    * probability 2⁻⁸ — candidate volume ≤ 16/256 ≈ 6% of all pairs on
+    * ANY distribution, by construction. This is the knob q28's narrow
+    * 3-bit bands trade away for recall at its synthetic-data threshold
+    * (0.4): band width sets the random-collision floor; the pipeline is
+    * identical. */
+  private[graft] val ProdBands = 16
+  private[graft] val ProdBandBits = 8
+  private[graft] val ProdThreshold = 0.85
+  private val HP55: IndexedSeq[IndexedSeq[Int]] =
+    (0 until ProdBands * ProdBandBits).map(p => signVector(s"p$p"))
 
   /** IVF centroids for q41: 16 ±1 vertices; all share norm √64 so
     * argmax dot ≡ argmax cosine. */
@@ -132,66 +151,117 @@ object Similarity {
       s"  SELECT $j AS j, [${w.mkString(", ")}] AS w"
     }.mkString("\n  UNION ALL\n")
 
+  // ------------------------------------------------- banded candidates
+  /** Banded-SRP candidate pairs for a given calibration: hyperplane
+    * signs folded into per-band bucket ids, candidates = distinct pairs
+    * sharing any (band, bucket) — the MinHash-LSH candidates→verify
+    * pattern of q25→q26 applied to vectors. Never materializes a cross
+    * product: candidate volume is O(Σ bucket²) per band.
+    *
+    * STAGED candidates→verify, deliberately: an alternative that
+    * carries the vectors on the banded rows and fuses the cosine into
+    * the band join benches 7× SLOWER here — band buckets are skewed
+    * (structured embeddings do not split evenly under random
+    * hyperplanes), and fusing puts millions of 64-dim dots into the
+    * one task that owns the hot bucket. Keeping candidate generation
+    * narrow (ids only) makes the skewed join cheap per row; the dots
+    * run after `distinct`, uniformly repartitioned by pair.
+    *
+    * Candidate-volume telemetry (round-2 advisory: a mis-calibrated
+    * band width silently went quadratic): the candidate table is
+    * memoized + persisted, its size is counted ONCE at build and
+    * logged, and a build whose volume exceeds `capFraction` of all
+    * N(N−1)/2 pairs THROWS with a recalibration message instead of
+    * shipping an effectively-quadratic "pruned" join. */
+  private[graft] def bandCandidates(
+      spark: SparkSession, dir: String,
+      planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int,
+      key: String, capFraction: Double): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, s"sim:cands:$key") {
+      import spark.implicits._
+      val e = embNorm(spark, dir)
+      val bucketCols = (0 until nBands).map { b =>
+        (0 until bandBits).map { r =>
+          val d = dotLit("v", planes(b * bandBits + r))
+          when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
+        }.reduce(_ + _)
+      }
+      val banded = e.select($"vec_id",
+        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+        .where($"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+        .distinct()
+        .persist()
+      val n = cands.count()
+      val docs = e.count()
+      val allPairs = docs * (docs - 1) / 2
+      System.err.println(
+        s"[graft] $key candidates: $n of $allPairs pairs " +
+          f"(${if (allPairs == 0) 0.0 else 100.0 * n / allPairs}%.1f%%, cap ${100 * capFraction}%.0f%%)")
+      if (allPairs > 0 && n > capFraction * allPairs) {
+        cands.unpersist()
+        throw new IllegalStateException(
+          s"$key banding produced $n candidate pairs of $allPairs possible " +
+            f"(> ${100 * capFraction}%.0f%% cap): band width is mis-calibrated for this " +
+            "distribution — widen bandBits (halves random collisions per bit) or " +
+            "raise the threshold")
+      }
+      cands
+    }
+
+  /** Exact-cosine verification of a candidate table: join the persisted
+    * norms, one fused dot per pair. */
+  private def verified(e: DataFrame, cands: DataFrame): DataFrame = {
+    val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
+    cands
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        round(cos, 4).as("cosine"),
+        (col("a.label") === col("b.label")).cast("int").as("same_label"))
+  }
+
   // --------------------------------------------------------------- q28
   /** Embedding-cosine near-dup pairs, bucketed (the shipped scale path):
-    * banded-SRP candidate generation (equi-join on (band, bucket) — the
-    * MinHash-LSH candidates→verify pattern of q25→q26 applied to
-    * vectors) followed by exact-cosine verification of candidates only.
-    * Emits pairs with rounded cosine ≥ 0.4 (threshold calibrated to the
-    * synthetic data — no pair exceeds 0.52). Never materializes a cross
-    * product: candidate volume is O(Σ bucket²) per band. */
+    * banded-SRP candidates followed by exact-cosine verification of
+    * candidates only. Emits pairs with rounded cosine ≥ 0.4 (threshold
+    * calibrated to the synthetic data — no pair exceeds 0.52; the
+    * narrow 3-bit bands this recall floor needs keep candidate volume
+    * near-quadratic HERE, so the cap is permissive — q55 is the
+    * production calibration with a real cap). */
   private def q28(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    // 48 rounded hyperplane signs folded into 16 per-band bucket ids
-    val bucketCols = (0 until NBands).map { b =>
-      (0 until BandBits).map { r =>
-        val d = dotLit("v", HB(b * BandBits + r))
-        when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    // STAGED candidates→verify, deliberately: an alternative that
-    // carries the vectors on the banded rows and fuses the cosine into
-    // the band join benches 7× SLOWER here — band buckets are skewed
-    // (structured embeddings do not split evenly under random
-    // hyperplanes), and fusing puts millions of 64-dim dots into the
-    // one task that owns the hot bucket. Keeping candidate generation
-    // narrow (ids only) makes the skewed join cheap per row; the dots
-    // run after `distinct`, uniformly repartitioned by pair.
-    val banded = e.select($"vec_id", posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
-      .where($"x.vec_id" < $"y.vec_id")
-      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
-      .distinct()
-    val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
-    cands
-      .join(e.as("a"), $"vec_a" === $"a.vec_id")
-      .join(e.as("b"), $"vec_b" === $"b.vec_id")
-      .select(
-        $"vec_a", $"vec_b",
-        round(cos, 4).as("cosine"),
-        (col("a.label") === col("b.label")).cast("int").as("same_label"))
+    val cands = bandCandidates(spark, dir, HB, NBands, BandBits, "q28", capFraction = 1.0)
+    verified(e, cands)
       .filter($"cosine" >= 0.4)
       .orderBy($"vec_a", $"vec_b")
   }
 
-  private val q28Sql: String =
-    s"""WITH $normsCte, hp AS (
-       |${signTableSql(HB)}
+  /** DuckDB CTE chunk `hp → bits → bands → cands` for one banding
+    * calibration — the oracle twin of [[bandCandidates]]. */
+  private def bandCandsCte(planes: IndexedSeq[IndexedSeq[Int]], bandBits: Int): String =
+    s"""hp AS (
+       |${signTableSql(planes)}
        |), bits AS (
        |  SELECT e.vec_id, h.j,
        |         CASE WHEN round(list_sum([CAST(e.embedding[i] AS DOUBLE) * h.w[i]
        |                                   for i in generate_series(1, $Dim)]), 6) > 0
-       |              THEN (1 << (h.j % $BandBits)) ELSE 0 END AS bit
+       |              THEN (1 << (h.j % $bandBits)) ELSE 0 END AS bit
        |  FROM norms e CROSS JOIN hp h
        |), bands AS (
-       |  SELECT vec_id, j // $BandBits AS band, sum(bit) AS bucket
+       |  SELECT vec_id, j // $bandBits AS band, sum(bit) AS bucket
        |  FROM bits GROUP BY 1, 2
        |), cands AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM bands x
        |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |)
+       |)""".stripMargin
+
+  private val q28Sql: String =
+    s"""WITH $normsCte, ${bandCandsCte(HB, BandBits)}
        |SELECT c.vec_a, c.vec_b,
        |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) AS cosine,
        |       CAST(a.label = b.label AS INTEGER) AS same_label
@@ -199,6 +269,39 @@ object Similarity {
        |JOIN norms a ON a.vec_id = c.vec_a
        |JOIN norms b ON b.vec_id = c.vec_b
        |WHERE round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------------------------- q55
+  /** Near-dup mining at the PRODUCTION calibration (cosine ≥ 0.85,
+    * 16 bands × 8 bits): the variant whose candidate volume is
+    * sub-quadratic on any distribution (random pairs collide per band
+    * with p = 2⁻⁸; see [[ProdBands]]). Emits the full verified
+    * candidate audit — every banded candidate with its exact cosine and
+    * a `passed` flag for the production threshold — so the oracle
+    * checks the banding structure itself, not only the (synthetic-data
+    * empty) passing set, and the output row count IS the candidate
+    * volume a capacity planner watches. Build-time telemetry throws
+    * above a 25% candidate cap (the honest "this calibration stopped
+    * pruning" alarm). */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val cands = bandCandidates(spark, dir, HP55, ProdBands, ProdBandBits, "q55",
+      capFraction = 0.25)
+    verified(e, cands)
+      .withColumn("passed", ($"cosine" >= ProdThreshold).cast("int"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val q55Sql: String =
+    s"""WITH $normsCte, ${bandCandsCte(HP55, ProdBandBits)}
+       |SELECT c.vec_a, c.vec_b,
+       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) AS cosine,
+       |       CAST(a.label = b.label AS INTEGER) AS same_label,
+       |       CAST(round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) >= $ProdThreshold AS INTEGER) AS passed
+       |FROM cands c
+       |JOIN norms a ON a.vec_id = c.vec_a
+       |JOIN norms b ON b.vec_id = c.vec_b
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** All-pairs exact near-dup — the O(N²) verifier the bucketed q28 is
@@ -373,5 +476,6 @@ object Similarity {
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
     Q("q30_knn_srp_lsh", q30, Some(q30Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
+    Q("q55_neardup_production", q55, Some(q55Sql)),
   )
 }

@@ -31,6 +31,37 @@ class SimilaritySpec extends SparkSpecBase {
     (p should not).include("CartesianProduct")
   }
 
+  test("q55 production-calibration candidate volume is far below all-pairs") {
+    val dir = "/root/testdata/sf0.01" // 500 docs — enough pairs to measure
+    val docs = graft.sources.Tables.embeddings(spark, dir).count()
+    val allPairs = docs * (docs - 1) / 2
+    val cands = SparkEntry.queries("q55_neardup_production")(spark, dir).count()
+    // 16 bands × 8-bit buckets: random collision 16/256 ≈ 6% of pairs;
+    // 15% is the "still pruning" line (the in-build cap throws at 25%)
+    cands.toDouble / allPairs should be < 0.15
+    // and the passing set at cosine >= 0.85 is exact — verified against
+    // the brute-force threshold on the same data
+    val passed = SparkEntry.queries("q55_neardup_production")(spark, dir)
+      .filter($"passed" === 1).select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.Similarity.allPairsNearDup(spark, dir)
+      .filter($"cosine" >= graft.operators.Similarity.ProdThreshold)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    passed.subsetOf(exact) shouldBe true
+  }
+
+  test("a mis-calibrated banding throws its candidate cap instead of going quadratic") {
+    // q28's narrow 3-bit bands on sf0.01 produce near-quadratic
+    // candidates BY DESIGN (synthetic threshold 0.4) — running that
+    // calibration under a tight cap must trip the telemetry guard
+    val e = intercept[IllegalStateException] {
+      graft.operators.Similarity.bandCandidates(
+        spark, "/root/testdata/sf0.01",
+        (0 until 48).map(p => graft.operators.Similarity.testSignVector(s"b$p")),
+        16, 3, "capspec", capFraction = 0.01)
+    }
+    e.getMessage should include("mis-calibrated")
+  }
+
   test("q41 assignment is deterministic and fit-free across invocations") {
     val a = SparkEntry.queries("q41_knn_ivf")(spark, sfDir).collect()
     val b = SparkEntry.queries("q41_knn_ivf")(spark, sfDir).collect()
