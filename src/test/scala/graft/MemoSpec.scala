@@ -8,7 +8,11 @@ import graft.core.PersistedMemo
   * advisory: memoized tables were pinned for the JVM lifetime). */
 class MemoSpec extends SparkSpecBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  // NOT a shared testdata dir: release(spark, dir) drops EVERY entry for
+  // the (session, dir) pair, and the session is shared across suites —
+  // releasing sf0.001 here would also evict (and mis-count) intermediates
+  // other suites memoized for it, making the size assertions order-dependent
+  private val dir = "/tmp/memospec-own"
 
   test("release(dir) unpersists and drops that dataset's entries") {
     val before = PersistedMemo.size
