@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,9 +97,18 @@ object Curation {
     * md5 hash of the document key mod 100. A pure function of doc_id —
     * stable under re-runs, engine changes, and data arrival order,
     * which `rand()`-based splitting is not. */
+  /** The split bucket as a pure function of the document key — shared
+    * with q57, whose old-corpus/new-batch partition IS this split
+    * (train+val = the indexed corpus, test = the incoming shard). */
+  private[operators] def splitBucket(doc: Column): Column =
+    Portable.hash32(concat(doc.cast("string"), lit("#graft-split"))) % 100
+
+  private[operators] def splitBucketSql(keyExpr: String): String =
+    s"${Portable.hash32Sql(s"CAST($keyExpr AS VARCHAR) || '#graft-split'")} % 100"
+
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = Portable.hash32(concat($"doc_id".cast("string"), lit("#graft-split"))) % 100
+    val bucket = splitBucket($"doc_id")
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
@@ -111,8 +120,7 @@ object Curation {
   }
 
   private val q51Sql: String = {
-    val bucket =
-      s"${Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-split'")} % 100"
+    val bucket = splitBucketSql("doc_id")
     s"""SELECT doc_id,
        |       $bucket AS h_bucket,
        |       CASE WHEN $bucket < 80 THEN 'train'

@@ -677,6 +677,43 @@ object Relational {
       |GROUP BY a.event_id
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- q56
+  /** q20's range join in the DENSITY-GUARDED form that survives skew at
+    * 100 TB: bucket time by the window length (5 min) and join on
+    * (user_id, bucket) with the probe side exploded into its ≤2
+    * overlapping buckets, keeping the range test as a residual. q20's
+    * equi-key is user_id alone, so one hot user's events pair up
+    * quadratically inside a single task; here a hot user's pairs are
+    * bounded per (user, 5-minute bucket) — time-uniform traffic from a
+    * hot user spreads across tasks instead of melting one. Same output
+    * contract as q20 (identical oracle), 2× probe-side rows as the
+    * constant-factor price. */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = 300000000L // 5 min in micros == bucket width
+    val ev = Tables.events(spark, dir)
+    val a = ev.select($"event_id".as("a_id"), $"user_id".as("a_user"),
+        unix_micros($"ts").as("a_us"))
+      // [a_us, a_us+win] spans exactly the buckets ⌊a_us/win⌋ and
+      // ⌊a_us/win⌋+1 (window length == bucket width); timestamps are
+      // post-epoch so integral div == floor
+      .withColumn("bkt", explode(array(expr(s"a_us div $win"), expr(s"a_us div $win") + 1)))
+    val b = ev.select($"event_id".as("b_id"), $"user_id".as("b_user"),
+        $"value".as("b_value"), unix_micros($"ts").as("b_us"))
+      .withColumn("bkt", expr(s"b_us div $win"))
+    // residual inside the aggregate, not the join: left-outer keeps
+    // match-less probe events, and each b row satisfies exactly one of
+    // the two exploded bucket keys, so nothing double-counts
+    val inWin = $"b_id" =!= $"a_id" && $"b_us" >= $"a_us" && $"b_us" <= $"a_us" + win
+    a.join(b, $"a_user" === $"b_user" && a("bkt") === b("bkt"), "left_outer")
+      .groupBy($"a_id")
+      .agg(
+        count(when(inWin, $"b_id")).as("n_next_5min"),
+        round(coalesce(sum(when(inWin, $"b_value")), lit(0.0)), 2).as("sum_next"))
+      .select($"a_id".as("event_id"), $"n_next_5min", $"sum_next")
+      .orderBy($"event_id")
+  }
+
   // --------------------------------------------------------------- q21
   /** Broadcast dimension join + aggregation over supplier/nation. */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
@@ -947,6 +984,9 @@ object Relational {
     Q("q18_sensor_heuristic", q18, Some(q18Sql)),
     Q("q19_asof_join", q19, Some(q19Sql)),
     Q("q20_range_join", q20, Some(q20Sql)),
+    // density-guarded variant — SAME semantics and oracle as q20; the
+    // plan (not the answer) is what differs, locked in PlanSpec
+    Q("q56_range_join_bucketed", q56, Some(q20Sql)),
     Q("q21_supplier_balance", q21, Some(q21Sql)),
     Q("q22_top_global", qTopGlobal, Some(qTopGlobalSql)),
     Q("q37_load_share", q37, Some(q37Sql)),

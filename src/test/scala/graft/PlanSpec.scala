@@ -73,6 +73,15 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("q56: range join equi-keys on (user, time-bucket) — density-guarded, no BNLJ") {
+    val p = plan("q56_range_join_bucketed")
+    // the join must carry BOTH keys so a hot user's pairs are bounded
+    // per 5-minute bucket, not quadratic per user (q20's shape)
+    p should include("keys [2]")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("sensor-partitioned entry table prunes partitions on sensor predicates") {
     import spark.implicits._
     // the Cassandra partition-key analog (reference schema.sql:9): the
