@@ -130,19 +130,24 @@ object Dedup {
     memoized(spark, dir, "cands")(lshCandidatesFrom(sig))
   }
 
-  private[operators] val lshCandidatesCte: String = {
+  /** Oracle form of [[bandsFrom]]: `bands` rows over every document's
+    * signature (builds on the signature/shingle CTEs). */
+  private[operators] val bandsCte: String = {
     val bandSelects = (0 until K / 2)
       .map(bi => s"  SELECT $bi AS band, m${2 * bi} AS h1, m${2 * bi + 1} AS h2, doc_id FROM sig")
       .mkString("\n  UNION ALL\n")
     s"""$signatureCte, bands AS (
        |$bandSelects
-       |), cands AS (
+       |)""".stripMargin
+  }
+
+  private[operators] val lshCandidatesCte: String =
+    s"""$bandsCte, cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x
        |  JOIN bands y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
        |              AND x.doc_id < y.doc_id
        |)""".stripMargin
-  }
 
   // --------------------------------------------------------------- q23
   /** Exact (content-hash) dedup: one aggregate on md5(text) keyed by the
@@ -411,6 +416,89 @@ object Dedup {
        |WHERE ${Curation.splitBucketSql("d.doc_id")} >= 90
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q58
+  /** Decontamination audit: which TEST-split documents are near-dups of
+    * TRAIN-split documents — benchmark contamination, the check every
+    * serious training-data pipeline runs before publishing an eval
+    * split. (Train = q51 buckets <80, test = buckets ≥90; val is
+    * deliberately excluded from the index side so the audit measures
+    * train↔test leakage only.)
+    *
+    * Scale shape: candidates come from the SAME persisted structures the
+    * dedup chain already maintains — test-side signatures ([[sigNew]])
+    * band-joined against the persisted banded index ([[oldBands]])
+    * FILTERED to train rows (a filter on the persisted frame, not a new
+    * shingle pass). Exact Jaccard then verifies candidates only (the
+    * q26 pattern): re-shingling touches candidate docs, never the
+    * corpus. Emits one row per test doc that has ≥1 candidate:
+    * candidate/contaminated counts and the worst (max) Jaccard, with
+    * contamination at Jaccard ≥ 0.5. Integer-ratio Jaccard keeps every
+    * double bit-identical across engines. */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val testBands = bandsFrom(sigNew(spark, dir))
+    val trainBands = oldBands(spark, dir)
+      .filter(Curation.splitBucket(col("doc_id")) < 80)
+    val cands = testBands.as("x").join(trainBands.as("y"), Seq("band", "h1", "h2"))
+      .select($"x.doc_id".as("test_id"), $"y.doc_id".as("train_id"))
+      .distinct()
+    val candDocIds = cands.select($"test_id".as("doc_id"))
+      .union(cands.select($"train_id".as("doc_id"))).distinct()
+    val candDocs = Tables.documents(spark, dir)
+      .join(broadcast(candDocIds), Seq("doc_id"), "left_semi")
+    val sh = shinglesFrom(candDocs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("sa"), $"test_id" === $"sa.doc_id")
+      .join(sh.as("sb"), $"train_id" === $"sb.doc_id" && $"sa.s" === $"sb.s", "left_outer")
+      .groupBy($"test_id", $"train_id")
+      .agg(count($"sb.s").as("n_common"))
+    val scored = inter
+      .join(sizes.as("za"), $"test_id" === $"za.doc_id")
+      .join(sizes.as("zb"), $"train_id" === $"zb.doc_id")
+      .select($"test_id", $"train_id",
+        ($"n_common".cast("double") / ($"za.n" + $"zb.n" - $"n_common")).as("jaccard"))
+    scored
+      .groupBy($"test_id".as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when($"jaccard" >= 0.5, 1L).otherwise(0L)).as("n_contaminated"),
+        max($"jaccard").as("max_jaccard"))
+      .withColumn("is_contaminated", ($"n_contaminated" > 0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  private val q58Sql: String =
+    s"""WITH $bandsCte, cands AS (
+       |  SELECT DISTINCT x.doc_id AS test_id, y.doc_id AS train_id
+       |  FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+       |  WHERE ${Curation.splitBucketSql("x.doc_id")} >= 90
+       |    AND ${Curation.splitBucketSql("y.doc_id")} < 80
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT c.test_id, c.train_id, count(sb.s) AS n_common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.test_id
+       |  LEFT JOIN sh sb ON sb.doc_id = c.train_id AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT i.test_id, i.train_id,
+       |         CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.test_id
+       |  JOIN sizes zb ON zb.doc_id = i.train_id
+       |)
+       |SELECT test_id AS doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_candidates,
+       |       CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |       max(jaccard) AS max_jaccard,
+       |       CAST(max(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS INTEGER) AS is_contaminated
+       |FROM scored
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
@@ -418,5 +506,6 @@ object Dedup {
     Q("q26_ngram_jaccard", q26, Some(q26Sql)),
     Q("q27_simhash", q27, Some(q27Sql)),
     Q("q57_incremental_dedup", q57, Some(q57Sql)),
+    Q("q58_decontamination", q58, Some(q58Sql)),
   )
 }

@@ -204,11 +204,83 @@ object TextAnalysis {
        |FROM toks
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q59
+  /** Repetition quality filters (Gopher/C4-style): fraction of 2-grams
+    * taken by the most frequent 2-gram, same for 3-grams, and duplicate-
+    * token fraction — the "this document is a degenerate repetition
+    * loop" signals a training-data pipeline gates on before tokenizing.
+    *
+    * Entirely per-row higher-order-function algebra (transform/filter/
+    * array_distinct/array_max) — no explode, no shuffle, codegen'd; at
+    * 100 TB this runs map-side at scan throughput like q31-q34. Per-row
+    * cost is O(n·d) on n-grams × distinct n-grams, bounded by document
+    * length. All ratios are integer-over-integer divides of identical
+    * operands → bit-identical doubles in both engines (no rounding).
+    * Thresholds follow the published Gopher ranges (top-2-gram ≤ 0.20,
+    * top-3-gram ≤ 0.18, duplicate-token fraction ≤ 0.30). */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def topFrac(g: String): org.apache.spark.sql.Column =
+      when(size(col(g)) === 0, lit(0.0)).otherwise(
+        expr(s"CAST(array_max(transform(array_distinct($g), x -> size(filter($g, y -> y = x)))) AS DOUBLE)")
+          / size(col(g)))
+    Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .withColumn("g2", when(size($"t") >= 2,
+        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .otherwise(expr("array()")))
+      .withColumn("g3", when(size($"t") >= 3,
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .otherwise(expr("array()")))
+      .withColumn("top2_frac", topFrac("g2"))
+      .withColumn("top3_frac", topFrac("g3"))
+      .withColumn("dup_token_frac",
+        (size($"t") - size(array_distinct($"t"))).cast("double") / size($"t"))
+      .select(
+        $"doc_id",
+        size($"t").as("n_tokens"),
+        $"top2_frac", $"top3_frac", $"dup_token_frac",
+        ($"top2_frac" > 0.20 || $"top3_frac" > 0.18 || $"dup_token_frac" > 0.30)
+          .cast("int").as("is_repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  private val q59Sql: String = {
+    def topFrac(g: String): String =
+      s"""CASE WHEN len($g) = 0 THEN 0.0
+         |            ELSE CAST(list_max([len(list_filter($g, y -> y = x)) for x in list_distinct($g)]) AS DOUBLE) / len($g)
+         |       END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, t,
+       |         CASE WHEN len(t) >= 2
+       |              THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]
+       |              ELSE [] END AS g2,
+       |         CASE WHEN len(t) >= 3
+       |              THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)]
+       |              ELSE [] END AS g3
+       |  FROM toks
+       |), m AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS INTEGER) AS n_tokens,
+       |         ${topFrac("g2")} AS top2_frac,
+       |         ${topFrac("g3")} AS top3_frac,
+       |         CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac
+       |  FROM grams
+       |)
+       |SELECT doc_id, n_tokens, top2_frac, top3_frac, dup_token_frac,
+       |       CAST(top2_frac > 0.20 OR top3_frac > 0.18 OR dup_token_frac > 0.30 AS INTEGER) AS is_repetitive
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
     Q("q33_token_stats", q33, Some(q33Sql)),
     Q("q34_fingerprint", q34, Some(q34Sql)),
     Q("q38_array_funcs", q38, Some(q38Sql)),
+    Q("q59_repetition_filter", q59, Some(q59Sql)),
   )
 }

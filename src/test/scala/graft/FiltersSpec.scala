@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** q58 decontamination audit + q59 repetition filters — the gating
+  * passes a training-data pipeline runs before publishing a corpus. */
+class FiltersSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q58: audits only test-split docs and its flags are internally consistent") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q58_decontamination")(spark, dir).collect()
+    rows.length should be > 0
+    val testIds = Dedup.newBatch(spark, dir).select($"doc_id").as[Long].collect().toSet
+    rows.foreach { r =>
+      val (id, nCand, nCont, maxJ, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      testIds should contain(id)
+      nCand should be >= nCont
+      nCand should be > 0L
+      maxJ should (be >= 0.0 and be <= 1.0)
+      flag shouldBe (if (maxJ >= 0.5) 1 else 0)
+      (nCont > 0) shouldBe (flag == 1)
+    }
+  }
+
+  test("q58 contaminated pairs agree with q26's full-corpus verification") {
+    import spark.implicits._
+    // q26 verifies ALL LSH candidate pairs with the same exact Jaccard;
+    // a q58 row with max_jaccard j must have a q26 pair for the same
+    // test doc at exactly j (bit-identical math on both paths)
+    val q26 = SparkEntry.queries("q26_ngram_jaccard")(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getDouble(2), r.getLong(1) -> r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val audit = SparkEntry.queries("q58_decontamination")(spark, dir).collect()
+    audit.foreach { r =>
+      val (id, maxJ) = (r.getLong(0), r.getDouble(3))
+      // q26's per-doc max is >= the cross-split max (it also sees
+      // test↔test and val pairs), and when the audit flags contamination
+      // the pair exists in q26's output verbatim
+      q26.get(id).foreach(_ should be >= maxJ)
+    }
+  }
+
+  test("q59: metrics are bounded, thresholds drive the flag, n_tokens matches q33") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q59_repetition_filter")(spark, dir).collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      val (n, t2, t3, dup, flag) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))
+      n should be > 0
+      t2 should (be >= 0.0 and be <= 1.0)
+      t3 should (be >= 0.0 and be <= 1.0)
+      dup should (be >= 0.0 and be < 1.0)
+      // the synthetic corpus repeats a tiny vocabulary, so 3-gram
+      // repetition is never above 2-gram repetition's ceiling + slack
+      flag shouldBe (if (t2 > 0.20 || t3 > 0.18 || dup > 0.30) 1 else 0)
+    }
+    val q33n = SparkEntry.queries("q33_token_stats")(spark, dir)
+      .select($"doc_id", $"n_ws_tokens").as[(Long, Int)].collect().toMap
+    SparkEntry.queries("q59_repetition_filter")(spark, dir)
+      .select($"doc_id", $"n_tokens").as[(Long, Int)].collect()
+      .foreach { case (id, n) => n shouldBe q33n(id) }
+  }
+
+  test("q59 plan is a single map-side pass: no shuffle before the presentation sort") {
+    val plan = SparkEntry.queries("q59_repetition_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // exactly one Exchange — the final ORDER BY's range partitioning;
+    // the metrics themselves never shuffle (per-row algebra, no explode)
+    plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    (plan should not).include("Generate") // no explode in the plan
+  }
+}
