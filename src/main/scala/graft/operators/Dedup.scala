@@ -345,27 +345,42 @@ object Dedup {
     memoized(spark, dir, "sigNew")(
       signatureFrom(shinglesFrom(newBatch(spark, dir))))
 
+  /** The per-batch step of the continuous-ingestion protocol: candidate
+    * edges of an incoming batch of banded rows against a banded index +
+    * prior labels, old endpoints contracted to their cluster label
+    * (singleton old docs have no label row — they are their own
+    * representative). Shared by q57 (one daily batch) and the streaming
+    * shard-ingestion path (IncrementalSpec), which calls it per
+    * micro-batch and appends the batch's bands/labels to its state. */
+  private[graft] def incrementalEdges(
+      bandsNew: DataFrame, indexBands: DataFrame, priorLabels: DataFrame): DataFrame = {
+    val spark = bandsNew.sparkSession
+    import spark.implicits._
+    // new↔old edges
+    val eNO = bandsNew.as("x").join(indexBands.as("y"), Seq("band", "h1", "h2"))
+      .select($"x.doc_id".as("src"), $"y.doc_id".as("old_id"))
+      .distinct()
+      .join(priorLabels.select($"doc_id".as("old_id"), $"lbl"), Seq("old_id"), "left_outer")
+      .select($"src", coalesce($"lbl", $"old_id").as("dst"))
+    // new↔new edges
+    val eNN = bandsNew.as("x").join(bandsNew.as("y"), Seq("band", "h1", "h2"))
+      .where($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("src"), $"y.doc_id".as("dst"))
+      .distinct()
+    eNN.unionByName(eNO).distinct()
+  }
+
+  /** Banded rows for an arbitrary (doc_id, text) batch — the streaming
+    * ingestion path's per-batch signature step. */
+  private[graft] def bandsForDocs(docs: DataFrame): DataFrame =
+    bandsFrom(signatureFrom(shinglesFrom(docs)))
+
   /** Incremental labels for every new doc incident to an edge. */
   private def q57Labels(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "q57labels") {
-      import spark.implicits._
-      val bandsNew = bandsFrom(sigNew(spark, dir))
-      val ob = oldBands(spark, dir)
-      val ol = oldLabels(spark, dir)
-      // new↔old edges, old endpoint contracted to its prior cluster
-      // label (singleton old docs have no label row — they are their
-      // own representative)
-      val eNO = bandsNew.as("x").join(ob.as("y"), Seq("band", "h1", "h2"))
-        .select($"x.doc_id".as("src"), $"y.doc_id".as("old_id"))
-        .distinct()
-        .join(ol.select($"doc_id".as("old_id"), $"lbl"), Seq("old_id"), "left_outer")
-        .select($"src", coalesce($"lbl", $"old_id").as("dst"))
-      // new↔new edges
-      val eNN = bandsNew.as("x").join(bandsNew.as("y"), Seq("band", "h1", "h2"))
-        .where($"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("src"), $"y.doc_id".as("dst"))
-        .distinct()
-      val r = Components.run(eNN.unionByName(eNO).distinct())
+      val edges = incrementalEdges(
+        bandsFrom(sigNew(spark, dir)), oldBands(spark, dir), oldLabels(spark, dir))
+      val r = Components.run(edges)
       System.err.println(
         s"[graft] q57 incremental components converged in ${r.rounds} rounds ($dir)")
       r.labels
