@@ -142,9 +142,15 @@ object Curation {
     val tf = docs
       .select($"doc_id", explode(Portable.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df as a count-over-window on the tf aggregate, NOT a second
+    // aggregate branch: referencing `tf` twice makes Catalyst replay
+    // the whole scan→explode→aggregate chain (column pruning
+    // specializes the copies, so ReusedExchange never fires) — at
+    // 100 TB that is two corpus reads. The window reshuffles only the
+    // already-aggregated (doc, term) rows by term.
+    val df = count(lit(1)).over(Window.partitionBy($"term"))
     val n = docs.agg(countDistinct($"doc_id").as("n"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val scored = tf.withColumn("df", df).crossJoin(broadcast(n))
       .withColumn("tfidf", $"tf" * log(($"n" + lit(1.0)) / ($"df" + lit(1.0))))
     val w = Window.partitionBy($"doc_id").orderBy(round($"tfidf", 6).desc, $"term".asc)
     scored

@@ -55,10 +55,13 @@ class PlanSpec extends SparkSpecBase {
     p should include("TakeOrderedAndProject")
   }
 
-  test("q52: both aggregates are partial+final and the scan reads only doc_id/text") {
+  test("q52: partial+final aggregate, pruned scan, and ONE corpus explode") {
     val p = plan("q52_tfidf")
     p should include("partial_count")
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    // df comes from a window over the tf aggregate — a second explode
+    // branch would mean the corpus is read and tokenized twice
+    p.sliding("Generate".length).count(_ == "Generate") shouldBe 2 // tree line + detail header
   }
 
   test("q53: stratified sample scan prunes to the three output columns") {
