@@ -233,11 +233,60 @@ object Curation {
       .orderBy($"l_returnflag")
   }
 
+  // --------------------------------------------------------------- q61
+  /** Training-mix accounting: documents and whitespace tokens per
+    * (split, source) with each cell's share of the total token budget —
+    * the "what does my mix actually contain" report every training run
+    * starts from (and the input to up/down-weighting decisions).
+    *
+    * Scale shape: one pruned corpus scan, per-row token count (size of
+    * the split array — no explode), partial+final hash-aggregate to
+    * #splits × #sources cells, then a window total over those few cells.
+    * Shares are bigint/bigint divides of identical operands —
+    * bit-identical, no rounding. */
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = splitBucket($"doc_id")
+    val cells = Tables.documents(spark, dir)
+      .select(
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        $"source",
+        size(graft.functions.Portable.tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("docs"), sum($"n_tok").as("tokens"))
+    cells
+      .withColumn("token_share",
+        $"tokens".cast("double") / sum($"tokens").over(Window.partitionBy()))
+      .orderBy($"split", $"source")
+  }
+
+  private val q61Sql: String = {
+    val bucket = splitBucketSql("doc_id")
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |              WHEN $bucket < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         source,
+       |         count(*) AS docs,
+       |         sum(len(string_split_regex(text, '\\s+'))) AS tokens
+       |  FROM documents
+       |  GROUP BY 1, 2
+       |)
+       |SELECT split, source, CAST(docs AS BIGINT) AS docs,
+       |       CAST(tokens AS BIGINT) AS tokens,
+       |       CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS token_share
+       |FROM cells
+       |ORDER BY split, source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
     Q("q52_tfidf", q52, Some(q52Sql)),
     Q("q53_stratified_sample", q53, Some(q53Sql)),
     Q("q54_approx_quantiles", q54, None), // sketch estimate — see CurationSpec bound
+    Q("q61_mix_accounting", q61, Some(q61Sql)),
   )
 }

@@ -245,30 +245,37 @@ object Dedup {
   /** 32-bit SimHash over token frequencies: per bit-plane j, sign of
     * Σ_tokens (±1 by bit j of hash32(token)); duplicates count. One
     * aggregate per doc — fully distributed, codegen-friendly. */
-  private def q27(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val tok = Tables.documents(spark, dir)
-      .select($"doc_id", explode(Portable.tokens($"text")).as("w"))
-      .withColumn("h", Portable.hash32($"w"))
-    val planes = (0 until 32).map(j =>
-      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
-    tok.groupBy("doc_id")
-      .agg(planes.head, planes.tail: _*)
-      .select($"doc_id",
-        (0 until 32)
-          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
-  }
+  /** (doc_id, simhash) frame — memoized: the simhash table is an index
+    * a pipeline materializes once and probes many times (q27 dumps it,
+    * q60 mines near-dup pairs from it). */
+  private def simhashTable(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "simhash") {
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select($"doc_id", explode(Portable.tokens($"text")).as("w"))
+        .withColumn("h", Portable.hash32($"w"))
+      val planes = (0 until 32).map(j =>
+        sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
+      tok.groupBy("doc_id")
+        .agg(planes.head, planes.tail: _*)
+        .select($"doc_id",
+          (0 until 32)
+            .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    }
 
-  private val q27Sql: String = {
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    simhashTable(spark, dir).orderBy("doc_id")
+
+  /** Oracle form of [[simhashTable]]: `sim` rows (doc_id, simhash). */
+  private val simhashCte: String = {
     val planes = (0 until 32)
       .map(j => s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n")
     val combine = (0 until 32)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents
        |), hs AS (
        |  SELECT doc_id, ${Portable.hash32Sql("w")} AS h FROM tok
@@ -276,10 +283,14 @@ object Dedup {
        |  SELECT doc_id,
        |$planes
        |  FROM hs GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
-       |FROM planes ORDER BY doc_id""".stripMargin
+       |), sim AS (
+       |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM planes
+       |)""".stripMargin
   }
+
+  private val q27Sql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q57
   /** Incremental corpus dedup: assign an INCOMING batch of documents to
@@ -514,6 +525,53 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q60
+  /** SimHash Hamming near-dup pairs via pigeonhole byte-banding: split
+    * the 32-bit simhash into 4 bytes — any pair within Hamming distance
+    * 3 differs in at most 3 bit positions, which touch at most 3 of the
+    * 4 blocks, so the pair SHARES at least one exact byte. Candidates
+    * are therefore an equi-join on (block, byte) — O(Σ bucket²), never
+    * all pairs — and the verifier is one codegen'd `bit_count(xor)` per
+    * candidate. This is the classic web-scale simhash dedup layout
+    * (block-permuted tables); at 64-bit hashes the same code splits
+    * into more blocks. Probes the memoized [[simhashTable]] index. */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sim = simhashTable(spark, dir)
+    val sbands = (0 until 4).map(b =>
+      sim.select(lit(b).as("b"),
+        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("byte"),
+        $"doc_id", $"simhash"))
+      .reduce(_ unionByName _)
+    sbands.as("x").join(sbands.as("y"), Seq("b", "byte"))
+      .where($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.simhash".as("sa"), $"y.simhash".as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q60Sql: String = {
+    val bandSelects = (0 until 4)
+      .map(b => s"  SELECT $b AS b, (simhash >> ${8 * b}) & 255 AS byte, doc_id, simhash FROM sim")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH $simhashCte, sbands AS (
+       |$bandSelects
+       |), cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.simhash AS sa, y.simhash AS sb
+       |  FROM sbands x
+       |  JOIN sbands y ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cands
+       |WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
@@ -522,5 +580,6 @@ object Dedup {
     Q("q27_simhash", q27, Some(q27Sql)),
     Q("q57_incremental_dedup", q57, Some(q57Sql)),
     Q("q58_decontamination", q58, Some(q58Sql)),
+    Q("q60_simhash_hamming_pairs", q60, Some(q60Sql)),
   )
 }

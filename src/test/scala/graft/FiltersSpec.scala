@@ -68,6 +68,36 @@ class FiltersSpec extends SparkSpecBase {
       .foreach { case (id, n) => n shouldBe q33n(id) }
   }
 
+  test("q60 byte-banding is LOSSLESS at Hamming <= 3: equals brute-force all-pairs") {
+    // pigeonhole: <=3 differing bits touch <=3 of the 4 byte blocks, so
+    // every qualifying pair shares a block — the banded candidates must
+    // reproduce the brute-force result EXACTLY, not approximately
+    val sims = SparkEntry.queries("q27_simhash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = SparkEntry.queries("q60_simhash_hamming_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    banded shouldBe brute
+  }
+
+  test("q61: shares sum to 1, split proportions hold, tokens reconcile with q33") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q61_mix_accounting")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows.map(_._5).sum shouldBe 1.0 +- 1e-9
+    val docsBySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val total = docsBySplit.values.sum.toDouble
+    docsBySplit("train") / total shouldBe 0.80 +- 0.06
+    docsBySplit("val") / total shouldBe 0.10 +- 0.05
+    docsBySplit("test") / total shouldBe 0.10 +- 0.05
+    val q33Total = SparkEntry.queries("q33_token_stats")(spark, dir)
+      .agg(sum($"n_ws_tokens")).as[Long].head()
+    rows.map(_._4).sum shouldBe q33Total
+  }
+
   test("q59 plan is a single map-side pass: no shuffle before the presentation sort") {
     val plan = SparkEntry.queries("q59_repetition_filter")(spark, dir)
       .queryExecution.executedPlan.toString
