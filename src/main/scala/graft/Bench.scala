@@ -35,7 +35,10 @@ object Bench {
     // Failures are ignored here; the timed pass reports them.
     val t0 = System.nanoTime()
     names.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // NonFatal only: an OOM'd/broken JVM must abort the run, not
+      // produce a plausible-looking timed pass over a dead session
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
     // pass 2 — warm, timed. A failed query reports -1 (never a

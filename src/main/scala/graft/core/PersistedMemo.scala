@@ -71,14 +71,18 @@ object PersistedMemo {
   /** Unpersist + drop everything (Bench / Verify teardown). */
   def clearAll(): Unit = drop(_ => true)
 
-  private def drop(p: ((SparkSession, String, String)) => Boolean): Unit = {
-    import scala.jdk.CollectionConverters._
-    memo.keySet.asScala.filter(p).toSeq.foreach { k =>
-      val df = memo.remove(k)
-      // blocking=false: eviction is bookkeeping, not a barrier
-      if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
+  private def drop(p: ((SparkSession, String, String)) => Boolean): Unit =
+    // under buildLock: a release racing an in-flight getOrBuild must not
+    // interleave with its put — otherwise the build completes after the
+    // drop and re-pins a persisted frame for a released dataset
+    buildLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      memo.keySet.asScala.filter(p).toSeq.foreach { k =>
+        val df = memo.remove(k)
+        // blocking=false: eviction is bookkeeping, not a barrier
+        if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
+      }
     }
-  }
 
   /** Test / telemetry hook: live entry count. */
   private[graft] def size: Int = memo.size()

@@ -121,6 +121,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "graft_record_offset", _ => RecordOffset(), "built-in")
+      "graft_record_stamp", {
+        case Seq(base) => RecordStamp(base)
+        case exprs => throw new IllegalArgumentException(
+          s"graft_record_stamp(baseMicros) takes exactly 1 argument, got ${exprs.length}")
+      }, "built-in")
   }
 }

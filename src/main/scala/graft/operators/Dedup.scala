@@ -462,12 +462,17 @@ object Dedup {
     * double bit-identical across engines. */
   private def q58(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val testBands = bandsFrom(sigNew(spark, dir))
-    val trainBands = oldBands(spark, dir)
-      .filter(Curation.splitBucket(col("doc_id")) < 80)
-    val cands = testBands.as("x").join(trainBands.as("y"), Seq("band", "h1", "h2"))
-      .select($"x.doc_id".as("test_id"), $"y.doc_id".as("train_id"))
-      .distinct()
+    // memoized: cands is consumed twice below (candidate-doc semi-join
+    // and the intersection) — unpersisted, the band self-join over the
+    // skewed buckets would execute twice per invocation
+    val cands = memoized(spark, dir, "cands58") {
+      val testBands = bandsFrom(sigNew(spark, dir))
+      val trainBands = oldBands(spark, dir)
+        .filter(Curation.splitBucket(col("doc_id")) < 80)
+      testBands.as("x").join(trainBands.as("y"), Seq("band", "h1", "h2"))
+        .select($"x.doc_id".as("test_id"), $"y.doc_id".as("train_id"))
+        .distinct()
+    }
     val candDocIds = cands.select($"test_id".as("doc_id"))
       .union(cands.select($"train_id".as("doc_id"))).distinct()
     val candDocs = Tables.documents(spark, dir)

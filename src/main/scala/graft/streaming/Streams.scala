@@ -37,21 +37,20 @@ object IngestStream {
     * `ts` is absent it is assigned HERE, at consume time, exactly like
     * Consumer.scala:64 (T2: processing-time semantics).
     *
-    * Consume-time stamps are PER-RECORD distinct: the batch instant
-    * (`current_timestamp()` is micro-batch-constant) plus a per-record
-    * microsecond offset (row-index-in-partition × 1024 + partition id —
-    * distinct for ≤1024 partitions by construction). The reference
-    * stamps each message individually (`Instant.now()` per record,
+    * Consume-time stamps are PER-RECORD distinct:
+    * `graft_record_stamp(batch micros)` = `max(prev + 1, batch micros)`
+    * off a JVM-wide monotonic register, so two same-JVM records can
+    * never share a stamp at ANY batch volume. The reference stamps each
+    * message individually (`Instant.now()` per record,
     * mqtt/Consumer.scala:64), so same-sensor readings inside one batch
     * rarely collide there; a batch-constant stamp made that collision
     * STRUCTURAL here — every same-sensor reading in a 200 ms micro-batch
     * collapsed under the upsert (round-2 advisory, silent data loss
-    * under multi-reading producers). The offset bounds drift at ~1 ms
-    * per same-partition record — sub-trigger at the reference cadence;
-    * bulk backfills should carry an explicit `ts` column (respected
-    * verbatim). Like the reference's ms-granular stamps, collisions
-    * remain possible across batches that land on the same clock
-    * millisecond — rare, not structural.
+    * under multi-reading producers). Drift above the wall clock needs
+    * >1M records/s/JVM sustained and self-heals; bulk backfills should
+    * carry an explicit `ts` column (respected verbatim). Across executor
+    * JVMs the register is per-JVM, so collisions degrade to the
+    * reference's own wall-clock rarity — rare, not structural.
     *
     * Upsert parity (T4): the reference's CQL `UPDATE` keyed (sensor, ts)
     * is last-write-wins — two writes to the same key collapse to one row
@@ -73,13 +72,14 @@ object IngestStream {
     val stamped =
       if (source.columns.contains("ts")) source
       else {
-        // graft_record_offset: row-in-partition * 1024 + partition id —
-        // the streaming-safe native form of the monotonically_
-        // increasing_id construction (which streaming plans reject)
+        // graft_record_stamp: unique-microsecond clamp off the batch
+        // instant — max(prev+1, batch micros) on a JVM-wide register,
+        // so same-JVM stamps can never collide at any batch volume
+        // (see RecordStamp scaladoc for the cross-JVM contract)
         graft.functions.GraftFunctions.register(source.sparkSession)
         source.withColumn("ts",
-          timestamp_micros(unix_micros(current_timestamp()) +
-            expr("graft_record_offset()")))
+          timestamp_micros(expr(
+            "graft_record_stamp(unix_micros(current_timestamp()))")))
       }
     val upserted =
       if (dedupe) DedupStream.dropDuplicateReadings(stamped, horizon) else stamped

@@ -33,7 +33,9 @@ object ServeBench {
     (q(0.25), q(0.5), q(0.75), s.last)
   }
 
-  private def p99(xs: Seq[Double]): Double = {
+  /** Nearest-rank p99 — shared with ServingSpec so the test asserts the
+    * same percentile definition the bench reports. */
+  private[graft] def p99(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s((0.99 * (s.size - 1)).round.toInt)
   }

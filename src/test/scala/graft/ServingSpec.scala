@@ -53,9 +53,8 @@ class ServingSpec extends SparkSpecBase {
       val t0 = System.nanoTime()
       Serving.serveSnapshot() should startWith("""{"entries":[""")
       (System.nanoTime() - t0) / 1e6
-    }.sorted
-    val p99 = lat((0.99 * (lat.size - 1)).round.toInt)
-    p99 should be <= graft.tools.ServeBench.SlaMillis
+    }
+    graft.tools.ServeBench.p99(lat) should be <= graft.tools.ServeBench.SlaMillis
     SnapshotStore.clear()
   }
 
