@@ -44,4 +44,27 @@ class PortableSpec extends SparkSpecBase {
         .as("fast"))
     df.head().isNullAt(0) shouldBe true
   }
+
+  test("RecordStamp.next: unique + strictly increasing under contention, clamps to base") {
+    import graft.functions.RecordStamp
+    // clamp: a base ahead of the register is returned verbatim (only
+    // +2 s so the shared-JVM register re-syncs with the wall clock
+    // moments later and other suites stamp normally)
+    val future = System.currentTimeMillis() * 1000L + 2L * 1000000L
+    RecordStamp.next(future) shouldBe future
+    // uniqueness under contention: 8 threads × 10k stamps off the same
+    // (now stale) base must never collide and always move forward
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val all = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val tasks = (1 to 8).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = (1 to 10000).foreach(_ => all.add(RecordStamp.next(future)))
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    all.size shouldBe 8 * 10000 // every stamp distinct
+    import scala.jdk.CollectionConverters._
+    all.asScala.min should be > future // all after the clamped probe
+  }
 }
