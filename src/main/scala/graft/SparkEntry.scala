@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.Curation.all ++
+      operators.Packing.all ++
       operators.Anomaly.all ++
       operators.Behavioral.all ++
       multimodal.Multimodal.all

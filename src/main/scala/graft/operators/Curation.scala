@@ -100,7 +100,7 @@ object Curation {
   /** The split bucket as a pure function of the document key — shared
     * with q57, whose old-corpus/new-batch partition IS this split
     * (train+val = the indexed corpus, test = the incoming shard). */
-  private[operators] def splitBucket(doc: Column): Column =
+  private[graft] def splitBucket(doc: Column): Column =
     Portable.hash32(concat(doc.cast("string"), lit("#graft-split"))) % 100
 
   private[operators] def splitBucketSql(keyExpr: String): String =

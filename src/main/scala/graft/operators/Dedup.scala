@@ -577,6 +577,98 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q65
+  /** Exact n-gram decontamination — the canonical published method
+    * (GPT-3 appendix C / PaLM style): a TEST document is contaminated if
+    * any of its 8-gram token windows appears verbatim anywhere in the
+    * TRAIN split. Complements q58's near-dup audit: q58 catches fuzzy
+    * rewrites via MinHash banding, this catches verbatim spans that
+    * near-dup banding can miss when the surrounding document differs
+    * (a leaked eval question quoted inside an unrelated page).
+    *
+    * Shape: distinct 8-grams per side (the explode is map-side and
+    * distinct-bounded), one equi-join gram↔gram, partial+final count
+    * aggregation per test doc, left join back so CLEAN test docs appear
+    * with zero hits (the audit must enumerate the whole split, not just
+    * offenders). Emits per test doc: total grams, grams hit, distinct
+    * train docs hit, hit fraction, contaminated flag (any hit — the
+    * published rule).
+    *
+    * 100 TB: the train side becomes a persisted dedup-style gram-hash
+    * index (built once, appended incrementally like q57's signature
+    * index); the test split is tiny by construction, so the join is a
+    * broadcast of test grams against a scan of the index — or a bloom
+    * filter pushed into the index scan. Joining on the 32-bit portable
+    * hash alone would admit birthday collisions at corpus scale, so the
+    * production join key is (hash, gram) — hash narrows the shuffle,
+    * the gram residual keeps it exact; at sf scale the plain gram join
+    * below is already the right plan. */
+  private val DecontamN = 8
+
+  /** Distinct n-gram token windows per document. */
+  private[graft] def tokenGrams(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("t", Portable.tokens($"text"))
+      .filter(size($"t") >= n)
+      .select($"doc_id", explode(expr(
+        s"array_distinct(transform(sequence(0, size(t)-$n), i -> array_join(slice(t, i+1, $n), ' ')))"
+      )).as("g"))
+  }
+
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tg = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") >= 90), DecontamN)
+    val rg = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") < 80), DecontamN)
+    val hits = tg.as("a").join(rg.as("b"), $"a.g" === $"b.g")
+      .groupBy($"a.doc_id")
+      .agg(
+        countDistinct($"a.g").as("n_hit"),
+        countDistinct($"b.doc_id").as("n_train_docs"))
+    val totals = tg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id",
+        $"n_grams",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_grams", 6).as("hit_frac"),
+        (coalesce($"n_hit", lit(0L)) > 0).cast("int").as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  private val q65Sql: String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, g
+       |  FROM (SELECT doc_id,
+       |               unnest([array_to_string(list_slice(t, i, i + ${DecontamN - 1}), ' ')
+       |                       for i in generate_series(1, len(t) - ${DecontamN - 1})]) AS g
+       |        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+       |        WHERE len(t) >= $DecontamN)
+       |), tg AS (
+       |  SELECT * FROM grams WHERE ${Curation.splitBucketSql("doc_id")} >= 90
+       |), rg AS (
+       |  SELECT * FROM grams WHERE ${Curation.splitBucketSql("doc_id")} < 80
+       |), hits AS (
+       |  SELECT a.doc_id,
+       |         count(DISTINCT a.g) AS n_hit,
+       |         count(DISTINCT b.doc_id) AS n_train_docs
+       |  FROM tg a JOIN rg b ON a.g = b.g
+       |  GROUP BY 1
+       |), totals AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1
+       |)
+       |SELECT t.doc_id,
+       |       CAST(t.n_grams AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6) AS hit_frac,
+       |       CAST(COALESCE(h.n_hit, 0) > 0 AS INTEGER) AS is_contaminated
+       |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
@@ -586,5 +678,6 @@ object Dedup {
     Q("q57_incremental_dedup", q57, Some(q57Sql)),
     Q("q58_decontamination", q58, Some(q58Sql)),
     Q("q60_simhash_hamming_pairs", q60, Some(q60Sql)),
+    Q("q65_exact_decontamination", q65, Some(q65Sql)),
   )
 }

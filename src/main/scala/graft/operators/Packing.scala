@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Training-batch assembly operators: GPT-style sequence packing (q63)
+  * and deterministic corpus shuffling (q64) — the last mile between a
+  * curated corpus and the tokenizer/dataloader.
+  *
+  * Both are expressed as per-shard window functions over a portable-hash
+  * shard key, which is the scale story: the only shuffle is one hash
+  * partition by shard (purely map-side key derivation), and each shard's
+  * window is an independent linear pass. At 100 TB you raise the shard
+  * count so a shard's documents fit one task (shards are independent —
+  * 1 shard per ~1 GB of tokens keeps tasks uniform); no global sort, no
+  * driver-side state, and the assignment is a pure function of doc_id —
+  * re-running on a backfilled corpus moves only the shards whose inputs
+  * changed, and two engines (or two cluster sizes) produce bit-identical
+  * layouts.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence. Small so the sf0.01 corpus
+    * (~54 tokens/doc) produces multi-doc packs with boundary spans —
+    * the production value (2k-8k) only changes this constant. */
+  private val SeqLen = 256L
+
+  /** Shards for packing/shuffling. A pure function of doc_id (NOT of
+    * arrival order), like q51's split bucket — deterministic under
+    * re-runs and engine changes. */
+  private val Shards = 8L
+
+  private def shardOf(doc: Column, salt: String): Column =
+    Portable.hash32(concat(doc.cast("string"), lit(salt))) % Shards
+
+  private def shardOfSql(keyExpr: String, salt: String): String =
+    s"${Portable.hash32Sql(s"CAST($keyExpr AS VARCHAR) || '$salt'")} % $Shards"
+
+  // --------------------------------------------------------------- q63
+  /** Sequence packing, concat-and-chunk form: documents are laid out
+    * back-to-back within their shard (ordered by doc_id) and cut into
+    * fixed [[SeqLen]]-token training sequences. Emits each document's
+    * placement: shard, running token offset, pack index within the
+    * shard, position within the pack, and whether the document straddles
+    * a pack boundary (where a dataloader resets the attention mask or
+    * splits the document).
+    *
+    * This is the packing used by GPT-style pretraining pipelines:
+    * deterministic, zero padding waste, O(1) state per row via a
+    * running-sum window. The alternative (first-fit bin packing, no
+    * document splits) is inherently sequential per bin; the windowed
+    * form is the one that scales, and the `spans_boundary` flag carries
+    * exactly the information a loader needs to handle the splits. */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"pack_shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        shardOf($"doc_id", "#graft-pack").as("pack_shard"),
+        size(Portable.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select(
+        $"doc_id", $"pack_shard", $"n_tokens", $"tok_offset",
+        expr(s"tok_offset DIV $SeqLen").as("pack_seq"),
+        ($"tok_offset" % SeqLen).as("pos_in_pack"),
+        (expr(s"(tok_offset + n_tokens - 1) DIV $SeqLen") > expr(s"tok_offset DIV $SeqLen"))
+          .cast("int").as("spans_boundary"))
+      .orderBy($"doc_id")
+  }
+
+  private val q63Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         ${shardOfSql("doc_id", "#graft-pack")} AS pack_shard,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT doc_id, pack_shard, n_tokens,
+       |         CAST(COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY pack_shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM t
+       |)
+       |SELECT doc_id, pack_shard, n_tokens, tok_offset,
+       |       tok_offset // $SeqLen AS pack_seq,
+       |       tok_offset % $SeqLen AS pos_in_pack,
+       |       CAST((tok_offset + n_tokens - 1) // $SeqLen > tok_offset // $SeqLen AS INTEGER) AS spans_boundary
+       |FROM o
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q64
+  /** Deterministic corpus shuffle: global training order as a pure
+    * function of (doc_id, epoch seed) — order by a salted portable hash,
+    * emitted as (shuffle_shard, pos_in_shard). A dataloader reads shards
+    * in index order and rows within a shard in pos order; changing the
+    * salt re-shuffles the whole corpus without touching the data.
+    *
+    * `rand()`-based shuffling is not reproducible across retries or
+    * engines and cannot be re-derived for a given epoch; the salted-hash
+    * form is both, and needs no global sort — rank-within-shard is a
+    * per-shard window, and the shard key itself is uniform by
+    * construction so the layout is skew-free regardless of data skew. */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = Portable.hash32(concat($"doc_id".cast("string"), lit("#graft-epoch0")))
+    val w = Window.partitionBy($"shuffle_shard").orderBy($"sort_key", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", key.as("sort_key"))
+      .withColumn("shuffle_shard", $"sort_key" % Shards)
+      .withColumn("pos_in_shard", row_number().over(w).cast("long") - 1L)
+      .select($"doc_id", $"shuffle_shard", $"sort_key", $"pos_in_shard")
+      .orderBy($"doc_id")
+  }
+
+  private val q64Sql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         ${Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-epoch0'")} AS sort_key
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       sort_key % $Shards AS shuffle_shard,
+       |       sort_key,
+       |       CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY sort_key % $Shards ORDER BY sort_key, doc_id) AS BIGINT) - 1 AS pos_in_shard
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q63_sequence_packing", q63, Some(q63Sql)),
+    Q("q64_corpus_shuffle", q64, Some(q64Sql)),
+  )
+}

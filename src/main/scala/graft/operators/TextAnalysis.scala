@@ -275,6 +275,121 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q62
+  /** PII detection + redaction: email / US-phone / IPv4 / SSN-style-id
+    * patterns counted per document, then masked to typed placeholders —
+    * the scrubbing pass a training-data pipeline runs before any text
+    * leaves the curation boundary.
+    *
+    * The synthetic corpus is digit-free, so the query first APPENDS
+    * deterministic PII tokens derived from doc_id (email on doc_id%3=0,
+    * phone on %4, IP on %5, id on %7 — identical expressions on both
+    * engines). That keeps the oracle hash check a REAL exercise of the
+    * detect+redact path (non-zero counts, text actually rewritten)
+    * instead of an identity pass over clean text; ScrubSpec additionally
+    * proves detection on hand-written PII fixtures.
+    *
+    * Per-row regex algebra (regexp_count + chained regexp_replace), no
+    * shuffle except the presentation sort — map-side at scan throughput
+    * at 100 TB, like q31-q34. The four patterns use only \b \d {m,n}
+    * and literal classes, which Java regex (Spark) and RE2 (DuckDB)
+    * interpret identically. Redaction order (email→ip→id→phone) is
+    * fixed and collision-free: no pattern matches inside another's
+    * replacement or residue. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val IdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Detection + redaction columns over a text column — shared by the
+    * catalog query (seeded corpus) and ScrubSpec (raw fixtures). Counts
+    * are taken before masking; `IdRe` (xxx-xx-xxxx) is masked before
+    * `PhoneRe` (xxx-xxx-xxxx) — the two cannot match the same span, but
+    * masking the more specific shape first keeps the order principled. */
+  private[graft] def piiColumns(text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val nEmails = regexp_count(text, lit(EmailRe))
+    val nPhones = regexp_count(text, lit(PhoneRe))
+    val nIps = regexp_count(text, lit(IpRe))
+    val nIds = regexp_count(text, lit(IdRe))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+          IdRe, "<ID>"),
+        PhoneRe, "<PHONE>")
+    Seq(
+      nEmails.cast("int").as("n_emails"),
+      nPhones.cast("int").as("n_phones"),
+      nIps.cast("int").as("n_ips"),
+      nIds.cast("int").as("n_ids"),
+      (nEmails + nPhones + nIps + nIds > 0).cast("int").as("has_pii"),
+      redacted.as("redacted"))
+  }
+
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeded = concat(
+      $"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" call 415-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" host 10."), ($"doc_id" % 256).cast("string"),
+          lit(".0."), ($"doc_id" % 100).cast("string")))
+        .otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" id 123-45-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("seeded", seeded)
+      .select(Seq($"doc_id") ++ piiColumns($"seeded"): _*)
+      .orderBy($"doc_id")
+  }
+
+  private val q62Sql: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |         text
+       |           || CASE WHEN doc_id % 3 = 0
+       |                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |                   ELSE '' END
+       |           || CASE WHEN doc_id % 4 = 0
+       |                   THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                   ELSE '' END
+       |           || CASE WHEN doc_id % 5 = 0
+       |                   THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |                        || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+       |                   ELSE '' END
+       |           || CASE WHEN doc_id % 7 = 0
+       |                   THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                   ELSE '' END AS s
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(s, '$EmailRe')) AS INTEGER) AS n_emails,
+       |       CAST(len(regexp_extract_all(s, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |       CAST(len(regexp_extract_all(s, '$IpRe')) AS INTEGER) AS n_ips,
+       |       CAST(len(regexp_extract_all(s, '$IdRe')) AS INTEGER) AS n_ids,
+       |       CAST(len(regexp_extract_all(s, '$EmailRe'))
+       |            + len(regexp_extract_all(s, '$PhoneRe'))
+       |            + len(regexp_extract_all(s, '$IpRe'))
+       |            + len(regexp_extract_all(s, '$IdRe')) > 0 AS INTEGER) AS has_pii,
+       |       regexp_replace(
+       |         regexp_replace(
+       |           regexp_replace(
+       |             regexp_replace(s, '$EmailRe', '<EMAIL>', 'g'),
+       |             '$IpRe', '<IP>', 'g'),
+       |           '$IdRe', '<ID>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM seeded
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
@@ -282,5 +397,6 @@ object TextAnalysis {
     Q("q34_fingerprint", q34, Some(q34Sql)),
     Q("q38_array_funcs", q38, Some(q38Sql)),
     Q("q59_repetition_filter", q59, Some(q59Sql)),
+    Q("q62_pii_scrub", q62, Some(q62Sql)),
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q63 sequence packing + q64 deterministic corpus shuffle — the
+  * batch-assembly invariants a dataloader relies on, which the oracle
+  * hash check can't express as properties. */
+class PackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val SeqLen = 256L
+  private val Shards = 8L
+
+  test("q63: offsets are exact running sums and pack math is consistent") {
+    val rows = SparkEntry.queries("q63_sequence_packing")(spark, dir)
+      .select($"doc_id", $"pack_shard", $"n_tokens", $"tok_offset",
+        $"pack_seq", $"pos_in_pack", $"spans_boundary")
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
+    rows.length shouldBe 500
+    rows.foreach { case (_, shard, n, off, seq, pos, spans) =>
+      shard should (be >= 0L and be < Shards)
+      n should be > 0L
+      seq shouldBe off / SeqLen
+      pos shouldBe off % SeqLen
+      spans shouldBe (if ((off + n - 1) / SeqLen > off / SeqLen) 1 else 0)
+    }
+    // within a shard, laid out back-to-back in doc_id order: each doc's
+    // offset is the sum of all previous docs' token counts, no gaps
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var expect = 0L
+      docs.sortBy(_._1).foreach { case (_, _, n, off, _, _, _) =>
+        off shouldBe expect
+        expect += n
+      }
+    }
+  }
+
+  test("q64: per-shard positions are dense ranks of the salted hash") {
+    val rows = SparkEntry.queries("q64_corpus_shuffle")(spark, dir)
+      .select($"doc_id", $"shuffle_shard", $"sort_key", $"pos_in_shard")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.length shouldBe 500
+    rows.foreach { case (_, shard, key, _) =>
+      shard shouldBe key % Shards
+    }
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      docs.length should be > 0
+      // dense 0..n-1, ordered by (sort_key, doc_id)
+      val byPos = docs.sortBy(_._4)
+      byPos.map(_._4).toSeq shouldBe (0L until docs.length.toLong)
+      byPos.map(r => (r._3, r._1)).toSeq shouldBe
+        docs.map(r => (r._3, r._1)).sorted.toSeq
+    }
+    // all shards populated and the order is actually shuffled: at least
+    // one shard's pos-order differs from doc_id order (deterministic on
+    // the fixed corpus — the salted hash is not monotone in doc_id)
+    rows.map(_._2).distinct.length shouldBe Shards.toInt
+    val shuffledSomewhere = rows.groupBy(_._2).exists { case (_, docs) =>
+      docs.sortBy(_._4).map(_._1).toSeq != docs.map(_._1).sorted.toSeq
+    }
+    shuffledSomewhere shouldBe true
+  }
+
+  test("q63/q64 are reproducible: two runs produce identical layouts") {
+    def run(name: String): Array[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted
+    run("q63_sequence_packing") shouldBe run("q63_sequence_packing")
+    run("q64_corpus_shuffle") shouldBe run("q64_corpus_shuffle")
+  }
+}

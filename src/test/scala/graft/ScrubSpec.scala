@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** q62 PII scrubbing + q65 exact n-gram decontamination — value parity
+  * on the seeded corpus is the DuckDB oracle's job; these prove the
+  * detectors on hand-written fixtures the synthetic corpus can't
+  * contain, and the invariants the oracle hash can't express. */
+class ScrubSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q62: detects and redacts each PII class on hand-written fixtures") {
+    val df = Seq(
+      (1L, "reach alice.smith+work@example-corp.co.uk or bob@x.io now"),
+      (2L, "call 415-555-1234 today"),
+      (3L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (4L, "ssn 123-45-6789 on file"),
+      (5L, "clean text with no pii at all"),
+      (6L, "mixed a@b.com 1.2.3.4 999-88-7777 650-555-0000")
+    ).toDF("doc_id", "text")
+    val out = df.select(Seq($"doc_id", $"text") ++ TextAnalysis.piiColumns($"text"): _*)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+      .toMap
+
+    out(1L) shouldBe ((2, 0, 0, 0, 1, "reach <EMAIL> or <EMAIL> now"))
+    out(2L) shouldBe ((0, 1, 0, 0, 1, "call <PHONE> today"))
+    out(3L) shouldBe ((0, 0, 2, 0, 1, "server <IP> and <IP> up"))
+    // xxx-xx-xxxx is an ID, not a phone — the two shapes never overlap
+    out(4L) shouldBe ((0, 0, 0, 1, 1, "ssn <ID> on file"))
+    out(5L) shouldBe ((0, 0, 0, 0, 0, "clean text with no pii at all"))
+    out(6L) shouldBe ((1, 1, 1, 1, 1, "mixed <EMAIL> <IP> <ID> <PHONE>"))
+  }
+
+  test("q62 catalog: seeding hits every class and redaction leaves no residue") {
+    val rows = SparkEntry.queries("q62_pii_scrub")(spark, dir)
+    val agg = rows.agg(
+      sum(when($"doc_id" % 3 === 0 && $"n_emails" >= 1, 1).otherwise(0)),
+      sum(when($"doc_id" % 3 === 0, 1).otherwise(0)),
+      sum(when($"doc_id" % 4 === 0 && $"n_phones" >= 1, 1).otherwise(0)),
+      sum(when($"doc_id" % 4 === 0, 1).otherwise(0)),
+      sum(when($"doc_id" % 5 === 0 && $"n_ips" >= 1, 1).otherwise(0)),
+      sum(when($"doc_id" % 5 === 0, 1).otherwise(0)),
+      sum(when($"doc_id" % 7 === 0 && $"n_ids" >= 1, 1).otherwise(0)),
+      sum(when($"doc_id" % 7 === 0, 1).otherwise(0))
+    ).head()
+    // every seeded doc detects its class (the seed IS the detector's target)
+    agg.getLong(0) shouldBe agg.getLong(1)
+    agg.getLong(2) shouldBe agg.getLong(3)
+    agg.getLong(4) shouldBe agg.getLong(5)
+    agg.getLong(6) shouldBe agg.getLong(7)
+    // scrub completeness: re-running detection on redacted text finds nothing
+    val residue = rows.select(TextAnalysis.piiColumns($"redacted"): _*)
+      .agg(sum($"n_emails" + $"n_phones" + $"n_ips" + $"n_ids")).head().getLong(0)
+    residue shouldBe 0L
+  }
+
+  test("q65 grams: a document yields len-n+1 distinct windows") {
+    val doc = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val grams = Dedup.tokenGrams(doc, 8).as[(Long, String)].collect()
+    grams.map(_._2).toSet shouldBe Set(
+      "a b c d e f g h", "b c d e f g h i", "c d e f g h i j")
+    // short documents produce no windows rather than partial ones
+    val short = Seq((2L, "only seven tokens are in here x")).toDF("doc_id", "text")
+    Dedup.tokenGrams(short, 8).count() shouldBe 0L
+  }
+
+  test("q65 grams: verbatim 8-token span is caught, 7-token overlap is not") {
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val hit = Seq((2L, "INTRO quick brown fox jumps over the lazy dog OUTRO"))
+      .toDF("doc_id", "text")
+    val near = Seq((3L, "INTRO quick brown fox jumps over the lazy cat OUTRO"))
+      .toDF("doc_id", "text")
+    val tg = Dedup.tokenGrams(train, 8)
+    Dedup.tokenGrams(hit, 8).join(tg, "g").count() should be > 0L
+    Dedup.tokenGrams(near, 8).join(tg, "g").count() shouldBe 0L
+  }
+
+  test("q65 catalog: audits exactly the test split and flags are consistent") {
+    val rows = SparkEntry.queries("q65_exact_decontamination")(spark, dir).collect()
+    rows.length should be > 0
+    // the audit must enumerate every test-split doc long enough to have
+    // an 8-gram window — clean docs included, short docs excluded
+    val expected = sources.Tables.documents(spark, dir)
+      .filter(Curation.splitBucket($"doc_id") >= 90)
+      // NB: bare `size` here is ScalaTest's SizeWord, not Spark's — qualify
+      .filter(org.apache.spark.sql.functions.size(split($"text", "\\s+")) >= 8)
+      .select($"doc_id").as[Long].collect().toSet
+    rows.map(_.getLong(0)).toSet shouldBe expected
+    rows.foreach { r =>
+      val (nGrams, nHit, nTrain, frac, flag) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))
+      nGrams should be > 0L
+      nHit should be <= nGrams
+      if (nHit > 0) nTrain should be > 0L else nTrain shouldBe 0L
+      frac shouldBe BigDecimal(nHit.toDouble / nGrams)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      flag shouldBe (if (nHit > 0) 1 else 0)
+    }
+  }
+}
