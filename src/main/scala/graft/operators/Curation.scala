@@ -281,6 +281,198 @@ object Curation {
        |ORDER BY split, source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q66
+  /** Curation-funnel accounting: the per-stage survival report every
+    * corpus release publishes (C4/Gopher/RefinedWeb all report theirs) —
+    * ingested → min-length → near-dup keeper (q50's clusters) →
+    * repetition filter (q59) → quality floor (q32), with docs in/out,
+    * dropped, per-stage pass fraction and cumulative survival.
+    *
+    * The stage predicates are THE stage queries' own columns
+    * ([[TextAnalysis.qualityFrame]]/[[TextAnalysis.repetitionFrame]],
+    * [[clusterLabels]]) — one formula, two consumers — so the funnel
+    * can never drift from what the stages actually compute.
+    *
+    * Scale shape: per-doc flags are two map-side frames joined on
+    * doc_id plus a left join against the (small) non-keeper set; the
+    * whole funnel then collapses to ONE 5-long aggregate row before the
+    * stack to stage rows — no per-stage rescans, no driver loop. At
+    * 100 TB a pipeline materializes each stage's survivors anyway; this
+    * query is the accounting pass over the flags, and its cost is one
+    * corpus scan per flag source. */
+  private val MinTokens = 20
+  // 0.4 sits inside the survivor distribution on every tier (median
+  // ~0.39 after the repetition stage), so the final stage discriminates
+  // instead of degenerating to keep-all or drop-all
+  private val QualityFloor = 0.4
+
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qual = TextAnalysis.qualityFrame(spark, dir)
+      .select($"doc_id", $"n_tokens", $"quality")
+    val rep = TextAnalysis.repetitionFrame(spark, dir)
+      .select($"doc_id", $"is_repetitive")
+    val nonKeepers = clusterLabels(spark, dir)
+      .filter($"doc_id" =!= $"lbl")
+      .select($"doc_id", lit(1).as("is_dup"))
+    val flags = qual
+      .join(rep, Seq("doc_id"))
+      .join(nonKeepers, Seq("doc_id"), "left_outer")
+      .select(
+        ($"n_tokens" >= MinTokens).cast("long").as("f_len"),
+        $"is_dup".isNull.cast("long").as("f_uniq"),
+        (lit(1) - $"is_repetitive").cast("long").as("f_rep"),
+        ($"quality" >= QualityFloor).cast("long").as("f_q"))
+    flags
+      .agg(
+        count(lit(1)).as("total"),
+        sum($"f_len").as("c1"),
+        sum($"f_len" * $"f_uniq").as("c2"),
+        sum($"f_len" * $"f_uniq" * $"f_rep").as("c3"),
+        sum($"f_len" * $"f_uniq" * $"f_rep" * $"f_q").as("c4"))
+      .selectExpr(
+        "stack(5, " +
+          "0, 'ingested', total, total, " +
+          "1, 'min_length', total, c1, " +
+          "2, 'near_dup', c1, c2, " +
+          "3, 'repetition', c2, c3, " +
+          "4, 'quality', c3, c4) AS (stage_idx, stage, docs_in, docs_out)",
+        "total")
+      .select(
+        $"stage_idx".cast("int").as("stage_idx"),
+        $"stage",
+        $"docs_in".cast("long").as("docs_in"),
+        $"docs_out".cast("long").as("docs_out"),
+        ($"docs_in" - $"docs_out").cast("long").as("dropped"),
+        when($"docs_in" === 0, lit(null).cast("double"))
+          .otherwise($"docs_out".cast("double") / $"docs_in").as("pass_frac"),
+        ($"docs_out".cast("double") / $"total").as("cum_frac"))
+      .orderBy($"stage_idx")
+  }
+
+  private val q66Sql: String =
+    s"""WITH qf AS (
+       |  SELECT doc_id, n_tokens, quality FROM (${TextAnalysis.qualitySql})
+       |), rf AS (
+       |  SELECT doc_id, is_repetitive FROM (${TextAnalysis.repetitionSql})
+       |), dups AS (
+       |  SELECT doc_id FROM ($q50Sql) WHERE is_keeper = 0
+       |), flags AS (
+       |  SELECT CAST(qf.n_tokens >= $MinTokens AS BIGINT) AS f_len,
+       |         CASE WHEN dups.doc_id IS NULL THEN 1 ELSE 0 END AS f_uniq,
+       |         1 - rf.is_repetitive AS f_rep,
+       |         CAST(qf.quality >= $QualityFloor AS BIGINT) AS f_q
+       |  FROM qf
+       |  JOIN rf ON qf.doc_id = rf.doc_id
+       |  LEFT JOIN dups ON qf.doc_id = dups.doc_id
+       |), c AS (
+       |  SELECT count(*) AS total,
+       |         sum(f_len) AS c1,
+       |         sum(f_len * f_uniq) AS c2,
+       |         sum(f_len * f_uniq * f_rep) AS c3,
+       |         sum(f_len * f_uniq * f_rep * f_q) AS c4
+       |  FROM flags
+       |), s AS (
+       |  SELECT 0 AS stage_idx, 'ingested' AS stage, total AS docs_in, total AS docs_out, total FROM c
+       |  UNION ALL SELECT 1, 'min_length', total, c1, total FROM c
+       |  UNION ALL SELECT 2, 'near_dup', c1, c2, total FROM c
+       |  UNION ALL SELECT 3, 'repetition', c2, c3, total FROM c
+       |  UNION ALL SELECT 4, 'quality', c3, c4, total FROM c
+       |)
+       |SELECT stage_idx, stage,
+       |       CAST(docs_in AS BIGINT) AS docs_in,
+       |       CAST(docs_out AS BIGINT) AS docs_out,
+       |       CAST(docs_in - docs_out AS BIGINT) AS dropped,
+       |       CASE WHEN docs_in = 0 THEN NULL
+       |            ELSE CAST(docs_out AS DOUBLE) / docs_in END AS pass_frac,
+       |       CAST(docs_out AS DOUBLE) / total AS cum_frac
+       |FROM s
+       |ORDER BY stage_idx""".stripMargin
+
+  // --------------------------------------------------------------- q67
+  /** Target-mix rebalancing: given per-source target weights, compute
+    * the deterministic per-source keep rate that realizes the largest
+    * corpus matching the target mix (LLaMA/Pile-style domain
+    * up/down-sampling), then apply it with the same hash-threshold
+    * sampling as q51/q53. Weights here are ∝ (source index + 1) — a
+    * deliberately non-uniform demonstration target; production swaps
+    * the `w_raw` expression for its weight table.
+    *
+    * The budget is the water-filling solution: T = min_s(tokens_s /
+    * share_s) is the largest total token count for which every source
+    * can supply its share without upsampling; the binding source keeps
+    * rate exactly 1. Emits per source: inventory, target share, keep
+    * rate, realized docs/tokens, realized share.
+    *
+    * Scale shape: one corpus scan to per-source totals (partial+final,
+    * #sources cells), window algebra over those few cells, then one
+    * sampling scan with the rates broadcast — the same
+    * stateless-hash-threshold map as q53, so re-runs and backfills keep
+    * identical documents. No driver math, no rand(). */
+  private def q67(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    val toks = Tables.documents(spark, dir).select(
+      $"doc_id", $"source",
+      size(Portable.tokens($"text")).cast("long").as("n_tokens"))
+    val shares = toks.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"))
+      .withColumn("w_raw",
+        coalesce(regexp_extract($"source", "(\\d+)", 1).cast("long"), lit(0L)) + 1L)
+      .withColumn("target_share", $"w_raw".cast("double") / sum($"w_raw").over(all))
+      .withColumn("t_max", min($"tokens" / $"target_share").over(all))
+      .withColumn("keep_rate", least(lit(1.0), $"target_share" * $"t_max" / $"tokens"))
+    val kept = toks
+      .join(broadcast(shares.select($"source", $"keep_rate")), Seq("source"))
+      .withColumn("kept",
+        (Portable.hash32(concat($"doc_id".cast("string"), lit("#graft-mix"))) % 1000000L <
+          floor($"keep_rate" * 1000000L).cast("long")).cast("long"))
+      .groupBy($"source")
+      .agg(sum($"kept").as("kept_docs"), sum($"kept" * $"n_tokens").as("kept_tokens"))
+    shares.join(kept, Seq("source"))
+      .withColumn("realized_share",
+        $"kept_tokens".cast("double") / sum($"kept_tokens").over(all))
+      .select($"source", $"n_docs", $"tokens", $"target_share", $"keep_rate",
+        $"kept_docs", $"kept_tokens", $"realized_share")
+      .orderBy($"source")
+  }
+
+  private val q67Sql: String = {
+    val mixHash = Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-mix'")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |         COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) + 1 AS w_raw
+       |  FROM toks GROUP BY source
+       |), shares AS (
+       |  SELECT source, n_docs, tokens,
+       |         CAST(w_raw AS DOUBLE) / sum(w_raw) OVER () AS target_share
+       |  FROM per
+       |), budget AS (
+       |  SELECT *, min(tokens / target_share) OVER () AS t_max FROM shares
+       |), rates AS (
+       |  SELECT *, least(1.0, target_share * t_max / tokens) AS keep_rate FROM budget
+       |), kept AS (
+       |  SELECT t.source,
+       |         sum(CASE WHEN $mixHash % 1000000 < CAST(floor(r.keep_rate * 1000000) AS BIGINT)
+       |                  THEN 1 ELSE 0 END) AS kept_docs,
+       |         sum(CASE WHEN $mixHash % 1000000 < CAST(floor(r.keep_rate * 1000000) AS BIGINT)
+       |                  THEN t.n_tokens ELSE 0 END) AS kept_tokens
+       |  FROM toks t JOIN rates r ON t.source = r.source
+       |  GROUP BY t.source
+       |)
+       |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.tokens,
+       |       r.target_share, r.keep_rate,
+       |       CAST(k.kept_docs AS BIGINT) AS kept_docs,
+       |       CAST(k.kept_tokens AS BIGINT) AS kept_tokens,
+       |       CAST(k.kept_tokens AS DOUBLE) / sum(k.kept_tokens) OVER () AS realized_share
+       |FROM rates r JOIN kept k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
@@ -288,5 +480,7 @@ object Curation {
     Q("q53_stratified_sample", q53, Some(q53Sql)),
     Q("q54_approx_quantiles", q54, None), // sketch estimate — see CurationSpec bound
     Q("q61_mix_accounting", q61, Some(q61Sql)),
+    Q("q66_curation_funnel", q66, Some(q66Sql)),
+    Q("q67_mix_rebalance", q67, Some(q67Sql)),
   )
 }

@@ -390,6 +390,16 @@ object TextAnalysis {
        |FROM seeded
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared with [[Curation]]'s funnel (q66): the q32/q59 stage frames
+    * and their oracle forms, so the funnel counts EXACTLY what the
+    * stage queries emit — one formula, two consumers. */
+  private[operators] def qualityFrame(spark: SparkSession, dir: String): DataFrame =
+    q32(spark, dir)
+  private[operators] def repetitionFrame(spark: SparkSession, dir: String): DataFrame =
+    q59(spark, dir)
+  private[operators] def qualitySql: String = q32Sql
+  private[operators] def repetitionSql: String = q59Sql
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),

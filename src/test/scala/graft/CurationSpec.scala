@@ -96,6 +96,69 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("q66: funnel chains stage counts and matches the stage queries' own outputs") {
+    val rows = SparkEntry.queries("q66_curation_funnel")(spark, sfDir)
+      .as[(Int, String, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    rows.map(r => (r._1, r._2)).toSeq shouldBe Seq(
+      0 -> "ingested", 1 -> "min_length", 2 -> "near_dup",
+      3 -> "repetition", 4 -> "quality")
+    val total = rows.head._3
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      cur._3 shouldBe prev._4 // stage input = previous stage output
+      case _ =>
+    }
+    rows.foreach { case (_, _, in, out, dropped, passFrac, cumFrac) =>
+      out should be <= in
+      dropped shouldBe in - out
+      passFrac shouldBe out.toDouble / in
+      cumFrac shouldBe out.toDouble / total
+    }
+    // every stage discriminates on this corpus: real drops, nonzero tail
+    rows.tail.foreach(_._5 should be > 0L)
+    rows.last._4 should be > 0L
+    // independent recomputation from the STAGE QUERIES' own outputs
+    val qual = SparkEntry.queries("q32_quality_score")(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"quality")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rep = SparkEntry.queries("q59_repetition_filter")(spark, sfDir)
+      .select($"doc_id", $"is_repetitive").as[(Long, Int)].collect().toMap
+    val nonKeeper = SparkEntry.queries("q50_dup_clusters")(spark, sfDir)
+      .filter($"is_keeper" === 0).select($"doc_id").as[Long].collect().toSet
+    val ids = qual.keySet.toSeq
+    val s1 = ids.filter(id => qual(id)._1 >= 20)
+    val s2 = s1.filterNot(nonKeeper)
+    val s3 = s2.filter(rep(_) == 0)
+    val s4 = s3.filter(id => qual(id)._2 >= 0.4)
+    rows.map(_._4).toSeq shouldBe Seq(ids.size, s1.size, s2.size, s3.size, s4.size)
+      .map(_.toLong)
+  }
+
+  test("q67: keep rates are the water-filling solution over emitted columns") {
+    val rows = SparkEntry.queries("q67_mix_rebalance")(spark, sfDir)
+      .as[(String, Long, Long, Double, Double, Long, Long, Double)].collect()
+    rows.length should be > 1
+    val tMax = rows.map(r => r._3 / r._4).min // min over sources of tokens/target_share
+    rows.foreach { case (_, nDocs, tokens, share, rate, keptDocs, keptToks, realized) =>
+      share should (be > 0.0 and be < 1.0)
+      rate should (be > 0.0 and be <= 1.0)
+      rate shouldBe math.min(1.0, share * tMax / tokens) +- 1e-12
+      keptDocs should be <= nDocs
+      keptToks should be <= tokens
+      realized should (be >= 0.0 and be <= 1.0)
+    }
+    // target shares sum to 1; realized shares sum to 1; the binding
+    // source keeps everything
+    rows.map(_._4).sum shouldBe 1.0 +- 1e-9
+    rows.map(_._8).sum shouldBe 1.0 +- 1e-9
+    rows.map(_._5).max shouldBe 1.0
+    // the mix is actually rebalanced: realized shares track targets far
+    // better than the raw inventory does (sum of |share error| shrinks)
+    val rawTotal = rows.map(_._3).sum.toDouble
+    val rawErr = rows.map(r => math.abs(r._3 / rawTotal - r._4)).sum
+    val realizedErr = rows.map(r => math.abs(r._8 - r._4)).sum
+    realizedErr should be < rawErr / 2
+  }
+
   test("q52: per-doc ranks are dense from 1 and scores are non-increasing") {
     val rows = SparkEntry.queries("q52_tfidf")(spark, sfDir)
       .as[(Long, String, Double, Int)].collect()
