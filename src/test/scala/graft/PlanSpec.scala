@@ -85,6 +85,35 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("CartesianProduct")
   }
 
+  test("q62: PII scrub is map-side — no Exchange except the presentation sort") {
+    val p = plan("q62_pii_scrub")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 2 // tree line + detail header
+    p should include("rangepartitioning(doc_id") // and it IS the sort
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q63: packing shuffles ONCE on the shard key, then windows in place") {
+    val p = plan("q63_sequence_packing")
+    p.sliding("hashpartitioning".length).count(_ == "hashpartitioning") shouldBe 1
+    p should include("hashpartitioning(pack_shard")
+    p should include("Window")
+    (p should not).include("SortMergeJoin") // no join anywhere in packing
+  }
+
+  test("q65: gram audit equi-joins and prunes both document scans") {
+    val p = plan("q65_exact_decontamination")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    p should include("partial_count") // per-doc hit counts combine map-side
+  }
+
+  test("q67: sampling scan joins the per-source rates by broadcast") {
+    val p = plan("q67_mix_rebalance")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+
   test("sensor-partitioned entry table prunes partitions on sensor predicates") {
     import spark.implicits._
     // the Cassandra partition-key analog (reference schema.sql:9): the
