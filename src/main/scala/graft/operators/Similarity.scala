@@ -471,11 +471,77 @@ object Similarity {
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
 
+  // --------------------------------------------------------------- q68
+  /** Embedding-space corpus diagnostics: occupancy and cohesion of the
+    * IVF cells — the "is my corpus topically balanced / is my ANN index
+    * skewed" report run before committing to a partitioning (a cell
+    * holding 30% of vectors makes every probe of it a hot task). Emits
+    * per cell: vector count, share, balance factor (share × #cells,
+    * 1.0 = uniform), and min/max cosine-to-centroid (cohesion bounds).
+    *
+    * Min/max — not avg — of the per-vector cosines: they select actual
+    * element values, so they are aggregation-order-independent and
+    * bit-identical across engines, where a float avg's low bits depend
+    * on partial-aggregate order (oracle-parity rule).
+    *
+    * Scale shape: assignment is the same scan-speed projection as q41
+    * (16 fused dot products per row, no fit, no join), then a
+    * partial+final aggregate to #cells rows and window algebra over
+    * those few cells only. */
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
+    val arr = array(scores: _*)
+    val cells = e
+      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cos_cent", array_max(arr) / ($"nrm" * math.sqrt(Dim)))
+      .groupBy($"cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min($"cos_cent").as("min_cos_centroid"),
+        max($"cos_cent").as("max_cos_centroid"))
+    cells
+      .withColumn("share",
+        $"n_vecs".cast("double") / sum($"n_vecs").over(Window.partitionBy()))
+      .withColumn("balance", $"share" * NClusters)
+      .select($"cluster", $"n_vecs", $"share", $"balance",
+        $"min_cos_centroid", $"max_cos_centroid")
+      .orderBy($"cluster")
+  }
+
+  private val q68Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, e.nrm, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster, s / (nrm * sqrt($Dim.0)) AS cos_cent
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), cells AS (
+       |  SELECT cluster, count(*) AS n_vecs,
+       |         min(cos_cent) AS min_cos_centroid,
+       |         max(cos_cent) AS max_cos_centroid
+       |  FROM assign GROUP BY cluster
+       |)
+       |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |       CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () AS share,
+       |       CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () * $NClusters AS balance,
+       |       min_cos_centroid, max_cos_centroid
+       |FROM cells
+       |ORDER BY cluster""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
     Q("q30_knn_srp_lsh", q30, Some(q30Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
     Q("q55_neardup_production", q55, Some(q55Sql)),
+    Q("q68_cluster_balance", q68, Some(q68Sql)),
   )
 }

@@ -67,4 +67,25 @@ class SimilaritySpec extends SparkSpecBase {
     val b = SparkEntry.queries("q41_knn_ivf")(spark, sfDir).collect()
     a should contain theSameElementsInOrderAs b
   }
+
+  test("q68 cell report partitions the corpus and its identities hold") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q68_cluster_balance")(spark, sfDir)
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    val nVectors = graft.sources.Tables.embeddings(spark, sfDir).count()
+    // every cell reported once; occupancy partitions the corpus exactly
+    rows.map(_._1).sorted.toSeq shouldBe (0 until 16)
+    rows.map(_._2).sum shouldBe nVectors
+    rows.map(_._3).sum shouldBe 1.0 +- 1e-9
+    rows.foreach { case (_, n, share, balance, minCos, maxCos) =>
+      n should be > 0L
+      share shouldBe n.toDouble / nVectors
+      balance shouldBe share * 16
+      minCos should be <= maxCos
+      // cosine-to-centroid is a real cosine (6-dp rounding slack on the
+      // projection feeding it)
+      minCos should be > -1.0 - 1e-4
+      maxCos should be < 1.0 + 1e-4
+    }
+  }
 }
