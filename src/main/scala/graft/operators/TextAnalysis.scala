@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -390,6 +391,62 @@ object TextAnalysis {
        |FROM seeded
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q69
+  /** Vocabulary coverage: the top-[[VocabK]] corpus tokens with per-token
+    * and cumulative token-mass share — the report behind every "what
+    * vocab size covers X% of my corpus" tokenizer decision (and the
+    * OOV-rate estimate for a candidate vocab).
+    *
+    * Scale shape: the explode is map-side and feeds a partial+final
+    * count keyed by token (shuffle width = vocabulary size, not corpus
+    * size); the global top-K is TakeOrdered (no full sort of the
+    * vocabulary), and the cumulative window runs over the K retained
+    * rows only, with the 1-row total broadcast. Ties break (count DESC,
+    * token ASC) so the cut at K is deterministic on both engines. */
+  private val VocabK = 200
+
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Portable.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("total"))
+    val order = Seq($"cnt".desc, $"token".asc)
+    val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .orderBy(order: _*).limit(VocabK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("cum_cnt", sum($"cnt").over(w))
+      .crossJoin(broadcast(total))
+      .select(
+        $"rank",
+        $"token",
+        $"cnt",
+        ($"cnt".cast("double") / $"total").as("share"),
+        ($"cum_cnt".cast("double") / $"total").as("cum_share"))
+      .orderBy($"rank")
+  }
+
+  private val q69Sql: String =
+    s"""WITH counts AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, count(*) AS cnt FROM counts GROUP BY token
+       |), top AS (
+       |  SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT $VocabK
+       |), ranked AS (
+       |  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       |         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank,
+       |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+       |  FROM top
+       |), t AS (SELECT sum(cnt) AS total FROM c)
+       |SELECT rank, token, cnt,
+       |       CAST(cnt AS DOUBLE) / total AS share,
+       |       CAST(cum_cnt AS DOUBLE) / total AS cum_share
+       |FROM ranked, t
+       |ORDER BY rank""".stripMargin
+
   /** Shared with [[Curation]]'s funnel (q66): the q32/q59 stage frames
     * and their oracle forms, so the funnel counts EXACTLY what the
     * stage queries emit — one formula, two consumers. */
@@ -408,5 +465,6 @@ object TextAnalysis {
     Q("q38_array_funcs", q38, Some(q38Sql)),
     Q("q59_repetition_filter", q59, Some(q59Sql)),
     Q("q62_pii_scrub", q62, Some(q62Sql)),
+    Q("q69_vocab_coverage", q69, Some(q69Sql)),
   )
 }

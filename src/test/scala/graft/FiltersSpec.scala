@@ -68,6 +68,32 @@ class FiltersSpec extends SparkSpecBase {
       .foreach { case (id, n) => n shouldBe q33n(id) }
   }
 
+  test("q69 vocab coverage equals a from-scratch recount and its math is internally consistent") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q69_vocab_coverage")(spark, dir)
+      .as[(Int, String, Long, Double, Double)].collect().sortBy(_._1)
+    rows.length should be > 0
+    // independent recount from the raw corpus
+    val counts = graft.sources.Tables.documents(spark, dir)
+      .select($"text").as[String].collect()
+      .flatMap(_.split("\\s+")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val expected = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(200)
+    rows.map(r => (r._2, r._3)).toSeq shouldBe expected
+    // rank density, monotone counts, exact share arithmetic, cumsum
+    rows.map(_._1).toSeq shouldBe (1 to rows.length)
+    rows.map(_._3).sliding(2).foreach {
+      case Array(hi, lo) => hi should be >= lo
+      case _ =>
+    }
+    var cum = 0L
+    rows.foreach { case (_, _, cnt, share, cumShare) =>
+      cum += cnt
+      share shouldBe cnt.toDouble / total
+      cumShare shouldBe cum.toDouble / total
+    }
+  }
+
   test("q60 byte-banding is LOSSLESS at Hamming <= 3: equals brute-force all-pairs") {
     // pigeonhole: <=3 differing bits touch <=3 of the 4 byte blocks, so
     // every qualifying pair shares a block — the banded candidates must

@@ -114,6 +114,13 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("CartesianProduct")
   }
 
+  test("q69: top-K vocabulary is TakeOrdered over a pruned single-column scan") {
+    val p = plan("q69_vocab_coverage")
+    p should include("TakeOrderedAndProject")
+    p should include("partial_count")
+    p should include("ReadSchema: struct<text:string>")
+  }
+
   test("sensor-partitioned entry table prunes partitions on sensor predicates") {
     import spark.implicits._
     // the Cassandra partition-key analog (reference schema.sql:9): the
