@@ -634,7 +634,10 @@ object Dedup {
         $"n_grams",
         coalesce($"n_hit", lit(0L)).as("n_hit"),
         coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
-        round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_grams", 6).as("hit_frac"),
+        // raw quotient, never rounded: a single IEEE divide is
+        // bit-identical across engines; round() on a scalar double is
+        // the documented Spark-vs-DuckDB knife edge
+        (coalesce($"n_hit", lit(0L)).cast("double") / $"n_grams").as("hit_frac"),
         (coalesce($"n_hit", lit(0L)) > 0).cast("int").as("is_contaminated"))
       .orderBy($"doc_id")
   }
@@ -664,7 +667,7 @@ object Dedup {
        |       CAST(t.n_grams AS BIGINT) AS n_grams,
        |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
        |       CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
-       |       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams, 6) AS hit_frac,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_grams AS hit_frac,
        |       CAST(COALESCE(h.n_hit, 0) > 0 AS INTEGER) AS is_contaminated
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin

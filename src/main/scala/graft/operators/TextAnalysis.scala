@@ -303,24 +303,24 @@ object TextAnalysis {
   private val IdRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   /** Detection + redaction columns over a text column — shared by the
-    * catalog query (seeded corpus) and ScrubSpec (raw fixtures). Counts
-    * are taken before masking; `IdRe` (xxx-xx-xxxx) is masked before
-    * `PhoneRe` (xxx-xxx-xxxx) — the two cannot match the same span, but
-    * masking the more specific shape first keeps the order principled. */
+    * catalog query (seeded corpus) and ScrubSpec (raw fixtures). Each
+    * class is counted on the text as already redacted by the EARLIER
+    * classes, so every counted span corresponds to exactly one emitted
+    * placeholder (an IP inside an email's domain is part of the
+    * `<EMAIL>` redaction, not a separate `n_ips` hit). Placeholders
+    * contain no digits or '@', so later patterns can never match inside
+    * an earlier replacement. `IdRe` (xxx-xx-xxxx) runs before `PhoneRe`
+    * (xxx-xxx-xxxx); the two cannot match the same span. */
   private[graft] def piiColumns(text: org.apache.spark.sql.Column)
       : Seq[org.apache.spark.sql.Column] = {
     val nEmails = regexp_count(text, lit(EmailRe))
-    val nPhones = regexp_count(text, lit(PhoneRe))
-    val nIps = regexp_count(text, lit(IpRe))
-    val nIds = regexp_count(text, lit(IdRe))
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text, EmailRe, "<EMAIL>"),
-            IpRe, "<IP>"),
-          IdRe, "<ID>"),
-        PhoneRe, "<PHONE>")
+    val t1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val nIps = regexp_count(t1, lit(IpRe))
+    val t2 = regexp_replace(t1, IpRe, "<IP>")
+    val nIds = regexp_count(t2, lit(IdRe))
+    val t3 = regexp_replace(t2, IdRe, "<ID>")
+    val nPhones = regexp_count(t3, lit(PhoneRe))
+    val redacted = regexp_replace(t3, PhoneRe, "<PHONE>")
     Seq(
       nEmails.cast("int").as("n_emails"),
       nPhones.cast("int").as("n_phones"),
@@ -371,24 +371,28 @@ object TextAnalysis {
        |                   THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |                   ELSE '' END AS s
        |  FROM documents
+       |), r1 AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(s, '$EmailRe')) AS INTEGER) AS n_emails,
+       |         regexp_replace(s, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |  FROM seeded
+       |), r2 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(t1, '$IpRe')) AS INTEGER) AS n_ips,
+       |         regexp_replace(t1, '$IpRe', '<IP>', 'g') AS t2
+       |  FROM r1
+       |), r3 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(t2, '$IdRe')) AS INTEGER) AS n_ids,
+       |         regexp_replace(t2, '$IdRe', '<ID>', 'g') AS t3
+       |  FROM r2
+       |), r4 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(t3, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |         regexp_replace(t3, '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |  FROM r3
        |)
-       |SELECT doc_id,
-       |       CAST(len(regexp_extract_all(s, '$EmailRe')) AS INTEGER) AS n_emails,
-       |       CAST(len(regexp_extract_all(s, '$PhoneRe')) AS INTEGER) AS n_phones,
-       |       CAST(len(regexp_extract_all(s, '$IpRe')) AS INTEGER) AS n_ips,
-       |       CAST(len(regexp_extract_all(s, '$IdRe')) AS INTEGER) AS n_ids,
-       |       CAST(len(regexp_extract_all(s, '$EmailRe'))
-       |            + len(regexp_extract_all(s, '$PhoneRe'))
-       |            + len(regexp_extract_all(s, '$IpRe'))
-       |            + len(regexp_extract_all(s, '$IdRe')) > 0 AS INTEGER) AS has_pii,
-       |       regexp_replace(
-       |         regexp_replace(
-       |           regexp_replace(
-       |             regexp_replace(s, '$EmailRe', '<EMAIL>', 'g'),
-       |             '$IpRe', '<IP>', 'g'),
-       |           '$IdRe', '<ID>', 'g'),
-       |         '$PhoneRe', '<PHONE>', 'g') AS redacted
-       |FROM seeded
+       |SELECT doc_id, n_emails, n_phones, n_ips, n_ids,
+       |       CAST(n_emails + n_phones + n_ips + n_ids > 0 AS INTEGER) AS has_pii,
+       |       redacted
+       |FROM r4
        |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q69
@@ -410,7 +414,11 @@ object TextAnalysis {
     val counts = Tables.documents(spark, dir)
       .select(explode(Portable.tokens($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum($"cnt").as("total"))
+    // total token mass from a separate NO-EXPLODE pass (per-row size +
+    // 1-row sum, no by-token shuffle) — re-deriving it from `counts`
+    // would run the widest stage of the query twice
+    val total = Tables.documents(spark, dir)
+      .agg(sum(size(Portable.tokens($"text"))).as("total"))
     val order = Seq($"cnt".desc, $"token".asc)
     val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)
     counts
@@ -440,7 +448,7 @@ object TextAnalysis {
        |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
        |  FROM top
-       |), t AS (SELECT sum(cnt) AS total FROM c)
+       |), t AS (SELECT sum(len(string_split_regex(text, '\\s+'))) AS total FROM documents)
        |SELECT rank, token, cnt,
        |       CAST(cnt AS DOUBLE) / total AS share,
        |       CAST(cum_cnt AS DOUBLE) / total AS cum_share

@@ -20,7 +20,8 @@ class ScrubSpec extends SparkSpecBase {
       (3L, "server 192.168.0.1 and 10.0.0.255 up"),
       (4L, "ssn 123-45-6789 on file"),
       (5L, "clean text with no pii at all"),
-      (6L, "mixed a@b.com 1.2.3.4 999-88-7777 650-555-0000")
+      (6L, "mixed a@b.com 1.2.3.4 999-88-7777 650-555-0000"),
+      (7L, "mail admin@10.2.3.4.net now")
     ).toDF("doc_id", "text")
     val out = df.select(Seq($"doc_id", $"text") ++ TextAnalysis.piiColumns($"text"): _*)
       .orderBy($"doc_id")
@@ -36,6 +37,9 @@ class ScrubSpec extends SparkSpecBase {
     out(4L) shouldBe ((0, 0, 0, 1, 1, "ssn <ID> on file"))
     out(5L) shouldBe ((0, 0, 0, 0, 0, "clean text with no pii at all"))
     out(6L) shouldBe ((1, 1, 1, 1, 1, "mixed <EMAIL> <IP> <ID> <PHONE>"))
+    // an IP inside an email's domain is part of the email redaction,
+    // not a separate IP hit: counts describe exactly what was redacted
+    out(7L) shouldBe ((1, 0, 0, 0, 1, "mail <EMAIL> now"))
   }
 
   test("q62 catalog: seeding hits every class and redaction leaves no residue") {
@@ -100,8 +104,7 @@ class ScrubSpec extends SparkSpecBase {
       nGrams should be > 0L
       nHit should be <= nGrams
       if (nHit > 0) nTrain should be > 0L else nTrain shouldBe 0L
-      frac shouldBe BigDecimal(nHit.toDouble / nGrams)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      frac shouldBe nHit.toDouble / nGrams
       flag shouldBe (if (nHit > 0) 1 else 0)
     }
   }
