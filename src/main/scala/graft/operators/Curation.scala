@@ -308,21 +308,24 @@ object Curation {
 
   private def q66(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val qual = TextAnalysis.qualityFrame(spark, dir)
-      .select($"doc_id", $"n_tokens", $"quality")
-    val rep = TextAnalysis.repetitionFrame(spark, dir)
-      .select($"doc_id", $"is_repetitive")
+    // ALL per-row stage predicates evaluate in ONE corpus scan via the
+    // shared column expressions (qualityExpr / repetitionFlagExpr are
+    // the q32/q59 formulas themselves) — joining the stage FRAMES here
+    // would re-scan the corpus per stage and shuffle it on doc_id
+    // twice. The only join is against the non-keeper set (already a
+    // memoized cached table from q50's component labels).
     val nonKeepers = clusterLabels(spark, dir)
       .filter($"doc_id" =!= $"lbl")
       .select($"doc_id", lit(1).as("is_dup"))
-    val flags = qual
-      .join(rep, Seq("doc_id"))
-      .join(nonKeepers, Seq("doc_id"), "left_outer")
+    val flags = Tables.documents(spark, dir)
+      .withColumn("t", graft.functions.Portable.tokens($"text"))
       .select(
-        ($"n_tokens" >= MinTokens).cast("long").as("f_len"),
-        $"is_dup".isNull.cast("long").as("f_uniq"),
-        (lit(1) - $"is_repetitive").cast("long").as("f_rep"),
-        ($"quality" >= QualityFloor).cast("long").as("f_q"))
+        $"doc_id",
+        (size($"t") >= MinTokens).cast("long").as("f_len"),
+        (lit(1) - TextAnalysis.repetitionFlagExpr($"t")).cast("long").as("f_rep"),
+        (TextAnalysis.qualityExpr($"text", $"t") >= QualityFloor).cast("long").as("f_q"))
+      .join(nonKeepers, Seq("doc_id"), "left_outer")
+      .select($"f_len", $"is_dup".isNull.cast("long").as("f_uniq"), $"f_rep", $"f_q")
     flags
       .agg(
         count(lit(1)).as("total"),

@@ -81,6 +81,22 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------- q32
+  /** q32's quality formula over (text, tokens) as ONE shared column
+    * expression — consumed by q32 and by the funnel (q66), which
+    * computes all its per-row stage flags in a single corpus scan
+    * instead of joining the stage frames on doc_id. Sharing the
+    * expression (not the frame) is what makes that single-scan shape
+    * possible without letting the two definitions drift. */
+  private[operators] def qualityExpr(text: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nTokens = size(t)
+    val nPunct = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+    val nStop = size(filter(t, x => x.isin(stop("en"): _*)))
+    lit(0.4) * (nStop.cast("double") / nTokens) +
+      lit(0.3) * least(nTokens.cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct.cast("double") / length(text))
+  }
+
   /** Quality scoring: length/punctuation/stopword ratios blended into a
     * [0,1] score. Pure per-row scalar math on identical inputs → bit-
     * identical doubles in both engines, so nothing is rounded. */
@@ -99,9 +115,7 @@ object TextAnalysis {
         ((length(regexp_replace($"text", " ", "")).cast("double")) / $"n_tokens").as("avg_token_len"),
         ($"n_punct".cast("double") / $"len_chars").as("punct_ratio"),
         ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"),
-        (lit(0.4) * ($"n_stop".cast("double") / $"n_tokens")
-          + lit(0.3) * least($"n_tokens".cast("double") / 100.0, lit(1.0))
-          + lit(0.3) * (lit(1.0) - $"n_punct".cast("double") / $"len_chars")).as("quality"))
+        qualityExpr($"text", $"t").as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -219,24 +233,38 @@ object TextAnalysis {
     * operands → bit-identical doubles in both engines (no rounding).
     * Thresholds follow the published Gopher ranges (top-2-gram ≤ 0.20,
     * top-3-gram ≤ 0.18, duplicate-token fraction ≤ 0.30). */
+  /** n-gram array over tokens `t` (empty when the doc is too short) —
+    * q59's g2/g3 as a composable expression. */
+  private def gramsExpr(t: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+      .otherwise(array())
+
+  /** Fraction of gram occurrences held by the most frequent gram. */
+  private def topFracExpr(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(g) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(g), x => size(filter(g, y => y === x))))
+        .cast("double") / size(g))
+
+  private def dupFracExpr(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (size(t) - size(array_distinct(t))).cast("double") / size(t)
+
+  /** q59's is_repetitive flag as ONE shared column expression — the
+    * funnel (q66) evaluates it in its single-scan flag projection. */
+  private[operators] def repetitionFlagExpr(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (topFracExpr(gramsExpr(t, 2)) > 0.20 ||
+      topFracExpr(gramsExpr(t, 3)) > 0.18 ||
+      dupFracExpr(t) > 0.30).cast("int")
+
   private def q59(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def topFrac(g: String): org.apache.spark.sql.Column =
-      when(size(col(g)) === 0, lit(0.0)).otherwise(
-        expr(s"CAST(array_max(transform(array_distinct($g), x -> size(filter($g, y -> y = x)))) AS DOUBLE)")
-          / size(col(g)))
     Tables.documents(spark, dir)
       .withColumn("t", Portable.tokens($"text"))
-      .withColumn("g2", when(size($"t") >= 2,
-        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"))
-        .otherwise(expr("array()")))
-      .withColumn("g3", when(size($"t") >= 3,
-        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .otherwise(expr("array()")))
-      .withColumn("top2_frac", topFrac("g2"))
-      .withColumn("top3_frac", topFrac("g3"))
-      .withColumn("dup_token_frac",
-        (size($"t") - size(array_distinct($"t"))).cast("double") / size($"t"))
+      .withColumn("top2_frac", topFracExpr(gramsExpr($"t", 2)))
+      .withColumn("top3_frac", topFracExpr(gramsExpr($"t", 3)))
+      .withColumn("dup_token_frac", dupFracExpr($"t"))
       .select(
         $"doc_id",
         size($"t").as("n_tokens"),
@@ -455,13 +483,9 @@ object TextAnalysis {
        |FROM ranked, t
        |ORDER BY rank""".stripMargin
 
-  /** Shared with [[Curation]]'s funnel (q66): the q32/q59 stage frames
-    * and their oracle forms, so the funnel counts EXACTLY what the
-    * stage queries emit — one formula, two consumers. */
-  private[operators] def qualityFrame(spark: SparkSession, dir: String): DataFrame =
-    q32(spark, dir)
-  private[operators] def repetitionFrame(spark: SparkSession, dir: String): DataFrame =
-    q59(spark, dir)
+  /** Shared with [[Curation]]'s funnel oracle (q66Sql): the q32/q59
+    * oracle forms, embedded so the funnel counts EXACTLY what the stage
+    * queries emit — one formula, two consumers. */
   private[operators] def qualitySql: String = q32Sql
   private[operators] def repetitionSql: String = q59Sql
 

@@ -114,6 +114,14 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("CartesianProduct")
   }
 
+  test("q66: funnel flags evaluate in ONE corpus scan, never a stage-frame join") {
+    val p = plan("q66_curation_funnel")
+    // one parquet scan of documents for all per-row flags; the only
+    // join is against the cached non-keeper labels
+    p.sliding("documents.parquet".length).count(_ == "documents.parquet") shouldBe 1
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q69: top-K vocabulary is TakeOrdered over a pruned single-column scan") {
     val p = plan("q69_vocab_coverage")
     p should include("TakeOrderedAndProject")
