@@ -87,7 +87,7 @@ object TextAnalysis {
     * instead of joining the stage frames on doc_id. Sharing the
     * expression (not the frame) is what makes that single-scan shape
     * possible without letting the two definitions drift. */
-  private[operators] def qualityExpr(text: org.apache.spark.sql.Column,
+  private[graft] def qualityExpr(text: org.apache.spark.sql.Column,
       t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nTokens = size(t)
     val nPunct = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
@@ -252,7 +252,7 @@ object TextAnalysis {
 
   /** q59's is_repetitive flag as ONE shared column expression — the
     * funnel (q66) evaluates it in its single-scan flag projection. */
-  private[operators] def repetitionFlagExpr(t: org.apache.spark.sql.Column)
+  private[graft] def repetitionFlagExpr(t: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     (topFracExpr(gramsExpr(t, 2)) > 0.20 ||
       topFracExpr(gramsExpr(t, 3)) > 0.18 ||
