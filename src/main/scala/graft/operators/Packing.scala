@@ -133,8 +133,67 @@ object Packing {
        |FROM k
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q70
+  /** Proportional source interleaving (stride scheduling): the global
+    * training order that realizes per-source target weights in EVERY
+    * prefix, not just in expectation — item i of source s is scheduled
+    * at key (i + ½) / share_s, and reading in key order yields each
+    * source at its target rate with per-prefix deviation < 1 item (the
+    * classical stride-scheduling bound). This is the deterministic form
+    * of the weighted-sampling interleave T5/PaLM-style pipelines use to
+    * mix sources at fixed ratios without rand().
+    *
+    * Weights mirror q67 (∝ source index + 1); within a source, order is
+    * the q64-style salted shuffle, so the interleave composes shuffle +
+    * mix in one pass.
+    *
+    * Scale shape: pos_in_source is a per-source window (parallel across
+    * sources); the 1-row weight total broadcasts; the final key order is
+    * a range-partitioned sort — a dataloader reads key ranges in
+    * parallel and never needs a global row index materialized. */
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRaw = coalesce(regexp_extract($"source", "(\\d+)", 1).cast("long"), lit(0L)) + 1L
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("w_raw", wRaw)
+      .withColumn("shuffle_key",
+        Portable.hash32(concat($"doc_id".cast("string"), lit("#graft-interleave"))))
+    val weights = docs.select($"source", $"w_raw").distinct()
+      .agg(sum($"w_raw").as("w_total"))
+    val wPos = Window.partitionBy($"source").orderBy($"shuffle_key", $"doc_id")
+    docs
+      .withColumn("pos_in_source", row_number().over(wPos).cast("long") - 1L)
+      .crossJoin(broadcast(weights))
+      .withColumn("interleave_key",
+        ($"pos_in_source".cast("double") + 0.5) / ($"w_raw".cast("double") / $"w_total"))
+      .select($"doc_id", $"source", $"pos_in_source", $"interleave_key")
+      .orderBy($"interleave_key", $"source", $"doc_id")
+  }
+
+  private val q70Sql: String = {
+    val shuffleHash = Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-interleave'")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) + 1 AS w_raw,
+       |         $shuffleHash AS shuffle_key
+       |  FROM documents
+       |), wt AS (
+       |  SELECT SUM(w_raw) AS w_total FROM (SELECT DISTINCT source, w_raw FROM d)
+       |), p AS (
+       |  SELECT doc_id, source, w_raw,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY shuffle_key, doc_id) AS BIGINT) - 1 AS pos_in_source
+       |  FROM d
+       |)
+       |SELECT doc_id, source, pos_in_source,
+       |       (CAST(pos_in_source AS DOUBLE) + 0.5) / (CAST(w_raw AS DOUBLE) / w_total) AS interleave_key
+       |FROM p, wt
+       |ORDER BY interleave_key, source, doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q63_sequence_packing", q63, Some(q63Sql)),
     Q("q64_corpus_shuffle", q64, Some(q64Sql)),
+    Q("q70_source_interleave", q70, Some(q70Sql)),
   )
 }

@@ -62,6 +62,44 @@ class PackingSpec extends SparkSpecBase {
     shuffledSomewhere shouldBe true
   }
 
+  test("q70: every prefix of the interleave holds each source near its target share") {
+    val rows = SparkEntry.queries("q70_source_interleave")(spark, dir)
+      .as[(Long, String, Long, Double)].collect()
+    rows.length shouldBe 500
+    // weights mirror q67: w ∝ (source index + 1)
+    def wOf(s: String): Long = s.filter(_.isDigit).toLong + 1
+    val wTotal = rows.map(r => r._2 -> wOf(r._2)).distinct.map(_._2).sum.toDouble
+    // per-source positions dense 0..n-1
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      docs.map(_._3).sorted.toSeq shouldBe (0L until docs.length.toLong)
+    }
+    // keys recompute exactly and the emitted order IS key order
+    rows.foreach { case (_, s, pos, key) =>
+      key shouldBe (pos + 0.5) / (wOf(s) / wTotal)
+    }
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => a should be <= b
+      case _ =>
+    }
+    // stride-scheduling bound: in every prefix, each source's count is
+    // within 2 of its proportional share (1 from the stride bound + 1
+    // slack for cutting a prefix mid-tie); sources run dry near the end
+    // (finite corpus), so assert over prefixes while all sources still
+    // have items scheduled ahead
+    val perSource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val seen = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    rows.zipWithIndex.foreach { case ((_, s, _, _), i) =>
+      seen(s) += 1
+      val n = i + 1
+      val exhausted = perSource.exists { case (src, total) => seen(src) == total }
+      if (!exhausted) {
+        perSource.keys.foreach { src =>
+          math.abs(seen(src) - n * (wOf(src) / wTotal)) should be < 2.0
+        }
+      }
+    }
+  }
+
   test("q63/q64 are reproducible: two runs produce identical layouts") {
     def run(name: String): Array[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted
