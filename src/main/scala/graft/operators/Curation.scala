@@ -106,6 +106,16 @@ object Curation {
   private[operators] def splitBucketSql(keyExpr: String): String =
     s"${Portable.hash32Sql(s"CAST($keyExpr AS VARCHAR) || '#graft-split'")} % 100"
 
+  /** Demo per-source mix weight (∝ trailing source index + 1; digit-free
+    * sources weigh 1) — ONE definition shared by q67 (rebalance targets)
+    * and q70 (interleave rates), so "q70 mirrors q67's weights" is held
+    * by the compiler, not by convention. */
+  private[graft] def sourceWeight(source: Column): Column =
+    coalesce(regexp_extract(source, "(\\d+)", 1).cast("long"), lit(0L)) + 1L
+
+  private[graft] def sourceWeightSql(expr: String): String =
+    s"COALESCE(TRY_CAST(regexp_extract($expr, '(\\d+)', 1) AS BIGINT), 0) + 1"
+
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = splitBucket($"doc_id")
@@ -288,18 +298,20 @@ object Curation {
     * repetition filter (q59) → quality floor (q32), with docs in/out,
     * dropped, per-stage pass fraction and cumulative survival.
     *
-    * The stage predicates are THE stage queries' own columns
-    * ([[TextAnalysis.qualityFrame]]/[[TextAnalysis.repetitionFrame]],
-    * [[clusterLabels]]) — one formula, two consumers — so the funnel
-    * can never drift from what the stages actually compute.
+    * The stage predicates are THE stage queries' own shared column
+    * expressions ([[TextAnalysis.qualityExpr]]/
+    * [[TextAnalysis.repetitionFlagExpr]], [[clusterLabels]]) — one
+    * formula, two consumers — so the funnel can never drift from what
+    * the stages actually compute.
     *
-    * Scale shape: per-doc flags are two map-side frames joined on
-    * doc_id plus a left join against the (small) non-keeper set; the
-    * whole funnel then collapses to ONE 5-long aggregate row before the
-    * stack to stage rows — no per-stage rescans, no driver loop. At
-    * 100 TB a pipeline materializes each stage's survivors anyway; this
-    * query is the accounting pass over the flags, and its cost is one
-    * corpus scan per flag source. */
+    * Scale shape: ALL per-row flags evaluate in ONE corpus scan (the
+    * shared expressions compose map-side; PlanSpec asserts the single
+    * scan and the absence of any stage-frame join), plus a left join
+    * against the (small) non-keeper set; the whole funnel then
+    * collapses to ONE 5-long aggregate row before exploding to stage
+    * rows — no per-stage rescans, no driver loop. At 100 TB a pipeline
+    * materializes each stage's survivors anyway; this query is the
+    * accounting pass over the flags at the cost of a single scan. */
   private val MinTokens = 20
   // 0.4 sits inside the survivor distribution on every tier (median
   // ~0.39 after the repetition stage), so the final stage discriminates
@@ -428,8 +440,7 @@ object Curation {
       size(Portable.tokens($"text")).cast("long").as("n_tokens"))
     val shares = toks.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"))
-      .withColumn("w_raw",
-        coalesce(regexp_extract($"source", "(\\d+)", 1).cast("long"), lit(0L)) + 1L)
+      .withColumn("w_raw", sourceWeight($"source"))
       .withColumn("target_share", $"w_raw".cast("double") / sum($"w_raw").over(all))
       .withColumn("t_max", min($"tokens" / $"target_share").over(all))
       .withColumn("keep_rate", least(lit(1.0), $"target_share" * $"t_max" / $"tokens"))
@@ -456,7 +467,7 @@ object Curation {
        |  FROM documents
        |), per AS (
        |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
-       |         COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) + 1 AS w_raw
+       |         ${sourceWeightSql("source")} AS w_raw
        |  FROM toks GROUP BY source
        |), shares AS (
        |  SELECT source, n_docs, tokens,

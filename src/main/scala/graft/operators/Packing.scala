@@ -143,7 +143,9 @@ object Packing {
     * of the weighted-sampling interleave T5/PaLM-style pipelines use to
     * mix sources at fixed ratios without rand().
     *
-    * Weights mirror q67 (∝ source index + 1); within a source, order is
+    * Weights ARE q67's — the shared [[Curation.sourceWeight]] expression,
+    * so the interleave rates and the rebalance targets cannot drift
+    * apart. Within a source, order is
     * the q64-style salted shuffle, so the interleave composes shuffle +
     * mix in one pass.
     *
@@ -153,10 +155,9 @@ object Packing {
     * parallel and never needs a global row index materialized. */
   private def q70(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wRaw = coalesce(regexp_extract($"source", "(\\d+)", 1).cast("long"), lit(0L)) + 1L
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"source")
-      .withColumn("w_raw", wRaw)
+      .withColumn("w_raw", Curation.sourceWeight($"source"))
       .withColumn("shuffle_key",
         Portable.hash32(concat($"doc_id".cast("string"), lit("#graft-interleave"))))
     val weights = docs.select($"source", $"w_raw").distinct()
@@ -175,7 +176,7 @@ object Packing {
     val shuffleHash = Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-interleave'")
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |         COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) + 1 AS w_raw,
+       |         ${Curation.sourceWeightSql("source")} AS w_raw,
        |         $shuffleHash AS shuffle_key
        |  FROM documents
        |), wt AS (

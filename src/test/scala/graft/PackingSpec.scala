@@ -66,8 +66,11 @@ class PackingSpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q70_source_interleave")(spark, dir)
       .as[(Long, String, Long, Double)].collect()
     rows.length shouldBe 500
-    // weights mirror q67: w ∝ (source index + 1)
-    def wOf(s: String): Long = s.filter(_.isDigit).toLong + 1
+    // weights mirror q67 (Curation.sourceWeight): first digit group + 1,
+    // digit-free sources weigh 1 — the same formula as the product, not
+    // a concatenate-all-digits approximation
+    def wOf(s: String): Long =
+      "\\d+".r.findFirstIn(s).map(_.toLong).getOrElse(0L) + 1
     val wTotal = rows.map(r => r._2 -> wOf(r._2)).distinct.map(_._2).sum.toDouble
     // per-source positions dense 0..n-1
     rows.groupBy(_._2).foreach { case (_, docs) =>

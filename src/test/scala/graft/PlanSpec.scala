@@ -129,6 +129,18 @@ class PlanSpec extends SparkSpecBase {
     p should include("ReadSchema: struct<text:string>")
   }
 
+  test("q70: interleave broadcasts the weight total and range-partitions the key order") {
+    val p = plan("q70_source_interleave")
+    // the 1-row weight total arrives by broadcast, never a shuffle join
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+    // pos_in_source is a PER-SOURCE window (parallel across sources)...
+    p should include("hashpartitioning(source")
+    // ...and the output order is a range-partitioned sort — a dataloader
+    // reads key ranges in parallel; no global row index materializes
+    p should include("rangepartitioning(interleave_key")
+  }
+
   test("sensor-partitioned entry table prunes partitions on sensor predicates") {
     import spark.implicits._
     // the Cassandra partition-key analog (reference schema.sql:9): the
