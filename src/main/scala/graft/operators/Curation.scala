@@ -495,6 +495,64 @@ object Curation {
        |ORDER BY r.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q73
+  /** Quality-aware canonical selection: for every duplicate cluster
+    * (q50's components), pick the member with the HIGHEST quality score
+    * (q32's shared [[TextAnalysis.qualityExpr]]) as the keeper, instead
+    * of q50's positional min-doc_id keeper — the RefinedWeb/FineWeb
+    * policy of keeping the best copy of duplicated content, not an
+    * arbitrary one. Emits per cluster: size, the quality-canonical
+    * member, its score, the min-id keeper, and whether the two policies
+    * agree — the report a curation run reviews before switching keeper
+    * policy. Quality doubles are ordered raw (bit-identical per-row
+    * algebra in both engines — oracle-parity rule), doc_id as tiebreak.
+    *
+    * Scale shape: the labels table holds only docs incident to a dup
+    * edge (≪ corpus), so the quality join touches a small slice; the
+    * argmax is a per-cluster window over that slice plus one
+    * partial+final aggregate — no corpus-wide shuffle anywhere. */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = clusterLabels(spark, dir).select($"doc_id", $"lbl".as("cluster_id"))
+    val quality = Tables.documents(spark, dir)
+      .withColumn("t", graft.functions.Portable.tokens($"text"))
+      .select($"doc_id", TextAnalysis.qualityExpr($"text", $"t").as("quality"))
+    val scored = members.join(quality, Seq("doc_id"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id".asc)
+    val agg = scored.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"), min($"doc_id").as("minid_doc"))
+    val canon = scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("canonical_doc"),
+        $"quality".as("canonical_quality"))
+    agg.join(canon, Seq("cluster_id"))
+      .select($"cluster_id", $"n_members", $"canonical_doc", $"canonical_quality",
+        $"minid_doc", ($"canonical_doc" === $"minid_doc").cast("int").as("same_choice"))
+      .orderBy($"cluster_id")
+  }
+
+  private val q73Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, cluster_id FROM ($q50Sql)
+       |), qf AS (
+       |  SELECT doc_id, quality FROM (${TextAnalysis.qualitySql})
+       |), s AS (
+       |  SELECT m.doc_id, m.cluster_id, qf.quality FROM m JOIN qf ON m.doc_id = qf.doc_id
+       |), a AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(min(doc_id) AS BIGINT) AS minid_doc
+       |  FROM s GROUP BY cluster_id
+       |), c AS (
+       |  SELECT cluster_id, doc_id AS canonical_doc, quality AS canonical_quality
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |                                     ORDER BY quality DESC, doc_id ASC) AS rn
+       |        FROM s) t
+       |  WHERE rn = 1
+       |)
+       |SELECT a.cluster_id, a.n_members, c.canonical_doc, c.canonical_quality,
+       |       a.minid_doc, CAST(c.canonical_doc = a.minid_doc AS INTEGER) AS same_choice
+       |FROM a JOIN c ON a.cluster_id = c.cluster_id
+       |ORDER BY a.cluster_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
@@ -504,5 +562,6 @@ object Curation {
     Q("q61_mix_accounting", q61, Some(q61Sql)),
     Q("q66_curation_funnel", q66, Some(q66Sql)),
     Q("q67_mix_rebalance", q67, Some(q67Sql)),
+    Q("q73_cluster_canonical", q73, Some(q73Sql)),
   )
 }

@@ -133,6 +133,70 @@ object Packing {
        |FROM k
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q71
+  /** Tokens per chunk / stride between chunk starts (overlap =
+    * ChunkLen − ChunkStride). Sized so the sf corpus (~54 tokens/doc)
+    * exercises both single- and multi-chunk docs; production swaps the
+    * constants (512/384 is a common embedding-index calibration). */
+  private val ChunkLen = 48L
+  private val ChunkStride = 32L
+
+  /** Overlapping token-window chunking — the RAG / embedding-index
+    * preprocessing step: each document becomes ⌈max(n−C,0)/S⌉+1 chunks
+    * of ≤C tokens starting every S tokens, the last chunk being the
+    * smallest window that reaches the document's end (no redundant
+    * tail-only chunks). Emits per chunk: index, token offset, length,
+    * the chunk text itself, and the doc's chunk count — everything an
+    * embedding pipeline needs to re-assemble provenance.
+    *
+    * Scale shape: a pure per-row flatMap (tokenize → arithmetic →
+    * explode of the start sequence → slice); no join, no aggregate, no
+    * shuffle besides the presentation sort. Fan-out is bounded by
+    * n_tokens/S per doc, so tasks stay uniform under any corpus skew —
+    * at 100 TB this runs at scan speed and is PlanSpec-locked to stay
+    * Generate-over-Scan. */
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Portable.tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("max_start",
+        expr(s"((CASE WHEN n_tokens > $ChunkLen THEN n_tokens - $ChunkLen ELSE 0 END" +
+          s" + $ChunkStride - 1) DIV $ChunkStride) * $ChunkStride"))
+      .withColumn("tok_start", explode(sequence(lit(0L), $"max_start", lit(ChunkStride))))
+      .select(
+        $"doc_id",
+        expr(s"tok_start DIV $ChunkStride").as("chunk_idx"),
+        $"tok_start",
+        least(lit(ChunkLen), $"n_tokens" - $"tok_start").as("chunk_tokens"),
+        (expr(s"max_start DIV $ChunkStride") + 1L).as("n_chunks"),
+        concat_ws(" ",
+          slice($"toks", ($"tok_start" + 1L).cast("int"), lit(ChunkLen.toInt))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val q71Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         ((CASE WHEN len(toks) > $ChunkLen THEN len(toks) - $ChunkLen ELSE 0 END
+       |           + $ChunkStride - 1) // $ChunkStride) * $ChunkStride AS max_start
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, toks, n_tokens, max_start,
+       |         unnest(generate_series(0, max_start, $ChunkStride)) AS tok_start
+       |  FROM n
+       |)
+       |SELECT doc_id,
+       |       CAST(tok_start // $ChunkStride AS BIGINT) AS chunk_idx,
+       |       CAST(tok_start AS BIGINT) AS tok_start,
+       |       CAST(least($ChunkLen, n_tokens - tok_start) AS BIGINT) AS chunk_tokens,
+       |       CAST(max_start // $ChunkStride + 1 AS BIGINT) AS n_chunks,
+       |       array_to_string(list_slice(toks, tok_start + 1, tok_start + $ChunkLen), ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // --------------------------------------------------------------- q70
   /** Proportional source interleaving (stride scheduling): the global
     * training order that realizes per-source target weights in EVERY
@@ -196,5 +260,6 @@ object Packing {
     Q("q63_sequence_packing", q63, Some(q63Sql)),
     Q("q64_corpus_shuffle", q64, Some(q64Sql)),
     Q("q70_source_interleave", q70, Some(q70Sql)),
+    Q("q71_doc_chunking", q71, Some(q71Sql)),
   )
 }

@@ -536,6 +536,84 @@ object Similarity {
        |FROM cells
        |ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------- q72
+  /** Pairwise-cosine floor above which two same-cell vectors count as
+    * semantic duplicates. Calibrated to the synthetic corpus the same
+    * way as q28's 0.4 (no pair exceeds ~0.52); production raises it
+    * (SemDeDup used ~0.95 on CLIP embeddings). */
+  private val SemThreshold = 0.4
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): within each IVF
+    * cell, drop every vector that has a semantically-near neighbor
+    * (cosine ≥ [[SemThreshold]]) of higher keeper priority; priority is
+    * LOWEST cosine-to-centroid first (the paper's keep-farthest-from-
+    * centroid rule — keeps the diverse boundary examples, drops the
+    * redundant core), vec_id as tiebreak. The rule is dominance-based
+    * ("∃ a better near-neighbor"), not sequential-greedy, so every
+    * vector's verdict is an independent pairwise predicate —
+    * embarrassingly parallel, deterministic, and engine-portable, at
+    * the cost of dropping slightly more than a sequential sweep would
+    * (a dropped vector can still dominate another; documented upstream
+    * trade, same one SemDeDup's own implementation makes).
+    *
+    * Scale shape: the pairwise stage is an equi-join on cluster id —
+    * per-cell quadratic, globally Σ cell², never N². Cell size is the
+    * knob (more centroids → smaller cells) and q68 is the balance
+    * guard that catches a hot cell before it becomes a hot task. The
+    * same staged-narrow candidates→verify split as q28/q55 applies at
+    * production thresholds (band within cell); at the demo calibration
+    * the direct within-cell join IS the honest plan. */
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
+    val arr = array(scores: _*)
+    val assigned = e
+      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cos_cent", array_max(arr) / ($"nrm" * math.sqrt(Dim)))
+      .select($"vec_id", $"v", $"nrm", $"cluster", $"cos_cent")
+    val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(round(cos, 4) >= SemThreshold &&
+        (col("b.cos_cent") < col("a.cos_cent") ||
+          (col("b.cos_cent") === col("a.cos_cent") && col("b.vec_id") < col("a.vec_id"))))
+      .select(col("a.vec_id")).distinct()
+      .withColumn("is_dropped", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cluster", $"cos_cent",
+        $"is_dropped".isNull.cast("int").as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  private val q72Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, e.nrm, e.embedding, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, nrm, embedding, CAST(j AS INTEGER) AS cluster,
+       |         s / (nrm * sqrt($Dim.0)) AS cos_cent
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  WHERE round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) >= $SemThreshold
+       |    AND (b.cos_cent < a.cos_cent
+       |         OR (b.cos_cent = a.cos_cent AND b.vec_id < a.vec_id))
+       |)
+       |SELECT a.vec_id, a.cluster, a.cos_cent,
+       |       CAST(d.vec_id IS NULL AS INTEGER) AS kept
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
@@ -543,5 +621,6 @@ object Similarity {
     Q("q41_knn_ivf", q41, Some(q41Sql)),
     Q("q55_neardup_production", q55, Some(q55Sql)),
     Q("q68_cluster_balance", q68, Some(q68Sql)),
+    Q("q72_semantic_prune", q72, Some(q72Sql)),
   )
 }

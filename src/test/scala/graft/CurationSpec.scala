@@ -172,4 +172,30 @@ class CurationSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q73: canonical is the max-quality member; minid keeper matches q50") {
+    val clusters = SparkEntry.queries("q50_dup_clusters")(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    val quality = SparkEntry.queries("q32_quality_score")(spark, sfDir)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    val rows = SparkEntry.queries("q73_cluster_canonical")(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long, Int)].collect()
+    val members = clusters.groupBy(_._2)
+    // one row per q50 cluster
+    rows.map(_._1).sorted.toSeq shouldBe members.keys.toSeq.sorted
+    rows.foreach { case (cid, n, canon, cq, minid, same) =>
+      val ms = members(cid).map(_._1)
+      n shouldBe ms.length.toLong
+      // q50's keeper IS the min-id member (= the cluster label)
+      minid shouldBe ms.min
+      minid shouldBe cid
+      // the canonical pick: max quality, min doc_id on ties
+      ms should contain(canon)
+      canon shouldBe ms.map(d => (quality(d), d)).sortBy { case (q, d) => (-q, d) }.head._2
+      cq shouldBe quality(canon)
+      same shouldBe (if (canon == minid) 1 else 0)
+    }
+    // the two keeper policies genuinely disagree somewhere on this corpus
+    rows.map(_._6).min shouldBe 0
+  }
 }

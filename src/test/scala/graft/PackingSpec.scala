@@ -103,6 +103,33 @@ class PackingSpec extends SparkSpecBase {
     }
   }
 
+  test("q71: chunks tile each document exactly and slices match their offsets") {
+    val C = 48L; val S = 32L
+    val rows = SparkEntry.queries("q71_doc_chunking")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val t = toks(doc); val n = t.length.toLong
+      val sorted = cs.sortBy(_._2)
+      // dense chunk indexes, stride-aligned starts, consistent counts
+      sorted.map(_._2).toSeq shouldBe (0L until sorted.length.toLong)
+      sorted.foreach { case (_, idx, start, len, k, text) =>
+        start shouldBe idx * S
+        k shouldBe sorted.length.toLong
+        len shouldBe math.min(C, n - start)
+        // the emitted text IS the token slice at that offset
+        text shouldBe t.slice(start.toInt, math.min(start + C, n).toInt).mkString(" ")
+      }
+      // the last chunk reaches the document end; every earlier chunk
+      // does NOT (no redundant tail-only windows)
+      val last = sorted.last
+      (last._3 + last._4) shouldBe n
+      sorted.dropRight(1).foreach { c => (c._3 + C) should be < n }
+    }
+  }
+
   test("q63/q64 are reproducible: two runs produce identical layouts") {
     def run(name: String): Array[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted

@@ -129,6 +129,30 @@ class PlanSpec extends SparkSpecBase {
     p should include("ReadSchema: struct<text:string>")
   }
 
+  test("q71: chunking is a pure flatMap — Generate over a pruned scan, sort is the only exchange") {
+    val p = plan("q71_doc_chunking")
+    p should include("Generate") // the explode of chunk starts
+    (p should not).include("hashpartitioning") // no join, no aggregate
+    (p should not).include("SortMergeJoin")
+    p should include("rangepartitioning(doc_id")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q72: semantic-prune pairs come from an equi-join on the cell id") {
+    val p = plan("q72_semantic_prune")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("InMemoryTableScan") // shared persisted embNorm — one parquet read
+  }
+
+  test("q73: the small labels table broadcasts; the corpus never shuffles") {
+    val p = plan("q73_cluster_canonical")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    p should include("WindowGroupLimit") // argmax pruned before its exchange
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
   test("q70: interleave broadcasts the weight total and range-partitions the key order") {
     val p = plan("q70_source_interleave")
     // the 1-row weight total arrives by broadcast, never a shuffle join

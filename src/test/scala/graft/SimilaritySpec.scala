@@ -88,4 +88,50 @@ class SimilaritySpec extends SparkSpecBase {
       maxCos should be < 1.0 + 1e-4
     }
   }
+
+  test("q72 verdicts match a brute-force SemDeDup recompute; kept set is independent") {
+    val out = SparkEntry.queries("q72_semantic_prune")(spark, sfDir)
+      .as[(Long, Int, Double, Int)].collect()
+    out.length shouldBe 500
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble).toArray }.toMap
+    // same left-to-right accumulation as the native graft_dot expression
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = (0 until 16).map(j =>
+      graft.operators.Similarity.testSignVector(s"c$j").map(_.toDouble).toArray)
+    val nrm = vecs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    val assign = vecs.map { case (id, v) =>
+      val scores = cents.map(c => round6(dot(v, c)))
+      val cl = scores.indexOf(scores.max) // first max = lowest-id tiebreak
+      id -> ((cl, scores.max / (nrm(id) * 8.0)))
+    }
+    val expectedDropped = assign.keys.filter { x =>
+      val (cx, px) = assign(x)
+      assign.exists { case (y, (cy, py)) =>
+        y != x && cy == cx &&
+          round4(dot(vecs(x), vecs(y)) / (nrm(x) * nrm(y))) >= 0.4 &&
+          (py < px || (py == px && y < x))
+      }
+    }.toSet
+    out.foreach { case (id, cl, cc, kept) =>
+      cl shouldBe assign(id)._1
+      cc shouldBe assign(id)._2 +- 1e-12
+      kept shouldBe (if (expectedDropped(id)) 0 else 1)
+    }
+    // dominance pruning leaves an independent set: no two kept vectors
+    // in one cell are within the semantic-duplicate threshold
+    val kept = out.filter(_._4 == 1).map(r => (r._1, r._2))
+    kept.groupBy(_._2).foreach { case (_, members) =>
+      for (Array((a, _), (b, _)) <- members.combinations(2).map(_.toArray))
+        round4(dot(vecs(a), vecs(b)) / (nrm(a) * nrm(b))) should be < 0.4
+    }
+    // and the prune actually prunes on this corpus
+    expectedDropped should not be empty
+  }
 }
