@@ -489,6 +489,84 @@ object TextAnalysis {
   private[operators] def qualitySql: String = q32Sql
   private[operators] def repetitionSql: String = q59Sql
 
+  // --------------------------------------------------------------- q74
+  /** Top-K drift contributors to report. */
+  private val DriftK = 100
+
+  /** Token-distribution drift between the train and test splits (q51's
+    * buckets, the q58/q65 convention): per-token Laplace-smoothed
+    * probabilities on each side and the token's contribution
+    * p·ln(p/q) to KL(train‖test), ranked by |contribution| — the
+    * corpus-drift report a pipeline runs between snapshots, epochs, or
+    * an old index and a new shard before trusting that eval still
+    * measures what training saw.
+    *
+    * Determinism: counts are exact integers; each probability is a
+    * single IEEE division (bit-identical cross-engine); the only
+    * transcendental is ln, so the q52 pattern applies — output rounded
+    * to 4 dp, ranking guarded at 6 dp with token tiebreak, which
+    * absorbs ln's last-ulp latitude. The top-K SET is deterministic
+    * because the rank order is.
+    *
+    * Scale shape: ONE corpus scan feeds a conditional partial+final
+    * aggregate keyed by token (shuffle width = vocabulary, not corpus
+    * — both sides counted in the same pass, no per-side scans, no
+    * join); the totals branch re-reads that aggregate's exchange, not
+    * the corpus (AQE ReusedExchange, asserted on the executed plan in
+    * PlanSpec); totals collapse to 1 broadcast row; the top-K is
+    * TakeOrdered, never a full vocabulary sort. */
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(Curation.splitBucket($"doc_id").as("bucket"),
+        explode(Portable.tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(
+        sum(($"bucket" < 80).cast("long")).as("c_train"),
+        sum(($"bucket" >= 90).cast("long")).as("c_test"))
+    val totals = counts.agg(
+      sum($"c_train").as("n_train"), sum($"c_test").as("n_test"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_train",
+        ($"c_train" + 1L).cast("double") / ($"n_train" + $"v").cast("double"))
+      .withColumn("p_test",
+        ($"c_test" + 1L).cast("double") / ($"n_test" + $"v").cast("double"))
+      .withColumn("term", $"p_train" * log($"p_train" / $"p_test"))
+      .orderBy(round(abs($"term"), 6).desc, $"token".asc)
+      .limit(DriftK)
+      .select($"token", $"c_train", $"c_test", $"p_train", $"p_test",
+        round($"term", 4).as("kl_term"))
+  }
+
+  private val q74Sql: String =
+    s"""WITH toks AS (
+       |  SELECT ${Curation.splitBucketSql("doc_id")} AS bucket,
+       |         unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), counts AS (
+       |  SELECT token,
+       |         CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+       |         CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS c_test
+       |  FROM toks GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(sum(c_train) AS BIGINT) AS n_train,
+       |         CAST(sum(c_test) AS BIGINT) AS n_test,
+       |         CAST(count(*) AS BIGINT) AS v
+       |  FROM counts
+       |), terms AS (
+       |  SELECT token, c_train, c_test,
+       |         CAST(c_train + 1 AS DOUBLE) / CAST(n_train + v AS DOUBLE) AS p_train,
+       |         CAST(c_test + 1 AS DOUBLE) / CAST(n_test + v AS DOUBLE) AS p_test
+       |  FROM counts, tot
+       |), t2 AS (
+       |  SELECT *, p_train * ln(p_train / p_test) AS term FROM terms
+       |)
+       |SELECT token, c_train, c_test, p_train, p_test, round(term, 4) AS kl_term
+       |FROM t2
+       |ORDER BY round(abs(term), 6) DESC, token ASC
+       |LIMIT $DriftK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
@@ -498,5 +576,6 @@ object TextAnalysis {
     Q("q59_repetition_filter", q59, Some(q59Sql)),
     Q("q62_pii_scrub", q62, Some(q62Sql)),
     Q("q69_vocab_coverage", q69, Some(q69Sql)),
+    Q("q74_token_drift", q74, Some(q74Sql)),
   )
 }

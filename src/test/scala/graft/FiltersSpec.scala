@@ -132,4 +132,44 @@ class FiltersSpec extends SparkSpecBase {
     plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
     (plan should not).include("Generate") // no explode in the plan
   }
+
+  test("q74: drift terms equal a from-scratch recount with Laplace smoothing") {
+    import spark.implicits._
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("q74_token_drift")(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    rows should not be empty
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(graft.operators.Curation.splitBucket($"doc_id").as("b"),
+        split($"text", "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val train = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val test = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val vocab = collection.mutable.Set.empty[String]
+    docs.foreach { case (b, ts) =>
+      ts.foreach { tok =>
+        vocab += tok // V counts every corpus token, incl. buckets 80-89
+        if (b < 80) train(tok) += 1
+        if (b >= 90) test(tok) += 1
+      }
+    }
+    val nTr = train.values.sum; val nTe = test.values.sum; val v = vocab.size.toLong
+    rows.foreach { case (tok, cTr, cTe, pTr, pTe, term) =>
+      cTr shouldBe train(tok)
+      cTe shouldBe test(tok)
+      pTr shouldBe (cTr + 1.0) / (nTr + v)
+      pTe shouldBe (cTe + 1.0) / (nTe + v)
+      term shouldBe r(pTr * math.log(pTr / pTe), 4)
+    }
+    // ranked by the 6-dp |term| guard, non-increasing
+    rows.map(x => r(math.abs(x._4 * math.log(x._4 / x._5)), 6))
+      .sliding(2).foreach {
+        case Array(hi, lo) => hi should be >= lo
+        case _ =>
+      }
+    // the report is two-sided on this corpus: tokens drift both ways
+    rows.map(_._6).exists(_ > 0) shouldBe true
+    rows.map(_._6).exists(_ < 0) shouldBe true
+  }
 }

@@ -153,6 +153,15 @@ class PlanSpec extends SparkSpecBase {
     p should include("ReadSchema: struct<doc_id:bigint,text:string>")
   }
 
+  test("q74: drift re-uses the vocabulary exchange — one corpus scan at runtime") {
+    val df = SparkEntry.queries("q74_token_drift")(spark, sfDir)
+    df.collect() // AQE folds the totals branch onto counts' exchange
+    val fin = df.queryExecution.executedPlan.toString
+    fin should include("ReusedExchange")
+    fin should include("TakeOrderedAndProject") // top-K, never a vocab sort
+    (fin should not).include("SortMergeJoin") // totals arrive by broadcast
+  }
+
   test("q70: interleave broadcasts the weight total and range-partitions the key order") {
     val p = plan("q70_source_interleave")
     // the 1-row weight total arrives by broadcast, never a shuffle join
