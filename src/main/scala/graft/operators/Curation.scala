@@ -553,6 +553,59 @@ object Curation {
        |FROM a JOIN c ON a.cluster_id = c.cluster_id
        |ORDER BY a.cluster_id""".stripMargin
 
+  // --------------------------------------------------------------- q77
+  /** Leakage-aware split repair: a duplicate cluster (q50) whose
+    * members land in different q51 splits leaks near-identical content
+    * across the train/eval boundary — the contamination q58/q65 audit
+    * after the fact, repaired here at assignment time instead. Every
+    * document's repaired split is the split of its CLUSTER LABEL
+    * (hash-split of the min-id member), so a cluster moves as a unit
+    * and the repair is still a pure function of (doc_id, edge set) —
+    * deterministic under re-runs and backfills, like q51 itself.
+    * Emits per document: current split, cluster, repaired split, and
+    * whether the repair moved it.
+    *
+    * Scale shape: the labels table holds only docs incident to a dup
+    * edge (≪ corpus — q73's argument), so the corpus takes one
+    * broadcast left join and never shuffles; both split columns are
+    * per-row hash algebra, and the repaired split needs NO second join
+    * because the cluster label IS the keeper doc_id. */
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def splitOf(key: Column): Column = {
+      val b = splitBucket(key)
+      when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+    }
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(broadcast(clusterLabels(spark, dir)), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"lbl", $"doc_id"))
+      .select($"doc_id", $"cluster_id",
+        splitOf($"doc_id").as("split"),
+        splitOf($"cluster_id").as("repaired_split"))
+      .withColumn("moved", ($"split" =!= $"repaired_split").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  private val q77Sql: String = {
+    def splitCase(key: String): String = {
+      val b = splitBucketSql(key)
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH lbl AS (
+       |  SELECT doc_id, cluster_id FROM ($q50Sql)
+       |), j AS (
+       |  SELECT d.doc_id,
+       |         CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+       |)
+       |SELECT doc_id, cluster_id,
+       |       ${splitCase("doc_id")} AS split,
+       |       ${splitCase("cluster_id")} AS repaired_split,
+       |       CAST(${splitCase("doc_id")} <> ${splitCase("cluster_id")} AS INTEGER) AS moved
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
@@ -563,5 +616,6 @@ object Curation {
     Q("q66_curation_funnel", q66, Some(q66Sql)),
     Q("q67_mix_rebalance", q67, Some(q67Sql)),
     Q("q73_cluster_canonical", q73, Some(q73Sql)),
+    Q("q77_leakage_repair", q77, Some(q77Sql)),
   )
 }

@@ -614,6 +614,46 @@ object Similarity {
        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q76
+  /** Per-label centroid vectors (nearest-class-mean prototypes): the
+    * element-wise mean of each label's embeddings, emitted as one row
+    * per (label, dimension) — the classifier-prototype / cluster-seed
+    * summary a labeled embedding corpus feeds into k-NN-by-class-mean
+    * or centroid-initialized clustering.
+    *
+    * Determinism: the mean is the one order-dependent double here, so
+    * it is rounded to 4 dp on both sides (counts are exact; the f32→f64
+    * widening is exact). Row-per-dimension output keeps the compare on
+    * scalar columns instead of float arrays.
+    *
+    * Scale shape: posexplode is map-side (rows × dim feeding a partial
+    * aggregate in the same stage — no exploded shuffle); the Exchange
+    * carries only #labels × dim partial sums, and the result is tiny
+    * regardless of corpus size. This is the same one-pass shape a
+    * learned-centroid IVF build (q41's offline step) would use. */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label",
+        posexplode(transform($"embedding", x => x.cast("double"))).as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n_vecs"), round(avg($"v"), 4).as("centroid"))
+      .orderBy($"label", $"pos")
+  }
+
+  private val q76Sql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |         unnest(range(len(embedding))) AS pos,
+      |         unnest([CAST(e AS DOUBLE) for e in embedding]) AS v
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(pos AS INTEGER) AS pos,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       round(avg(v), 4) AS centroid
+      |FROM x GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
@@ -622,5 +662,6 @@ object Similarity {
     Q("q55_neardup_production", q55, Some(q55Sql)),
     Q("q68_cluster_balance", q68, Some(q68Sql)),
     Q("q72_semantic_prune", q72, Some(q72Sql)),
+    Q("q76_label_centroids", q76, Some(q76Sql)),
   )
 }

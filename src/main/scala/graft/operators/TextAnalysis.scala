@@ -515,15 +515,37 @@ object TextAnalysis {
     * the corpus (AQE ReusedExchange, asserted on the executed plan in
     * PlanSpec); totals collapse to 1 broadcast row; the top-K is
     * TakeOrdered, never a full vocabulary sort. */
-  private def q74(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-token conditional split counts — ONE corpus scan feeding one
+    * partial+final aggregate keyed by token (both sides counted in the
+    * same pass). Shared by q74 (drift) and q78 (surprisal) so the two
+    * reports measure the same vocabulary and the same train mass. */
+  private def splitTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(Curation.splitBucket($"doc_id").as("bucket"),
         explode(Portable.tokens($"text")).as("token"))
       .groupBy($"token")
       .agg(
         sum(($"bucket" < 80).cast("long")).as("c_train"),
         sum(($"bucket" >= 90).cast("long")).as("c_test"))
+  }
+
+  /** DuckDB twin of [[splitTokenCounts]] (`toks` + `counts` CTE bodies). */
+  private val splitCountsCtes: String =
+    s"""toks AS (
+       |  SELECT ${Curation.splitBucketSql("doc_id")} AS bucket,
+       |         unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), counts AS (
+       |  SELECT token,
+       |         CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+       |         CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS c_test
+       |  FROM toks GROUP BY token
+       |)""".stripMargin
+
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = splitTokenCounts(spark, dir)
     val totals = counts.agg(
       sum($"c_train").as("n_train"), sum($"c_test").as("n_test"),
       count(lit(1)).as("v"))
@@ -540,16 +562,7 @@ object TextAnalysis {
   }
 
   private val q74Sql: String =
-    s"""WITH toks AS (
-       |  SELECT ${Curation.splitBucketSql("doc_id")} AS bucket,
-       |         unnest(string_split_regex(text, '\\s+')) AS token
-       |  FROM documents
-       |), counts AS (
-       |  SELECT token,
-       |         CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
-       |         CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS c_test
-       |  FROM toks GROUP BY token
-       |), tot AS (
+    s"""WITH $splitCountsCtes, tot AS (
        |  SELECT CAST(sum(c_train) AS BIGINT) AS n_train,
        |         CAST(sum(c_test) AS BIGINT) AS n_test,
        |         CAST(count(*) AS BIGINT) AS v
@@ -567,6 +580,139 @@ object TextAnalysis {
        |ORDER BY round(abs(term), 6) DESC, token ASC
        |LIMIT $DriftK""".stripMargin
 
+  // --------------------------------------------------------------- q75
+  /** A 5-gram counts as boilerplate when it appears in at least this
+    * many distinct documents. 2 = "any shared span" on the synthetic
+    * corpus (dup clusters are shallow); production raises it so only
+    * template/navigation text qualifies — the C4/CCNet line-dedup rule
+    * re-expressed for unstructured text. */
+  private val BoilerDf = 2
+
+  /** Corpus-level boilerplate detection: distinct 5-grams per document,
+    * document frequency over the corpus, and per-document coverage by
+    * grams shared with ≥ [[BoilerDf]] documents — the signal behind
+    * C4's "discard any three-sentence span seen before" and
+    * RefinedWeb's line-dedup, as a measurable per-doc fraction.
+    *
+    * Scale shape: gram construction is per-row array algebra
+    * (`array_distinct` BEFORE exploding, so per-doc dedup never
+    * shuffles); document frequency is one partial+final aggregate
+    * keyed by gram (shuffle width = distinct grams — the same width
+    * the MinHash signature pass already carries); membership flows
+    * back through a gram-keyed join of the per-doc gram table against
+    * the (much smaller) boilerplate set, which AQE broadcasts when it
+    * fits; the final per-doc counts join on doc_id. At 100 TB the
+    * gram key would be hash32(gram) with the gram as residual —
+    * exactly q65's (hash, gram) convention. */
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsG = Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .select($"doc_id",
+        when(size($"t") >= 5, array_distinct(expr(
+          "transform(sequence(0, size(t)-5), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")))
+          .otherwise(array().cast("array<string>")).as("g"))
+    val edges = docsG.select($"doc_id", explode($"g").as("gram"))
+    val boiler = edges.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .where($"df" >= BoilerDf).select($"gram")
+    val perDoc = edges.join(boiler, "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+    docsG.select($"doc_id", size($"g").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce($"n_boiler", lit(0L)))
+      .withColumn("boiler_frac",
+        when($"n_grams" > 0,
+          round($"n_boiler".cast("double") / $"n_grams", 4)).otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  private val q75Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) >= 5
+       |              THEN list_distinct(list_transform(range(len(t)-4),
+       |                     i -> array_to_string(t[i+1:i+5], ' ')))
+       |              ELSE [] END AS g
+       |  FROM t
+       |), e AS (
+       |  SELECT doc_id, unnest(g) AS gram FROM d
+       |), b AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS df FROM e GROUP BY gram)
+       |  WHERE df >= $BoilerDf
+       |), per AS (
+       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+       |  FROM e JOIN b USING(gram) GROUP BY e.doc_id
+       |)
+       |SELECT d.doc_id, CAST(len(g) AS INTEGER) AS n_grams,
+       |       COALESCE(per.n_boiler, 0) AS n_boiler,
+       |       CASE WHEN len(g) > 0
+       |            THEN round(CAST(COALESCE(per.n_boiler, 0) AS DOUBLE) / len(g), 4)
+       |            ELSE 0.0 END AS boiler_frac
+       |FROM d LEFT JOIN per USING(doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q78
+  /** Unigram-LM surprisal scoring of the held-out split: a Laplace-
+    * smoothed unigram model fit on the TRAIN split (q74's exact
+    * probabilities — same vocabulary, same train mass) scores every
+    * TEST document by mean negative log-likelihood per token — the
+    * CCNet/KenLM-style "how unlike the reference corpus is this
+    * document" quality signal, with the LM reduced to its public
+    * unigram core. Low = in-distribution, high = outlier/noise.
+    *
+    * Determinism: counts and the smoothed division are exact/bit-
+    * identical; ln is the one transcendental, and the per-doc mean
+    * averages ≤ a few hundred of them, so the 4-dp output rounding
+    * absorbs last-ulp latitude (q52/q74's pattern).
+    *
+    * Scale shape: the model is the SAME aggregate q74 builds (one
+    * corpus scan, shuffle width = vocabulary) plus a broadcast 1-row
+    * totals frame; scoring explodes only the test split (tiny by
+    * construction — q51 holds out 10%) and joins it to the model on
+    * token, which AQE broadcasts when the vocabulary fits and
+    * otherwise shuffles by token, never by document. Every test token
+    * is in the vocabulary by construction (the vocab spans the whole
+    * corpus), so the join is inner with no OOV branch. */
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = splitTokenCounts(spark, dir)
+    val totals = counts.agg(sum($"c_train").as("n_train"), count(lit(1)).as("v"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select($"token",
+        (($"c_train" + 1L).cast("double") / ($"n_train" + $"v").cast("double"))
+          .as("p_train"))
+    Tables.documents(spark, dir)
+      .where(Curation.splitBucket($"doc_id") >= 90)
+      .select($"doc_id", explode(Portable.tokens($"text")).as("token"))
+      .join(model, "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log($"p_train")), 4).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
+  private val q78Sql: String =
+    s"""WITH $splitCountsCtes, tot AS (
+       |  SELECT CAST(sum(c_train) AS BIGINT) AS n_train,
+       |         CAST(count(*) AS BIGINT) AS v
+       |  FROM counts
+       |), model AS (
+       |  SELECT token,
+       |         CAST(c_train + 1 AS DOUBLE) / CAST(n_train + v AS DOUBLE) AS p_train
+       |  FROM counts, tot
+       |), test AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |  WHERE ${Curation.splitBucketSql("doc_id")} >= 90
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       round(avg(-ln(p_train)), 4) AS avg_nll
+       |FROM test JOIN model USING(token)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
@@ -577,5 +723,7 @@ object TextAnalysis {
     Q("q62_pii_scrub", q62, Some(q62Sql)),
     Q("q69_vocab_coverage", q69, Some(q69Sql)),
     Q("q74_token_drift", q74, Some(q74Sql)),
+    Q("q75_boilerplate_ngrams", q75, Some(q75Sql)),
+    Q("q78_unigram_surprisal", q78, Some(q78Sql)),
   )
 }

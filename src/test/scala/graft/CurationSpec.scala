@@ -198,4 +198,37 @@ class CurationSpec extends SparkSpecBase {
     // the two keeper policies genuinely disagree somewhere on this corpus
     rows.map(_._6).min shouldBe 0
   }
+
+  test("q77: repaired splits are cluster-consistent; only dup members can move") {
+    val rows = SparkEntry.queries("q77_leakage_repair")(spark, sfDir)
+      .as[(Long, Long, String, String, Int)].collect()
+    // every document is assigned, exactly once
+    rows.length.toLong shouldBe
+      graft.sources.Tables.documents(spark, sfDir).count()
+    rows.map(_._1).distinct.length shouldBe rows.length
+    // THE leakage property: after repair, no cluster spans two splits
+    rows.groupBy(_._2).foreach { case (_, ms) =>
+      ms.map(_._4).toSet.size shouldBe 1
+    }
+    // the repaired split is the q51 split of the cluster label itself,
+    // and moved is exactly the disagreement indicator
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    rows.foreach { case (doc, c, s, rs, m) =>
+      rs shouldBe splitOf(c) // label = min member ⇒ its own row exists
+      m shouldBe (if (s != rs) 1 else 0)
+    }
+    // docs outside the dup graph are their own singleton cluster and
+    // keep their q51 split untouched
+    val labeled = SparkEntry.queries("q50_dup_clusters")(spark, sfDir)
+      .as[(Long, Long, Int)].collect().map(_._1).toSet
+    rows.filterNot(r => labeled(r._1)).foreach { r =>
+      r._2 shouldBe r._1
+      r._5 shouldBe 0
+    }
+    // moved count recomputed from q50 ∪ q51 directly
+    val expectMoved = rows.count { case (doc, c, _, _, _) =>
+      labeled(doc) && splitOf(doc) != splitOf(c)
+    }
+    rows.map(_._5.toLong).sum shouldBe expectMoved.toLong
+  }
 }

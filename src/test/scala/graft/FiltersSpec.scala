@@ -172,4 +172,63 @@ class FiltersSpec extends SparkSpecBase {
     rows.map(_._6).exists(_ > 0) shouldBe true
     rows.map(_._6).exists(_ < 0) shouldBe true
   }
+
+  private def r(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q75: boilerplate coverage equals a from-scratch gram recount") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q75_boilerplate_ngrams")(spark, dir)
+      .as[(Long, Int, Long, Double)].collect()
+    rows.length should be > 0
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val grams: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      id -> (if (t.length >= 5) t.sliding(5).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    rows.length shouldBe docs.length // every document is reported
+    val docFreq = grams.values.flatten // one occurrence per containing doc
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val boiler = docFreq.filter(_._2 >= 2).keySet
+    rows.foreach { case (id, nG, nB, frac) =>
+      nG shouldBe grams(id).size
+      nB shouldBe grams(id).count(boiler).toLong
+      frac shouldBe (if (nG > 0) r(nB.toDouble / nG, 4) else 0.0)
+    }
+    // the synthetic corpus plants duplicate spans — coverage is nonzero
+    rows.map(_._3).sum should be > 0L
+  }
+
+  test("q78: surprisal equals a from-scratch unigram-LM recount") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q78_unigram_surprisal")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    rows.length should be > 0
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", graft.operators.Curation.splitBucket($"doc_id").as("b"),
+        split($"text", "\\s+").as("t"))
+      .as[(Long, Long, Seq[String])].collect()
+    val train = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val vocab = collection.mutable.Set.empty[String]
+    docs.foreach { case (_, b, ts) =>
+      ts.foreach { tok =>
+        vocab += tok
+        if (b < 80) train(tok) += 1
+      }
+    }
+    val nTr = train.values.sum; val v = vocab.size.toLong
+    val expected = docs.filter(_._2 >= 90).map { case (id, _, ts) =>
+      val nll = ts.map(tok => -math.log((train(tok) + 1.0) / (nTr + v)))
+      id -> ((ts.length.toLong, r(nll.sum / nll.length, 4)))
+    }.toMap
+    rows.map(_._1).toSet shouldBe expected.keySet // exactly the test split
+    rows.foreach { case (id, n, nll) =>
+      n shouldBe expected(id)._1
+      nll shouldBe expected(id)._2
+    }
+    // in-distribution docs score near ln(vocab); all finite and positive
+    rows.foreach { case (_, _, nll) => nll should be > 0.0 }
+  }
 }

@@ -190,4 +190,38 @@ class PlanSpec extends SparkSpecBase {
     // and the pruned scan returns exactly that sensor's rows
     q.count() shouldBe fixture.filter($"sensor" === FirstSensor).count()
   }
+
+  test("q75: boilerplate mining never goes all-pairs") {
+    val p = plan("q75_boilerplate_ngrams")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("Generate") // per-doc distinct grams explode map-side
+  }
+
+  test("q76: centroid explode feeds a partial aggregate — two exchanges total") {
+    // executedPlan (not formatted explain) prints each node once, so the
+    // Exchange count is the real shuffle count
+    val p = SparkEntry.queries("q76_label_centroids")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should include("Generate") // posexplode in the scan stage
+    // one hash Exchange for the (label, pos) aggregate + the final
+    // presentation sort; the exploded rows themselves never shuffle
+    p should include("Exchange hashpartitioning(label")
+    p.sliding("Exchange ".length).count(_ == "Exchange ") shouldBe 2
+  }
+
+  test("q77: the corpus takes the cluster labels by broadcast, no corpus shuffle") {
+    val p = plan("q77_leakage_repair")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q78: the LM reuses the vocabulary exchange; no sort-merge anywhere") {
+    val df = SparkEntry.queries("q78_unigram_surprisal")(spark, sfDir)
+    df.collect() // AQE folds the totals branch onto counts' exchange
+    val fin = df.queryExecution.executedPlan.toString
+    fin should include("ReusedExchange")
+    (fin should not).include("SortMergeJoin")
+    (fin should not).include("CartesianProduct")
+  }
 }

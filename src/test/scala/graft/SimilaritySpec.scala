@@ -134,4 +134,21 @@ class SimilaritySpec extends SparkSpecBase {
     // and the prune actually prunes on this corpus
     expectedDropped should not be empty
   }
+
+  test("q76: centroids equal the per-label element-wise mean of the raw vectors") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("q76_label_centroids")(spark, sfDir)
+      .as[(Int, Int, Long, Double)].collect()
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .as[(Long, Array[Float], Int)].collect()
+    val dim = vecs.head._2.length
+    rows.length shouldBe vecs.map(_._3).distinct.length * dim
+    val byLabel = vecs.groupBy(_._3)
+    rows.foreach { case (label, pos, n, c) =>
+      val vs = byLabel(label).map(_._2(pos).toDouble)
+      n shouldBe vs.length.toLong
+      c shouldBe r4(vs.sum / vs.length)
+    }
+  }
 }
