@@ -116,16 +116,20 @@ object Curation {
   private[graft] def sourceWeightSql(expr: String): String =
     s"COALESCE(TRY_CAST(regexp_extract($expr, '(\\d+)', 1) AS BIGINT), 0) + 1"
 
+  /** Split name from a document key — q51's 80/10/10 bucketing as ONE
+    * shared expression (q51, q77, [[materializeCurated]]). */
+  private[graft] def splitName(key: Column): Column = {
+    val b = splitBucket(key)
+    when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+  }
+
   private def q51(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = splitBucket($"doc_id")
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
-        bucket.as("h_bucket"),
-        when(bucket < 80, lit("train"))
-          .when(bucket < 90, lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitBucket($"doc_id").as("h_bucket"),
+        splitName($"doc_id").as("split"))
       .orderBy($"doc_id")
   }
 
@@ -572,16 +576,12 @@ object Curation {
     * because the cluster label IS the keeper doc_id. */
   private def q77(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def splitOf(key: Column): Column = {
-      val b = splitBucket(key)
-      when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
-    }
     Tables.documents(spark, dir).select($"doc_id")
       .join(broadcast(clusterLabels(spark, dir)), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce($"lbl", $"doc_id"))
       .select($"doc_id", $"cluster_id",
-        splitOf($"doc_id").as("split"),
-        splitOf($"cluster_id").as("repaired_split"))
+        splitName($"doc_id").as("split"),
+        splitName($"cluster_id").as("repaired_split"))
       .withColumn("moved", ($"split" =!= $"repaired_split").cast("int"))
       .orderBy($"doc_id")
   }
@@ -606,6 +606,152 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q79
+  /** Per-source quality profile: exact quartiles + extrema of the q32
+    * quality score grouped by source — the "which sources are dragging
+    * the corpus down" report consulted before setting q67's mix targets
+    * or a quality-filter threshold. Reuses q32's shared expression so
+    * the profile can never drift from the score it summarizes.
+    *
+    * Determinism: quality is bit-identical per-row algebra; min/max
+    * select element values (unrounded); the interpolated percentiles
+    * do arithmetic between two elements, so they carry the 4-dp
+    * rounding (q17's convention — Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate identically).
+    *
+    * Scale shape: per-group sort-based percentile over each source's
+    * quality values — one shuffle keyed by source. At 100 TB with
+    * billions of docs per source the same report swaps to
+    * `approx_percentile` (q54's sketch), same engine surface. */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("t", graft.functions.Portable.tokens($"text"))
+      .withColumn("q", TextAnalysis.qualityExpr($"text", $"t"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile($"q", lit(0.25)), 4).as("q25"),
+        round(percentile($"q", lit(0.5)), 4).as("q50"),
+        round(percentile($"q", lit(0.75)), 4).as("q75"),
+        min($"q").as("q_min"),
+        max($"q").as("q_max"))
+      .orderBy($"source")
+  }
+
+  private val q79Sql: String =
+    s"""WITH qf AS (
+       |  SELECT doc_id, quality FROM (${TextAnalysis.qualitySql})
+       |)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       round(quantile_cont(qf.quality, 0.25), 4) AS q25,
+       |       round(quantile_cont(qf.quality, 0.5), 4) AS q50,
+       |       round(quantile_cont(qf.quality, 0.75), 4) AS q75,
+       |       min(qf.quality) AS q_min,
+       |       max(qf.quality) AS q_max
+       |FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
+  // --------------------------------------------------------------- q80
+  /** Temperature-scaled source sampling weights (the multilingual-BERT
+    * / mT5 exponent trick, α = 0.5): sampling share ∝ n_tokens^α,
+    * compared against the natural token share — `boost` > 1 means the
+    * source is upsampled relative to its size. The report a mixture
+    * designer reads next to q67's water-filling rates.
+    *
+    * Determinism: token counts are exact integers, so the natural
+    * share is ONE exact division (unrounded); α = 0.5 is computed with
+    * `sqrt` (IEEE correctly-rounded in both engines, unlike libm
+    * `pow`); the sqrt-sum is the one order-dependent total, so the
+    * sampled share and boost are rounded (6/4 dp).
+    *
+    * Scale shape: one corpus scan collapses to #sources cells
+    * (partial+final aggregate); the window totals run over those few
+    * cells only — same shape as q61/q67. */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.Portable.tokens($"text")).cast("long")).as("n_tokens"))
+      .withColumn("nat_share",
+        $"n_tokens".cast("double") / sum($"n_tokens").over(w).cast("double"))
+      .withColumn("scaled", sqrt($"n_tokens".cast("double")))
+      .withColumn("samp_raw", $"scaled" / sum($"scaled").over(w))
+      .select($"source", $"n_docs", $"n_tokens",
+        $"nat_share",
+        round($"samp_raw", 6).as("samp_share"),
+        round($"samp_raw" / $"nat_share", 4).as("boost"))
+      .orderBy($"source")
+  }
+
+  private val q80Sql: String =
+    """WITH cells AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), shares AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat_share,
+      |         sqrt(CAST(n_tokens AS DOUBLE))
+      |           / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS samp_raw
+      |  FROM cells
+      |)
+      |SELECT source, n_docs, n_tokens, nat_share,
+      |       round(samp_raw, 6) AS samp_share,
+      |       round(samp_raw / nat_share, 4) AS boost
+      |FROM shares
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ curated snapshot
+  /** The pipeline's SINK: materialize the curated corpus to parquet,
+    * composing the catalog's own stages — quality-aware keeper per
+    * duplicate cluster (q73's policy over q50's components), PII scrub
+    * (q62's shared redaction chain), and leakage-repaired split
+    * assignment (q77: the whole cluster lands in its label's split) —
+    * written `partitionBy("split")` so a dataloader reads its split by
+    * partition pruning alone. Returns per-split accounting (docs,
+    * chars) read back from the written files, not from the plan.
+    *
+    * Deterministic end to end: keeper choice, scrub, and split are all
+    * pure functions of (doc_id, text, edge set) — re-running overwrites
+    * with bit-identical content (PipelineSpec asserts the re-run
+    * equality). Scale shape: the cluster slice (docs incident to a dup
+    * edge) is ≪ corpus, so keeper selection windows over that slice
+    * only and rejoins by broadcast; the corpus itself is scanned once,
+    * map-side scrubbed, and written with NO shuffle at all — the writer
+    * partitions by split value within each task. */
+  def materializeCurated(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    import spark.implicits._
+    val members = clusterLabels(spark, dir) // (doc_id, lbl), dup-incident docs only
+    val docs = Tables.documents(spark, dir)
+    // quality argmax within each cluster, computed on the member slice
+    val memberQuality = docs.join(broadcast(members), Seq("doc_id"))
+      .withColumn("t", graft.functions.Portable.tokens($"text"))
+      .select($"doc_id", $"lbl".as("cluster_id"),
+        TextAnalysis.qualityExpr($"text", $"t").as("q"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"q".desc, $"doc_id".asc)
+    val canon = memberQuality.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"cluster_id", $"doc_id".as("keeper"))
+    val redacted = TextAnalysis.piiColumns($"text").last // the "redacted" column
+    docs
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"lbl", $"doc_id"))
+      .join(broadcast(canon), Seq("cluster_id"), "left")
+      .withColumn("keeper", coalesce($"keeper", $"doc_id"))
+      .filter($"doc_id" === $"keeper")
+      .select($"doc_id", $"cluster_id", $"source", $"lang",
+        redacted.as("text"), splitName($"cluster_id").as("split"))
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum(length($"text")).as("n_chars"))
+      .orderBy($"split")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
@@ -617,5 +763,7 @@ object Curation {
     Q("q67_mix_rebalance", q67, Some(q67Sql)),
     Q("q73_cluster_canonical", q73, Some(q73Sql)),
     Q("q77_leakage_repair", q77, Some(q77Sql)),
+    Q("q79_source_quality", q79, Some(q79Sql)),
+    Q("q80_temperature_mix", q80, Some(q80Sql)),
   )
 }

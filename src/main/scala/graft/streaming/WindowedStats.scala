@@ -31,4 +31,26 @@ object WindowedStats {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("sensor"), col("n"), col("avg_v"), col("std_v"))
+
+  /** Gap-based session windows per key — the streaming twin of the q44
+    * batch sessionizer, on Spark's native `session_window` (dynamic
+    * merging windows: a session closes only when no event lands within
+    * `gap` of its end). The watermark finalizes closed sessions and
+    * evicts their state, so state is bounded by keys with an OPEN
+    * session inside the lateness horizon — at 100 TB the state store
+    * holds active sessions only, never history. */
+  def sessions(
+      entries: DataFrame, // streaming (sensor, ts, value, ...)
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    entries
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("sensor"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_v"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("sensor"), col("n_events"), col("sum_v"))
 }

@@ -59,4 +59,43 @@ class PipelineSpec extends SparkSpecBase {
       r.getAs[Double]("fast_anomaly") shouldBe expected +- 1e-9
     }
   }
+
+  test("curated snapshot: keeper-only, scrubbed, leakage-repaired, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val acct = graft.operators.Curation.materializeCurated(spark, dir, out)
+      .as[(String, Long, Long)].collect()
+    acct.map(_._1).toSeq shouldBe acct.map(_._1).distinct.toSeq // one row per split
+    val written = spark.read.parquet(out)
+      .select($"doc_id", $"split", $"text").as[(Long, String, String)].collect()
+    acct.map(_._2).sum shouldBe written.length.toLong
+
+    // exactly the q73 canonical keepers plus every untouched singleton
+    val canonical = SparkEntry.queries("q73_cluster_canonical")(spark, dir)
+      .select($"canonical_doc").as[Long].collect().toSet
+    val clustered = SparkEntry.queries("q50_dup_clusters")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val allDocs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    written.map(_._1).toSet shouldBe ((allDocs -- clustered) ++ canonical)
+    written.length should be < allDocs.size // the dedup actually dropped copies
+
+    // every kept doc landed in its q77 repaired split, and the writer
+    // laid the corpus out as split=... partitions
+    val repaired = SparkEntry.queries("q77_leakage_repair")(spark, dir)
+      .select($"doc_id", $"repaired_split").as[(Long, String)].collect().toMap
+    written.foreach { case (id, s, _) => s shouldBe repaired(id) }
+    new java.io.File(out).list().filter(_.startsWith("split=")).sorted.toSeq shouldBe
+      written.map("split=" + _._2).distinct.sorted.toSeq
+
+    // the scrub left none of the four PII shapes behind
+    val pii = Seq("[A-Za-z0-9._%+-]+@", "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+    pii.foreach(p => written.count(_._3.matches(s".*$p.*")) shouldBe 0)
+
+    // re-materializing overwrites with identical content
+    graft.operators.Curation.materializeCurated(spark, dir, out).collect()
+    spark.read.parquet(out).select($"doc_id", $"split", $"text")
+      .as[(Long, String, String)].collect().toSet shouldBe written.toSet
+  }
 }

@@ -240,6 +240,35 @@ class StreamingSpec extends SparkSpecBase {
     rows.map(_._1) should contain(ts(360))
   }
 
+  test("session windows merge within the gap, split across it, drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Entry]
+    val sessions = graft.streaming.WindowedStats.sessions(
+      source.toDF(), gap = "30 seconds", lateness = "10 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // 10 and 25 are within one 30 s gap → ONE merged session [10, 55)
+    source.addData(Entry("a", ts(10), 1.0, 0), Entry("a", ts(25), 2.0, 0))
+    q.processAllAvailable()
+    // 500 starts a new session and advances the watermark past the first
+    source.addData(Entry("a", ts(500), 4.0, 0))
+    q.processAllAvailable()
+    // a late row inside the finalized first session must be dropped
+    source.addData(Entry("a", ts(30), 999.0, 0))
+    q.processAllAvailable()
+    source.addData(Entry("a", ts(900), 8.0, 0)) // flush: finalize [500, 530)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select($"session_start", $"session_end", $"n_events", $"sum_v")
+      .as[(Timestamp, Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    rows.length shouldBe 2
+    rows(0) shouldBe ((ts(10), ts(55), 2L, 3.0)) // merged; 999.0 never landed
+    rows(1) shouldBe ((ts(500), ts(530), 1L, 4.0))
+  }
+
   test("streaming fast scores match the batch column pipeline on the same data") {
     implicit val sqlCtx = spark.sqlContext
     SnapshotStore.clear()
