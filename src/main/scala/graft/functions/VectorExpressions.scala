@@ -126,5 +126,31 @@ object GraftFunctions {
         case exprs => throw new IllegalArgumentException(
           s"graft_record_stamp(baseMicros) takes exactly 1 argument, got ${exprs.length}")
       }, "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bloom_build", {
+        case Seq(child, est, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(child, est, bits)
+        case exprs => throw new IllegalArgumentException(
+          s"graft_bloom_build(xxhash64Col, estItems, numBits) takes 3 arguments, got ${exprs.length}")
+      }, "built-in")
   }
+
+  /** Register `name(xxhash64Col)` as a might-contain probe against a
+    * CONCRETE serialized Bloom filter (Catalyst's own
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+    * the runtime-filter expression — codegen'd, no UDF). The filter
+    * bytes are embedded as a foldable binary literal, which is exactly
+    * what `BloomFilterMightContain` requires of its filter side. */
+  def registerBloomProbe(spark: SparkSession, name: String, filter: Array[Byte]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, {
+        case Seq(value) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              filter, org.apache.spark.sql.types.BinaryType),
+            value)
+        case exprs => throw new IllegalArgumentException(
+          s"$name(xxhash64Col) takes exactly 1 argument, got ${exprs.length}")
+      }, "built-in")
 }

@@ -672,6 +672,63 @@ object Dedup {
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------- bloom decontam
+  /** q65's 100 TB prefilter made concrete: build a Bloom filter over
+    * the TRAIN grams with Catalyst's own sketch aggregate
+    * (`BloomFilterAggregate` over `xxhash64(gram)` — the expression
+    * behind Spark's runtime row-level filters; partial buffers are
+    * fixed-size bit arrays that merge associatively, so the shuffle
+    * carries filter-size × #partials bytes, never the gram set), then
+    * prefilter TEST grams through `BloomFilterMightContain` with the
+    * serialized filter embedded as a foldable binary literal
+    * (codegen'd, no UDF), and run q65's exact gram join on the
+    * might-contain SURVIVORS only.
+    *
+    * Bloom filters have NO false negatives, so the output row set is
+    * exactly q65's: the fpp knob only sizes the surviving candidate
+    * volume (the exact join prunes the false positives). At 100 TB
+    * the filter is built once per train snapshot (or per appended
+    * shard, OR-merged — the buffers are mergeable), broadcast with
+    * the plan, and the gram index is never shuffled against the test
+    * split at all; a 1e9-gram filter at 3% fpp is ~0.9 GB — scan-side
+    * prefiltering at memory cost independent of corpus size.
+    * DecontamSpec asserts exact equality with q65 at two fpp
+    * calibrations. */
+  def bloomDecontamination(spark: SparkSession, dir: String,
+      fpp: Double = 0.03): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val tg = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") >= 90), DecontamN)
+    val rg = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") < 80), DecontamN)
+    // sizing scan (train-gram count); at scale this is a stats lookup
+    val nTrainGrams = math.max(rg.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-nTrainGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bytes = rg
+      .select(expr(s"graft_bloom_build(xxhash64(g), ${nTrainGrams}L, ${numBits}L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    graft.functions.GraftFunctions.registerBloomProbe(spark, "graft_bloom_probe", bytes)
+    val surviving = tg.filter(expr("graft_bloom_probe(xxhash64(g))"))
+    // q65's exact verification, fed by the survivors only; totals still
+    // enumerate the whole test split (clean docs appear with 0 hits)
+    val hits = surviving.as("a").join(rg.as("b"), $"a.g" === $"b.g")
+      .groupBy($"a.doc_id")
+      .agg(
+        countDistinct($"a.g").as("n_hit"),
+        countDistinct($"b.doc_id").as("n_train_docs"))
+    tg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id",
+        $"n_grams",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
+        (coalesce($"n_hit", lit(0L)).cast("double") / $"n_grams").as("hit_frac"),
+        (coalesce($"n_hit", lit(0L)) > 0).cast("int").as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),

@@ -108,4 +108,24 @@ class ScrubSpec extends SparkSpecBase {
       flag shouldBe (if (nHit > 0) 1 else 0)
     }
   }
+
+  test("bloom-prefiltered decontamination equals q65 exactly (no false negatives)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q65_exact_decontamination")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSet
+    exact.exists(_._6 == 1) shouldBe true // the corpus does leak
+    // tight and deliberately sloppy calibrations: Bloom false positives
+    // only add exact-verify work, never change the output
+    for (fpp <- Seq(0.03, 0.5)) {
+      val pre = graft.operators.Dedup.bloomDecontamination(spark, dir, fpp)
+        .as[(Long, Long, Long, Long, Double, Int)].collect().toSet
+      pre shouldBe exact
+    }
+    // the probe is Catalyst's native might_contain over a foldable
+    // literal — no UDF in the surviving-grams plan
+    val plan = graft.operators.Dedup.bloomDecontamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("might_contain")
+    (plan should not).include("UDF")
+  }
 }
