@@ -614,6 +614,59 @@ object Similarity {
        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q81
+  /** Hybrid filtered vector search — the RAG-retrieval query shape:
+    * restrict the corpus by a METADATA predicate first (documents.lang
+    * = 'en', pushed to the documents parquet scan), then exact cosine
+    * top-5 per query over the SURVIVING vectors only. Predicate-first
+    * ordering is the point: filtered search must prune before distance
+    * math — post-filtering a top-k result under-returns whenever the
+    * predicate is selective (the classic filtered-ANN bug).
+    *
+    * Scale shape: the eligible-id set reaches the vector table as a
+    * semi-join on vec_id (broadcast under AQE when the filter is
+    * selective; never a vector shuffle), queries broadcast as in q29,
+    * ranking is a per-query window over candidates only. At
+    * production scale the same predicate composes with the IVF path
+    * (q41) by filtering inside probed cells — the plan shape is
+    * identical, candidates just come from the inverted lists. */
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val eligible = Tables.documents(spark, dir)
+      .filter($"lang" === "en")
+      .select($"doc_id".as("vec_id"))
+    val cand = e.join(eligible, Seq("vec_id"), "left_semi")
+    val queries = e.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    cand.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(cos, 4).as("cosine"), $"rn")
+      .orderBy($"query_id", $"rn")
+  }
+
+  private val q81Sql: String =
+    s"""WITH $normsCte, cand AS (
+       |  SELECT n.* FROM norms n
+       |  JOIN (SELECT doc_id FROM documents WHERE lang = 'en') d
+       |    ON n.vec_id = d.doc_id
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cos
+       |  FROM norms q JOIN cand c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
+       |      FROM scored) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
   // --------------------------------------------------------------- q76
   /** Per-label centroid vectors (nearest-class-mean prototypes): the
     * element-wise mean of each label's embeddings, emitted as one row
@@ -663,5 +716,6 @@ object Similarity {
     Q("q68_cluster_balance", q68, Some(q68Sql)),
     Q("q72_semantic_prune", q72, Some(q72Sql)),
     Q("q76_label_centroids", q76, Some(q76Sql)),
+    Q("q81_filtered_knn", q81, Some(q81Sql)),
   )
 }

@@ -216,6 +216,14 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q81: the metadata predicate is pushed to the documents scan") {
+    val p = plan("q81_filtered_knn")
+    // predicate-first filtered search: the lang filter reaches parquet,
+    // and the eligible ids reach the vector table without a shuffle
+    p should include("EqualTo(lang,en)")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q78: the LM reuses the vocabulary exchange; no sort-merge anywhere") {
     val df = SparkEntry.queries("q78_unigram_surprisal")(spark, sfDir)
     df.collect() // AQE folds the totals branch onto counts' exchange

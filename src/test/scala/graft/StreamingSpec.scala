@@ -269,6 +269,31 @@ class StreamingSpec extends SparkSpecBase {
     rows(1) shouldBe ((ts(500), ts(530), 1L, 4.0))
   }
 
+  test("stream-stream join labels readings with commands inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val rs = MemoryStream[Entry]; val cs = MemoryStream[Entry]
+    val joined = graft.streaming.StreamJoin.enrich(rs.toDF(), cs.toDF(),
+      horizon = "1 minute", lateness = "10 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    cs.addData(Entry("a", ts(40), 0.0, 1), Entry("a", ts(300), 0.0, 0),
+      Entry("b", ts(40), 0.0, 1))
+    rs.addData(
+      Entry("a", ts(70), 1.5, 0), // cmd@40 is 30 s before → inside horizon
+      Entry("a", ts(320), 2.5, 0), // joins cmd@300 only (cmd@40 is 280 s old)
+      Entry("b", ts(150), 3.5, 0)) // b's cmd@40 is 110 s old → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out")
+      .select($"sensor", $"ts", $"value", $"cmd_ts", $"cmd_anomaly")
+      .as[(String, Timestamp, Double, Timestamp, Int)].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    rows.length shouldBe 2
+    rows(0) shouldBe (("a", ts(70), 1.5, ts(40), 1))
+    rows(1) shouldBe (("a", ts(320), 2.5, ts(300), 0))
+  }
+
   test("streaming fast scores match the batch column pipeline on the same data") {
     implicit val sqlCtx = spark.sqlContext
     SnapshotStore.clear()
