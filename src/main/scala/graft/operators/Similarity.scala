@@ -707,6 +707,71 @@ object Similarity {
       |FROM x GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  // --------------------------------------------------------------- q82
+  /** Cluster topic cards: the top-3 tokens of the documents landing in
+    * each IVF cell — the "what is this cluster about" label a corpus
+    * map (Atlas-style) or an ANN-index review reads next to q68's
+    * balance report. Composes the engine's two modalities: cell
+    * assignment is q41/q68's scan-speed projection on the EMBEDDING,
+    * the label is token algebra on the TEXT joined by id.
+    *
+    * Scale shape: assignment is map-side; the documents↔cells join is
+    * an equi-join on the shared id (bucketed/co-partitioned layouts
+    * make it zero-shuffle; AQE broadcasts the smaller side here); the
+    * token count is one partial+final aggregate keyed (cell, token) —
+    * shuffle width = cells × vocabulary, not corpus — and the top-3 is
+    * a per-cell window over those counts. */
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
+    val arr = array(scores: _*)
+    val cells = e
+      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .select($"vec_id", $"cluster")
+    val toks = Tables.documents(spark, dir)
+      .join(cells, $"doc_id" === $"vec_id")
+      .select($"cluster", explode(graft.functions.Portable.tokens($"text")).as("token"))
+    val nDocs = cells.groupBy($"cluster").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"cluster").orderBy($"cnt".desc, $"token".asc)
+    toks.groupBy($"cluster", $"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .join(broadcast(nDocs), Seq("cluster"))
+      .select($"cluster", $"n_docs", $"rank", $"token", $"cnt")
+      .orderBy($"cluster", $"rank")
+  }
+
+  private val q82Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), nd AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs FROM assign GROUP BY cluster
+       |), toks AS (
+       |  SELECT a.cluster, unnest(string_split_regex(d.text, '\\s+')) AS token
+       |  FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+       |), counts AS (
+       |  SELECT cluster, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY cluster, token
+       |)
+       |SELECT c.cluster, nd.n_docs, CAST(c.rank AS INTEGER) AS rank, c.token, c.cnt
+       |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+       |                                   ORDER BY cnt DESC, token ASC) AS rank
+       |      FROM counts) c
+       |JOIN nd ON c.cluster = nd.cluster
+       |WHERE c.rank <= 3
+       |ORDER BY c.cluster, c.rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
@@ -717,5 +782,6 @@ object Similarity {
     Q("q72_semantic_prune", q72, Some(q72Sql)),
     Q("q76_label_centroids", q76, Some(q76Sql)),
     Q("q81_filtered_knn", q81, Some(q81Sql)),
+    Q("q82_cell_topics", q82, Some(q82Sql)),
   )
 }
