@@ -224,6 +224,21 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q79/q80: source reports collapse map-side before any exchange") {
+    // both scan the corpus once into #sources cells via partial+final
+    // aggregation; window algebra then touches those few cells only
+    plan("q79_source_quality") should include("partial_percentile")
+    val p80 = plan("q80_temperature_mix")
+    p80 should include("partial_sum")
+    (p80 should not).include("CartesianProduct")
+  }
+
+  test("q82: topic cards never go all-pairs and combine map-side") {
+    val p = plan("q82_cell_topics")
+    (p should not).include("CartesianProduct")
+    p should include("partial_count") // (cell, token) counts pre-shuffle
+  }
+
   test("q78: the LM reuses the vocabulary exchange; no sort-merge anywhere") {
     val df = SparkEntry.queries("q78_unigram_surprisal")(spark, sfDir)
     df.collect() // AQE folds the totals branch onto counts' exchange
