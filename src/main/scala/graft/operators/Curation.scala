@@ -706,6 +706,68 @@ object Curation {
       |FROM shares
       |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q87
+  /** Data-constrained repeat-epoch plan: given a training token budget
+    * of 2× the corpus (the data-constrained regime) and q80's
+    * temperature-scaled target shares, how many EPOCHS of each source
+    * to schedule — `epochs = min(4, budget·share / tokens)`, the
+    * "repeat small high-value sources up to ~4 times, cap before
+    * returns collapse" recipe from the data-constrained-scaling
+    * literature. Emits per source: inventory, target share, planned
+    * epochs, planned token draw, and whether the source is repeated.
+    *
+    * Scale shape: identical to q80 — ONE pruned scan contracted to
+    * #sources rows, window totals over those few cells, everything
+    * after the aggregate is per-cell algebra. Budget is derived from
+    * the exact integer token total (no double drift); `epochs` is
+    * rounded to 6 dp before the planned-token product so both engines
+    * multiply identical doubles. */
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.Portable.tokens($"text")).cast("long")).as("n_tokens"))
+      .withColumn("budget_tokens", lit(2L) * sum($"n_tokens").over(w))
+      .withColumn("scaled", sqrt($"n_tokens".cast("double")))
+      .withColumn("samp_raw", $"scaled" / sum($"scaled").over(w))
+      .withColumn("epochs",
+        round(least(lit(4.0),
+          $"budget_tokens".cast("double") * $"samp_raw" / $"n_tokens".cast("double")), 6))
+      .select($"source", $"n_docs", $"n_tokens", $"budget_tokens",
+        round($"samp_raw", 6).as("samp_share"),
+        $"epochs",
+        round($"epochs" * $"n_tokens".cast("double"), 2).as("planned_tokens"),
+        ($"epochs" > 1.0).cast("int").as("repeated"))
+      .orderBy($"source")
+  }
+
+  private val q87Sql: String =
+    """WITH cells AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), plan AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         2 * sum(n_tokens) OVER () AS budget_tokens,
+      |         sqrt(CAST(n_tokens AS DOUBLE))
+      |           / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS samp_raw
+      |  FROM cells
+      |), ep AS (
+      |  SELECT *,
+      |         round(least(4.0, CAST(budget_tokens AS DOUBLE) * samp_raw
+      |                            / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+      |  FROM plan
+      |)
+      |SELECT source, n_docs, n_tokens, CAST(budget_tokens AS BIGINT) AS budget_tokens,
+      |       round(samp_raw, 6) AS samp_share, epochs,
+      |       round(epochs * CAST(n_tokens AS DOUBLE), 2) AS planned_tokens,
+      |       CAST(epochs > 1.0 AS INTEGER) AS repeated
+      |FROM ep
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------------------ curated snapshot
   /** The pipeline's SINK: materialize the curated corpus to parquet,
     * composing the catalog's own stages — quality-aware keeper per
@@ -765,5 +827,6 @@ object Curation {
     Q("q77_leakage_repair", q77, Some(q77Sql)),
     Q("q79_source_quality", q79, Some(q79Sql)),
     Q("q80_temperature_mix", q80, Some(q80Sql)),
+    Q("q87_repeat_plan", q87, Some(q87Sql)),
   )
 }

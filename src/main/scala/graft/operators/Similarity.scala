@@ -772,6 +772,148 @@ object Similarity {
        |WHERE c.rank <= 3
        |ORDER BY c.cluster, c.rank""".stripMargin
 
+  // --------------------------------------------------------------- q83
+  /** Scalar-quantized kNN (SQ8 + asymmetric rerank): each corpus vector
+    * is compressed to 64 int8 codes with a per-vector (min, span)
+    * dequantization affine — 4× less index memory and bandwidth than
+    * f32, the standard first rung of the FAISS compression ladder —
+    * queries stay full-precision and score against DEQUANTIZED
+    * candidates (asymmetric distance computation), a top-20 shortlist
+    * per query is then re-ranked with the exact f32 vectors to a final
+    * top-5.
+    *
+    * Scale shape: the quantized index is the persisted artifact (one
+    * scan-speed map, memoized like the norms table); the shortlist pass
+    * streams the SMALL index (broadcast queries, no shuffle), and the
+    * exact pass touches only 20 rows per query — at 100 TB the rerank
+    * reads full vectors for a vanishing fraction of the corpus, which
+    * is the entire point of quantize-then-rerank.
+    *
+    * Determinism: codes are `floor(x·255/span + 0.5)` — floor of a
+    * double, bit-identical on both engines (no round-half mode in
+    * play); both rankings order on rounded values with vec_id
+    * tiebreaks. `span = 0` (constant vector) quantizes to code 0 via a
+    * guarded divisor. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:sq8") {
+      import spark.implicits._
+      embNorm(spark, dir)
+        .withColumn("vmin", array_min($"v"))
+        .withColumn("span", array_max($"v") - $"vmin")
+        .withColumn("span1", when($"span" === 0.0, 1.0).otherwise($"span"))
+        .withColumn("code",
+          transform($"v", x => floor((x - $"vmin") * 255.0 / $"span1" + 0.5).cast("int")))
+        .withColumn("r", transform($"code", c => $"vmin" + c * $"span" / 255.0))
+        .withColumn("rnrm", sqrt(aggregate($"r", lit(0.0), (acc, y) => acc + y * y)))
+        .select($"vec_id", $"label", $"r", $"rnrm")
+    }
+
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val sq = quantized(spark, dir)
+    val queries = e.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val approx = dot("qv", "r") / ($"qnrm" * $"rnrm")
+    val wa = Window.partitionBy($"query_id").orderBy(round(approx, 6).desc, $"vec_id".asc)
+    val shortlist = sq.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("approx_cosine", round(approx, 4))
+      .withColumn("ra", row_number().over(wa))
+      .filter($"ra" <= 20)
+      .select($"query_id", $"qv", $"qnrm", $"vec_id", $"approx_cosine")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val we = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    shortlist.join(e.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(we))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_cosine",
+        round(cos, 4).as("cosine"), $"rn")
+      .orderBy($"query_id", $"rn")
+  }
+
+  private val q83Sql: String =
+    s"""WITH $normsCte, base AS (
+       |  SELECT vec_id, label, embedding, nrm,
+       |         list_min([CAST(x AS DOUBLE) for x in embedding]) AS vmin,
+       |         list_max([CAST(x AS DOUBLE) for x in embedding])
+       |           - list_min([CAST(x AS DOUBLE) for x in embedding]) AS span
+       |  FROM norms
+       |), quant AS (
+       |  SELECT vec_id, label,
+       |         [vmin + floor((CAST(x AS DOUBLE) - vmin) * 255.0
+       |                       / (CASE WHEN span = 0 THEN 1.0 ELSE span END) + 0.5)
+       |            * span / 255.0 for x in embedding] AS r
+       |  FROM base
+       |), rq AS (
+       |  SELECT vec_id, label, r,
+       |         sqrt(list_sum([y * y for y in r])) AS rnrm
+       |  FROM quant
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id, q.embedding AS qe, q.nrm AS qnrm,
+       |         list_sum([CAST(q.embedding[i] AS DOUBLE) * c.r[i]
+       |                   for i in generate_series(1, $Dim)]) / (q.nrm * c.rnrm) AS approx
+       |  FROM norms q JOIN rq c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |), shortlist AS (
+       |  SELECT query_id, vec_id, qe, qnrm, round(approx, 4) AS approx_cosine
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY round(approx, 6) DESC, vec_id ASC) AS ra
+       |        FROM scored) t
+       |  WHERE ra <= 20
+       |), exact AS (
+       |  SELECT s.query_id, s.vec_id, s.approx_cosine,
+       |         list_sum([CAST(s.qe[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, $Dim)]) / (s.qnrm * n.nrm) AS cos
+       |  FROM shortlist s JOIN norms n ON n.vec_id = s.vec_id
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, approx_cosine,
+       |       round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, vec_id ASC) AS rn
+       |      FROM exact) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
+  // --------------------------------------------------------------- q86
+  /** Hard-negative mining: for each query vector, the top-5 most
+    * cosine-similar vectors with a DIFFERENT label — the contrastive-
+    * training counterpart of q29 (a retrieval/embedding fine-tune mines
+    * exactly these "close but wrong" rows as negatives). Same broadcast
+    * Q×scan shape as q29; the label predicate rides the scan, so the
+    * mining pass is one read of the corpus with no shuffle beyond the
+    * per-query top-k window. */
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val queries = e.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"label".as("query_label"))
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    e.join(broadcast(queries), $"label" =!= $"query_label")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"query_label", $"vec_id".as("neighbor_id"),
+        $"label".as("neighbor_label"), round(cos, 4).as("cosine"), $"rn")
+      .orderBy($"query_id", $"rn")
+  }
+
+  private val q86Sql: String =
+    s"""WITH $normsCte, scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |         ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cos
+       |  FROM norms q JOIN norms c ON c.label <> q.label
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |       round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
+       |      FROM scored) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
@@ -783,5 +925,7 @@ object Similarity {
     Q("q76_label_centroids", q76, Some(q76Sql)),
     Q("q81_filtered_knn", q81, Some(q81Sql)),
     Q("q82_cell_topics", q82, Some(q82Sql)),
+    Q("q83_quantized_knn", q83, Some(q83Sql)),
+    Q("q86_hard_negatives", q86, Some(q86Sql)),
   )
 }

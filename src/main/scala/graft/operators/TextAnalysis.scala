@@ -713,6 +713,147 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q84
+  /** BM25 keyword search: rank documents for a fixed bag of query terms
+    * with the classic Okapi BM25 score
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln((N−df+0.5)/(df+0.5) + 1)` — the lexical-retrieval
+    * baseline every hybrid (BM25 + vector) stack needs next to
+    * q29/q83's dense path.
+    *
+    * Scale shape: per-document term frequencies are per-row HOF algebra
+    * on the scan (no explode, no vocabulary shuffle — only the query's
+    * own terms are counted); corpus statistics (N, Σdl, per-term df)
+    * collapse to ONE row broadcast back; the final top-10 is a
+    * TakeOrdered, never a global sort. Statistics use exact integer
+    * sums (`sum(dl)`, conditional counts), so `avgdl`/`idf` are
+    * bit-identical on both engines — no averaged-double drift. */
+  private val BmTerms = Seq("spark", "join", "window")
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .select(
+        $"doc_id" +: size($"t").as("dl") +:
+          BmTerms.map(term => size(filter($"t", x => x === lit(term))).as(s"tf_$term")): _*)
+    val dfAggs = BmTerms.map(term =>
+      sum((col(s"tf_$term") > 0).cast("long")).as(s"df_$term"))
+    val st = per.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("sum_dl") +: dfAggs: _*)
+    val avgdl = $"sum_dl".cast("double") / $"n_docs"
+    val score = BmTerms.map { term =>
+      val tf = col(s"tf_$term").cast("double")
+      val df = col(s"df_$term").cast("double")
+      val idf = log(($"n_docs" - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (BmK1 + 1.0)) / (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * ($"dl" / avgdl)))
+    }.reduce(_ + _)
+    val top = per.crossJoin(broadcast(st))
+      .withColumn("score6", round(score, 6))
+      .orderBy($"score6".desc, $"doc_id".asc)
+      .limit(10)
+    // rn is computed AFTER the TakeOrdered top-10, so the window runs
+    // over 10 rows, not the corpus
+    val w = Window.orderBy($"score6".desc, $"doc_id".asc)
+    val outCols = Seq($"doc_id", $"dl") ++ BmTerms.map(t => col(s"tf_$t")) ++
+      Seq(round($"score6", 4).as("score"), $"rn")
+    top.withColumn("rn", row_number().over(w))
+      .select(outCols: _*)
+      .orderBy($"rn")
+  }
+
+  private val q84Sql: String = {
+    val tfCols = BmTerms.map(t =>
+      s"CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x = '$t')) AS INTEGER) AS tf_$t")
+      .mkString(",\n       |         ")
+    val dfCols = BmTerms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n       |         ")
+    val scoreTerms = BmTerms.map { t =>
+      s"""ln((n_docs - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+       |           * (CAST(tf_$t AS DOUBLE) * ${BmK1 + 1.0}) / (CAST(tf_$t AS DOUBLE)
+       |              + $BmK1 * (1.0 - $BmB + $BmB * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+    }.mkString("\n       |         + ")
+    s"""WITH per AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS dl,
+       |         $tfCols
+       |  FROM documents
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |         $dfCols
+       |  FROM per
+       |), scored AS (
+       |  SELECT p.doc_id, p.dl, ${BmTerms.map(t => s"p.tf_$t").mkString(", ")},
+       |         round($scoreTerms, 6) AS score6
+       |  FROM per p CROSS JOIN st
+       |)
+       |SELECT doc_id, dl, ${BmTerms.map(t => s"tf_$t").mkString(", ")},
+       |       round(score6, 4) AS score, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rn
+       |      FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY rn""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q85
+  /** BPE first-merge pair statistics: the frequency of every adjacent
+    * character pair inside corpus tokens, weighted by token occurrence
+    * count — exactly the count a byte-pair-encoding tokenizer trainer
+    * computes to pick its next merge (Sennrich et al.'s algorithm, step
+    * 1). Emits the top-20 pairs with occurrence-weighted totals and the
+    * number of distinct word types containing each pair.
+    *
+    * Scale shape: the corpus collapses to the WORD-FREQUENCY table
+    * first (one token-keyed aggregate — shuffle width = vocabulary,
+    * the same contraction a real BPE trainer starts from), pair
+    * generation then explodes word TYPES (vocabulary-sized, corpus-
+    * independent), and the final aggregate is keyed by pair (≤ |Σ|²).
+    * Nothing downstream of the first aggregate scales with corpus
+    * size. */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(Portable.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .filter(length($"w") >= 2)
+    val pairs = words
+      .select($"w", $"c",
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+    val top = pairs.groupBy($"pair")
+      .agg(count_distinct($"w").as("n_types"), sum($"c").as("total"))
+      .orderBy($"total".desc, $"pair".asc)
+      .limit(20)
+    val w = Window.orderBy($"total".desc, $"pair".asc)
+    top.withColumn("rn", row_number().over(w))
+      .select($"pair", $"n_types", $"total", $"rn")
+      .orderBy($"rn")
+  }
+
+  private val q85Sql: String =
+    """WITH occ AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+      |), words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY w
+      |), pr AS (
+      |  SELECT w, c,
+      |         unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+      |  FROM words WHERE length(w) >= 2
+      |), agg AS (
+      |  SELECT pair, CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+      |         CAST(sum(c) AS BIGINT) AS total
+      |  FROM pr GROUP BY pair
+      |)
+      |SELECT pair, n_types, total, CAST(rn AS INTEGER) AS rn
+      |FROM (SELECT *, row_number() OVER (ORDER BY total DESC, pair ASC) AS rn
+      |      FROM agg) t
+      |WHERE rn <= 20
+      |ORDER BY rn""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
@@ -725,5 +866,7 @@ object TextAnalysis {
     Q("q74_token_drift", q74, Some(q74Sql)),
     Q("q75_boilerplate_ngrams", q75, Some(q75Sql)),
     Q("q78_unigram_surprisal", q78, Some(q78Sql)),
+    Q("q84_bm25_search", q84, Some(q84Sql)),
+    Q("q85_bpe_pairs", q85, Some(q85Sql)),
   )
 }

@@ -231,4 +231,24 @@ class CurationSpec extends SparkSpecBase {
     }
     rows.map(_._5.toLong).sum shouldBe expectMoved.toLong
   }
+
+  test("q87: epochs cap at 4, draws respect inventory, and the plan fills the budget") {
+    val rows = SparkEntry.queries("q87_repeat_plan")(spark, sfDir).collect()
+    rows.length should be > 1
+    val budget = rows.head.getAs[Long]("budget_tokens")
+    rows.foreach { r =>
+      val e = r.getAs[Double]("epochs")
+      e should be > 0.0
+      e should be <= 4.0
+      (r.getAs[Int]("repeated") == 1) shouldBe (e > 1.0)
+      // a source never draws more than its 4-epoch ceiling
+      r.getAs[Double]("planned_tokens") should be <=
+        4.0 * r.getAs[Long]("n_tokens") + 1e-6
+    }
+    // Σ planned ≤ budget (capped sources under-draw, uncapped draw
+    // exactly budget·share), and the plan consumes most of the budget
+    val planned = rows.map(_.getAs[Double]("planned_tokens")).sum
+    planned should be <= budget.toDouble * (1 + 1e-9)
+    planned should be >= budget * 0.5
+  }
 }

@@ -231,4 +231,55 @@ class FiltersSpec extends SparkSpecBase {
     // in-distribution docs score near ln(vocab); all finite and positive
     rows.foreach { case (_, _, nll) => nll should be > 0.0 }
   }
+
+  test("q84: BM25 ranking equals a from-scratch Okapi recount") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val terms = Seq("spark", "join", "window")
+    val toks = docs.map { case (id, t) => (id, t.split("\\s+").toSeq) }
+    val n = toks.length
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val tf = toks.map { case (id, ts) => id -> terms.map(w => ts.count(_ == w)) }.toMap
+    val df = terms.indices.map(i => tf.values.count(_(i) > 0))
+    val k1 = 1.2; val b = 0.75
+    val expected = toks.map { case (id, ts) =>
+      val s = terms.indices.map { i =>
+        val f = tf(id)(i).toDouble
+        val idf = math.log((n - df(i).toDouble + 0.5) / (df(i) + 0.5) + 1.0)
+        idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * (ts.length / avgdl)))
+      }.sum
+      (id, s)
+    }.sortBy { case (id, s) => (-r(s, 6), id) }.take(10) // rank at 6dp, like the engine
+      .map { case (id, s) => (id, r(r(s, 6), 4)) }
+    val got = SparkEntry.queries("q84_bm25_search")(spark, dir)
+      .orderBy($"rn").select($"doc_id", $"score").as[(Long, Double)].collect()
+    got.map(_._1).toSeq shouldBe expected.map(_._1).toSeq
+    got.zip(expected).foreach { case ((_, gs), (_, es)) => gs shouldBe es +- 0.001 }
+    // the query terms actually discriminate on this corpus
+    got.head._2 should be > got.last._2
+  }
+
+  test("q85: BPE pair counts equal a from-scratch merge-table recount") {
+    import spark.implicits._
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.documents(spark, dir).select($"text").as[String].collect()
+      .foreach(_.split("\\s+").foreach(w => words(w) = words.getOrElse(w, 0L) + 1))
+    val total = scala.collection.mutable.Map.empty[String, Long]
+    val types = scala.collection.mutable.Map.empty[String, Set[String]]
+    words.foreach { case (w, c) =>
+      // per POSITION, as a BPE trainer counts: "aaa" contributes "aa" twice
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        total(p) = total.getOrElse(p, 0L) + c
+        types(p) = types.getOrElse(p, Set.empty) + w
+      }
+    }
+    val expected = total.toSeq
+      .map { case (p, t) => (p, types(p).size.toLong, t) }
+      .sortBy { case (p, _, t) => (-t, p) }.take(20)
+    val got = SparkEntry.queries("q85_bpe_pairs")(spark, dir)
+      .orderBy($"rn").select($"pair", $"n_types", $"total")
+      .as[(String, Long, Long)].collect().toSeq
+    got shouldBe expected
+  }
 }

@@ -239,6 +239,33 @@ class PlanSpec extends SparkSpecBase {
     p should include("partial_count") // (cell, token) counts pre-shuffle
   }
 
+  test("q83: quantize + rerank joins never go cartesian; native dot in both passes") {
+    val p = plan("q83_quantized_knn")
+    (p should not).include("CartesianProduct")
+    p.toLowerCase should include("dotproduct")
+  }
+
+  test("q84: BM25 term counting is per-row HOF algebra — no explode, no sort-merge") {
+    val p = plan("q84_bm25_search")
+    (p should not).include("Generate") // tf via filter(), not explode
+    (p should not).include("SortMergeJoin")
+    p should include("partial_sum") // the one-row stats aggregate combines map-side
+    (p should not).include("n_chars") // scan pruned to (doc_id, text)
+  }
+
+  test("q85: pair counts combine map-side; the top-20 is TakeOrdered, not a global sort") {
+    val p = plan("q85_bpe_pairs")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q87: the repeat plan is one pruned scan contracted to source cells") {
+    val p = plan("q87_repeat_plan")
+    p should include("partial_count")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("n_chars") // only (source, text) read
+  }
+
   test("q78: the LM reuses the vocabulary exchange; no sort-merge anywhere") {
     val df = SparkEntry.queries("q78_unigram_surprisal")(spark, sfDir)
     df.collect() // AQE folds the totals branch onto counts' exchange

@@ -135,6 +135,35 @@ class SimilaritySpec extends SparkSpecBase {
     expectedDropped should not be empty
   }
 
+  test("q83: SQ8 rerank recovers the exact top-5 and the ADC error is bounded") {
+    val exact5 = SparkEntry.queries("q29_knn_brute_force")(spark, sfDir)
+      .filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val out = SparkEntry.queries("q83_quantized_knn")(spark, sfDir).collect()
+    out.length shouldBe 25
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // a 20-deep quantized shortlist re-ranked exactly should recover
+    // nearly all of the brute-force top-5
+    (got intersect exact5).size.toDouble / exact5.size should be >= 0.8
+    // per-vector SQ8 keeps the asymmetric (quantized) cosine close to
+    // the exact one on every short-listed row
+    out.foreach { r =>
+      math.abs(r.getAs[Double]("approx_cosine") - r.getAs[Double]("cosine")) should be <= 0.05
+    }
+  }
+
+  test("q86: hard negatives never share the query's label and rank by cosine") {
+    val out = SparkEntry.queries("q86_hard_negatives")(spark, sfDir).collect()
+    out.length shouldBe 25
+    out.foreach { r =>
+      r.getAs[Int]("neighbor_label") should not be r.getAs[Int]("query_label")
+    }
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val cos = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      cos.zip(cos.tail).foreach { case (a, b) => a should be >= b }
+    }
+  }
+
   test("q76: centroids equal the per-label element-wise mean of the raw vectors") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
