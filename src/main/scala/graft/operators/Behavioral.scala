@@ -139,9 +139,68 @@ object Behavioral {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, activity_week""".stripMargin
 
+  // --------------------------------------------------------------- q91
+  /** Robust outlier report per event type: median + MAD (median
+    * absolute deviation) and the count of modified-z outliers
+    * (|value − med| > 3.5 · 1.4826 · MAD — Iglewicz-Hoaglin). The
+    * monitoring pass a pipeline runs over raw event values where mean/
+    * stddev (q18's moments) are themselves dragged by the outliers
+    * being hunted; MAD's 50% breakdown point is the reason SREs use it.
+    *
+    * Exact-by-construction: medians via `percentile` ↔ `quantile_cont`
+    * (q17's proven parity), the outlier test is pure double algebra on
+    * identical inputs, the final fraction one IEEE divide. Three
+    * grouped passes over events (med → MAD → flag count) is inherent to
+    * exact MAD; each is a partial+final aggregate to #event_types
+    * cells with the tiny per-type stats broadcast back. At 100 TB the
+    * q54-style sketch (approx_percentile) swaps in per pass with the
+    * same plan shape. */
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      percentile($"value", lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    val flagged = ev
+      .join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(sum((abs($"value" - $"med") > lit(3.5) * lit(1.4826) * $"mad").cast("long"))
+        .as("n_outliers"))
+    med.join(mad, Seq("event_type")).join(flagged, Seq("event_type"))
+      .select($"event_type", $"n", $"med", $"mad", $"n_outliers",
+        ($"n_outliers".cast("double") / $"n").as("outlier_frac"))
+      .orderBy($"event_type")
+  }
+
+  private val q91Sql: String =
+    """WITH s1 AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - s1.med), 0.5) AS mad
+      |  FROM events e JOIN s1 USING (event_type)
+      |  GROUP BY e.event_type
+      |), s3 AS (
+      |  SELECT e.event_type,
+      |         CAST(sum(CASE WHEN abs(e.value - s1.med) > 3.5 * 1.4826 * s2.mad
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |  FROM events e JOIN s1 USING (event_type) JOIN s2 USING (event_type)
+      |  GROUP BY e.event_type
+      |)
+      |SELECT s1.event_type, s1.n, s1.med, s2.mad, s3.n_outliers,
+      |       CAST(s3.n_outliers AS DOUBLE) / s1.n AS outlier_frac
+      |FROM s1 JOIN s2 USING (event_type) JOIN s3 USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
     Q("q46_cohort_retention", q46, Some(q46Sql)),
+    Q("q91_event_outliers", q91, Some(q91Sql)),
   )
 }

@@ -768,6 +768,48 @@ object Curation {
       |FROM ep
       |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q89
+  /** Cross-source duplication matrix: q25's MinHash-LSH near-dup pairs
+    * rolled up by the (source, source) of their endpoints — which
+    * sources mirror each other's content. The canonical curation
+    * diagnostic before dropping a "new" source that is mostly a copy of
+    * one already ingested (CommonCrawl snapshot overlap, mirrored
+    * sites, cross-posted corpora).
+    *
+    * Scale shape: the pair table is the already-pruned LSH output
+    * (≪ corpus); the source lookup joins it against the pruned
+    * (doc_id, source) projection — two equi-joins that AQE broadcasts
+    * (the pair side is tiny) — and the matrix aggregate is at most
+    * #sources² cells. The corpus is scanned once, two columns wide. */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val pairs = Dedup.lshCandidates(spark, dir)
+    pairs
+      .join(src.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(src.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select(
+        least($"sa.source", $"sb.source").as("src_lo"),
+        greatest($"sa.source", $"sb.source").as("src_hi"))
+      .groupBy($"src_lo", $"src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", ($"src_lo" =!= $"src_hi").cast("int"))
+      .orderBy($"src_lo", $"src_hi")
+  }
+
+  private val q89Sql: String =
+    s"""WITH ${Dedup.lshCandidatesCte}, m AS (
+       |  SELECT least(da.source, db.source) AS src_lo,
+       |         greatest(da.source, db.source) AS src_hi
+       |  FROM cands c
+       |  JOIN documents da ON da.doc_id = c.doc_a
+       |  JOIN documents db ON db.doc_id = c.doc_b
+       |)
+       |SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(src_lo <> src_hi AS INTEGER) AS cross_source
+       |FROM m GROUP BY src_lo, src_hi
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   // ------------------------------------------------ curated snapshot
   /** The pipeline's SINK: materialize the curated corpus to parquet,
     * composing the catalog's own stages — quality-aware keeper per
@@ -828,5 +870,6 @@ object Curation {
     Q("q79_source_quality", q79, Some(q79Sql)),
     Q("q80_temperature_mix", q80, Some(q80Sql)),
     Q("q87_repeat_plan", q87, Some(q87Sql)),
+    Q("q89_source_overlap", q89, Some(q89Sql)),
   )
 }

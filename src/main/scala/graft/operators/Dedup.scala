@@ -672,6 +672,59 @@ object Dedup {
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q90
+  /** N-gram novelty scoring: the fraction of each test-split document's
+    * distinct 3-grams that appear NOWHERE in the train split — the
+    * generalization-vs-memorization signal an eval-set review reads
+    * (a low-novelty "held-out" doc is testing recall, not ability),
+    * and the complement of q65's contamination metric at a phrase
+    * (n=3) rather than verbatim-span (n=8) granularity.
+    *
+    * Scale shape: the train side collapses to its DISTINCT gram set
+    * before the join (one gram-keyed aggregate — the same contraction
+    * q65 uses), the test side joins gram-keyed, and the per-doc rollup
+    * is a count. The bloom prefilter below (bloomDecontamination)
+    * applies verbatim to this join at 100 TB. Novelty is an exact
+    * integer quotient — one IEEE divide, never rounded. */
+  private val NoveltyN = 3
+
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tg = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") >= 90), NoveltyN)
+    val trainG = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") < 80), NoveltyN)
+      .select($"g").distinct().withColumn("seen", lit(1))
+    tg.join(trainG, Seq("g"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_grams").as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  private val q90Sql: String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, g
+       |  FROM (SELECT doc_id,
+       |               unnest([array_to_string(list_slice(t, i, i + ${NoveltyN - 1}), ' ')
+       |                       for i in generate_series(1, len(t) - ${NoveltyN - 1})]) AS g
+       |        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+       |        WHERE len(t) >= $NoveltyN)
+       |), tg AS (
+       |  SELECT * FROM grams WHERE ${Curation.splitBucketSql("doc_id")} >= 90
+       |), rgd AS (
+       |  SELECT DISTINCT g FROM grams WHERE ${Curation.splitBucketSql("doc_id")} < 80
+       |)
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+       |FROM tg t LEFT JOIN rgd r ON t.g = r.g
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------- bloom decontam
   /** q65's 100 TB prefilter made concrete: build a Bloom filter over
     * the TRAIN grams with Catalyst's own sketch aggregate
@@ -739,5 +792,6 @@ object Dedup {
     Q("q58_decontamination", q58, Some(q58Sql)),
     Q("q60_simhash_hamming_pairs", q60, Some(q60Sql)),
     Q("q65_exact_decontamination", q65, Some(q65Sql)),
+    Q("q90_ngram_novelty", q90, Some(q90Sql)),
   )
 }

@@ -874,6 +874,82 @@ object Similarity {
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
 
+  // --------------------------------------------------------------- q88
+  /** Multi-probe IVF ANN: q41's inverted-file search probing the TWO
+    * nearest cells per query instead of one — the standard recall
+    * repair for vectors that land near a Voronoi boundary (their true
+    * neighbors sit in the runner-up cell). Probe count is the knob:
+    * recall rises with each extra probed cell, cost is proportional to
+    * the probed lists' sizes, and the plan shape (equi-join on cell id)
+    * is IDENTICAL to single-probe — which is why multi-probe is the
+    * production default for IVF indexes.
+    *
+    * The runner-up cell is computed by masking the argmax out of the
+    * per-cell score array and taking argmax again — pure column
+    * algebra, deterministic (scores rounded 6 dp, ties to the lowest
+    * cell id), no sort over the 16-wide array. */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
+    val arr = array(scores: _*)
+    val assigned = e
+      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    // queries probe their best AND runner-up cells
+    val masked = zip_with(arr, sequence(lit(0), lit(NClusters - 1)),
+      (s, j) => when(j === (array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1e9))
+        .otherwise(s))
+    val queries = e.filter($"vec_id".isin(QueryIds: _*))
+      .withColumn("probe1", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("probe2", (array_position(masked, array_max(masked)) - 1).cast("int"))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        explode(array($"probe1", $"probe2")).as("cluster"))
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    assigned.join(broadcast(queries), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"cluster", $"vec_id".as("neighbor_id"),
+        round(cos, 4).as("cosine"), $"rn")
+      .orderBy($"query_id", $"rn")
+  }
+
+  private val q88Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), ranked AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster, rnc
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |), assign AS (
+       |  SELECT vec_id, cluster FROM ranked WHERE rnc = 1
+       |), probes AS (
+       |  SELECT vec_id, cluster FROM ranked WHERE rnc <= 2
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assign a ON n.vec_id = a.vec_id
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, p.cluster, c.vec_id AS neighbor_id,
+       |         ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cos
+       |  FROM norms q
+       |  JOIN probes p ON p.vec_id = q.vec_id
+       |  JOIN nb c ON c.cluster = p.cluster AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |)
+       |SELECT query_id, cluster, neighbor_id, round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
+       |      FROM pairs) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
   // --------------------------------------------------------------- q86
   /** Hard-negative mining: for each query vector, the top-5 most
     * cosine-similar vectors with a DIFFERENT label — the contrastive-
@@ -927,5 +1003,6 @@ object Similarity {
     Q("q82_cell_topics", q82, Some(q82Sql)),
     Q("q83_quantized_knn", q83, Some(q83Sql)),
     Q("q86_hard_negatives", q86, Some(q86Sql)),
+    Q("q88_multiprobe_ivf", q88, Some(q88Sql)),
   )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral/event analytics verifiers — q91's robust statistics are
+  * recomputed from scratch so the median/MAD parity contract (q17's
+  * percentile ↔ quantile_cont) is locked on the events table too. */
+class BehavioralSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Exact interpolated median, the quantile_cont/percentile formula. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val h = (s.length - 1) * 0.5
+    val lo = s(h.toInt)
+    val hi = s(math.ceil(h).toInt)
+    lo + (hi - lo) * (h - h.toInt)
+  }
+
+  test("q91: median, MAD, and outlier counts equal a from-scratch recount") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val byType = ev.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val rows = SparkEntry.queries("q91_event_outliers")(spark, sfDir).collect()
+    rows.length shouldBe byType.size
+    rows.foreach { r =>
+      val vs = byType(r.getString(0))
+      r.getAs[Long]("n") shouldBe vs.length.toLong
+      val med = median(vs)
+      r.getAs[Double]("med") shouldBe med +- 1e-9
+      val mad = median(vs.map(v => math.abs(v - med)))
+      r.getAs[Double]("mad") shouldBe mad +- 1e-9
+      val nOut = vs.count(v => math.abs(v - med) > 3.5 * 1.4826 * mad)
+      r.getAs[Long]("n_outliers") shouldBe nOut.toLong
+      r.getAs[Double]("outlier_frac") shouldBe nOut.toDouble / vs.length +- 1e-12
+    }
+    // the report flags something somewhere on this corpus
+    rows.map(_.getAs[Long]("n_outliers")).sum should be > 0L
+  }
+}

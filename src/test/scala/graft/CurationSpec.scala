@@ -232,6 +232,24 @@ class CurationSpec extends SparkSpecBase {
     rows.map(_._5.toLong).sum shouldBe expectMoved.toLong
   }
 
+  test("q89: the source matrix partitions q25's pairs exactly") {
+    val pairs = SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val src = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (x, y) = (src(a), src(b)); if (x <= y) (x, y) else (y, x)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = SparkEntry.queries("q89_source_overlap")(spark, sfDir).collect()
+    rows.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs")).toMap shouldBe expected
+    rows.foreach { r =>
+      r.getAs[Int]("cross_source") shouldBe (if (r.getString(0) == r.getString(1)) 0 else 1)
+    }
+    rows.map(_.getAs[Long]("n_pairs")).sum shouldBe pairs.length.toLong
+  }
+
   test("q87: epochs cap at 4, draws respect inventory, and the plan fills the budget") {
     val rows = SparkEntry.queries("q87_repeat_plan")(spark, sfDir).collect()
     rows.length should be > 1

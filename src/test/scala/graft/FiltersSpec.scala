@@ -232,6 +232,34 @@ class FiltersSpec extends SparkSpecBase {
     rows.foreach { case (_, _, nll) => nll should be > 0.0 }
   }
 
+  test("q90: novelty equals a from-scratch 3-gram recount against the train split") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", graft.operators.Curation.splitBucket($"doc_id").as("b"), $"text")
+      .as[(Long, Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ts = t.split("\\s+")
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val trainGrams = docs.filter(_._2 < 80).flatMap(d => grams(d._3)).toSet
+    val expected = docs.filter(_._2 >= 90).map { case (id, _, t) =>
+      val g = grams(t)
+      val novel = g.count(!trainGrams.contains(_))
+      id -> ((g.size.toLong, novel.toLong))
+    }.filter(_._2._1 > 0).toMap
+    val rows = SparkEntry.queries("q90_ngram_novelty")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    rows.map(_._1).toSet shouldBe expected.keySet
+    rows.foreach { case (id, n, novel, frac) =>
+      (n, novel) shouldBe expected(id)
+      frac shouldBe novel.toDouble / n
+      frac should (be >= 0.0 and be <= 1.0)
+    }
+    // the metric discriminates on this corpus (not all 0 or all 1)
+    rows.map(_._4).distinct.length should be > 1
+  }
+
   test("q84: BM25 ranking equals a from-scratch Okapi recount") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)

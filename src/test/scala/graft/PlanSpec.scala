@@ -266,6 +266,33 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("n_chars") // only (source, text) read
   }
 
+  test("q88: multi-probe keeps q41's equi-join shape — no fit, no cross join") {
+    val p = plan("q88_multiprobe_ivf")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q89: the source matrix joins the pruned id→source projection, never cartesian") {
+    val p = plan("q89_source_overlap")
+    (p should not).include("CartesianProduct")
+    p should include("partial_count")
+    (p should not).include("n_chars") // documents scan pruned to (doc_id, source)
+  }
+
+  test("q90: the train side contracts to distinct grams before the novelty join") {
+    val p = plan("q90_ngram_novelty")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("partial_count")
+  }
+
+  test("q91: per-type stats broadcast back over the events scan — no sort-merge") {
+    val p = plan("q91_event_outliers")
+    (p should not).include("SortMergeJoin")
+    p should include("partial_count")
+  }
+
   test("q78: the LM reuses the vocabulary exchange; no sort-merge anywhere") {
     val df = SparkEntry.queries("q78_unigram_surprisal")(spark, sfDir)
     df.collect() // AQE folds the totals branch onto counts' exchange

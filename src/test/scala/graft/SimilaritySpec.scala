@@ -164,6 +164,22 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q88: two-probe IVF recall is at least single-probe's, probing ≤2 cells") {
+    val exact5 = SparkEntry.queries("q29_knn_brute_force")(spark, sfDir)
+      .filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val one = SparkEntry.queries("q41_knn_ivf")(spark, sfDir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rows88 = SparkEntry.queries("q88_multiprobe_ivf")(spark, sfDir).collect()
+    val two = rows88.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // a strict superset of candidate cells can only improve recall
+    (two intersect exact5).size should be >= (one intersect exact5).size
+    // every query's candidates really come from at most two cells
+    rows88.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      rs.map(_.getAs[Int]("cluster")).toSet.size should be <= 2
+    }
+  }
+
   test("q76: centroids equal the per-label element-wise mean of the raw vectors") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
