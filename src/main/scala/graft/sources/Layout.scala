@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout control for the scan layer — the other half of the
+  * 100 TB story next to [[Bucketing]]: HOW the bytes land on disk
+  * decides what a petabyte scan can SKIP.
+  *
+  * Parquet (and every zone-map format) stores per-file/per-row-group
+  * min/max statistics; a reader prunes a file whose [min,max] interval
+  * misses the predicate. That pruning is only effective if the writer
+  * CLUSTERED the data — random placement makes every file's interval
+  * span the whole domain and nothing skips. Two layouts:
+  *
+  *  - [[writeClustered]]: range-partition by a key, sort within
+  *    partitions, write — one global shuffle at write time buys
+  *    disjoint per-file key ranges forever after (the "sort by
+  *    ingest key once, prune every later scan" trade every warehouse
+  *    makes). File count is explicit — the small-files knob.
+  *  - [[zorder]]: Morton bit-interleaving of TWO keys for multi-
+  *    dimensional pruning — sorting by z keeps BOTH dimensions'
+  *    per-file ranges bounded (~√F of the domain for F files instead
+  *    of one dimension perfect / the other unpruned). Pure column
+  *    algebra (shifts and masks, codegen'd), no UDF.
+  *
+  * [[fileStats]] reads the realized layout back (per-file min/max via
+  * `input_file_name`), which is exactly the statistic the scan pruner
+  * uses — LayoutSpec asserts disjointness/boundedness on it, making
+  * the skip-eligibility a tested property, not a hope.
+  */
+object Layout {
+
+  /** Range-cluster `df` by `key` into `nFiles` sorted parquet files. */
+  def writeClustered(df: DataFrame, outDir: String, key: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Morton (Z-order) code of two non-negative int keys, interleaved
+    * MSB-FIRST with per-dimension bit widths. MSB alignment is the part
+    * that matters: dimensions with different domain sizes (a 4-bit key
+    * against an 8-bit key) must contribute their HIGH bits alternately,
+    * or the wider key's top bits dominate the sort order and the layout
+    * degenerates to a single-key sort (the narrow dimension's per-file
+    * span collapses to the whole domain). Width per dimension is the
+    * caller's domain knowledge — production systems derive it from
+    * column stats. Pure shift/mask column algebra, codegen'd, no UDF. */
+  def zorder(a: Column, b: Column, bitsA: Int = 16, bitsB: Int = 16): Column = {
+    val maxBits = math.max(bitsA, bitsB)
+    var z: Column = lit(0L)
+    for (k <- 0 until maxBits) {
+      if (k < bitsA)
+        z = z * 2 + shiftright(a.cast("long"), bitsA - 1 - k).bitwiseAND(lit(1L))
+      if (k < bitsB)
+        z = z * 2 + shiftright(b.cast("long"), bitsB - 1 - k).bitwiseAND(lit(1L))
+    }
+    z
+  }
+
+  /** Z-order-cluster `df` by two keys into `nFiles` sorted files. */
+  def writeZOrdered(df: DataFrame, outDir: String, keyA: String, keyB: String,
+      nFiles: Int, bitsA: Int = 16, bitsB: Int = 16): Unit =
+    df.withColumn("__z", zorder(col(keyA), col(keyB), bitsA, bitsB))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Realized per-file statistics for `key` — the zone map a pruning
+    * scan consults: (file, n_rows, key_min, key_max). */
+  def fileStats(spark: SparkSession, dir: String, key: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), col(key).cast("long").as("k"))
+      .groupBy($"file")
+      .agg(count(lit(1)).as("n_rows"), min($"k").as("key_min"), max($"k").as("key_max"))
+  }
+}

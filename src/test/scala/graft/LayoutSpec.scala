@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Layout, Tables}
+
+/** Write-layout proofs: the per-file zone maps a pruning scan consults
+  * must actually be skippable after our clustered writes. */
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("range-clustered write yields disjoint per-file key ranges (zone-map skippable)") {
+    val out = java.nio.file.Files.createTempDirectory("layout").toString
+    Layout.writeClustered(Tables.lineitem(spark, sfDir), out, "l_orderkey", 8)
+    val stats = Layout.fileStats(spark, out, "l_orderkey")
+      .orderBy($"key_min").collect()
+    stats.length shouldBe 8 // the small-files knob is exact
+    stats.map(_.getAs[Long]("n_rows")).sum shouldBe
+      Tables.lineitem(spark, sfDir).count()
+    // consecutive files may share at most the boundary key (range
+    // partitioning splits on key values); interiors never overlap —
+    // a point/range predicate prunes to O(1) files
+    stats.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("key_min") should be >= a.getAs[Long]("key_max")
+    }
+    // an un-clustered write, for contrast, spans ~the whole domain per
+    // file: every file would survive pruning. Quantify the win: the
+    // average clustered file covers < 1/4 of the key domain (8 files
+    // would each cover ~1/8 plus boundary slack).
+    val lo = stats.map(_.getAs[Long]("key_min")).min
+    val hi = stats.map(_.getAs[Long]("key_max")).max
+    val domain = (hi - lo).toDouble
+    val avgSpan = stats.map(r => (r.getAs[Long]("key_max") - r.getAs[Long]("key_min")).toDouble)
+      .sum / stats.length
+    avgSpan / domain should be < 0.25
+  }
+
+  test("z-order write bounds BOTH dimensions' per-file ranges") {
+    val out = java.nio.file.Files.createTempDirectory("layoutz").toString
+    // two independent uniform dimensions: suppkey and partkey
+    Layout.writeZOrdered(Tables.lineitem(spark, sfDir), out, "l_suppkey", "l_partkey",
+      16, bitsA = 4, bitsB = 8) // suppkey ∈ [0,10), partkey ∈ [0,200)
+    val spanOf = { key: String =>
+      val st = Layout.fileStats(spark, out, key)
+        .withColumn("span", $"key_max" - $"key_min").collect()
+      val domain = (st.map(_.getAs[Long]("key_max")).max
+        - st.map(_.getAs[Long]("key_min")).min).toDouble
+      st.map(_.getAs[Long]("span").toDouble).sum / st.length / domain
+    }
+    // a single-key sort leaves the OTHER key's per-file span at ~1.0
+    // (whole domain); z-order keeps both strictly bounded away from it
+    spanOf("l_suppkey") should be < 0.8
+    spanOf("l_partkey") should be < 0.8
+    // and z-ordering is a real interleave: codes of distinct pairs differ
+    val z = Tables.lineitem(spark, sfDir)
+      .select(Layout.zorder($"l_suppkey", $"l_partkey", 4, 8).as("z"),
+        $"l_suppkey", $"l_partkey")
+      .limit(1000).collect()
+    z.groupBy(r => (r.getLong(1), r.getLong(2))).foreach { case (_, rs) =>
+      rs.map(_.getLong(0)).distinct.length shouldBe 1
+    }
+  }
+}
