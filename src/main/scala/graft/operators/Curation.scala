@@ -810,6 +810,49 @@ object Curation {
        |FROM m GROUP BY src_lo, src_hi
        |ORDER BY src_lo, src_hi""".stripMargin
 
+  // --------------------------------------------------------------- q93
+  /** Sequence-length histogram: per (source, ⌊log₂ n_tokens⌋ bucket)
+    * document and token counts with the bucket's token range — the
+    * length-distribution report that sizes q63's packing (context-
+    * length fit, truncation rates, padding waste) and catches sources
+    * whose length profile shifted between crawls.
+    *
+    * The log₂ bucket is computed INTEGER-exactly as
+    * `length(bin(n)) − 1` (binary-representation width), never
+    * `floor(log2(x))` — ln-ratio floating math can land 2ᵏ on
+    * k−ε and flip the floor on one engine but not the other.
+    * Scale shape: per-row token count + bucket label on the scan,
+    * partial+final aggregate to #sources × ~12 cells. */
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source",
+        size(graft.functions.Portable.tokens($"text")).as("n"))
+      .withColumn("bucket", (length(bin($"n")) - 1).cast("int"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n".cast("long")).as("n_tokens"))
+      .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .withColumn("bucket_hi", expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1"))
+      .select($"source", $"bucket", $"bucket_lo", $"bucket_hi", $"n_docs", $"n_tokens")
+      .orderBy($"source", $"bucket")
+  }
+
+  private val q93Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |         len(string_split_regex(text, '\s+')) AS n
+      |  FROM documents
+      |), b AS (
+      |  SELECT source, CAST(length(bin(n)) - 1 AS INTEGER) AS bucket, n FROM per
+      |)
+      |SELECT source, bucket,
+      |       CAST(1 << bucket AS BIGINT) AS bucket_lo,
+      |       CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS bucket_hi,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
   // ------------------------------------------------ curated snapshot
   /** The pipeline's SINK: materialize the curated corpus to parquet,
     * composing the catalog's own stages — quality-aware keeper per
@@ -871,5 +914,6 @@ object Curation {
     Q("q80_temperature_mix", q80, Some(q80Sql)),
     Q("q87_repeat_plan", q87, Some(q87Sql)),
     Q("q89_source_overlap", q89, Some(q89Sql)),
+    Q("q93_length_histogram", q93, Some(q93Sql)),
   )
 }

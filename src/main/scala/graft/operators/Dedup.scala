@@ -725,6 +725,58 @@ object Dedup {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q92
+  /** Source-level MinHash rollup: each source's signature is the
+    * element-wise MIN of its documents' signatures — MinHash
+    * mergeability (min-of-mins ≡ the signature of the unioned shingle
+    * sets) used for a GROUP-level similarity estimate, the same
+    * associativity the incremental path (q57) relies on shard-wise.
+    * Emits every source pair with its matching-component count and the
+    * estimated Jaccard of the sources' shingle UNIONS — the "is this
+    * new source just a re-crawl of one we have" triage, at signature
+    * cost (#sources × K longs), never touching the corpus pairwise.
+    *
+    * The pairwise stage IS a self-cross-join — of the #sources-row
+    * signature table, a dimension-sized frame independent of corpus
+    * scale (20 sources → 190 pairs). The corpus-scale work ends at the
+    * per-source aggregate. */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val smap = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val srcSig = signature(spark, dir)
+      .join(smap, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(min(col("m0")).as("m0"), (1 until K).map(j => min(col(s"m$j")).as(s"m$j")): _*)
+    val matches = (0 until K)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    srcSig.as("a").join(srcSig.as("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"), col("b.source").as("src_b"),
+        matches.cast("int").as("n_match"),
+        (matches.cast("double") / K).as("est_jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val q92Sql: String = {
+    val mins = (0 until K).map(j => s"min(m$j) AS m$j").mkString(", ")
+    val matches = (0 until K)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $signatureCte, smap AS (
+       |  SELECT doc_id, source FROM documents
+       |), ssig AS (
+       |  SELECT d.source, $mins
+       |  FROM sig s JOIN smap d ON s.doc_id = d.doc_id
+       |  GROUP BY d.source
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |       CAST($matches AS INTEGER) AS n_match,
+       |       CAST($matches AS DOUBLE) / $K AS est_jaccard
+       |FROM ssig a JOIN ssig b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ------------------------------------------------- bloom decontam
   /** q65's 100 TB prefilter made concrete: build a Bloom filter over
     * the TRAIN grams with Catalyst's own sketch aggregate
@@ -793,5 +845,6 @@ object Dedup {
     Q("q60_simhash_hamming_pairs", q60, Some(q60Sql)),
     Q("q65_exact_decontamination", q65, Some(q65Sql)),
     Q("q90_ngram_novelty", q90, Some(q90Sql)),
+    Q("q92_source_signatures", q92, Some(q92Sql)),
   )
 }

@@ -250,6 +250,29 @@ class CurationSpec extends SparkSpecBase {
     rows.map(_.getAs[Long]("n_pairs")).sum shouldBe pairs.length.toLong
   }
 
+  test("q93: length histogram equals a from-scratch recount and tiles the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)].collect()
+    val expected = docs
+      .map { case (s, t) =>
+        val n = t.split("\\s+").length
+        ((s, 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)), n)
+      }
+      .groupBy(_._1)
+      .map { case (k, v) => k -> ((v.length.toLong, v.map(_._2.toLong).sum)) }
+    val rows = SparkEntry.queries("q93_length_histogram")(spark, sfDir).collect()
+    rows.length shouldBe expected.size
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Int]("bucket"))
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")) shouldBe expected(k)
+      // the bucket bounds really bracket a log2 bucket
+      r.getAs[Long]("bucket_lo") shouldBe (1L << k._2)
+      r.getAs[Long]("bucket_hi") shouldBe (1L << (k._2 + 1)) - 1
+    }
+    // histogram tiles the corpus exactly
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs.length.toLong
+  }
+
   test("q87: epochs cap at 4, draws respect inventory, and the plan fills the budget") {
     val rows = SparkEntry.queries("q87_repeat_plan")(spark, sfDir).collect()
     rows.length should be > 1

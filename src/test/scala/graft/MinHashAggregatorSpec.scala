@@ -47,4 +47,27 @@ class MinHashAggregatorSpec extends SparkSpecBase {
       sig.toSeq shouldBe viaColumns(doc).toSeq
     }
   }
+
+  test("q92: source signatures are the element-wise min of doc signatures (mergeability)") {
+    val docSigs = SparkEntry.queries("q24_minhash_signatures")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(j => r.getAs[Long](s"m$j")).toVector).toMap
+    val srcOf = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    // docs with <3 tokens have no shingles and no signature row
+    val merged = docSigs.toSeq
+      .groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, sigs) =>
+        s -> (0 until 8).map(j => sigs.map(_._2(j)).min).toVector
+      }
+    val rows = SparkEntry.queries("q92_source_signatures")(spark, sfDir).collect()
+    rows.length shouldBe merged.size * (merged.size - 1) / 2
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      a should be < b
+      val n = (0 until 8).count(j => merged(a)(j) == merged(b)(j))
+      r.getAs[Int]("n_match") shouldBe n
+      r.getAs[Double]("est_jaccard") shouldBe n / 8.0
+    }
+  }
 }

@@ -293,6 +293,19 @@ class PlanSpec extends SparkSpecBase {
     p should include("partial_count")
   }
 
+  test("q92: corpus-scale work ends at the per-source signature aggregate") {
+    val p = plan("q92_source_signatures")
+    p should include("partial_min") // signature merge combines map-side
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q93: the histogram is one pruned scan contracted map-side") {
+    val p = plan("q93_length_histogram")
+    p should include("partial_count")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("n_chars") // scan pruned to (source, text)
+  }
+
   test("q78: the LM reuses the vocabulary exchange; no sort-merge anywhere") {
     val df = SparkEntry.queries("q78_unigram_surprisal")(spark, sfDir)
     df.collect() // AQE folds the totals branch onto counts' exchange
