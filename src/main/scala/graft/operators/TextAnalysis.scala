@@ -732,7 +732,9 @@ object TextAnalysis {
   private val BmK1 = 1.2
   private val BmB = 0.75
 
-  private def q84(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc BM25 frame (doc_id, dl, tf_*, score6) — shared by q84
+    * (lexical top-10) and q94 (hybrid RRF fusion). */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.documents(spark, dir)
       .withColumn("t", Portable.tokens($"text"))
@@ -750,8 +752,12 @@ object TextAnalysis {
       val idf = log(($"n_docs" - df + 0.5) / (df + 0.5) + 1.0)
       idf * (tf * (BmK1 + 1.0)) / (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * ($"dl" / avgdl)))
     }.reduce(_ + _)
-    val top = per.crossJoin(broadcast(st))
-      .withColumn("score6", round(score, 6))
+    per.crossJoin(broadcast(st)).withColumn("score6", round(score, 6))
+  }
+
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val top = bm25Scored(spark, dir)
       .orderBy($"score6".desc, $"doc_id".asc)
       .limit(10)
     // rn is computed AFTER the TakeOrdered top-10, so the window runs
@@ -764,7 +770,8 @@ object TextAnalysis {
       .orderBy($"rn")
   }
 
-  private val q84Sql: String = {
+  /** The per/st/scored CTE chain — q84Sql/q94Sql share it. */
+  private val bm25Cte: String = {
     val tfCols = BmTerms.map(t =>
       s"CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x = '$t')) AS INTEGER) AS tf_$t")
       .mkString(",\n       |         ")
@@ -776,7 +783,7 @@ object TextAnalysis {
        |           * (CAST(tf_$t AS DOUBLE) * ${BmK1 + 1.0}) / (CAST(tf_$t AS DOUBLE)
        |              + $BmK1 * (1.0 - $BmB + $BmB * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
     }.mkString("\n       |         + ")
-    s"""WITH per AS (
+    s"""per AS (
        |  SELECT doc_id,
        |         CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS dl,
        |         $tfCols
@@ -790,14 +797,107 @@ object TextAnalysis {
        |  SELECT p.doc_id, p.dl, ${BmTerms.map(t => s"p.tf_$t").mkString(", ")},
        |         round($scoreTerms, 6) AS score6
        |  FROM per p CROSS JOIN st
-       |)
+       |)""".stripMargin
+  }
+
+  private val q84Sql: String =
+    s"""WITH $bm25Cte
        |SELECT doc_id, dl, ${BmTerms.map(t => s"tf_$t").mkString(", ")},
        |       round(score6, 4) AS score, CAST(rn AS INTEGER) AS rn
        |FROM (SELECT *, row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rn
        |      FROM scored) t
        |WHERE rn <= 10
        |ORDER BY rn""".stripMargin
+
+  // --------------------------------------------------------------- q94
+  /** Hybrid retrieval via Reciprocal Rank Fusion: fuse the BM25 ranking
+    * (q84's scored frame, lexical) with a dense cosine ranking (query
+    * vector 0 against the embeddings table) as
+    * `rrf(d) = Σ_lists 1/(k + rank_list(d))`, k = 60 — the fusion rule
+    * hybrid search stacks ship because it needs NO score calibration
+    * between modalities (ranks only). A doc missing from one list
+    * contributes 0 for that list.
+    *
+    * Scale shape: each branch ends in a TakeOrdered top-50 (never a
+    * global sort), the fusion is a full-outer join of two 50-row
+    * frames, and the final top-10 windows over ≤100 rows. The dense
+    * branch broadcasts the single query vector over the scan (q29's
+    * shape); at production scale it swaps for the IVF/SQ8 path (q88/
+    * q83) with the fusion unchanged. */
+  private val RrfK = 60
+  private val RrfQueryVec = 0L
+
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val wb = Window.orderBy($"score6".desc, $"doc_id".asc)
+    val bm = bm25Scored(spark, dir)
+      .orderBy($"score6".desc, $"doc_id".asc).limit(50)
+      .withColumn("rank_bm25", row_number().over(wb))
+      .select($"doc_id", $"rank_bm25")
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+    val q = emb.filter($"vec_id" === RrfQueryVec)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val cos = expr("graft_dot(v, qv)") / ($"nrm" * $"qnrm")
+    val wv = Window.orderBy($"cos6".desc, $"doc_id".asc)
+    val vec = emb.filter($"vec_id" =!= RrfQueryVec).crossJoin(broadcast(q))
+      .withColumn("cos6", round(cos, 6))
+      .select($"vec_id".as("doc_id"), $"cos6")
+      .orderBy($"cos6".desc, $"doc_id".asc).limit(50)
+      .withColumn("rank_vec", row_number().over(wv))
+      .select($"doc_id", $"rank_vec")
+    val rrf =
+      when($"rank_bm25".isNull, 0.0).otherwise(lit(1.0) / (lit(RrfK) + $"rank_bm25")) +
+        when($"rank_vec".isNull, 0.0).otherwise(lit(1.0) / (lit(RrfK) + $"rank_vec"))
+    val fused = bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf6", round(rrf, 6))
+    val wf = Window.orderBy($"rrf6".desc, $"doc_id".asc)
+    fused
+      .orderBy($"rrf6".desc, $"doc_id".asc).limit(10)
+      .withColumn("rn", row_number().over(wf))
+      .select($"doc_id",
+        coalesce($"rank_bm25", lit(0)).as("rank_bm25"),
+        coalesce($"rank_vec", lit(0)).as("rank_vec"),
+        $"rrf6".as("rrf_score"), $"rn")
+      .orderBy($"rn")
   }
+
+  private val q94Sql: String =
+    s"""WITH $bm25Cte, bmr AS (
+       |  SELECT doc_id, CAST(rn AS INTEGER) AS rank_bm25
+       |  FROM (SELECT doc_id, row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS rn
+       |        FROM scored) t
+       |  WHERE rn <= 50
+       |), nv AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+       |  FROM embeddings
+       |), cosd AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+       |                         for i in generate_series(1, 64)]) / (e.nrm * q.nrm), 6) AS cos6
+       |  FROM nv e CROSS JOIN (SELECT * FROM nv WHERE vec_id = $RrfQueryVec) q
+       |  WHERE e.vec_id <> $RrfQueryVec
+       |), vr AS (
+       |  SELECT doc_id, CAST(rn AS INTEGER) AS rank_vec
+       |  FROM (SELECT doc_id, row_number() OVER (ORDER BY cos6 DESC, doc_id ASC) AS rn
+       |        FROM cosd) t
+       |  WHERE rn <= 50
+       |), f AS (
+       |  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.rank_bm25, v.rank_vec,
+       |         round(COALESCE(1.0 / ($RrfK + b.rank_bm25), 0.0)
+       |               + COALESCE(1.0 / ($RrfK + v.rank_vec), 0.0), 6) AS rrf6
+       |  FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id
+       |)
+       |SELECT doc_id, COALESCE(rank_bm25, 0) AS rank_bm25,
+       |       COALESCE(rank_vec, 0) AS rank_vec,
+       |       rrf6 AS rrf_score, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (ORDER BY rrf6 DESC, doc_id ASC) AS rn
+       |      FROM f) t
+       |WHERE rn <= 10
+       |ORDER BY rn""".stripMargin
 
   // --------------------------------------------------------------- q85
   /** BPE first-merge pair statistics: the frequency of every adjacent
@@ -868,5 +968,6 @@ object TextAnalysis {
     Q("q78_unigram_surprisal", q78, Some(q78Sql)),
     Q("q84_bm25_search", q84, Some(q84Sql)),
     Q("q85_bpe_pairs", q85, Some(q85Sql)),
+    Q("q94_hybrid_rrf", q94, Some(q94Sql)),
   )
 }

@@ -288,6 +288,26 @@ class FiltersSpec extends SparkSpecBase {
     got.head._2 should be > got.last._2
   }
 
+  test("q94: RRF scores recompute from the emitted ranks and fuse both modalities") {
+    val rows = SparkEntry.queries("q94_hybrid_rrf")(spark, dir).collect()
+    rows.length shouldBe 10
+    rows.foreach { row =>
+      val (rb, rv) = (row.getAs[Int]("rank_bm25"), row.getAs[Int]("rank_vec"))
+      rb should (be >= 0 and be <= 50)
+      rv should (be >= 0 and be <= 50)
+      (rb, rv) should not be ((0, 0)) // a fused doc is in at least one list
+      val expected = (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      row.getAs[Double]("rrf_score") shouldBe r(expected, 6) +- 1e-9
+    }
+    // the fusion is non-trivial on this corpus: some top doc carries
+    // BOTH a lexical and a dense rank
+    rows.exists(r => r.getAs[Int]("rank_bm25") > 0 && r.getAs[Int]("rank_vec") > 0) shouldBe true
+    // scores are non-increasing in rn
+    val sc = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("rrf_score"))
+    sc.zip(sc.tail).foreach { case (a, b) => a should be >= b }
+  }
+
   test("q85: BPE pair counts equal a from-scratch merge-table recount") {
     import spark.implicits._
     val words = scala.collection.mutable.Map.empty[String, Long]

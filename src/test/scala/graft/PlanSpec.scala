@@ -293,6 +293,12 @@ class PlanSpec extends SparkSpecBase {
     p should include("partial_count")
   }
 
+  test("q94: both retrieval branches end in TakeOrdered, never a global sort") {
+    val p = plan("q94_hybrid_rrf")
+    p.sliding("TakeOrderedAndProject".length).count(_ == "TakeOrderedAndProject") should be >= 2
+    p.toLowerCase should include("dotproduct") // dense branch uses the native expression
+  }
+
   test("q92: corpus-scale work ends at the per-source signature aggregate") {
     val p = plan("q92_source_signatures")
     p should include("partial_min") // signature merge combines map-side
