@@ -899,6 +899,32 @@ object TextAnalysis {
        |WHERE rn <= 10
        |ORDER BY rn""".stripMargin
 
+  // --------------------------------------------------------------- q95
+  /** Mergeable distinct-token sketches: a DataSketches HLL per source
+    * (`hll_sketch_agg`) plus the UNION of all per-source sketches
+    * (`hll_union_agg`) as a corpus-level estimate — the incremental
+    * statistics pattern at 100 TB: per-shard sketches are maintained as
+    * shards land and merged WITHOUT rescanning history (register-max
+    * union, order-independent, deterministic). q39's
+    * approx_count_distinct answers one query; this materializes the
+    * mergeable state a stats catalog keeps.
+    *
+    * No DuckDB oracle (sketch internals are engine-specific — q39/q54
+    * precedent): FiltersSpec bounds every estimate against the exact
+    * distinct count and asserts the union estimate ≈ the corpus-wide
+    * distinct, which only holds if the merge is faithful. */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", explode(Portable.tokens($"text")).as("token"))
+    val per = toks.groupBy($"source").agg(hll_sketch_agg($"token").as("sk"))
+    val bySource = per.select($"source".as("scope"),
+      hll_sketch_estimate($"sk").as("est_distinct"))
+    val union = per.agg(hll_union_agg($"sk").as("u"))
+      .select(lit("__ALL__").as("scope"), hll_sketch_estimate($"u").as("est_distinct"))
+    bySource.unionByName(union).orderBy($"scope")
+  }
+
   // --------------------------------------------------------------- q85
   /** BPE first-merge pair statistics: the frequency of every adjacent
     * character pair inside corpus tokens, weighted by token occurrence
@@ -969,5 +995,6 @@ object TextAnalysis {
     Q("q84_bm25_search", q84, Some(q84Sql)),
     Q("q85_bpe_pairs", q85, Some(q85Sql)),
     Q("q94_hybrid_rrf", q94, Some(q94Sql)),
+    Q("q95_sketch_union", q95, None), // mergeable HLL — FiltersSpec bounds vs exact
   )
 }
