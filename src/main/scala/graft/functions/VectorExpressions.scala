@@ -111,6 +111,90 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** Pack an array<int> of 0..255 values into a binary column — the SQ8
+  * index representation: 1 byte per dimension, 8× smaller than the
+  * f64 arrays column algebra would otherwise persist. Values outside
+  * 0..255 are truncated to their low byte (callers quantize first). */
+case class PackU8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val out = new Array[Byte](a.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = a.getInt(i).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) $a.getInt($i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PackU8 = copy(child = c)
+}
+
+/** Σ (codesᵢ & 0xFF) · vᵢ — the asymmetric (ADC) dot of a packed-u8
+  * quantized vector against a full-precision query. Code values are
+  * exact small integers, so products and the left-to-right sum are
+  * bit-identical to the same algebra over an unpacked double array —
+  * the oracle computes the latter. */
+case class DotProductBytes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, array<double>), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val v = r.asInstanceOf[ArrayData]
+    val n = math.min(codes.length, v.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += (codes(i) & 0xff) * v.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, v) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($c.length, $v.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ($c[$i] & 0xff) * $v.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductBytes =
+    copy(left = l, right = r)
+}
+
 /** SQL registration so call sites can use `expr("graft_dot(a, b)")` —
   * portable across the Column-API refactors of Spark 4. Idempotent. */
 object GraftFunctions {
@@ -120,6 +204,10 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_pack_u8", exprs => PackU8(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_dot_u8", exprs => DotProductBytes(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_record_stamp", {
         case Seq(base) => RecordStamp(base)

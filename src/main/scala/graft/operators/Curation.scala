@@ -733,14 +733,20 @@ object Curation {
       .withColumn("budget_tokens", lit(2L) * sum($"n_tokens").over(w))
       .withColumn("scaled", sqrt($"n_tokens".cast("double")))
       .withColumn("samp_raw", $"scaled" / sum($"scaled").over(w))
-      .withColumn("epochs",
-        round(least(lit(4.0),
-          $"budget_tokens".cast("double") * $"samp_raw" / $"n_tokens".cast("double")), 6))
+      // planned draws derive from the UNROUNDED epochs so Σ planned ≤
+      // budget holds by construction (a 6-dp round-up of epochs times a
+      // large n_tokens would overshoot budget·share); only the DISPLAY
+      // column is rounded
+      .withColumn("epochs_raw",
+        least(lit(4.0),
+          $"budget_tokens".cast("double") * $"samp_raw" / $"n_tokens".cast("double")))
       .select($"source", $"n_docs", $"n_tokens", $"budget_tokens",
         round($"samp_raw", 6).as("samp_share"),
-        $"epochs",
-        round($"epochs" * $"n_tokens".cast("double"), 2).as("planned_tokens"),
-        ($"epochs" > 1.0).cast("int").as("repeated"))
+        round($"epochs_raw", 6).as("epochs"),
+        round($"epochs_raw" * $"n_tokens".cast("double"), 2).as("planned_tokens"),
+        // flag derives from the displayed (rounded) epochs so the
+        // emitted columns stay mutually consistent
+        (round($"epochs_raw", 6) > 1.0).cast("int").as("repeated"))
       .orderBy($"source")
   }
 
@@ -757,14 +763,15 @@ object Curation {
       |  FROM cells
       |), ep AS (
       |  SELECT *,
-      |         round(least(4.0, CAST(budget_tokens AS DOUBLE) * samp_raw
-      |                            / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+      |         least(4.0, CAST(budget_tokens AS DOUBLE) * samp_raw
+      |                      / CAST(n_tokens AS DOUBLE)) AS epochs_raw
       |  FROM plan
       |)
       |SELECT source, n_docs, n_tokens, CAST(budget_tokens AS BIGINT) AS budget_tokens,
-      |       round(samp_raw, 6) AS samp_share, epochs,
-      |       round(epochs * CAST(n_tokens AS DOUBLE), 2) AS planned_tokens,
-      |       CAST(epochs > 1.0 AS INTEGER) AS repeated
+      |       round(samp_raw, 6) AS samp_share,
+      |       round(epochs_raw, 6) AS epochs,
+      |       round(epochs_raw * CAST(n_tokens AS DOUBLE), 2) AS planned_tokens,
+      |       CAST(round(epochs_raw, 6) > 1.0 AS INTEGER) AS repeated
       |FROM ep
       |ORDER BY source""".stripMargin
 

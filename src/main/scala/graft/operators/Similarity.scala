@@ -118,7 +118,7 @@ object Similarity {
     * ([[graft.functions.DotProduct]]) used by every pair stage — fused
     * codegen loop, no per-pair array allocation, same left-to-right
     * accumulation as the algebraic form. */
-  private def embNorm(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def embNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:embNorm") {
       import spark.implicits._
@@ -775,8 +775,10 @@ object Similarity {
   // --------------------------------------------------------------- q83
   /** Scalar-quantized kNN (SQ8 + asymmetric rerank): each corpus vector
     * is compressed to 64 int8 codes with a per-vector (min, span)
-    * dequantization affine — 4× less index memory and bandwidth than
-    * f32, the standard first rung of the FAISS compression ladder —
+    * dequantization affine — codes pack to a 64-byte binary column
+    * (~3× less index memory and bandwidth than f32 including the
+    * affine/norm header), the standard first rung of the FAISS
+    * compression ladder —
     * queries stay full-precision and score against DEQUANTIZED
     * candidates (asymmetric distance computation), a top-20 shortlist
     * per query is then re-ranked with the exact f32 vectors to a final
@@ -794,7 +796,17 @@ object Similarity {
     * play); both rankings order on rounded values with vec_id
     * tiebreaks. `span = 0` (constant vector) quantizes to code 0 via a
     * guarded divisor. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  /** The persisted SQ8 index really is compressed: 64 one-byte codes
+    * packed into a BinaryType column (native [[graft.functions.PackU8]])
+    * plus a 3-double affine/norm header per vector — ~88 B against the
+    * 256 B f32 input (and 512 B had we persisted dequantized f64
+    * arrays). The scoring pass never unpacks: the ADC dot runs over the
+    * packed bytes ([[graft.functions.DotProductBytes]], codegen'd), and
+    * `dot(q, dequant(c)) = vmin·Σqᵢ + (span/255)·Σ qᵢcᵢ` reassociates
+    * the affine OUT of the loop — code values are exact small integers,
+    * so the factored form is the algebra the oracle mirrors term for
+    * term. */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:sq8") {
       import spark.implicits._
       embNorm(spark, dir)
@@ -803,9 +815,10 @@ object Similarity {
         .withColumn("span1", when($"span" === 0.0, 1.0).otherwise($"span"))
         .withColumn("code",
           transform($"v", x => floor((x - $"vmin") * 255.0 / $"span1" + 0.5).cast("int")))
+        .withColumn("codes", expr("graft_pack_u8(code)"))
         .withColumn("r", transform($"code", c => $"vmin" + c * $"span" / 255.0))
         .withColumn("rnrm", sqrt(aggregate($"r", lit(0.0), (acc, y) => acc + y * y)))
-        .select($"vec_id", $"label", $"r", $"rnrm")
+        .select($"vec_id", $"label", $"codes", $"vmin", $"span", $"rnrm")
     }
 
   private def q83(spark: SparkSession, dir: String): DataFrame = {
@@ -813,8 +826,10 @@ object Similarity {
     val e = embNorm(spark, dir)
     val sq = quantized(spark, dir)
     val queries = e.filter($"vec_id".isin(QueryIds: _*))
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val approx = dot("qv", "r") / ($"qnrm" * $"rnrm")
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        aggregate($"v", lit(0.0), (acc, x) => acc + x).as("qsum"))
+    val approx = ($"vmin" * $"qsum" + ($"span" / 255.0) * expr("graft_dot_u8(codes, qv)")) /
+      ($"qnrm" * $"rnrm")
     val wa = Window.partitionBy($"query_id").orderBy(round(approx, 6).desc, $"vec_id".asc)
     val shortlist = sq.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .withColumn("approx_cosine", round(approx, 4))
@@ -839,19 +854,23 @@ object Similarity {
        |           - list_min([CAST(x AS DOUBLE) for x in embedding]) AS span
        |  FROM norms
        |), quant AS (
-       |  SELECT vec_id, label,
-       |         [vmin + floor((CAST(x AS DOUBLE) - vmin) * 255.0
-       |                       / (CASE WHEN span = 0 THEN 1.0 ELSE span END) + 0.5)
-       |            * span / 255.0 for x in embedding] AS r
+       |  SELECT vec_id, label, vmin, span,
+       |         [floor((CAST(x AS DOUBLE) - vmin) * 255.0
+       |                / (CASE WHEN span = 0 THEN 1.0 ELSE span END) + 0.5)
+       |          for x in embedding] AS code
        |  FROM base
        |), rq AS (
-       |  SELECT vec_id, label, r,
-       |         sqrt(list_sum([y * y for y in r])) AS rnrm
+       |  SELECT vec_id, label, vmin, span, code,
+       |         sqrt(list_sum([y * y for y in
+       |                        [vmin + c * span / 255.0 for c in code]])) AS rnrm
        |  FROM quant
        |), scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id, q.embedding AS qe, q.nrm AS qnrm,
-       |         list_sum([CAST(q.embedding[i] AS DOUBLE) * c.r[i]
-       |                   for i in generate_series(1, $Dim)]) / (q.nrm * c.rnrm) AS approx
+       |         (c.vmin * list_sum([CAST(x AS DOUBLE) for x in q.embedding])
+       |          + c.span / 255.0
+       |            * list_sum([CAST(q.embedding[i] AS DOUBLE) * c.code[i]
+       |                        for i in generate_series(1, $Dim)]))
+       |           / (q.nrm * c.rnrm) AS approx
        |  FROM norms q JOIN rq c ON c.vec_id <> q.vec_id
        |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
        |), shortlist AS (

@@ -733,8 +733,15 @@ object TextAnalysis {
   private val BmB = 0.75
 
   /** Per-doc BM25 frame (doc_id, dl, tf_*, score6) — shared by q84
-    * (lexical top-10) and q94 (hybrid RRF fusion). */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    * (lexical top-10) and q94 (hybrid RRF fusion), memoized + persisted
+    * per (session, dir) like the catalog's other shared intermediates
+    * (the scored postings frame a search stack materializes once). */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "text:bm25") {
+      bm25Build(spark, dir)
+    }
+
+  private def bm25Build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.documents(spark, dir)
       .withColumn("t", Portable.tokens($"text"))
@@ -829,15 +836,15 @@ object TextAnalysis {
 
   private def q94(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
     val wb = Window.orderBy($"score6".desc, $"doc_id".asc)
     val bm = bm25Scored(spark, dir)
       .orderBy($"score6".desc, $"doc_id".asc).limit(50)
       .withColumn("rank_bm25", row_number().over(wb))
       .select($"doc_id", $"rank_bm25")
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("v", transform($"embedding", x => x.cast("double")))
-      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+    // the dense branch starts from the session-wide memoized norms
+    // table (Similarity.embNorm) — the same persisted intermediate
+    // q28/q29/q30/q41/q55/q83 share; it also registers graft_dot
+    val emb = Similarity.embNorm(spark, dir)
     val q = emb.filter($"vec_id" === RrfQueryVec)
       .select($"v".as("qv"), $"nrm".as("qnrm"))
     val cos = expr("graft_dot(v, qv)") / ($"nrm" * $"qnrm")

@@ -58,14 +58,32 @@ object Layout {
     z
   }
 
-  /** Z-order-cluster `df` by two keys into `nFiles` sorted files. */
+  /** Z-order-cluster `df` by two keys into `nFiles` sorted files.
+    *
+    * Validates BEFORE writing that both keys fit their declared bit
+    * widths: a key wider than its width would alias (high bits silently
+    * dropped — 5 and 261 interleave identically at 4 bits), co-locating
+    * far-apart keys and silently degrading every file's zone map to the
+    * full domain. One cheap aggregate buys a loud failure instead. */
   def writeZOrdered(df: DataFrame, outDir: String, keyA: String, keyB: String,
-      nFiles: Int, bitsA: Int = 16, bitsB: Int = 16): Unit =
+      nFiles: Int, bitsA: Int = 16, bitsB: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(keyA).cast("long")).as("minA"), max(col(keyA).cast("long")).as("maxA"),
+      min(col(keyB).cast("long")).as("minB"), max(col(keyB).cast("long")).as("maxB")).head()
+    require(r.getLong(0) >= 0 && r.getLong(2) >= 0,
+      s"zorder keys must be non-negative: min($keyA)=${r.getLong(0)}, min($keyB)=${r.getLong(2)}")
+    require(r.getLong(1) < (1L << bitsA),
+      s"zorder width too narrow: max($keyA)=${r.getLong(1)} needs > $bitsA bits — " +
+        "wider keys would alias and defeat pruning")
+    require(r.getLong(3) < (1L << bitsB),
+      s"zorder width too narrow: max($keyB)=${r.getLong(3)} needs > $bitsB bits — " +
+        "wider keys would alias and defeat pruning")
     df.withColumn("__z", zorder(col(keyA), col(keyB), bitsA, bitsB))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Realized per-file statistics for `key` — the zone map a pruning
     * scan consults: (file, n_rows, key_min, key_max). */

@@ -282,14 +282,16 @@ class CurationSpec extends SparkSpecBase {
       e should be > 0.0
       e should be <= 4.0
       (r.getAs[Int]("repeated") == 1) shouldBe (e > 1.0)
-      // a source never draws more than its 4-epoch ceiling
+      // a source never draws more than its 4-epoch ceiling (planned is
+      // displayed at 2 dp, so allow the half-cent of display rounding)
       r.getAs[Double]("planned_tokens") should be <=
-        4.0 * r.getAs[Long]("n_tokens") + 1e-6
+        4.0 * r.getAs[Long]("n_tokens") + 0.005
     }
-    // Σ planned ≤ budget (capped sources under-draw, uncapped draw
-    // exactly budget·share), and the plan consumes most of the budget
+    // Σ planned ≤ budget by construction (draws derive from UNROUNDED
+    // epochs; capped sources under-draw, uncapped draw budget·share);
+    // slack = 2-dp display rounding × #sources
     val planned = rows.map(_.getAs[Double]("planned_tokens")).sum
-    planned should be <= budget.toDouble * (1 + 1e-9)
+    planned should be <= budget.toDouble + 0.005 * rows.length
     planned should be >= budget * 0.5
   }
 }

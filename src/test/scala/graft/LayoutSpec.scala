@@ -53,13 +53,30 @@ class LayoutSpec extends SparkSpecBase {
     // (whole domain); z-order keeps both strictly bounded away from it
     spanOf("l_suppkey") should be < 0.8
     spanOf("l_partkey") should be < 0.8
-    // and z-ordering is a real interleave: codes of distinct pairs differ
-    val z = Tables.lineitem(spark, sfDir)
-      .select(Layout.zorder($"l_suppkey", $"l_partkey", 4, 8).as("z"),
-        $"l_suppkey", $"l_partkey")
-      .limit(1000).collect()
-    z.groupBy(r => (r.getLong(1), r.getLong(2))).foreach { case (_, rs) =>
-      rs.map(_.getLong(0)).distinct.length shouldBe 1
+    // the interleave is injective over in-width pairs: distinct
+    // (suppkey, partkey) pairs get distinct codes
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_partkey").distinct()
+    val nPairs = pairs.count()
+    pairs.select(Layout.zorder($"l_suppkey", $"l_partkey", 4, 8).as("z"))
+      .distinct().count() shouldBe nPairs
+    // and MSB-aligned bit order is exactly Morton: hand-computed codes
+    val hand = spark.range(1)
+      .select(
+        Layout.zorder(lit(5), lit(3), 4, 4).as("z44"),
+        Layout.zorder(lit(5), lit(3), 4, 8).as("z48"))
+      .head()
+    hand.getLong(0) shouldBe 39L // interleave(0101, 0011) = 00 10 01 11
+    hand.getLong(1) shouldBe 547L // a's 4 bits lead, b's low bits trail
+  }
+
+  test("z-order write refuses keys wider than the declared bit widths") {
+    val out = java.nio.file.Files.createTempDirectory("layoutbad").toString
+    val e = intercept[IllegalArgumentException] {
+      // l_partkey reaches 199 — 4 bits would silently alias 5 and 21
+      Layout.writeZOrdered(Tables.lineitem(spark, sfDir), out, "l_suppkey", "l_partkey",
+        8, bitsA = 4, bitsB = 4)
     }
+    e.getMessage should include("alias")
   }
 }

@@ -150,6 +150,13 @@ class SimilaritySpec extends SparkSpecBase {
     out.foreach { r =>
       math.abs(r.getAs[Double]("approx_cosine") - r.getAs[Double]("cosine")) should be <= 0.05
     }
+    // the persisted index is genuinely compressed: packed u8 codes in a
+    // binary column plus a scalar affine/norm header — no float arrays
+    val idx = graft.operators.Similarity.quantized(spark, sfDir)
+    idx.schema("codes").dataType shouldBe org.apache.spark.sql.types.BinaryType
+    idx.schema.fields.map(_.dataType).count(_.isInstanceOf[org.apache.spark.sql.types.ArrayType]) shouldBe 0
+    idx.select(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.length($"codes"))).head().getInt(0) shouldBe 64
   }
 
   test("q86: hard negatives never share the query's label and rank by cosine") {
