@@ -969,6 +969,121 @@ object Similarity {
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
 
+  // --------------------------------------------------------------- q96
+  /** The composed production ANN path — the whole ladder in ONE query:
+    * IVF cell assignment (q41) restricts the search to the query's
+    * top-2 probed cells (q88), candidate scoring runs the SQ8 ADC dot
+    * over the PACKED byte codes (q83 — the full vectors are not
+    * touched), and only the top-10 shortlist is re-ranked with exact
+    * f32 cosine. This is the FAISS `IVF,SQ8` + refine pipeline as
+    * DataFrame algebra: at 100 TB the probed inverted lists stream the
+    * 88 B/vector quantized index, and full vectors are read for ten
+    * rows per query.
+    *
+    * Every stage reuses the session's persisted artifacts (norms,
+    * packed codes) and the deterministic centroid/probe algebra that
+    * q41/q88 lock in PlanSpec — composition adds no new state. */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
+    val arr = array(scores: _*)
+    val cellOf = (array_position(arr, array_max(arr)) - 1).cast("int")
+    // quantized candidates carry their cell id: equi-join of the two
+    // memoized tables on vec_id (co-partitioned at scale)
+    val cand = e.withColumn("cluster", cellOf).select($"vec_id", $"cluster")
+      .join(quantized(spark, dir), Seq("vec_id"))
+    val masked = zip_with(arr, sequence(lit(0), lit(NClusters - 1)),
+      (s, j) => when(j === cellOf, lit(-1e9)).otherwise(s))
+    val queries = e.filter($"vec_id".isin(QueryIds: _*))
+      .withColumn("probe1", cellOf)
+      .withColumn("probe2", (array_position(masked, array_max(masked)) - 1).cast("int"))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        aggregate($"v", lit(0.0), (acc, x) => acc + x).as("qsum"),
+        explode(array($"probe1", $"probe2")).as("cluster"))
+    val approx = ($"vmin" * $"qsum" + ($"span" / 255.0) * expr("graft_dot_u8(codes, qv)")) /
+      ($"qnrm" * $"rnrm")
+    val wa = Window.partitionBy($"query_id").orderBy(round(approx, 6).desc, $"vec_id".asc)
+    val shortlist = cand.join(broadcast(queries), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx_cosine", round(approx, 4))
+      .withColumn("ra", row_number().over(wa))
+      .filter($"ra" <= 10)
+      .select($"query_id", $"cluster", $"qv", $"qnrm", $"vec_id", $"approx_cosine")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val we = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    shortlist.join(e.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(we))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"cluster", $"vec_id".as("neighbor_id"), $"approx_cosine",
+        round(cos, 4).as("cosine"), $"rn")
+      .orderBy($"query_id", $"rn")
+  }
+
+  private val q96Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), cscored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), ranked AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster, rnc
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM cscored) t
+       |), assign AS (
+       |  SELECT vec_id, cluster FROM ranked WHERE rnc = 1
+       |), probes AS (
+       |  SELECT vec_id, cluster FROM ranked WHERE rnc <= 2
+       |), base AS (
+       |  SELECT vec_id, embedding,
+       |         list_min([CAST(x AS DOUBLE) for x in embedding]) AS vmin,
+       |         list_max([CAST(x AS DOUBLE) for x in embedding])
+       |           - list_min([CAST(x AS DOUBLE) for x in embedding]) AS span
+       |  FROM norms
+       |), quant AS (
+       |  SELECT vec_id, vmin, span,
+       |         [floor((CAST(x AS DOUBLE) - vmin) * 255.0
+       |                / (CASE WHEN span = 0 THEN 1.0 ELSE span END) + 0.5)
+       |          for x in embedding] AS code
+       |  FROM base
+       |), rq AS (
+       |  SELECT q2.vec_id, a.cluster, q2.vmin, q2.span, q2.code,
+       |         sqrt(list_sum([y * y for y in
+       |                        [q2.vmin + c * q2.span / 255.0 for c in q2.code]])) AS rnrm
+       |  FROM quant q2 JOIN assign a ON a.vec_id = q2.vec_id
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.cluster, c.vec_id, q.embedding AS qe, q.nrm AS qnrm,
+       |         (c.vmin * list_sum([CAST(x AS DOUBLE) for x in q.embedding])
+       |          + c.span / 255.0
+       |            * list_sum([CAST(q.embedding[i] AS DOUBLE) * c.code[i]
+       |                        for i in generate_series(1, $Dim)]))
+       |           / (q.nrm * c.rnrm) AS approx
+       |  FROM norms q
+       |  JOIN probes p ON p.vec_id = q.vec_id
+       |  JOIN rq c ON c.cluster = p.cluster AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |), shortlist AS (
+       |  SELECT query_id, cluster, vec_id, qe, qnrm, round(approx, 4) AS approx_cosine
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY round(approx, 6) DESC, vec_id ASC) AS ra
+       |        FROM scored) t
+       |  WHERE ra <= 10
+       |), exact AS (
+       |  SELECT s.query_id, s.cluster, s.vec_id, s.approx_cosine,
+       |         list_sum([CAST(s.qe[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, $Dim)]) / (s.qnrm * n.nrm) AS cos
+       |  FROM shortlist s JOIN norms n ON n.vec_id = s.vec_id
+       |)
+       |SELECT query_id, cluster, vec_id AS neighbor_id, approx_cosine,
+       |       round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, vec_id ASC) AS rn
+       |      FROM exact) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
   // --------------------------------------------------------------- q86
   /** Hard-negative mining: for each query vector, the top-5 most
     * cosine-similar vectors with a DIFFERENT label — the contrastive-
@@ -1023,5 +1138,6 @@ object Similarity {
     Q("q83_quantized_knn", q83, Some(q83Sql)),
     Q("q86_hard_negatives", q86, Some(q86Sql)),
     Q("q88_multiprobe_ivf", q88, Some(q88Sql)),
+    Q("q96_quantized_ivf", q96, Some(q96Sql)),
   )
 }

@@ -299,6 +299,13 @@ class PlanSpec extends SparkSpecBase {
     p.toLowerCase should include("dotproduct") // dense branch uses the native expression
   }
 
+  test("q96: the composed ANN path keeps the cell equi-join and scores packed bytes") {
+    val p = plan("q96_quantized_ivf")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    p.toLowerCase should include("dotproductbytes") // ADC on the packed index
+  }
+
   test("q92: corpus-scale work ends at the per-source signature aggregate") {
     val p = plan("q92_source_signatures")
     p should include("partial_min") // signature merge combines map-side

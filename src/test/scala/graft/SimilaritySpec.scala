@@ -187,6 +187,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q96: the composed IVF+SQ8+rerank path tracks the full-precision two-probe search") {
+    val rows = SparkEntry.queries("q96_quantized_ivf")(spark, sfDir).collect()
+    rows.length shouldBe 25
+    // ADC error bound holds through the composition
+    rows.foreach { r =>
+      math.abs(r.getAs[Double]("approx_cosine") - r.getAs[Double]("cosine")) should be <= 0.05
+    }
+    // against the same candidate pool scored in full precision (q88),
+    // the quantize-then-rerank path recovers most of the top-5
+    val full = SparkEntry.queries("q88_multiprobe_ivf")(spark, sfDir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    (got intersect full).size.toDouble / full.size should be >= 0.6
+    // ≤ 2 probed cells per query, like q88
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      rs.map(_.getAs[Int]("cluster")).toSet.size should be <= 2
+    }
+  }
+
   test("q76: centroids equal the per-label element-wise mean of the raw vectors") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
