@@ -118,15 +118,50 @@ object Similarity {
     * ([[graft.functions.DotProduct]]) used by every pair stage — fused
     * codegen loop, no per-pair array allocation, same left-to-right
     * accumulation as the algebraic form. */
-  private[operators] def embNorm(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:embNorm") {
-      import spark.implicits._
-      Tables.embeddings(spark, dir)
-        .withColumn("v", transform($"embedding", x => x.cast("double")))
-        .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
-    }
+  /** Add f64 `v` + L2 `nrm` to any frame carrying an `embedding`
+    * column — the scan-speed normalization every vector stage shares. */
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
   }
+
+  /** Add the SQ8 columns (packed `codes`, `vmin`, `span`, `rnrm`) to a
+    * frame carrying `v` — shared by the batch index build and the
+    * streaming append path ([[indexRows]]). */
+  private def withSq8(df: DataFrame): DataFrame =
+    df.withColumn("vmin", array_min(col("v")))
+      .withColumn("span", array_max(col("v")) - col("vmin"))
+      .withColumn("span1", when(col("span") === 0.0, 1.0).otherwise(col("span")))
+      .withColumn("code",
+        transform(col("v"), x => floor((x - col("vmin")) * 255.0 / col("span1") + 0.5).cast("int")))
+      .withColumn("codes", expr("graft_pack_u8(code)"))
+      .withColumn("r", transform(col("code"), c => col("vmin") + c * col("span") / 255.0))
+      .withColumn("rnrm", sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
+
+  /** IVF cell id over `v` (argmax rounded centroid dot, lowest-id tie). */
+  private def cellCol: Column = {
+    val arr = array((0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6)): _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Scan-speed index rows for a batch of (vec_id, embedding) vectors:
+    * IVF cell + packed SQ8 codes + norms — the INCREMENTAL maintenance
+    * path of the q96 index. A streaming ingest appends these per
+    * micro-batch (pure per-row algebra, no state, no shuffle) and the
+    * composed query's plan is unchanged; deterministic centroids mean
+    * an appended row is bit-identical to a batch rebuild of the same
+    * vector (IvfSpec proves it through a MemoryStream). */
+  private[graft] def indexRows(df: DataFrame): DataFrame =
+    withSq8(withNorm(df))
+      .withColumn("cluster", cellCol)
+      .select(col("vec_id"), col("cluster"), col("codes"),
+        col("vmin"), col("span"), col("rnrm"), col("nrm"))
+
+  private[operators] def embNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:embNorm") {
+      withNorm(Tables.embeddings(spark, dir))
+    }
 
   /** Native fused dot product over two array<double> columns (by name). */
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
@@ -809,15 +844,7 @@ object Similarity {
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:sq8") {
       import spark.implicits._
-      embNorm(spark, dir)
-        .withColumn("vmin", array_min($"v"))
-        .withColumn("span", array_max($"v") - $"vmin")
-        .withColumn("span1", when($"span" === 0.0, 1.0).otherwise($"span"))
-        .withColumn("code",
-          transform($"v", x => floor((x - $"vmin") * 255.0 / $"span1" + 0.5).cast("int")))
-        .withColumn("codes", expr("graft_pack_u8(code)"))
-        .withColumn("r", transform($"code", c => $"vmin" + c * $"span" / 255.0))
-        .withColumn("rnrm", sqrt(aggregate($"r", lit(0.0), (acc, y) => acc + y * y)))
+      withSq8(embNorm(spark, dir))
         .select($"vec_id", $"label", $"codes", $"vmin", $"span", $"rnrm")
     }
 

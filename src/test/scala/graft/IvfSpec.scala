@@ -36,4 +36,49 @@ class IvfSpec extends SparkSpecBase {
     }
     overlaps.sum should be > 0
   }
+
+  test("streaming index append equals the batch build row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val (shard1, shard2) = vecs.splitAt(vecs.length / 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    // per micro-batch: pure per-row algebra appended to the index dir —
+    // the production maintenance loop of the q96 index
+    val q = source.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.indexRows(batch)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    source.addData(shard1.toSeq); q.processAllAvailable()
+    source.addData(shard2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    // the streamed index is bit-identical to a batch rebuild: same
+    // cells, same packed codes, same affine/norm headers
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Array[Byte]]("codes").toSeq,
+          r.getAs[Double]("vmin"), r.getAs[Double]("span"),
+          r.getAs[Double]("rnrm"), r.getAs[Double]("nrm")))).toMap
+    val batchBuilt = graft.operators.Similarity.indexRows(
+      graft.sources.Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Array[Byte]]("codes").toSeq,
+          r.getAs[Double]("vmin"), r.getAs[Double]("span"),
+          r.getAs[Double]("rnrm"), r.getAs[Double]("nrm")))).toMap
+    streamed.keySet shouldBe batchBuilt.keySet
+    streamed.foreach { case (id, row) => row shouldBe batchBuilt(id) }
+    // and the cells agree with the catalog's own assignment (q68 report)
+    val cellCounts = streamed.values.groupBy(_._1).view.mapValues(_.size).toMap
+    val q68 = SparkEntry.queries("q68_cluster_balance")(spark, sfDir)
+      .select($"cluster", $"n_vecs").as[(Int, Long)].collect().toMap
+    cellCounts.foreach { case (cell, n) => q68(cell) shouldBe n.toLong }
+  }
 }
