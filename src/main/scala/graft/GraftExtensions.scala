@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductBytes, PackU8}
 
 /** Library integration point: register the engine's native expressions
   * into any session via
@@ -28,5 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[CosineSimilarity], "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two array<double> vectors"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pack_u8"),
+      info(classOf[PackU8], "graft_pack_u8",
+        "graft_pack_u8(a) - pack an array<int> of 0..255 codes into binary"),
+      (exprs: Seq[Expression]) => PackU8(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_u8"),
+      info(classOf[DotProductBytes], "graft_dot_u8",
+        "graft_dot_u8(codes, v) - dot of packed u8 codes against array<double>"),
+      (exprs: Seq[Expression]) => DotProductBytes(exprs(0), exprs(1))))
   }
 }

@@ -44,4 +44,26 @@ class VectorExprSpec extends SparkSpecBase {
     out(0) shouldBe None
     out(1) shouldBe Some(1.0 * 3.0 + 2.0 * 4.0)
   }
+
+  test("graft_pack_u8 packs codes to bytes and graft_dot_u8 matches the unpacked dot") {
+    GraftFunctions.register(spark)
+    // hand-checked: 255 packs to byte -1 but dots as 255
+    val hand = spark.range(1).select(
+      expr("graft_pack_u8(array(0, 1, 255))").as("p"),
+      expr("graft_dot_u8(graft_pack_u8(array(0, 1, 255)), array(1.0D, 2.0D, 3.0D))").as("d"))
+      .head()
+    hand.getAs[Array[Byte]]("p").toSeq shouldBe Seq[Byte](0, 1, -1)
+    hand.getAs[Double]("d") shouldBe 0 * 1.0 + 1 * 2.0 + 255 * 3.0
+    // bit-equality with the algebraic dot over the unpacked code values
+    val rnd = new scala.util.Random(7)
+    val codes = (1 to 50).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(256)), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("c", "v")
+    val rows = codes.select(
+      expr("graft_dot_u8(graft_pack_u8(c), v)").as("native"),
+      aggregate(zip_with($"c", $"v", (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x).as("algebraic"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, alg) => assert(n == alg) }
+  }
 }
