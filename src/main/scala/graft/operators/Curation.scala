@@ -860,6 +860,54 @@ object Curation {
       |FROM b GROUP BY source, bucket
       |ORDER BY source, bucket""".stripMargin
 
+  // --------------------------------------------------------------- q97
+  /** k-anonymity audit over quasi-identifiers: group documents by the
+    * attribute combination an adversary could link on — (lang, source,
+    * ⌊log₂ n_tokens⌋ length bucket) — and flag every equivalence class
+    * smaller than k = 5. A release whose rows sit in tiny classes is
+    * re-identifiable even after q62's direct-identifier scrub; this is
+    * the structural complement (Sweeney's k-anonymity, the standard
+    * pre-release privacy gate).
+    *
+    * Scale shape: one pruned scan, per-row quasi-id derivation, one
+    * partial+final aggregate to #classes cells; the at-risk flag and
+    * the class-share are per-cell algebra over the contracted frame
+    * (window total over cells, not rows). */
+  private val AnonK = 5
+
+  private def q97(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .select($"lang", $"source",
+        size(graft.functions.Portable.tokens($"text")).as("n"))
+      .withColumn("len_bucket", (length(bin($"n")) - 1).cast("int"))
+      .groupBy($"lang", $"source", $"len_bucket")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", ($"class_size" < AnonK).cast("int"))
+      .withColumn("risk_share",
+        sum(when($"class_size" < AnonK, $"class_size").otherwise(0L)).over(w)
+          .cast("double") / sum($"class_size").over(w))
+      .orderBy($"lang", $"source", $"len_bucket")
+  }
+
+  private val q97Sql: String =
+    s"""WITH per AS (
+       |  SELECT lang, source,
+       |         len(string_split_regex(text, '\\s+')) AS n
+       |  FROM documents
+       |), cls AS (
+       |  SELECT lang, source, CAST(length(bin(n)) - 1 AS INTEGER) AS len_bucket,
+       |         CAST(count(*) AS BIGINT) AS class_size
+       |  FROM per GROUP BY 1, 2, 3
+       |)
+       |SELECT lang, source, len_bucket, class_size,
+       |       CAST(class_size < $AnonK AS INTEGER) AS at_risk,
+       |       CAST(sum(CASE WHEN class_size < $AnonK THEN class_size ELSE 0 END) OVER ()
+       |            AS DOUBLE) / sum(class_size) OVER () AS risk_share
+       |FROM cls
+       |ORDER BY lang, source, len_bucket""".stripMargin
+
   // ------------------------------------------------ curated snapshot
   /** The pipeline's SINK: materialize the curated corpus to parquet,
     * composing the catalog's own stages — quality-aware keeper per
@@ -922,5 +970,6 @@ object Curation {
     Q("q87_repeat_plan", q87, Some(q87Sql)),
     Q("q89_source_overlap", q89, Some(q89Sql)),
     Q("q93_length_histogram", q93, Some(q93Sql)),
+    Q("q97_k_anonymity", q97, Some(q97Sql)),
   )
 }

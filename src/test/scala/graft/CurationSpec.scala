@@ -273,6 +273,19 @@ class CurationSpec extends SparkSpecBase {
     rows.map(_.getAs[Long]("n_docs")).sum shouldBe docs.length.toLong
   }
 
+  test("q97: equivalence classes tile the corpus and risk math is consistent") {
+    val rows = SparkEntry.queries("q97_k_anonymity")(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("class_size")).sum
+    total shouldBe graft.sources.Tables.documents(spark, sfDir).count()
+    val riskTotal = rows.filter(_.getAs[Int]("at_risk") == 1).map(_.getAs[Long]("class_size")).sum
+    rows.foreach { r =>
+      r.getAs[Int]("at_risk") shouldBe (if (r.getAs[Long]("class_size") < 5) 1 else 0)
+      r.getAs[Double]("risk_share") shouldBe riskTotal.toDouble / total +- 1e-12
+    }
+    // the audit discriminates on this corpus: both safe and at-risk classes exist
+    rows.map(_.getAs[Int]("at_risk")).distinct.length shouldBe 2
+  }
+
   test("q87: epochs cap at 4, draws respect inventory, and the plan fills the budget") {
     val rows = SparkEntry.queries("q87_repeat_plan")(spark, sfDir).collect()
     rows.length should be > 1
