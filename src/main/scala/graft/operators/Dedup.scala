@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -672,6 +673,79 @@ object Dedup {
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q98
+  /** Contamination SPAN extraction: q65 answers "is this test doc
+    * contaminated"; this answers "which part" — every verbatim 8-gram
+    * match is expanded to the token indices it covers and overlapping/
+    * adjacent matches are merged into maximal spans (the gaps-and-
+    * islands pattern: consecutive indices share `idx − row_number()`),
+    * emitting (doc_id, span_start, span_end, span_tokens). The span
+    * report is what a decontamination pipeline actually REDACTS (PaLM/
+    * GPT-3 drop whole docs; surgical pipelines cut the spans).
+    *
+    * Scale shape: positional grams explode only TEST docs; the train
+    * side is the same distinct-gram contraction as q65 (bloom
+    * prefilter applies); covered-index expansion is bounded by
+    * 8 × matches; the islands window partitions by doc_id — shuffle
+    * keyed by doc, state = one doc's matched indices. */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // positional 8-grams of the TEST split (0-based token start)
+    val tg = docs.filter(Curation.splitBucket($"doc_id") >= 90)
+      .withColumn("t", Portable.tokens($"text"))
+      .filter(size($"t") >= DecontamN)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(t)-$DecontamN), i -> " +
+          s"named_struct('pos', i, 'g', array_join(slice(t, i+1, $DecontamN), ' ')))"))
+        .as("pg"))
+      .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
+    val trainG = tokenGrams(docs.filter(Curation.splitBucket($"doc_id") < 80), DecontamN)
+      .select($"g").distinct()
+    val covered = tg.join(trainG, Seq("g"))
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (DecontamN - 1))).as("idx"))
+      .distinct()
+    val wi = Window.partitionBy($"doc_id").orderBy($"idx")
+    covered
+      .withColumn("grp", $"idx" - row_number().over(wi))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"idx").as("span_start"), max($"idx").as("span_end"),
+        count(lit(1)).as("span_tokens"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private val q98Sql: String =
+    s"""WITH toks2 AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), tg AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         array_to_string(list_slice(t, i, i + ${DecontamN - 1}), ' ') AS g
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${DecontamN - 1})) AS i
+       |        FROM toks2
+       |        WHERE ${Curation.splitBucketSql("doc_id")} >= 90 AND len(t) >= $DecontamN)
+       |), rgd AS (
+       |  SELECT DISTINCT g
+       |  FROM (SELECT doc_id,
+       |               unnest([array_to_string(list_slice(t, i, i + ${DecontamN - 1}), ' ')
+       |                       for i in generate_series(1, len(t) - ${DecontamN - 1})]) AS g
+       |        FROM toks2
+       |        WHERE ${Curation.splitBucketSql("doc_id")} < 80 AND len(t) >= $DecontamN)
+       |), covered AS (
+       |  SELECT DISTINCT tg.doc_id, CAST(u.idx AS INTEGER) AS idx
+       |  FROM tg JOIN rgd ON tg.g = rgd.g,
+       |       unnest(generate_series(tg.pos, tg.pos + ${DecontamN - 1})) AS u(idx)
+       |), isl AS (
+       |  SELECT doc_id, idx,
+       |         idx - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS INTEGER) AS grp
+       |  FROM covered
+       |)
+       |SELECT doc_id, CAST(min(idx) AS INTEGER) AS span_start,
+       |       CAST(max(idx) AS INTEGER) AS span_end,
+       |       CAST(count(*) AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // --------------------------------------------------------------- q90
   /** N-gram novelty scoring: the fraction of each test-split document's
     * distinct 3-grams that appear NOWHERE in the train split — the
@@ -846,5 +920,6 @@ object Dedup {
     Q("q65_exact_decontamination", q65, Some(q65Sql)),
     Q("q90_ngram_novelty", q90, Some(q90Sql)),
     Q("q92_source_signatures", q92, Some(q92Sql)),
+    Q("q98_contamination_spans", q98, Some(q98Sql)),
   )
 }

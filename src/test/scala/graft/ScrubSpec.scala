@@ -128,4 +128,31 @@ class ScrubSpec extends SparkSpecBase {
     plan should include("might_contain")
     (plan should not).include("UDF")
   }
+
+  test("q98 spans reconcile with q65's flags and islands are maximal") {
+    import spark.implicits._
+    val spans = SparkEntry.queries("q98_contamination_spans")(spark, dir).collect()
+    val flagged = SparkEntry.queries("q65_exact_decontamination")(spark, dir)
+      .filter($"is_contaminated" === 1).select($"doc_id").as[Long].collect().toSet
+    // exactly the q65-contaminated docs carry spans
+    spans.map(_.getAs[Long]("doc_id")).toSet shouldBe flagged
+    spans.foreach { r =>
+      val (s, e, n) = (r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+        r.getAs[Long]("span_tokens"))
+      s should be >= 0
+      // islands are contiguous: covered count equals the span width
+      n shouldBe (e - s + 1).toLong
+      // a span covers at least one whole 8-gram
+      n should be >= 8L
+    }
+    // maximality: spans of one doc never touch or overlap
+    spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("span_start"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          b.getAs[Int]("span_start") should be > a.getAs[Int]("span_end") + 1
+        case _ => ()
+      }
+    }
+  }
 }
