@@ -962,6 +962,63 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q99
+  /** TPC-H Q5-semantics star join: revenue per nation for orders whose
+    * customer AND supplier sit in the same nation, restricted to one
+    * region and a one-year order window — the canonical OLAP join-order
+    * workout (6 tables: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region).
+    *
+    * Scale shape: the fact table joins the orders fact on the orderkey
+    * (sort-merge, zero-shuffle when bucketed — sources.Bucketing) while
+    * every dimension chain (customer→nation→region, supplier→nation)
+    * broadcasts; the date and region predicates prune BEFORE the fact
+    * join (Catalyst pushes them into the dimension scans), and the
+    * final aggregate contracts to #nations cells with map-side
+    * partials. Revenue sums are rounded (2 dp) as aggregates. */
+  private def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_nationkey".as("cust_nation"), $"n_name")
+    val supp = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey")
+    val orders = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .filter($"s_nationkey" === $"cust_nation")
+      .groupBy($"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  private val q99Sql: String =
+    """SELECT n.n_name,
+      |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND s.s_nationkey = c.c_nationkey
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q0_filter_project", q0, Some(q0Sql)),
     Q("q1_pricing_summary", q1, Some(q1Sql)),
@@ -997,5 +1054,6 @@ object Relational {
     Q("q47_pivot", q47, Some(q47Sql)),
     Q("q48_resample_gapfill", q48, Some(q48Sql)),
     Q("q49_rank_distribution", q49, Some(q49Sql)),
+    Q("q99_star_revenue", q99, Some(q99Sql)),
   )
 }

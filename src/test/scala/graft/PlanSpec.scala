@@ -306,6 +306,16 @@ class PlanSpec extends SparkSpecBase {
     p.toLowerCase should include("dotproductbytes") // ADC on the packed index
   }
 
+  test("q99: the star join broadcasts every dimension chain and combines map-side") {
+    val p = plan("q99_star_revenue")
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    p should include("partial_sum")
+    // region/date predicates prune before the fact join
+    p should include("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
+    p should include("IsNotNull(o_orderdate)")
+  }
+
   test("q92: corpus-scale work ends at the per-source signature aggregate") {
     val p = plan("q92_source_signatures")
     p should include("partial_min") // signature merge combines map-side
