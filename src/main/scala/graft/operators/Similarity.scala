@@ -108,18 +108,12 @@ object Similarity {
   private val Cent: IndexedSeq[IndexedSeq[Int]] =
     (0 until NClusters).map(j => signVector(s"c$j"))
 
-  /** embeddings + f64 vector `v` + L2 norm `nrm`, memoized and persisted
-    * per (session, dir): q28/q29/q30/q41/q55 all start from this table,
-    * so it materializes once per session instead of five rescans — the
-    * same shared-intermediate pattern as Dedup's signature table.
-    * `persist` keeps lineage (executor loss → recompute, not failure);
-    * [[graft.core.PersistedMemo]] owns the lifecycle (release/clearAll,
-    * eviction on session stop). Registers the native vector expressions
+  /** Add f64 `v` + L2 `nrm` to any frame carrying an `embedding`
+    * column — the scan-speed normalization every vector stage shares.
+    * Registers the native vector expressions
     * ([[graft.functions.DotProduct]]) used by every pair stage — fused
     * codegen loop, no per-pair array allocation, same left-to-right
     * accumulation as the algebraic form. */
-  /** Add f64 `v` + L2 `nrm` to any frame carrying an `embedding`
-    * column — the scan-speed normalization every vector stage shares. */
   private def withNorm(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("v", transform(col("embedding"), x => x.cast("double")))
@@ -139,11 +133,18 @@ object Similarity {
       .withColumn("r", transform(col("code"), c => col("vmin") + c * col("span") / 255.0))
       .withColumn("rnrm", sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
 
-  /** IVF cell id over `v` (argmax rounded centroid dot, lowest-id tie). */
-  private def cellCol: Column = {
-    val arr = array((0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6)): _*)
+  /** The 16 rounded centroid-dot scores over `v` — THE cell-assignment
+    * geometry; every consumer (q41/q82/q88/q96, indexRows) derives from
+    * this one expression so the assignment can never fork. */
+  private def cellScores: Column =
+    array((0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6)): _*)
+
+  /** Cell id from a score array (argmax, lowest-id tie via first-max). */
+  private def cellFromScores(arr: Column): Column =
     (array_position(arr, array_max(arr)) - 1).cast("int")
-  }
+
+  /** IVF cell id over `v` (argmax rounded centroid dot, lowest-id tie). */
+  private def cellCol: Column = cellFromScores(cellScores)
 
   /** Scan-speed index rows for a batch of (vec_id, embedding) vectors:
     * IVF cell + packed SQ8 codes + norms — the INCREMENTAL maintenance
@@ -158,6 +159,13 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("codes"),
         col("vmin"), col("span"), col("rnrm"), col("nrm"))
 
+  /** embeddings + f64 `v` + L2 `nrm`, memoized and persisted per
+    * (session, dir): q28/q29/q30/q41/q55/q83/q94/q96 all start from
+    * this table, so it materializes once per session — the same
+    * shared-intermediate pattern as Dedup's signature table. `persist`
+    * keeps lineage (executor loss → recompute, not failure);
+    * [[graft.core.PersistedMemo]] owns the lifecycle (release/clearAll,
+    * eviction on session stop). */
   private[operators] def embNorm(spark: SparkSession, dir: String): DataFrame =
     graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:embNorm") {
       withNorm(Tables.embeddings(spark, dir))
@@ -457,12 +465,11 @@ object Similarity {
   private def q41(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
-    val arr = array(scores: _*)
+    val arr = cellScores
     // array_position is 1-based and returns the FIRST occurrence of the
     // max — the deterministic lowest-j tiebreak
     val assigned = e
-      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cluster", cellFromScores(arr))
       .select($"vec_id", $"v", $"nrm", $"cluster")
     val queries = assigned.filter($"vec_id".isin(QueryIds: _*))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"cluster")
@@ -526,10 +533,9 @@ object Similarity {
   private def q68(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
-    val arr = array(scores: _*)
+    val arr = cellScores
     val cells = e
-      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cluster", cellFromScores(arr))
       .withColumn("cos_cent", array_max(arr) / ($"nrm" * math.sqrt(Dim)))
       .groupBy($"cluster")
       .agg(
@@ -601,10 +607,9 @@ object Similarity {
   private def q72(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
-    val arr = array(scores: _*)
+    val arr = cellScores
     val assigned = e
-      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cluster", cellFromScores(arr))
       .withColumn("cos_cent", array_max(arr) / ($"nrm" * math.sqrt(Dim)))
       .select($"vec_id", $"v", $"nrm", $"cluster", $"cos_cent")
     val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
@@ -759,10 +764,9 @@ object Similarity {
   private def q82(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
-    val arr = array(scores: _*)
+    val arr = cellScores
     val cells = e
-      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cluster", cellFromScores(arr))
       .select($"vec_id", $"cluster")
     val toks = Tables.documents(spark, dir)
       .join(cells, $"doc_id" === $"vec_id")
@@ -937,18 +941,17 @@ object Similarity {
   private def q88(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
-    val arr = array(scores: _*)
+    val arr = cellScores
     val assigned = e
-      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .withColumn("cluster", cellFromScores(arr))
       .select($"vec_id", $"v", $"nrm", $"cluster")
     // queries probe their best AND runner-up cells
     val masked = zip_with(arr, sequence(lit(0), lit(NClusters - 1)),
-      (s, j) => when(j === (array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1e9))
+      (s, j) => when(j === cellFromScores(arr), lit(-1e9))
         .otherwise(s))
     val queries = e.filter($"vec_id".isin(QueryIds: _*))
-      .withColumn("probe1", (array_position(arr, array_max(arr)) - 1).cast("int"))
-      .withColumn("probe2", (array_position(masked, array_max(masked)) - 1).cast("int"))
+      .withColumn("probe1", cellFromScores(arr))
+      .withColumn("probe2", cellFromScores(masked))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         explode(array($"probe1", $"probe2")).as("cluster"))
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
@@ -1013,9 +1016,8 @@ object Similarity {
   private def q96(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val scores = (0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6))
-    val arr = array(scores: _*)
-    val cellOf = (array_position(arr, array_max(arr)) - 1).cast("int")
+    val arr = cellScores
+    val cellOf = cellFromScores(arr)
     // quantized candidates carry their cell id: equi-join of the two
     // memoized tables on vec_id (co-partitioned at scale)
     val cand = e.withColumn("cluster", cellOf).select($"vec_id", $"cluster")
@@ -1024,7 +1026,7 @@ object Similarity {
       (s, j) => when(j === cellOf, lit(-1e9)).otherwise(s))
     val queries = e.filter($"vec_id".isin(QueryIds: _*))
       .withColumn("probe1", cellOf)
-      .withColumn("probe2", (array_position(masked, array_max(masked)) - 1).cast("int"))
+      .withColumn("probe2", cellFromScores(masked))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         aggregate($"v", lit(0.0), (acc, x) => acc + x).as("qsum"),
         explode(array($"probe1", $"probe2")).as("cluster"))

@@ -68,16 +68,23 @@ object Layout {
   def writeZOrdered(df: DataFrame, outDir: String, keyA: String, keyB: String,
       nFiles: Int, bitsA: Int = 16, bitsB: Int = 16): Unit = {
     val r = df.agg(
+      count(lit(1)).as("n"),
       min(col(keyA).cast("long")).as("minA"), max(col(keyA).cast("long")).as("maxA"),
       min(col(keyB).cast("long")).as("minB"), max(col(keyB).cast("long")).as("maxB")).head()
-    require(r.getLong(0) >= 0 && r.getLong(2) >= 0,
-      s"zorder keys must be non-negative: min($keyA)=${r.getLong(0)}, min($keyB)=${r.getLong(2)}")
-    require(r.getLong(1) < (1L << bitsA),
-      s"zorder width too narrow: max($keyA)=${r.getLong(1)} needs > $bitsA bits — " +
-        "wider keys would alias and defeat pruning")
-    require(r.getLong(3) < (1L << bitsB),
-      s"zorder width too narrow: max($keyB)=${r.getLong(3)} needs > $bitsB bits — " +
-        "wider keys would alias and defeat pruning")
+    // empty input: nothing to validate (or alias) — write the empty
+    // layout, as an unvalidated write would have
+    if (r.getLong(0) > 0) {
+      require(!r.isNullAt(1) && !r.isNullAt(3),
+        s"zorder keys must cast to integers: $keyA/$keyB produced null under CAST AS LONG")
+      require(r.getLong(1) >= 0 && r.getLong(3) >= 0,
+        s"zorder keys must be non-negative: min($keyA)=${r.getLong(1)}, min($keyB)=${r.getLong(3)}")
+      require(r.getLong(2) < (1L << bitsA),
+        s"zorder width too narrow: max($keyA)=${r.getLong(2)} needs > $bitsA bits — " +
+          "wider keys would alias and defeat pruning")
+      require(r.getLong(4) < (1L << bitsB),
+        s"zorder width too narrow: max($keyB)=${r.getLong(4)} needs > $bitsB bits — " +
+          "wider keys would alias and defeat pruning")
+    }
     df.withColumn("__z", zorder(col(keyA), col(keyB), bitsA, bitsB))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

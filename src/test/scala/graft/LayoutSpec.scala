@@ -70,6 +70,14 @@ class LayoutSpec extends SparkSpecBase {
     hand.getLong(1) shouldBe 547L // a's 4 bits lead, b's low bits trail
   }
 
+  test("z-order write of an empty frame succeeds (nothing to validate or alias)") {
+    val out = java.nio.file.Files.createTempDirectory("layoutempty").toString
+    Layout.writeZOrdered(
+      Tables.lineitem(spark, sfDir).filter($"l_orderkey" < 0),
+      out, "l_suppkey", "l_partkey", 4, bitsA = 4, bitsB = 8)
+    spark.read.parquet(out).count() shouldBe 0L
+  }
+
   test("z-order write refuses keys wider than the declared bit widths") {
     val out = java.nio.file.Files.createTempDirectory("layoutbad").toString
     val e = intercept[IllegalArgumentException] {
