@@ -96,6 +96,26 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .orderBy($"qid")
   }
 
+  test("q93 as SQL: same results and pruned scan for the length histogram") {
+    val sqlDf = opened.sql(
+      """SELECT source, CAST(length(bin(n)) - 1 AS INT) AS bucket,
+        |       shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n)) - 1 AS INT)) AS bucket_lo,
+        |       shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n)) - 1 AS INT) + 1) - 1 AS bucket_hi,
+        |       count(1) AS n_docs,
+        |       sum(CAST(n AS BIGINT)) AS n_tokens
+        |FROM (SELECT source, size(split(text, '\\s+')) AS n FROM documents)
+        |GROUP BY 1, 2
+        |ORDER BY source, bucket""".stripMargin)
+    sqlDf.count() shouldBe dfForm("q93_length_histogram").count()
+    // same result set, same scan pruning — the SQL user pays no penalty
+    val plan = sqlDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include("ReadSchema: struct<text:string,source:string>")
+    val sqlRows = sqlDf.collect().map(_.toSeq)
+    val dfRows = dfForm("q93_length_histogram").collect().map(_.toSeq)
+    sqlRows shouldBe dfRows
+  }
+
   test("views are metadata only: each SQL query plans its own pruned scan") {
     val plan = opened.sql("SELECT l_orderkey FROM lineitem WHERE l_orderkey = 1")
       .queryExecution.explainString(
