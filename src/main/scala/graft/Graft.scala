@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The library facade: the catalog (`SparkEntry.queries`) fixes every
+  * parameter so the driver's oracle gate can hash results, but a user
+  * of the engine calls THESE — the same operators with the knobs open.
+  * Every entry point delegates to the module internals the catalog
+  * queries run, so plan shapes (and their PlanSpec locks) carry over;
+  * ApiSpec pins the catalog defaults to the corresponding qNN outputs.
+  */
+object Graft {
+
+  /** Okapi BM25 top-`topK` documents for an ad-hoc bag of query terms.
+    * Same shape as q84: per-row HOF term counting, one-row broadcast
+    * stats, TakeOrdered — no vocabulary shuffle for any term set. */
+  def bm25Search(spark: SparkSession, dir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val scored = operators.TextAnalysis.bm25ScoredFor(spark, dir, terms, k1, b)
+    val w = Window.orderBy(col("score6").desc, col("doc_id").asc)
+    scored.orderBy(col("score6").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rn", row_number().over(w))
+      .select((Seq(col("doc_id")) ++ terms.map(t => col(s"tf_$t")) ++
+        Seq(round(col("score6"), 4).as("score"), col("rn"))): _*)
+      .orderBy(col("rn"))
+  }
+
+  /** The vector-search ladder with the knobs open: `probes` cells per
+    * query (1 = q41, 2 = q88, `16` = exhaustive), optional SQ8
+    * quantized scoring with exact rerank (q96's path). Top-`k` by
+    * exact cosine either way. */
+  def vectorSearch(spark: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 5, probes: Int = 1, quantizedScoring: Boolean = false): DataFrame =
+    operators.Similarity.vectorSearch(spark, dir, queryIds, k, probes, quantizedScoring)
+
+  /** MinHash-LSH candidate pairs verified by exact n-gram Jaccard,
+    * filtered to `minJaccard` — q25→q26's candidates→verify chain. */
+  def textNearDupPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.8): DataFrame =
+    operators.Dedup.jaccardPairs(spark, dir)
+      .filter(col("jaccard") >= minJaccard)
+
+  /** Banded-SRP embedding near-dup pairs at an ad-hoc calibration —
+    * q55's production pipeline with the band-width knob open. The
+    * candidate-volume cap still throws on a mis-calibrated run. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.85, bands: Int = 16, bandBits: Int = 8,
+      capFraction: Double = 0.25): DataFrame = {
+    val planes = (0 until bands * bandBits)
+      .map(p => operators.Similarity.testSignVector(s"p$p"))
+    val cands = operators.Similarity.bandCandidates(
+      spark, dir, planes, bands, bandBits, s"api:$bands,$bandBits", capFraction)
+    operators.Similarity.verified(
+      operators.Similarity.embNorm(spark, dir), cands)
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Streaming/batch ANN-index rows for any (vec_id, embedding) frame
+    * — append these per shard/micro-batch; bit-identical to a batch
+    * rebuild (deterministic centroids). */
+  def indexRows(vectors: DataFrame): DataFrame =
+    operators.Similarity.indexRows(vectors)
+
+  /** Materialize the curated corpus (keeper policy + PII scrub +
+    * leakage-repaired splits), partitioned by split. */
+  def curatedSnapshot(spark: SparkSession, dir: String, outDir: String): DataFrame =
+    operators.Curation.materializeCurated(spark, dir, outDir)
+}

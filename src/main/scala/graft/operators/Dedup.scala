@@ -198,6 +198,10 @@ object Dedup {
     * shingle sets per candidate pair (join only on candidates — never
     * all pairs). jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact integer
     * division → bit-identical across engines, no rounding needed. */
+  /** Exposed for [[graft.Graft.textNearDupPairs]]. */
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    q26(spark, dir)
+
   private def q26(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // candidates come from the shared persisted table (tiny — LSH prunes

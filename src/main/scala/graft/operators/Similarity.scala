@@ -166,10 +166,65 @@ object Similarity {
     * keeps lineage (executor loss → recompute, not failure);
     * [[graft.core.PersistedMemo]] owns the lifecycle (release/clearAll,
     * eviction on session stop). */
-  private[operators] def embNorm(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embNorm(spark: SparkSession, dir: String): DataFrame =
     graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:embNorm") {
       withNorm(Tables.embeddings(spark, dir))
     }
+
+  /** Parameterized vector search — the library entry point generalizing
+    * the catalog's fixed-shape queries ([[Graft.vectorSearch]]):
+    * `probes = NClusters` degenerates to brute force over all cells,
+    * `probes = 1/2` is q41/q88, `quantizedScoring = true` is the q96
+    * path (ADC over the packed index, exact rerank of a 2k shortlist).
+    * Same determinism contract as the catalog: rounded rankings, id
+    * tiebreaks, first-max cell ties. */
+  private[graft] def vectorSearch(spark: SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int = 5, probes: Int = 1,
+      quantizedScoring: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(k > 0 && probes > 0 && probes <= NClusters,
+      s"need 0 < k and 0 < probes <= $NClusters")
+    val e = embNorm(spark, dir)
+    val assigned = e.withColumn("cluster", cellCol)
+    val wp = Window.partitionBy($"query_id").orderBy($"s".desc, $"j".asc)
+    val queries = e.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        aggregate($"v", lit(0.0), (acc, x) => acc + x).as("qsum"),
+        posexplode(cellScores).as(Seq("j", "s")))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= probes)
+      .select($"query_id", $"qv", $"qnrm", $"qsum", $"j".cast("int").as("cluster"))
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val we = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    if (!quantizedScoring) {
+      assigned.select($"vec_id", $"v", $"nrm", $"cluster")
+        .join(broadcast(queries), Seq("cluster"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("rn", row_number().over(we))
+        .filter($"rn" <= k)
+        .select($"query_id", $"cluster", $"vec_id".as("neighbor_id"),
+          round(cos, 4).as("cosine"), $"rn")
+        .orderBy($"query_id", $"rn")
+    } else {
+      val cand = assigned.select($"vec_id", $"cluster")
+        .join(quantized(spark, dir), Seq("vec_id"))
+      val approx = ($"vmin" * $"qsum" + ($"span" / 255.0) * expr("graft_dot_u8(codes, qv)")) /
+        ($"qnrm" * $"rnrm")
+      val wa = Window.partitionBy($"query_id").orderBy(round(approx, 6).desc, $"vec_id".asc)
+      val shortlist = cand.join(broadcast(queries), Seq("cluster"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("approx_cosine", round(approx, 4))
+        .withColumn("ra", row_number().over(wa))
+        .filter($"ra" <= 2 * k)
+        .select($"query_id", $"cluster", $"qv", $"qnrm", $"vec_id", $"approx_cosine")
+      shortlist.join(e.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+        .withColumn("rn", row_number().over(we))
+        .filter($"rn" <= k)
+        .select($"query_id", $"cluster", $"vec_id".as("neighbor_id"), $"approx_cosine",
+          round(cos, 4).as("cosine"), $"rn")
+        .orderBy($"query_id", $"rn")
+    }
+  }
 
   /** Native fused dot product over two array<double> columns (by name). */
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
@@ -255,7 +310,7 @@ object Similarity {
 
   /** Exact-cosine verification of a candidate table: join the persisted
     * norms, one fused dot per pair. */
-  private def verified(e: DataFrame, cands: DataFrame): DataFrame = {
+  private[graft] def verified(e: DataFrame, cands: DataFrame): DataFrame = {
     val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
     cands
       .join(e.as("a"), col("vec_a") === col("a.vec_id"))

@@ -741,23 +741,29 @@ object TextAnalysis {
       bm25Build(spark, dir)
     }
 
-  private def bm25Build(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25Build(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredFor(spark, dir, BmTerms, BmK1, BmB)
+
+  /** Parameterized BM25 scoring — the library entry point behind both
+    * the fixed-term catalog query (q84) and [[Graft.bm25Search]]. */
+  private[graft] def bm25ScoredFor(spark: SparkSession, dir: String,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     import spark.implicits._
     val per = Tables.documents(spark, dir)
       .withColumn("t", Portable.tokens($"text"))
       .select(
         $"doc_id" +: size($"t").as("dl") +:
-          BmTerms.map(term => size(filter($"t", x => x === lit(term))).as(s"tf_$term")): _*)
-    val dfAggs = BmTerms.map(term =>
+          terms.map(term => size(filter($"t", x => x === lit(term))).as(s"tf_$term")): _*)
+    val dfAggs = terms.map(term =>
       sum((col(s"tf_$term") > 0).cast("long")).as(s"df_$term"))
     val st = per.agg(count(lit(1)).as("n_docs"),
       sum($"dl").as("sum_dl") +: dfAggs: _*)
     val avgdl = $"sum_dl".cast("double") / $"n_docs"
-    val score = BmTerms.map { term =>
+    val score = terms.map { term =>
       val tf = col(s"tf_$term").cast("double")
       val df = col(s"df_$term").cast("double")
       val idf = log(($"n_docs" - df + 0.5) / (df + 0.5) + 1.0)
-      idf * (tf * (BmK1 + 1.0)) / (tf + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * ($"dl" / avgdl)))
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * ($"dl" / avgdl)))
     }.reduce(_ + _)
     per.crossJoin(broadcast(st)).withColumn("score6", round(score, 6))
   }

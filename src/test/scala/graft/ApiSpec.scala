@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The Graft facade: parameterized entry points must reproduce the
+  * catalog's fixed-parameter queries at the catalog defaults (so the
+  * oracle gate transitively covers the API), and stay sane off the
+  * defaults. */
+class ApiSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("bm25Search at catalog terms equals q84") {
+    val api = Graft.bm25Search(spark, dir, Seq("spark", "join", "window"))
+      .select($"doc_id", $"score", $"rn")
+    val cat = SparkEntry.queries("q84_bm25_search")(spark, dir)
+      .select($"doc_id", $"score", $"rn")
+    rows(api) shouldBe rows(cat)
+    // an ad-hoc term set runs and discriminates
+    val adhoc = Graft.bm25Search(spark, dir, Seq("customer"), topK = 5).collect()
+    adhoc.length shouldBe 5
+    adhoc.head.getAs[Double]("score") should be > 0.0
+  }
+
+  test("vectorSearch(probes=1) equals q41; probes=2 equals q88; quantized equals q96") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    rows(Graft.vectorSearch(spark, dir, ids, k = 5, probes = 1)) shouldBe
+      rows(SparkEntry.queries("q41_knn_ivf")(spark, dir))
+    rows(Graft.vectorSearch(spark, dir, ids, k = 5, probes = 2)) shouldBe
+      rows(SparkEntry.queries("q88_multiprobe_ivf")(spark, dir))
+    rows(Graft.vectorSearch(spark, dir, ids, k = 5, probes = 2, quantizedScoring = true)) shouldBe
+      rows(SparkEntry.queries("q96_quantized_ivf")(spark, dir))
+    // exhaustive probing recovers the brute-force top-5 exactly
+    val exhaustive = Graft.vectorSearch(spark, dir, ids, k = 5, probes = 16)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rn")
+    val brute = SparkEntry.queries("q29_knn_brute_force")(spark, dir)
+      .filter($"rn" <= 5).select($"query_id", $"neighbor_id", $"cosine", $"rn")
+    rows(exhaustive) shouldBe rows(brute)
+  }
+
+  test("embeddingNearDupPairs at the production calibration equals q55's passing set") {
+    val api = Graft.embeddingNearDupPairs(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val cat = SparkEntry.queries("q55_neardup_production")(spark, dir)
+      .filter($"passed" === 1)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    api shouldBe cat
+  }
+
+  test("textNearDupPairs filters q26's verified jaccard") {
+    val api = Graft.textNearDupPairs(spark, dir, minJaccard = 0.5).collect()
+    val q26 = SparkEntry.queries("q26_ngram_jaccard")(spark, dir)
+      .filter($"jaccard" >= 0.5).collect()
+    api.map(_.toSeq).toSeq shouldBe q26.map(_.toSeq).toSeq
+  }
+}
