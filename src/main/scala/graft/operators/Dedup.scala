@@ -209,11 +209,16 @@ object Dedup {
     // here; the verification stage re-shingles ONLY candidate documents
     // for the intersection.
     val cands = lshCandidates(spark, dir)
-    val candDocIds = cands.select($"doc_a".as("doc_id"))
-      .union(cands.select($"doc_b".as("doc_id"))).distinct()
-    val candDocs = Tables.documents(spark, dir)
-      .join(broadcast(candDocIds), Seq("doc_id"), "left_semi")
-    val sh = shinglesFrom(candDocs)
+    // the candidate-doc shingle table is itself a memoized persisted
+    // intermediate: q26 and its consumers (Graft.textNearDupPairs, the
+    // warm bench pass) verify against ONE materialization instead of
+    // re-shingling candidates per call
+    val sh = memoized(spark, dir, "candsh") {
+      val candDocIds = cands.select($"doc_a".as("doc_id"))
+        .union(cands.select($"doc_b".as("doc_id"))).distinct()
+      shinglesFrom(Tables.documents(spark, dir)
+        .join(broadcast(candDocIds), Seq("doc_id"), "left_semi"))
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")

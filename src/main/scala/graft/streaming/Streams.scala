@@ -85,6 +85,15 @@ object IngestStream {
       if (dedupe) DedupStream.dropDuplicateReadings(stamped, horizon) else stamped
     upserted
       .select("sensor", "ts", "value", "anomaly")
+      // named per-batch metrics on the PIPELINE's own rows (Spark's
+      // observe API): row count, distinct sensors, anomaly count —
+      // surfaced through QueryProgressEvent.observedMetrics, the hook a
+      // production monitor alerts on (rows/batch collapse, anomaly
+      // storm) without a second read of the stream
+      .observe("ingest",
+        count(lit(1)).as("rows"),
+        approx_count_distinct(col("sensor")).as("sensors"),
+        sum(col("anomaly").cast("long")).as("anomalies"))
       .writeStream
       .format("parquet")
       .option("path", entryDir)

@@ -37,6 +37,14 @@ class StreamingSpec extends SparkSpecBase {
     nextMilli()
     source.addData(MqttEntry("s1", 11.0, 0))
     q.processAllAvailable()
+    // observe() telemetry: named per-batch metrics ride the progress
+    // events — rows across batches must account for every ingested row,
+    // and the anomaly count must see the one anomalous reading
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest")))
+    observed should not be empty
+    observed.map(_.getAs[Long]("rows")).sum shouldBe 5L
+    observed.map(_.getAs[Long]("anomalies")).sum shouldBe 1L
     q.stop()
     val out = spark.read.parquet(entryDir)
     out.count() shouldBe 5
