@@ -15,15 +15,22 @@ object Graft {
 
   /** Okapi BM25 top-`topK` documents for an ad-hoc bag of query terms.
     * Same shape as q84: per-row HOF term counting, one-row broadcast
-    * stats, TakeOrdered — no vocabulary shuffle for any term set. */
+    * stats, TakeOrdered — no vocabulary shuffle for any term set.
+    * Term-frequency columns are positional (`tf_0..`, in deduplicated
+    * input order) so arbitrary terms — duplicates, dots, spaces — can
+    * never break column resolution. Scored frames are memoized per
+    * (terms, k1, b), so repeated searches reuse one corpus scan. */
   def bm25Search(spark: SparkSession, dir: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25Search needs at least one term")
-    val scored = operators.TextAnalysis.bm25ScoredFor(spark, dir, terms, k1, b)
+    require(topK > 0 && k1 > 0 && b >= 0 && b <= 1,
+      s"need topK > 0, k1 > 0, 0 <= b <= 1 (got topK=$topK, k1=$k1, b=$b)")
+    val ts = terms.distinct
+    val scored = operators.TextAnalysis.bm25ScoredFor(spark, dir, ts, k1, b)
     val w = Window.orderBy(col("score6").desc, col("doc_id").asc)
     scored.orderBy(col("score6").desc, col("doc_id").asc).limit(topK)
       .withColumn("rn", row_number().over(w))
-      .select((Seq(col("doc_id")) ++ terms.map(t => col(s"tf_$t")) ++
+      .select((Seq(col("doc_id")) ++ ts.indices.map(i => col(s"tf_$i")) ++
         Seq(round(col("score6"), 4).as("score"), col("rn"))): _*)
       .orderBy(col("rn"))
   }
@@ -49,6 +56,10 @@ object Graft {
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.85, bands: Int = 16, bandBits: Int = 8,
       capFraction: Double = 0.25): DataFrame = {
+    require(bands > 0 && bandBits > 0,
+      s"need bands > 0 and bandBits > 0 (got $bands, $bandBits)")
+    require(threshold >= -1.0 && threshold <= 1.0 && capFraction > 0,
+      s"need -1 <= threshold <= 1 and capFraction > 0 (got $threshold, $capFraction)")
     val planes = (0 until bands * bandBits)
       .map(p => operators.Similarity.testSignVector(s"p$p"))
     val cands = operators.Similarity.bandCandidates(

@@ -275,7 +275,14 @@ object Similarity {
       spark: SparkSession, dir: String,
       planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int,
       key: String, capFraction: Double): DataFrame =
-    graft.core.PersistedMemo.getOrBuild(spark, dir, s"sim:cands:$key") {
+    // memo key is the CALIBRATION (planes content + geometry + cap), not
+    // the caller label: q55 and a facade call at the same calibration
+    // share one persisted table, while a different cap can never
+    // silently reuse a table whose volume was accepted under a laxer
+    // cap (`key` survives as the telemetry label only; Seq hashCode is
+    // content-based, so the plane-family component is deterministic)
+    graft.core.PersistedMemo.getOrBuild(spark, dir,
+      s"sim:cands:$nBands,$bandBits,$capFraction,${planes.hashCode}") {
       import spark.implicits._
       val e = embNorm(spark, dir)
       val bucketCols = (0 until nBands).map { b =>

@@ -732,40 +732,55 @@ object TextAnalysis {
   private val BmK1 = 1.2
   private val BmB = 0.75
 
-  /** Per-doc BM25 frame (doc_id, dl, tf_*, score6) — shared by q84
-    * (lexical top-10) and q94 (hybrid RRF fusion), memoized + persisted
-    * per (session, dir) like the catalog's other shared intermediates
-    * (the scored postings frame a search stack materializes once). */
+  /** Per-doc BM25 frame (doc_id, dl, tf_<term>, score6) — shared by q84
+    * (lexical top-10) and q94 (hybrid RRF fusion); the underlying
+    * scored frame is memoized + persisted inside [[bm25ScoredFor]], the
+    * rename to term-named columns is a free projection on top. */
   private def bm25Scored(spark: SparkSession, dir: String): DataFrame =
-    graft.core.PersistedMemo.getOrBuild(spark, dir, "text:bm25") {
-      bm25Build(spark, dir)
-    }
+    bm25Build(spark, dir)
 
-  private def bm25Build(spark: SparkSession, dir: String): DataFrame =
+  private def bm25Build(spark: SparkSession, dir: String): DataFrame = {
+    // catalog columns carry the term names (the oracle's schema); the
+    // shared builder uses POSITIONAL names so ad-hoc terms can never
+    // collide with column-name syntax
+    val renames = BmTerms.zipWithIndex.map { case (t, i) => col(s"tf_$i").as(s"tf_$t") }
     bm25ScoredFor(spark, dir, BmTerms, BmK1, BmB)
+      .select(Seq(col("doc_id"), col("dl")) ++ renames :+ col("score6"): _*)
+  }
 
   /** Parameterized BM25 scoring — the library entry point behind both
-    * the fixed-term catalog query (q84) and [[Graft.bm25Search]]. */
+    * the fixed-term catalog query (q84) and [[Graft.bm25Search]].
+    * Term-frequency columns are POSITIONAL (`tf_0..tf_{n-1}`, in
+    * `terms.distinct` order) — raw terms never become column names, so
+    * duplicates and metacharacter-bearing terms ("node.js") are safe.
+    * Memoized per (terms, k1, b): repeated searches in a session reuse
+    * one persisted scored frame per parameterization. */
   private[graft] def bm25ScoredFor(spark: SparkSession, dir: String,
       terms: Seq[String], k1: Double, b: Double): DataFrame = {
-    import spark.implicits._
-    val per = Tables.documents(spark, dir)
-      .withColumn("t", Portable.tokens($"text"))
-      .select(
-        $"doc_id" +: size($"t").as("dl") +:
-          terms.map(term => size(filter($"t", x => x === lit(term))).as(s"tf_$term")): _*)
-    val dfAggs = terms.map(term =>
-      sum((col(s"tf_$term") > 0).cast("long")).as(s"df_$term"))
-    val st = per.agg(count(lit(1)).as("n_docs"),
-      sum($"dl").as("sum_dl") +: dfAggs: _*)
-    val avgdl = $"sum_dl".cast("double") / $"n_docs"
-    val score = terms.map { term =>
-      val tf = col(s"tf_$term").cast("double")
-      val df = col(s"df_$term").cast("double")
-      val idf = log(($"n_docs" - df + 0.5) / (df + 0.5) + 1.0)
-      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * ($"dl" / avgdl)))
-    }.reduce(_ + _)
-    per.crossJoin(broadcast(st)).withColumn("score6", round(score, 6))
+    val ts = terms.distinct
+    graft.core.PersistedMemo.getOrBuild(spark, dir,
+      s"text:bm25:${ts.mkString(" ")}|$k1|$b") {
+      import spark.implicits._
+      val per = Tables.documents(spark, dir)
+        .withColumn("t", Portable.tokens($"text"))
+        .select(
+          $"doc_id" +: size($"t").as("dl") +:
+            ts.zipWithIndex.map { case (term, i) =>
+              size(filter($"t", x => x === lit(term))).as(s"tf_$i")
+            }: _*)
+      val dfAggs = ts.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+      val st = per.agg(count(lit(1)).as("n_docs"),
+        sum($"dl").as("sum_dl") +: dfAggs: _*)
+      val avgdl = $"sum_dl".cast("double") / $"n_docs"
+      val score = ts.indices.map { i =>
+        val tf = col(s"tf_$i").cast("double")
+        val df = col(s"df_$i").cast("double")
+        val idf = log(($"n_docs" - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * ($"dl" / avgdl)))
+      }.reduce(_ + _)
+      per.crossJoin(broadcast(st)).withColumn("score6", round(score, 6))
+    }
   }
 
   private def q84(spark: SparkSession, dir: String): DataFrame = {

@@ -70,12 +70,18 @@ object Layout {
     val r = df.agg(
       count(lit(1)).as("n"),
       min(col(keyA).cast("long")).as("minA"), max(col(keyA).cast("long")).as("maxA"),
-      min(col(keyB).cast("long")).as("minB"), max(col(keyB).cast("long")).as("maxB")).head()
+      min(col(keyB).cast("long")).as("minB"), max(col(keyB).cast("long")).as("maxB"),
+      count(col(keyA).cast("long")).as("nA"), count(col(keyB).cast("long")).as("nB")).head()
     // empty input: nothing to validate (or alias) — write the empty
     // layout, as an unvalidated write would have
     if (r.getLong(0) > 0) {
-      require(!r.isNullAt(1) && !r.isNullAt(3),
-        s"zorder keys must cast to integers: $keyA/$keyB produced null under CAST AS LONG")
+      // count(cast) skips nulls: ANY row whose key fails the cast (not
+      // just all of them) must fail loudly — a null __z row would land
+      // in one range partition with an unbounded zone-map interval
+      require(r.getLong(5) == r.getLong(0) && r.getLong(6) == r.getLong(0),
+        s"zorder keys must cast to integers on every row: " +
+          s"$keyA casts on ${r.getLong(5)}/${r.getLong(0)} rows, " +
+          s"$keyB on ${r.getLong(6)}/${r.getLong(0)}")
       require(r.getLong(1) >= 0 && r.getLong(3) >= 0,
         s"zorder keys must be non-negative: min($keyA)=${r.getLong(1)}, min($keyB)=${r.getLong(3)}")
       require(r.getLong(2) < (1L << bitsA),
