@@ -35,15 +35,26 @@ object PersistedMemo {
   private val memo = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
   private val buildLock = new Object
+  // LRU bookkeeping: parameterized facade entry points (bm25 per term
+  // set, band calibrations) mint one memo entry per parameterization,
+  // so an interactive session issuing many distinct searches would
+  // accumulate persisted frames without bound. Recency is tracked per
+  // key (monotonic counter, touched on every hit) and the
+  // least-recently-used entry is evicted once a session×dir exceeds
+  // [[MaxEntriesPerDataset]] — the catalog's own working set (~8 shared
+  // intermediates) never comes close.
+  private[graft] val MaxEntriesPerDataset = 32
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+  private val lastUsed = new ConcurrentHashMap[(SparkSession, String, String), Long]()
 
   def getOrBuild(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val k = (spark, dir, key)
     val hit = memo.get(k)
-    if (hit != null) hit
+    if (hit != null) { lastUsed.put(k, tick.incrementAndGet()); hit }
     else buildLock.synchronized {
       val again = memo.get(k)
-      if (again != null) again
+      if (again != null) { lastUsed.put(k, tick.incrementAndGet()); again }
       else {
         if (hooked.add(spark)) {
           spark.sparkContext.addSparkListener(new SparkListener {
@@ -53,8 +64,27 @@ object PersistedMemo {
         }
         val df = build.persist()
         memo.put(k, df)
+        lastUsed.put(k, tick.incrementAndGet())
+        evictLruLocked(spark, dir)
         df
       }
+    }
+  }
+
+  /** Under buildLock: keep the (session, dir) working set bounded by
+    * evicting least-recently-used entries beyond the cap. */
+  private def evictLruLocked(spark: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ks = memo.keySet.asScala
+      .filter { case (s, d, _) => (s eq spark) && d == dir }.toSeq
+    if (ks.size > MaxEntriesPerDataset) {
+      ks.sortBy(k => lastUsed.getOrDefault(k, 0L))
+        .take(ks.size - MaxEntriesPerDataset)
+        .foreach { k =>
+          val df = memo.remove(k)
+          lastUsed.remove(k)
+          if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
+        }
     }
   }
 
@@ -79,6 +109,7 @@ object PersistedMemo {
       import scala.jdk.CollectionConverters._
       memo.keySet.asScala.filter(p).toSeq.foreach { k =>
         val df = memo.remove(k)
+        lastUsed.remove(k)
         // blocking=false: eviction is bookkeeping, not a barrier
         if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
       }

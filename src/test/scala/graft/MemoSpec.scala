@@ -59,4 +59,25 @@ class MemoSpec extends SparkSpecBase {
     outer.count() shouldBe 5
     PersistedMemo.release(spark, "/tmp/memospec-n")
   }
+
+  test("the per-dataset working set is LRU-bounded (parameterized facade calls)") {
+    val d = "/tmp/memospec-lru"
+    val cap = PersistedMemo.MaxEntriesPerDataset
+    val first = PersistedMemo.getOrBuild(spark, d, "k0")(spark.range(10).toDF("id"))
+    (1 until cap).foreach(i =>
+      PersistedMemo.getOrBuild(spark, d, s"k$i")(spark.range(10).toDF("id")))
+    // touch k0 so it is the MOST recently used when the cap overflows
+    PersistedMemo.getOrBuild(spark, d, "k0")(fail("k0 must still be cached"))
+    PersistedMemo.getOrBuild(spark, d, "overflow")(spark.range(10).toDF("id"))
+    // k1 (least recently used) was evicted, k0 survived
+    var rebuiltK1 = false
+    PersistedMemo.getOrBuild(spark, d, "k1") {
+      rebuiltK1 = true; spark.range(10).toDF("id")
+    }
+    rebuiltK1 shouldBe true
+    val k0Again = PersistedMemo.getOrBuild(spark, d, "k0")(
+      fail("k0 was recently used and must not be evicted"))
+    (k0Again eq first) shouldBe true
+    PersistedMemo.release(spark, d)
+  }
 }
