@@ -70,6 +70,24 @@ object Graft {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Weighted PageRank over the customer–supplier order graph with the
+    * knobs open (q100 fixes iterations = 5, damping = 0.85). Returns
+    * the raw `(node, r)` rank vector, Σr = 1. */
+  def pagerank(spark: SparkSession, dir: String, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations > 0 && iterations <= 64,
+      s"need 0 < iterations <= 64 (got $iterations)")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1 (got $damping)")
+    operators.Graph.pagerank(spark, dir, iterations, damping)
+  }
+
+  /** Token-blocked fuzzy name matching with the edit-distance knob
+    * open (q101 fixes maxDist = 2). */
+  def fuzzyMatches(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 16, s"need 0 <= maxDist <= 16 (got $maxDist)")
+    operators.Dedup.fuzzyNamePairs(spark, dir, maxDist)
+  }
+
   /** Streaming/batch ANN-index rows for any (vec_id, embedding) frame
     * — append these per shard/micro-batch; bit-identical to a batch
     * rebuild (deterministic centroids). */

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Packing.all ++
       operators.Anomaly.all ++
       operators.Behavioral.all ++
+      operators.Graph.all ++
       multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -917,6 +917,67 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------------- q101
+  /** Token-blocked fuzzy matching over a name dictionary — entity
+    * resolution's candidate→verify shape applied to edit distance.
+    * Open-knob core shared by q101 and [[graft.Graft.fuzzyMatches]].
+    *
+    * Scale design (100 TB): the resolution unit is the DISTINCT value
+    * dictionary, not the row stream (64 names vs 2 000 part rows here;
+    * the same orders of magnitude apart in a real catalog) — resolve
+    * values once, then broadcast the verdicts back onto rows. Never
+    * all-pairs: candidates come from an equi-join on a shared token
+    * (the classic ER blocking key — Σ bucket², not |dict|²), and the
+    * O(len²) Levenshtein verify runs only on blocked candidates. At
+    * production name lengths Spark's bounded `levenshtein(l, r, k)`
+    * early-exits rows that exceed the threshold. */
+  private[graft] def fuzzyNamePairs(spark: SparkSession, dir: String,
+      maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+    val toks = names
+      .select($"p_name", explode(split($"p_name", " ")).as("tok"))
+      .distinct()
+    val cand = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+    cand.withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= maxDist)
+      .join(broadcast(names.select($"p_name".as("name_a"), $"n".as("n_a"))),
+        Seq("name_a"))
+      .join(broadcast(names.select($"p_name".as("name_b"), $"n".as("n_b"))),
+        Seq("name_b"))
+      .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
+  /** Fuzzy entity resolution at edit distance ≤ 2 — which part names
+    * are near-identical spellings, and how many rows carry each. */
+  private def q101(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairs(spark, dir, maxDist = 2)
+
+  private val q101Sql: String =
+    """WITH names AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+      |), toks AS (
+      |  SELECT DISTINCT p_name, tok FROM (
+      |    SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names)
+      |), cand AS (
+      |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM toks a JOIN toks b
+      |    ON a.tok = b.tok AND a.p_name < b.p_name
+      |)
+      |SELECT c.name_a, c.name_b,
+      |       CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist,
+      |       na.n AS n_a, nb.n AS n_b
+      |FROM cand c
+      |JOIN names na ON na.p_name = c.name_a
+      |JOIN names nb ON nb.p_name = c.name_b
+      |WHERE levenshtein(c.name_a, c.name_b) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
@@ -930,5 +991,6 @@ object Dedup {
     Q("q90_ngram_novelty", q90, Some(q90Sql)),
     Q("q92_source_signatures", q92, Some(q92Sql)),
     Q("q98_contamination_spans", q98, Some(q98Sql)),
+    Q("q101_fuzzy_match", q101, Some(q101Sql)),
   )
 }

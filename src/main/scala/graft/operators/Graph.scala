@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.PersistedMemo
+import graft.sources.Tables
+
+/** Distributed graph analytics over the customer–supplier order graph
+  * — the iterative-ranking counterpart of [[Components]]' connected
+  * components (the reference's entity relationships are key-value
+  * lookups, lambda-sample `cassandra/schema.sql`; an analytics engine
+  * over the same relational data also needs whole-graph measures).
+  *
+  * Graph model: one node per customer (`custkey*2`) and per supplier
+  * (`suppkey*2+1` — disjoint id spaces without a string tag), one
+  * bidirected edge per trading pair, weighted by the number of
+  * lineitems that link them. The edge list is derived with a single
+  * orders⋈lineitem equi-join + partial/final count aggregate, then
+  * memoized in [[PersistedMemo]] — the once-per-dataset build every
+  * iteration reads, exactly like the dedup chain's signature table.
+  *
+  * Scale design (100 TB):
+  *  - each PageRank round is ONE equi-join (ranks ⋈ edges on src) +
+  *    one sum-aggregate keyed by dst — the same shuffle shape as
+  *    [[Components]]' label propagation, and the textbook distributed
+  *    formulation (Malewicz et al., Pregel, SIGMOD'10);
+  *  - the per-node degree join and the rank join share the `src`
+  *    shuffle key, and identical per-round subtrees collapse via
+  *    Spark's ReuseExchange, so a K-round plan pays the edge shuffle
+  *    once, not K times;
+  *  - the node count reaches the update rule as a broadcast 1-row
+  *    frame (q52's corpus-count idiom), never a driver-side collect;
+  *  - K is a fixed small constant here so the DuckDB oracle can unroll
+  *    the recurrence; a convergence-driven variant would freeze each
+  *    round to a persisted LogicalRDD exactly as [[Components.run]]
+  *    does (same lineage-control lesson).
+  *
+  * The bidirected graph has no dangling nodes (every node has out-
+  * edges), so the rank vector sums to 1 every round — GraphSpec
+  * asserts the invariant; the DuckDB oracle (unrolled to the same K)
+  * is the exact-value gate.
+  */
+object Graph {
+
+  /** Bidirected weighted edge list `(src, dst, w)` of the
+    * customer–supplier graph; memoized per (session, dataset). */
+  private[graft] def orderEdges(spark: SparkSession, dir: String): DataFrame =
+    PersistedMemo.getOrBuild(spark, dir, "graph:order-edges") {
+      import spark.implicits._
+      val half = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      half.union(half.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+
+  /** Weighted PageRank, `iterations` rounds at the given damping.
+    * Returns `(node, r)` with Σr = 1 (no dangling mass by
+    * construction). Open-knob core shared by q100 and the
+    * [[graft.Graft.pagerank]] facade. */
+  private[graft] def pagerank(spark: SparkSession, dir: String,
+      iterations: Int, damping: Double): DataFrame = {
+    import spark.implicits._
+    val edges = orderEdges(spark, dir)
+    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    val ew = edges.join(outw, "src") // (src, dst, w, ow)
+    val nodes = edges.select($"src".as("node")).distinct()
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select($"node", (lit(1.0) / $"n").as("r"))
+    for (_ <- 1 to iterations) {
+      // name-based join condition: `ranks` derives from `ew` after the
+      // first round, so df("col") instance refs would hit the self-join
+      // attribute-reuse trap; (src,dst,w,ow) and (node,r) are disjoint.
+      ranks = ew.join(ranks, $"src" === $"node")
+        .groupBy($"dst")
+        .agg(sum($"r" * $"w" / $"ow").as("contrib"))
+        .crossJoin(broadcast(n))
+        .select($"dst".as("node"),
+          (lit(1.0 - damping) / $"n" + lit(damping) * $"contrib").as("r"))
+    }
+    ranks
+  }
+
+  // -------------------------------------------------------------- q100
+  /** Weighted PageRank, 5 rounds, d = 0.85 — who are the structurally
+    * central customers and suppliers of the trading graph. */
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagerank(spark, dir, iterations = 5, damping = 0.85)
+      .select($"node",
+        when($"node" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        round($"r", 6).as("pr"))
+      .orderBy($"pr".desc, $"node")
+  }
+
+  /** DuckDB twin: the same recurrence unrolled to 5 rounds (fixed K is
+    * what makes the oracle expressible without recursion). */
+  private val q100Sql: String = {
+    val rounds = (1 to 5).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         0.15 * nn.inv + 0.85 * sum(p.r * e.w / o.ow) AS r
+         |  FROM edges e
+         |  JOIN $prev p ON p.node = e.src
+         |  JOIN outw o ON o.src = e.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.inv
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH half AS (
+       |  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+       |         CAST(count(*) AS DOUBLE) AS w
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT src, dst, w FROM half
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst, w FROM half
+       |), nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS inv FROM nodes),
+       |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, nn.inv AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       round(r, 6) AS pr
+       |FROM r5
+       |ORDER BY pr DESC, node""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q100_pagerank", q100, Some(q100Sql)),
+  )
+}

@@ -51,6 +51,17 @@ class ApiSpec extends SparkSpecBase {
     api shouldBe cat
   }
 
+  test("pagerank at catalog knobs equals q100; fuzzyMatches equals q101") {
+    val api = Graft.pagerank(spark, dir) // defaults: 5 rounds, d = 0.85
+      .select($"node", org.apache.spark.sql.functions.round($"r", 6).as("pr"))
+      .orderBy($"pr".desc, $"node")
+    val cat = SparkEntry.queries("q100_pagerank")(spark, dir)
+      .select($"node", $"pr")
+    rows(api) shouldBe rows(cat)
+    rows(Graft.fuzzyMatches(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q101_fuzzy_match")(spark, dir))
+  }
+
   test("textNearDupPairs filters q26's verified jaccard") {
     val api = Graft.textNearDupPairs(spark, dir, minJaccard = 0.5).collect()
     val q26 = SparkEntry.queries("q26_ngram_jaccard")(spark, dir)

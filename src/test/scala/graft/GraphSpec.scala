@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q100's PageRank invariants and q101's blocking guarantees — the
+  * structural properties the exact-value oracle can't express. */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pagerank conserves rank mass: Σr = 1 at any iteration count") {
+    for (k <- Seq(1, 5)) {
+      val s = Graft.pagerank(spark, dir, iterations = k)
+        .agg(sum($"r")).head().getDouble(0)
+      s shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("pagerank contracts toward a fixed point as iterations grow") {
+    def vec(k: Int): Map[Long, Double] =
+      Graft.pagerank(spark, dir, iterations = k)
+        .as[(Long, Double)].collect().toMap
+    val (r4, r5, r6) = (vec(4), vec(5), vec(6))
+    def l1(a: Map[Long, Double], b: Map[Long, Double]): Double =
+      a.keysIterator.map(k => math.abs(a(k) - b(k))).sum
+    val (d45, d56) = (l1(r4, r5), l1(r5, r6))
+    // the customer–supplier graph is bipartite, so the slowest mode is
+    // the side-to-side oscillation with eigenvalue −d: successive
+    // iterate distances must shrink by ≈ the damping factor per round
+    d56 should be < d45
+    (d56 / d45) shouldBe 0.85 +- 0.05
+  }
+
+  test("fuzzyMatches: knob subsets nest, and distance 0 is empty on a distinct dictionary") {
+    val d2 = Graft.fuzzyMatches(spark, dir).collect()
+    d2.length should be > 0
+    all(d2.map(_.getAs[Int]("dist"))) should be <= 2
+    val pairs2 = d2.map(r =>
+      (r.getAs[String]("name_a"), r.getAs[String]("name_b"))).toSet
+    val pairs1 = Graft.fuzzyMatches(spark, dir, maxDist = 1)
+      .select($"name_a", $"name_b").as[(String, String)].collect().toSet
+    pairs1.subsetOf(pairs2) shouldBe true
+    pairs1.size should be < pairs2.size
+    // name_a < name_b means self-pairs never form: distance 0 is empty
+    Graft.fuzzyMatches(spark, dir, maxDist = 0).count() shouldBe 0L
+  }
+
+  test("fuzzyMatches row counts map back to the full table") {
+    // every (n_a, n_b) is the true per-name row count of `part`
+    val counts = graft.sources.Tables.part(spark, dir)
+      .groupBy($"p_name").count().as[(String, Long)].collect().toMap
+    val out = Graft.fuzzyMatches(spark, dir).collect()
+    out.foreach { r =>
+      r.getAs[Long]("n_a") shouldBe counts(r.getAs[String]("name_a"))
+      r.getAs[Long]("n_b") shouldBe counts(r.getAs[String]("name_b"))
+    }
+  }
+}

@@ -337,4 +337,23 @@ class PlanSpec extends SparkSpecBase {
     (fin should not).include("SortMergeJoin")
     (fin should not).include("CartesianProduct")
   }
+
+  test("q100: per-round rank joins reuse the edge exchange; count broadcasts") {
+    val df = SparkEntry.queries("q100_pagerank")(spark, sfDir)
+    df.collect() // identical per-round subtrees collapse at execution
+    val fin = df.queryExecution.executedPlan.toString
+    fin should include("ReusedExchange") // K rounds pay the edge shuffle once
+    (fin should not).include("CartesianProduct")
+    // the node count reaches the update rule as a broadcast 1-row frame
+    fin should include("BroadcastNestedLoopJoin")
+  }
+
+  test("q101: candidates come from a token equi-join, never all-pairs") {
+    val p = plan("q101_fuzzy_match")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin") // blocking key is an equi-join
+    p should include("BroadcastHashJoin") // dictionary verdicts map back by broadcast
+    // the part scan reads only the name column
+    p should include("ReadSchema: struct<p_name:string>")
+  }
 }
