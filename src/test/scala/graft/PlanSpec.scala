@@ -348,6 +348,32 @@ class PlanSpec extends SparkSpecBase {
     fin should include("BroadcastNestedLoopJoin")
   }
 
+  test("runtime bloom filters wire semi-join reduction on fact⋈filtered-dim joins") {
+    // At 100 TB a selective dimension filter should prune the fact scan
+    // BEFORE the shuffle; Catalyst injects a runtime bloom filter when
+    // the size thresholds are met (creation side < 10 MB, application
+    // scan > 10 GB by default). The sf0.001 fixture sits below the
+    // application threshold, so relax it — and force the shuffle join
+    // the production sizes imply — to prove the engine's plans qualify.
+    val conf = spark.conf
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val pt = graft.sources.Tables.part(spark, sfDir).filter(col("p_size") === 1)
+      val q = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .groupBy(col("p_brand")).count()
+      val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+      opt should include("might_contain") // fact rows drop at the scan, not post-shuffle
+    } finally {
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+    }
+  }
+
   test("q101: candidates come from a token equi-join, never all-pairs") {
     val p = plan("q101_fuzzy_match")
     (p should not).include("CartesianProduct")
