@@ -72,13 +72,19 @@ object Graft {
 
   /** Weighted PageRank over the customer–supplier order graph with the
     * knobs open (q100 fixes iterations = 5, damping = 0.85). Returns
-    * the raw `(node, r)` rank vector, Σr = 1. */
+    * the raw `(node, r)` rank vector, Σr = 1. A non-empty `teleportTo`
+    * personalizes it: restart mass lands on those nodes only, so ranks
+    * measure graph proximity to the seed set (node ids are `custkey*2`
+    * / `suppkey*2+1`). */
   def pagerank(spark: SparkSession, dir: String, iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, teleportTo: Seq[Long] = Nil): DataFrame = {
     require(iterations > 0 && iterations <= 64,
       s"need 0 < iterations <= 64 (got $iterations)")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1 (got $damping)")
-    operators.Graph.pagerank(spark, dir, iterations, damping)
+    require(teleportTo.size <= 1000,
+      s"teleport seed sets are small by definition (got ${teleportTo.size}; " +
+        "use a join-based variant beyond 1000 seeds)")
+    operators.Graph.pagerank(spark, dir, iterations, damping, teleportTo)
   }
 
   /** Token-blocked fuzzy name matching with the edit-distance knob

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -59,18 +59,28 @@ object Graph {
 
   /** Weighted PageRank, `iterations` rounds at the given damping.
     * Returns `(node, r)` with Σr = 1 (no dangling mass by
-    * construction). Open-knob core shared by q100 and the
-    * [[graft.Graft.pagerank]] facade. */
+    * construction). `teleportTo` non-empty makes it PERSONALIZED:
+    * restart mass lands uniformly on those nodes instead of everywhere,
+    * so ranks measure proximity to the seed set — the graph-retrieval
+    * primitive (recommendations, related-entity expansion). Open-knob
+    * core shared by q100 and the [[graft.Graft.pagerank]] facade. */
   private[graft] def pagerank(spark: SparkSession, dir: String,
-      iterations: Int, damping: Double): DataFrame = {
+      iterations: Int, damping: Double,
+      teleportTo: Seq[Long] = Nil): DataFrame = {
     import spark.implicits._
     val edges = orderEdges(spark, dir)
     val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
     val ew = edges.join(outw, "src") // (src, dst, w, ow)
     val nodes = edges.select($"src".as("node")).distinct()
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    // teleport distribution: uniform everywhere, or uniform on the seed
+    // set (a literal predicate — seed sets are small by definition)
+    def teleport(node: Column): Column =
+      if (teleportTo.isEmpty) lit(1.0) / $"n"
+      else when(node.isin(teleportTo: _*), lit(1.0 / teleportTo.size))
+        .otherwise(lit(0.0))
     var ranks = nodes.crossJoin(broadcast(n))
-      .select($"node", (lit(1.0) / $"n").as("r"))
+      .select($"node", teleport($"node").as("r"))
     for (_ <- 1 to iterations) {
       // name-based join condition: `ranks` derives from `ew` after the
       // first round, so df("col") instance refs would hit the self-join
@@ -80,7 +90,7 @@ object Graph {
         .agg(sum($"r" * $"w" / $"ow").as("contrib"))
         .crossJoin(broadcast(n))
         .select($"dst".as("node"),
-          (lit(1.0 - damping) / $"n" + lit(damping) * $"contrib").as("r"))
+          (lit(1.0 - damping) * teleport($"dst") + lit(damping) * $"contrib").as("r"))
     }
     ranks
   }
@@ -98,6 +108,20 @@ object Graph {
       .orderBy($"pr".desc, $"node")
   }
 
+  /** DuckDB twin of [[orderEdges]] (`half` + `edges` CTE bodies),
+    * shared by the q100 and q102 oracles. */
+  private val edgeCtes: String =
+    """half AS (
+      |  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+      |         CAST(count(*) AS DOUBLE) AS w
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT src, dst, w FROM half
+      |  UNION ALL
+      |  SELECT dst AS src, src AS dst, w FROM half
+      |)""".stripMargin
+
   /** DuckDB twin: the same recurrence unrolled to 5 rounds (fixed K is
     * what makes the oracle expressible without recursion). */
   private val q100Sql: String = {
@@ -113,16 +137,8 @@ object Graph {
          |  GROUP BY e.dst, nn.inv
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH half AS (
-       |  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
-       |         CAST(count(*) AS DOUBLE) AS w
-       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       |  GROUP BY 1, 2
-       |), edges AS (
-       |  SELECT src, dst, w FROM half
-       |  UNION ALL
-       |  SELECT dst AS src, src AS dst, w FROM half
-       |), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    s"""WITH $edgeCtes,
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |nn AS (SELECT 1.0 / CAST(count(*) AS DOUBLE) AS inv FROM nodes),
        |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
        |r0 AS (SELECT node, nn.inv AS r FROM nodes CROSS JOIN nn),
@@ -134,7 +150,40 @@ object Graph {
        |ORDER BY pr DESC, node""".stripMargin
   }
 
+  // -------------------------------------------------------------- q102
+  /** Degree histogram of the trading graph in power-of-two buckets
+    * (q93's integer-exact `length(bin(n)) − 1` log2) — the structure
+    * triage that tells you whether the per-key join machinery needs
+    * [[Skew]]'s salting: a heavy tail here is a hot key there. Degree
+    * is the per-src row count of the (distinct-pair) edge list; one
+    * aggregate to #nodes, one to #kind×#buckets cells. */
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orderEdges(spark, dir)
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select(
+        when($"src" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        (length(bin($"deg")) - 1).cast("int").as("bucket"),
+        $"deg")
+      .groupBy($"kind", $"bucket")
+      .agg(count(lit(1)).as("n_nodes"), min($"deg").as("lo"), max($"deg").as("hi"))
+      .orderBy($"kind", $"bucket")
+  }
+
+  private val q102Sql: String =
+    s"""WITH $edgeCtes,
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1)
+       |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_nodes,
+       |       min(deg) AS lo, max(deg) AS hi
+       |FROM deg
+       |GROUP BY 1, 2
+       |ORDER BY kind, bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q100_pagerank", q100, Some(q100Sql)),
+    Q("q102_degree_histogram", q102, Some(q102Sql)),
   )
 }

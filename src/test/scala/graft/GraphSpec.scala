@@ -32,6 +32,34 @@ class GraphSpec extends SparkSpecBase {
     (d56 / d45) shouldBe 0.85 +- 0.05
   }
 
+  test("personalized pagerank conserves mass and concentrates on the seed") {
+    // seed on the first supplier node (suppkey 1 → node 3)
+    val seed = 3L
+    val ppr = Graft.pagerank(spark, dir, teleportTo = Seq(seed))
+    ppr.agg(sum($"r")).head().getDouble(0) shouldBe 1.0 +- 1e-9
+    val pprMap = ppr.as[(Long, Double)].collect().toMap
+    val global = Graft.pagerank(spark, dir).as[(Long, Double)].collect().toMap
+    // restart mass pins the seed far above its global-walk rank
+    pprMap(seed) should be > 2.0 * global(seed)
+    // and the seed outranks every node in its own personalized view
+    pprMap(seed) shouldBe pprMap.values.max
+  }
+
+  test("q102 degree histogram tiles the node set with consistent bucket bounds") {
+    val rows = SparkEntry.queries("q102_degree_histogram")(spark, dir).collect()
+    rows.length should be > 0
+    // buckets partition nodes: totals equal the distinct node count
+    val nNodes = Graft.pagerank(spark, dir, iterations = 1).count()
+    rows.map(_.getAs[Long]("n_nodes")).sum shouldBe nNodes
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Int]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      lo should be <= hi
+      // power-of-two bucket bounds: 2^b <= lo <= hi < 2^(b+1)
+      lo should be >= (1L << b)
+      hi should be < (1L << (b + 1))
+    }
+  }
+
   test("fuzzyMatches: knob subsets nest, and distance 0 is empty on a distinct dictionary") {
     val d2 = Graft.fuzzyMatches(spark, dir).collect()
     d2.length should be > 0
