@@ -87,6 +87,20 @@ object Graft {
     operators.Graph.pagerank(spark, dir, iterations, damping, teleportTo)
   }
 
+  /** Distributed connected components over ANY undirected edge list
+    * given as one direction `(src, dst)` — the pointer-jumping core
+    * behind duplicate clustering (q50) and incremental dedup (q57),
+    * opened to library callers. Returns `(doc_id, lbl)`, `lbl` = min
+    * node id of the component, for every node incident to an edge.
+    * The returned frame is persisted by the loop (each round's
+    * convergence check materializes it); the caller owns the
+    * lifecycle — `.unpersist()` when done, or hand it to a memo. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    require(maxRounds > 0 && maxRounds <= 64,
+      s"need 0 < maxRounds <= 64 (got $maxRounds)")
+    operators.Components.run(pairs, maxRounds).labels
+  }
+
   /** Token-blocked fuzzy name matching with the edit-distance knob
     * open (q101 fixes maxDist = 2). */
   def fuzzyMatches(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {

@@ -44,8 +44,15 @@ import graft.sources.Tables
   */
 object Graph {
 
-  /** Bidirected weighted edge list `(src, dst, w)` of the
-    * customer–supplier graph; memoized per (session, dataset). */
+  /** Bidirected weighted edge list of the customer–supplier graph as a
+    * row-stochastic transition matrix `(src, dst, w, p)` — `p` is the
+    * out-weight-normalized transition probability every PageRank round
+    * consumes, baked in once so the per-round degree join disappears.
+    * Hash-partitioned by `src` BEFORE the persist: the cached
+    * partitioning satisfies each round's join distribution, so rounds
+    * shuffle only the #nodes-row rank vector, never the edge table
+    * (the iterative-workload analog of bucketing the fact side).
+    * Memoized per (session, dataset). */
   private[graft] def orderEdges(spark: SparkSession, dir: String): DataFrame =
     PersistedMemo.getOrBuild(spark, dir, "graph:order-edges") {
       import spark.implicits._
@@ -54,7 +61,11 @@ object Graph {
           $"o_orderkey" === $"l_orderkey")
         .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
-      half.union(half.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      val both = half.union(half.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      val outw = both.groupBy($"src").agg(sum($"w").as("ow"))
+      both.join(outw, "src")
+        .select($"src", $"dst", $"w", ($"w" / $"ow").as("p"))
+        .repartition($"src")
     }
 
   /** Weighted PageRank, `iterations` rounds at the given damping.
@@ -68,9 +79,7 @@ object Graph {
       iterations: Int, damping: Double,
       teleportTo: Seq[Long] = Nil): DataFrame = {
     import spark.implicits._
-    val edges = orderEdges(spark, dir)
-    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
-    val ew = edges.join(outw, "src") // (src, dst, w, ow)
+    val edges = orderEdges(spark, dir) // (src, dst, w, p), cached on src
     val nodes = edges.select($"src".as("node")).distinct()
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
     // teleport distribution: uniform everywhere, or uniform on the seed
@@ -82,12 +91,16 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(n))
       .select($"node", teleport($"node").as("r"))
     for (_ <- 1 to iterations) {
-      // name-based join condition: `ranks` derives from `ew` after the
-      // first round, so df("col") instance refs would hit the self-join
-      // attribute-reuse trap; (src,dst,w,ow) and (node,r) are disjoint.
-      ranks = ew.join(ranks, $"src" === $"node")
+      // name-based join condition: `ranks` derives from `edges` after
+      // the first round, so df("col") instance refs would hit the
+      // self-join attribute-reuse trap; (src,dst,w,p) and (node,r) are
+      // disjoint.
+      // shuffle-hash, not sort-merge: SMJ would re-SORT the cached
+      // 300k-row edge side every round; hashing the #nodes-row rank
+      // vector is the round's only materialization cost
+      ranks = edges.join(ranks.hint("shuffle_hash"), $"src" === $"node")
         .groupBy($"dst")
-        .agg(sum($"r" * $"w" / $"ow").as("contrib"))
+        .agg(sum($"r" * $"p").as("contrib"))
         .crossJoin(broadcast(n))
         .select($"dst".as("node"),
           (lit(1.0 - damping) * teleport($"dst") + lit(damping) * $"contrib").as("r"))
@@ -129,7 +142,7 @@ object Graph {
       val prev = s"r${i - 1}"
       s"""r$i AS (
          |  SELECT e.dst AS node,
-         |         0.15 * nn.inv + 0.85 * sum(p.r * e.w / o.ow) AS r
+         |         0.15 * nn.inv + 0.85 * sum(p.r * (e.w / o.ow)) AS r
          |  FROM edges e
          |  JOIN $prev p ON p.node = e.src
          |  JOIN outw o ON o.src = e.src

@@ -62,6 +62,15 @@ class ApiSpec extends SparkSpecBase {
       rows(SparkEntry.queries("q101_fuzzy_match")(spark, dir))
   }
 
+  test("connectedComponents labels an ad-hoc edge list by component minimum") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("src", "dst")
+    val labels = Graft.connectedComponents(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 7L -> 7L)
+    labels.unpersist()
+  }
+
   test("textNearDupPairs filters q26's verified jaccard") {
     val api = Graft.textNearDupPairs(spark, dir, minJaccard = 0.5).collect()
     val q26 = SparkEntry.queries("q26_ngram_jaccard")(spark, dir)
