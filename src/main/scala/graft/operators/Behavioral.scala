@@ -197,10 +197,59 @@ object Behavioral {
       |FROM s1 JOIN s2 USING (event_type) JOIN s3 USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q104
+  /** Incremental rollup maintenance: per-type stats computed as TWO
+    * independent partial rollups (an "old corpus" and a "new shard",
+    * split by event_id parity) merged by the aggregates' own merge
+    * algebra — count/sum add, min/max take extremes, mean re-derives
+    * from merged sums. The ORACLE is the straight full-table rollup,
+    * so the gate proves merge ≡ recompute: the contract that lets a
+    * 100 TB pipeline maintain daily rollups by folding in each new
+    * shard (q57's incremental-dedup story for aggregates; the same
+    * algebra `MinHashAggregator`/q95's sketches rely on). Nothing
+    * here scans history twice — at scale the "even" side is the
+    * persisted rollup table, and only the "odd" shard is aggregated
+    * fresh. */
+  private def q104(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_id", $"event_type", $"value")
+    def rollup(part: DataFrame): DataFrame =
+      part.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"value").as("sv"),
+        min($"value").as("lo"),
+        max($"value").as("hi"))
+    val old = rollup(ev.filter($"event_id" % 2 === 0))
+    val fresh = rollup(ev.filter($"event_id" % 2 === 1))
+    old.union(fresh)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), sum($"sv").as("sv"),
+        min($"lo").as("lo"), max($"hi").as("hi"))
+      .select($"event_type", $"n",
+        round($"sv", 4).as("sum_value"),
+        round($"lo", 6).as("lo"),
+        round($"hi", 6).as("hi"),
+        round($"sv" / $"n", 6).as("mean_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Straight full-table rollup — merged partials must equal it. */
+  private val q104Sql: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value), 4) AS sum_value,
+      |       round(min(value), 6) AS lo,
+      |       round(max(value), 6) AS hi,
+      |       round(sum(value) / count(*), 6) AS mean_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
     Q("q46_cohort_retention", q46, Some(q46Sql)),
     Q("q91_event_outliers", q91, Some(q91Sql)),
+    Q("q104_incremental_rollup", q104, Some(q104Sql)),
   )
 }

@@ -195,8 +195,64 @@ object Graph {
        |GROUP BY 1, 2
        |ORDER BY kind, bucket""".stripMargin
 
+  // -------------------------------------------------------------- q103
+  /** Hop distance from a seed node by iterative min-propagation —
+    * distributed BFS, the third graph primitive next to ranking (q100)
+    * and components ([[Components]]). Each round relaxes one hop:
+    * `dist' = min(dist, min over in-neighbors dist+1)` — the same
+    * Pregel join+aggregate shape, all-integer so the unrolled oracle
+    * is exact (no float drift to round away). Fixed 3 rounds keeps
+    * the oracle expressible; unreached nodes are absent, not NULL.
+    * Seed = supplier 1 (node 3), present at every scale factor. */
+  private[graft] def hopDistance(spark: SparkSession, dir: String,
+      seed: Long, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val edges = orderEdges(spark, dir)
+    var d = spark.range(1).select(lit(seed).as("node"), lit(0).as("dist"))
+    for (_ <- 1 to rounds) {
+      d = d.union(
+          edges.join(d.hint("shuffle_hash"), $"src" === $"node")
+            .select($"dst".as("node"), ($"dist" + 1).as("dist")))
+        .groupBy($"node").agg(min($"dist").as("dist"))
+    }
+    d
+  }
+
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hopDistance(spark, dir, seed = 3L, rounds = 3)
+      .select($"node",
+        when($"node" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        $"dist")
+      .orderBy($"dist", $"node")
+  }
+
+  private val q103Sql: String = {
+    val hops = (1 to 3).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + 1 AS dist
+         |    FROM edges e JOIN $prev p ON p.node = e.src
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $edgeCtes,
+       |d0 AS (SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS INTEGER) AS dist),
+       |$hops
+       |SELECT node,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       CAST(dist AS INTEGER) AS dist
+       |FROM d3
+       |ORDER BY dist, node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q100_pagerank", q100, Some(q100Sql)),
     Q("q102_degree_histogram", q102, Some(q102Sql)),
+    Q("q103_hop_distance", q103, Some(q103Sql)),
   )
 }

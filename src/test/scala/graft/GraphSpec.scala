@@ -60,6 +60,20 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("q103 hop distances respect bipartite parity from the supplier seed") {
+    val rows = SparkEntry.queries("q103_hop_distance")(spark, dir).collect()
+    rows.length should be > 1
+    rows.foreach { r =>
+      val (node, kind, dist) =
+        (r.getAs[Long]("node"), r.getAs[String]("kind"), r.getAs[Int]("dist"))
+      dist should (be >= 0 and be <= 3)
+      if (node == 3L) dist shouldBe 0
+      // customer–supplier edges only: from a supplier seed, suppliers
+      // sit at even distances, customers at odd
+      if (kind == "supplier") dist % 2 shouldBe 0 else dist % 2 shouldBe 1
+    }
+  }
+
   test("fuzzyMatches: knob subsets nest, and distance 0 is empty on a distinct dictionary") {
     val d2 = Graft.fuzzyMatches(spark, dir).collect()
     d2.length should be > 0
