@@ -954,11 +954,57 @@ object Curation {
       .orderBy($"split")
   }
 
+  // -------------------------------------------------------------- q105
+  /** Weighted sampling WITHOUT replacement via the exponential-race
+    * keys of Efraimidis–Spirakis: each doc draws key = −ln(u)/w from a
+    * deterministic uniform u (portable hash, q51's discipline — never
+    * `rand()`, so re-runs and backfills agree) and the K smallest keys
+    * win; inclusion probability is then proportional to weight w
+    * (length-weighted here — the "sample tokens, not documents" knob a
+    * mixture builder needs, vs q53's per-stratum rates).
+    *
+    * Scale: one stateless map over the corpus + TakeOrdered top-K
+    * (per-partition partial top-K, K-row merge on the driver side of
+    * the exchange — never a global sort). Keys are ranked at 9 dp with
+    * a doc_id tiebreak: both engines' `ln` agree to ~1e-15 relative,
+    * so the rounded key is engine-stable by six orders of margin. */
+  private def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir).select(
+      $"doc_id", $"n_chars",
+      round(
+        -log((Portable.hash32(concat($"doc_id".cast("string"),
+          lit("#graft-wsample"))) + 1).cast("double") / lit(4294967297.0)) /
+          greatest($"n_chars", lit(1L)).cast("double"),
+        9).as("key9"))
+    val top = keyed.orderBy($"key9", $"doc_id").limit(100)
+    val w = Window.orderBy($"key9", $"doc_id")
+    top.withColumn("rank", row_number().over(w))
+      .select($"rank", $"doc_id", $"n_chars", $"key9")
+      .orderBy($"rank")
+  }
+
+  private val q105Sql: String = {
+    val h = Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-wsample'")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars,
+       |         round(-ln(($h + 1) / 4294967297.0)
+       |               / greatest(n_chars, 1), 9) AS key9
+       |  FROM documents
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY key9, doc_id) AS INTEGER) AS rank,
+       |       doc_id, n_chars, key9
+       |FROM keyed
+       |ORDER BY key9, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
     Q("q52_tfidf", q52, Some(q52Sql)),
     Q("q53_stratified_sample", q53, Some(q53Sql)),
+    Q("q105_weighted_sample", q105, Some(q105Sql)),
     Q("q54_approx_quantiles", q54, None), // sketch estimate — see CurationSpec bound
     Q("q61_mix_accounting", q61, Some(q61Sql)),
     Q("q66_curation_funnel", q66, Some(q66Sql)),
