@@ -965,22 +965,24 @@ object Curation {
     *
     * Scale: one stateless map over the corpus + TakeOrdered top-K
     * (per-partition partial top-K, K-row merge on the driver side of
-    * the exchange — never a global sort). Keys are ranked at 9 dp with
-    * a doc_id tiebreak: both engines' `ln` agree to ~1e-15 relative,
-    * so the rounded key is engine-stable by six orders of margin. */
+    * the exchange — never a global sort). The selection key is
+    * quantized to an INTEGER nano-key via `floor(x·1e9 + 0.5)` (the
+    * catalog's quantization rule — never `round()` a scalar double in
+    * a hashed query) with a doc_id tiebreak: both engines' `ln` agree
+    * to ~1e-15 relative, six orders inside the quantum. */
   private def q105(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val keyed = Tables.documents(spark, dir).select(
       $"doc_id", $"n_chars",
-      round(
+      floor(
         -log((Portable.hash32(concat($"doc_id".cast("string"),
           lit("#graft-wsample"))) + 1).cast("double") / lit(4294967297.0)) /
-          greatest($"n_chars", lit(1L)).cast("double"),
-        9).as("key9"))
-    val top = keyed.orderBy($"key9", $"doc_id").limit(100)
-    val w = Window.orderBy($"key9", $"doc_id")
+          greatest($"n_chars", lit(1L)).cast("double") * lit(1e9) + lit(0.5))
+        .cast("long").as("key_ns"))
+    val top = keyed.orderBy($"key_ns", $"doc_id").limit(100)
+    val w = Window.orderBy($"key_ns", $"doc_id")
     top.withColumn("rank", row_number().over(w))
-      .select($"rank", $"doc_id", $"n_chars", $"key9")
+      .select($"rank", $"doc_id", $"n_chars", $"key_ns")
       .orderBy($"rank")
   }
 
@@ -988,14 +990,14 @@ object Curation {
     val h = Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-wsample'")
     s"""WITH keyed AS (
        |  SELECT doc_id, n_chars,
-       |         round(-ln(($h + 1) / 4294967297.0)
-       |               / greatest(n_chars, 1), 9) AS key9
+       |         CAST(floor(-ln(($h + 1) / 4294967297.0)
+       |               / greatest(n_chars, 1) * 1e9 + 0.5) AS BIGINT) AS key_ns
        |  FROM documents
        |)
-       |SELECT CAST(row_number() OVER (ORDER BY key9, doc_id) AS INTEGER) AS rank,
-       |       doc_id, n_chars, key9
+       |SELECT CAST(row_number() OVER (ORDER BY key_ns, doc_id) AS INTEGER) AS rank,
+       |       doc_id, n_chars, key_ns
        |FROM keyed
-       |ORDER BY key9, doc_id
+       |ORDER BY key_ns, doc_id
        |LIMIT 100""".stripMargin
   }
 

@@ -943,8 +943,10 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.p_name") < col("b.p_name"))
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
       .distinct()
-    cand.withColumn("dist", levenshtein($"name_a", $"name_b"))
-      .filter($"dist" <= maxDist)
+    // the BOUNDED form: returns −1 past the threshold instead of paying
+    // full O(len²) per candidate — the early-exit the scaladoc promises
+    cand.withColumn("dist", levenshtein($"name_a", $"name_b", maxDist))
+      .filter($"dist" >= 0)
       .join(broadcast(names.select($"p_name".as("name_a"), $"n".as("n_a"))),
         Seq("name_a"))
       .join(broadcast(names.select($"p_name".as("name_b"), $"n".as("n_b"))),
@@ -968,14 +970,16 @@ object Dedup {
       |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
       |  FROM toks a JOIN toks b
       |    ON a.tok = b.tok AND a.p_name < b.p_name
+      |), scored AS (
+      |  SELECT name_a, name_b,
+      |         CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+      |  FROM cand
       |)
-      |SELECT c.name_a, c.name_b,
-      |       CAST(levenshtein(c.name_a, c.name_b) AS INTEGER) AS dist,
-      |       na.n AS n_a, nb.n AS n_b
-      |FROM cand c
-      |JOIN names na ON na.p_name = c.name_a
-      |JOIN names nb ON nb.p_name = c.name_b
-      |WHERE levenshtein(c.name_a, c.name_b) <= 2
+      |SELECT s.name_a, s.name_b, s.dist, na.n AS n_a, nb.n AS n_b
+      |FROM scored s
+      |JOIN names na ON na.p_name = s.name_a
+      |JOIN names nb ON nb.p_name = s.name_b
+      |WHERE s.dist <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
   val all: Seq[Q] = Seq(

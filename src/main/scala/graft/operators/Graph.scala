@@ -81,15 +81,28 @@ object Graph {
     import spark.implicits._
     val edges = orderEdges(spark, dir) // (src, dst, w, p), cached on src
     val nodes = edges.select($"src".as("node")).distinct()
+    // Σr = 1 holds only if every teleport seed is a graph node (restart
+    // mass on a non-node vanishes — worst case an all-zero vector) and
+    // seeds are unique (duplicates would split 1/|S| below). Validate
+    // eagerly: seed sets are small and the node set is one aggregate
+    // over the cached edge table.
+    val seeds = teleportTo.distinct
+    if (seeds.nonEmpty) {
+      val present = nodes.filter($"node".isin(seeds: _*)).count()
+      require(present == seeds.size,
+        s"teleportTo contains ${seeds.size - present} id(s) that are not " +
+          "graph nodes (ids are custkey*2 / suppkey*2+1); Σr = 1 would " +
+          "silently break")
+    }
+    def personalTeleport(node: Column): Column =
+      when(node.isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    // the node-count frame is only part of the plan when the teleport
+    // distribution is uniform; the personalized path is pure literals
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
-    // teleport distribution: uniform everywhere, or uniform on the seed
-    // set (a literal predicate — seed sets are small by definition)
-    def teleport(node: Column): Column =
-      if (teleportTo.isEmpty) lit(1.0) / $"n"
-      else when(node.isin(teleportTo: _*), lit(1.0 / teleportTo.size))
-        .otherwise(lit(0.0))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select($"node", teleport($"node").as("r"))
+    var ranks =
+      if (seeds.isEmpty)
+        nodes.crossJoin(broadcast(n)).select($"node", (lit(1.0) / $"n").as("r"))
+      else nodes.select($"node", personalTeleport($"node").as("r"))
     for (_ <- 1 to iterations) {
       // name-based join condition: `ranks` derives from `edges` after
       // the first round, so df("col") instance refs would hit the
@@ -98,12 +111,16 @@ object Graph {
       // shuffle-hash, not sort-merge: SMJ would re-SORT the cached
       // 300k-row edge side every round; hashing the #nodes-row rank
       // vector is the round's only materialization cost
-      ranks = edges.join(ranks.hint("shuffle_hash"), $"src" === $"node")
+      val contrib = edges.join(ranks.hint("shuffle_hash"), $"src" === $"node")
         .groupBy($"dst")
         .agg(sum($"r" * $"p").as("contrib"))
-        .crossJoin(broadcast(n))
-        .select($"dst".as("node"),
-          (lit(1.0 - damping) * teleport($"dst") + lit(damping) * $"contrib").as("r"))
+      ranks =
+        if (seeds.isEmpty)
+          contrib.crossJoin(broadcast(n)).select($"dst".as("node"),
+            (lit(1.0 - damping) / $"n" + lit(damping) * $"contrib").as("r"))
+        else contrib.select($"dst".as("node"),
+          (lit(1.0 - damping) * personalTeleport($"dst") +
+            lit(damping) * $"contrib").as("r"))
     }
     ranks
   }
@@ -207,6 +224,15 @@ object Graph {
   private[graft] def hopDistance(spark: SparkSession, dir: String,
       seed: Long, rounds: Int): DataFrame = {
     import spark.implicits._
+    // the running frame is referenced twice per round (union + join),
+    // so the LAZY plan doubles per round — 2^rounds subtrees. Fine to
+    // a handful of hops; a deeper walk needs [[Components.run]]'s
+    // freeze-to-LogicalRDD discipline (same file, same lesson), so
+    // refuse instead of silently handing the analyzer an exponential
+    // plan.
+    require(rounds > 0 && rounds <= 6,
+      s"hopDistance unrolls lazily (2^rounds plan); need 0 < rounds <= 6 " +
+        s"(got $rounds) — adopt Components.run's per-round freeze for deeper walks")
     val edges = orderEdges(spark, dir)
     var d = spark.range(1).select(lit(seed).as("node"), lit(0).as("dist"))
     for (_ <- 1 to rounds) {

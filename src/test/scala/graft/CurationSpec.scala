@@ -4,24 +4,23 @@ package graft
   * parity is the DuckDB oracle's job; these assert the invariants the
   * oracle can't express. */
 class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
 
   test("q105 weighted sample is length-biased, ranked, and duplicate-free") {
     import org.apache.spark.sql.functions.avg
-    val sample = SparkEntry.queries("q105_weighted_sample")(spark, "/root/testdata/sf0.001")
-      .collect()
+    val sample = SparkEntry.queries("q105_weighted_sample")(spark, sfDir).collect()
     sample.map(_.getAs[Int]("rank")).toSeq shouldBe (1 to 100)
     sample.map(_.getAs[Long]("doc_id")).distinct.length shouldBe 100
     // exponential-race keys arrive sorted
-    sample.map(_.getAs[Double]("key9")).toSeq shouldBe sorted
+    sample.map(_.getAs[Long]("key_ns")).toSeq shouldBe sorted
     // weight ∝ length: the sample must over-represent long documents
-    val corpusMean = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpusMean = graft.sources.Tables.documents(spark, sfDir)
       .agg(avg("n_chars")).head().getDouble(0)
     val sampleMean = sample.map(_.getAs[Long]("n_chars")).sum.toDouble / sample.length
     sampleMean should be > corpusMean
   }
-  import spark.implicits._
-
-  private val sfDir = "/root/testdata/sf0.001"
 
   test("q50: components agree with the LSH pairs and keepers are component minima") {
     val pairs = SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sfDir)

@@ -60,6 +60,16 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("personalized pagerank validates seeds: non-nodes refuse, duplicates collapse") {
+    // 999999*2 is no customer at sf0.001 — restart mass would vanish
+    an[IllegalArgumentException] should be thrownBy
+      Graft.pagerank(spark, dir, teleportTo = Seq(999999L * 2)).count()
+    // duplicated seeds must not split the teleport mass: Σr stays 1
+    val s = Graft.pagerank(spark, dir, teleportTo = Seq(3L, 3L))
+      .agg(sum($"r")).head().getDouble(0)
+    s shouldBe 1.0 +- 1e-9
+  }
+
   test("q103 hop distances respect bipartite parity from the supplier seed") {
     val rows = SparkEntry.queries("q103_hop_distance")(spark, dir).collect()
     rows.length should be > 1

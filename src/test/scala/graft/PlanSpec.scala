@@ -357,6 +357,7 @@ class PlanSpec extends SparkSpecBase {
     // the production sizes imply — to prove the engine's plans qualify.
     val conf = spark.conf
     val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedEnabled = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -370,6 +371,10 @@ class PlanSpec extends SparkSpecBase {
       opt should include("might_contain") // fact rows drop at the scan, not post-shuffle
     } finally {
       conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      savedEnabled match {
+        case Some(v) => conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None => conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
     }
   }
