@@ -1019,6 +1019,48 @@ object Relational {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  // -------------------------------------------------------------- q106
+  /** ANALYZE-style column statistics for the optimizer's cost model —
+    * per-column row count, null count, exact NDV, and min/max over the
+    * lineitem measures, emitted long-form (one row per column). The
+    * stats a cost-based planner feeds join reordering and the runtime
+    * filters PlanSpec proves; collecting them IS an engine operator.
+    *
+    * Scale: the multi-distinct aggregate plans as ONE pass with Expand
+    * (Catalyst's grouping-sets machinery) — #columns × corpus rows map
+    * side, partial+final; min/max/null-count ride the same pass. At
+    * 100 TB swap exact NDV for q39's HLL per column, same shape. */
+  private def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"nn_$c")) ++
+        cols.map(c => countDistinct(col(c)).as(s"ndv_$c")) ++
+        cols.map(c => min(col(c)).as(s"lo_$c")) ++
+        cols.map(c => max(col(c)).as(s"hi_$c")): _*)
+    val stacked = cols.map(c =>
+      s"'$c', nn_$c, ndv_$c, lo_$c, hi_$c").mkString(", ")
+    agg.select($"n", expr(
+        s"stack(${cols.size}, $stacked) AS (col_name, n_null, ndv, lo, hi)"))
+      .select($"col_name", $"n", $"n_null", $"ndv", $"lo", $"hi")
+      .orderBy($"col_name")
+  }
+
+  /** Per-column UNION ALL twin — min/max are comparisons, not
+    * arithmetic, so no rounding is needed for parity. */
+  private val q106Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |       min($c) AS lo, max($c) AS hi
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q0_filter_project", q0, Some(q0Sql)),
     Q("q1_pricing_summary", q1, Some(q1Sql)),
@@ -1055,5 +1097,6 @@ object Relational {
     Q("q48_resample_gapfill", q48, Some(q48Sql)),
     Q("q49_rank_distribution", q49, Some(q49Sql)),
     Q("q99_star_revenue", q99, Some(q99Sql)),
+    Q("q106_table_stats", q106, Some(q106Sql)),
   )
 }
