@@ -108,6 +108,34 @@ object Graft {
     operators.Dedup.fuzzyNamePairs(spark, dir, maxDist)
   }
 
+  private val Identifier = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** ANALYZE-style column statistics over ANY frame (q106 fixes the
+    * lineitem measures): per-column row/null/exact-NDV/min-max in one
+    * Expand pass. Columns must share a type family (`lo`/`hi` share an
+    * output slot) and be plain identifiers (they reach a `stack()`
+    * SQL string). */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnStats needs at least one column")
+    cols.foreach { c =>
+      require(Identifier.matches(c), s"not a plain identifier: '$c'")
+      require(df.columns.contains(c), s"no such column: '$c'")
+    }
+    operators.Relational.columnStats(df, cols)
+  }
+
+  /** Weighted sampling without replacement over ANY frame (q105 fixes
+    * documents by length): top-`k` by deterministic exponential-race
+    * key, inclusion ∝ `weightCol` (floor-guarded at 1), re-run stable
+    * — never `rand()`. Change `salt` to draw an independent sample. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int = 100, salt: String = "#graft-wsample"): DataFrame = {
+    require(k > 0, s"need k > 0 (got $k)")
+    Seq(idCol, weightCol).foreach(c =>
+      require(df.columns.contains(c), s"no such column: '$c'"))
+    operators.Curation.weightedSample(df, idCol, weightCol, k, salt)
+  }
+
   /** Streaming/batch ANN-index rows for any (vec_id, embedding) frame
     * — append these per shard/micro-batch; bit-identical to a batch
     * rebuild (deterministic centroids). */

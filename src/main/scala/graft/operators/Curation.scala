@@ -970,21 +970,31 @@ object Curation {
     * catalog's quantization rule — never `round()` a scalar double in
     * a hashed query) with a doc_id tiebreak: both engines' `ln` agree
     * to ~1e-15 relative, six orders inside the quantum. */
-  private def q105(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val keyed = Tables.documents(spark, dir).select(
-      $"doc_id", $"n_chars",
+  /** Generic core of q105, shared with [[graft.Graft.weightedSample]]:
+    * top-`k` of any frame by exponential-race key over `weightCol`
+    * (weights are floor-guarded at 1; the id column seeds the
+    * deterministic uniform, so distinct ids draw independent races).
+    * Output keeps the caller's column names: (rank, id, weight,
+    * key_ns). */
+  private[graft] def weightedSample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int, salt: String): DataFrame = {
+    val keyed = df.select(
+      col(idCol), col(weightCol),
       floor(
-        -log((Portable.hash32(concat($"doc_id".cast("string"),
-          lit("#graft-wsample"))) + 1).cast("double") / lit(4294967297.0)) /
-          greatest($"n_chars", lit(1L)).cast("double") * lit(1e9) + lit(0.5))
+        -log((Portable.hash32(concat(col(idCol).cast("string"),
+          lit(salt))) + 1).cast("double") / lit(4294967297.0)) /
+          greatest(col(weightCol), lit(1L)).cast("double") * lit(1e9) + lit(0.5))
         .cast("long").as("key_ns"))
-    val top = keyed.orderBy($"key_ns", $"doc_id").limit(100)
-    val w = Window.orderBy($"key_ns", $"doc_id")
+    val top = keyed.orderBy(col("key_ns"), col(idCol)).limit(k)
+    val w = Window.orderBy(col("key_ns"), col(idCol))
     top.withColumn("rank", row_number().over(w))
-      .select($"rank", $"doc_id", $"n_chars", $"key_ns")
-      .orderBy($"rank")
+      .select(col("rank"), col(idCol), col(weightCol), col("key_ns"))
+      .orderBy(col("rank"))
   }
+
+  private def q105(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), "doc_id", "n_chars",
+      k = 100, salt = "#graft-wsample")
 
   private val q105Sql: String = {
     val h = Portable.hash32Sql("CAST(doc_id AS VARCHAR) || '#graft-wsample'")

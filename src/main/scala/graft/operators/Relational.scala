@@ -1030,11 +1030,12 @@ object Relational {
     * (Catalyst's grouping-sets machinery) — #columns × corpus rows map
     * side, partial+final; min/max/null-count ride the same pass. At
     * 100 TB swap exact NDV for q39's HLL per column, same shape. */
-  private def q106(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
-    val agg = li.agg(
+  /** Generic core of q106, shared with [[graft.Graft.columnStats]]:
+    * stats over any frame's columns (one type family per call — `lo` /
+    * `hi` share a stack slot). Column names reach a `stack()` SQL
+    * string, so the facade restricts them to plain identifiers. */
+  private[graft] def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.select(cols.map(col): _*).agg(
       count(lit(1)).as("n"),
       cols.map(c => sum(col(c).isNull.cast("long")).as(s"nn_$c")) ++
         cols.map(c => countDistinct(col(c)).as(s"ndv_$c")) ++
@@ -1042,11 +1043,16 @@ object Relational {
         cols.map(c => max(col(c)).as(s"hi_$c")): _*)
     val stacked = cols.map(c =>
       s"'$c', nn_$c, ndv_$c, lo_$c, hi_$c").mkString(", ")
-    agg.select($"n", expr(
+    agg.select(col("n"), expr(
         s"stack(${cols.size}, $stacked) AS (col_name, n_null, ndv, lo, hi)"))
-      .select($"col_name", $"n", $"n_null", $"ndv", $"lo", $"hi")
-      .orderBy($"col_name")
+      .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
+        col("lo"), col("hi"))
+      .orderBy(col("col_name"))
   }
+
+  private def q106(spark: SparkSession, dir: String): DataFrame =
+    columnStats(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
   /** Per-column UNION ALL twin — min/max are comparisons, not
     * arithmetic, so no rounding is needed for parity. */

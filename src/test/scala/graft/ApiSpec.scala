@@ -62,6 +62,27 @@ class ApiSpec extends SparkSpecBase {
       rows(SparkEntry.queries("q101_fuzzy_match")(spark, dir))
   }
 
+  test("columnStats and weightedSample at catalog parameters equal q106/q105") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    rows(Graft.columnStats(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))) shouldBe
+      rows(SparkEntry.queries("q106_table_stats")(spark, dir))
+    val docs = graft.sources.Tables.documents(spark, dir)
+    rows(Graft.weightedSample(docs, "doc_id", "n_chars")) shouldBe
+      rows(SparkEntry.queries("q105_weighted_sample")(spark, dir))
+    // a different salt draws a genuinely different sample
+    val other = Graft.weightedSample(docs, "doc_id", "n_chars", salt = "#alt")
+      .select($"doc_id").as[Long].collect().toSet
+    val base = Graft.weightedSample(docs, "doc_id", "n_chars")
+      .select($"doc_id").as[Long].collect().toSet
+    other should not be base
+    // bad inputs refuse fast
+    an[IllegalArgumentException] should be thrownBy
+      Graft.columnStats(li, Seq("l_quantity; DROP"))
+    an[IllegalArgumentException] should be thrownBy
+      Graft.weightedSample(docs, "nope", "n_chars")
+  }
+
   test("connectedComponents labels an ad-hoc edge list by component minimum") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
       .toDF("src", "dst")
