@@ -117,6 +117,8 @@ object Graft {
     * SQL string). */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnStats needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     cols.foreach { c =>
       require(Identifier.matches(c), s"not a plain identifier: '$c'")
       require(df.columns.contains(c), s"no such column: '$c'")
@@ -131,8 +133,14 @@ object Graft {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int = 100, salt: String = "#graft-wsample"): DataFrame = {
     require(k > 0, s"need k > 0 (got $k)")
-    Seq(idCol, weightCol).foreach(c =>
-      require(df.columns.contains(c), s"no such column: '$c'"))
+    require(idCol != weightCol, "idCol and weightCol must differ")
+    Seq(idCol, weightCol).foreach { c =>
+      require(df.columns.contains(c), s"no such column: '$c'")
+      // the output adds these two names; a colliding input column
+      // would be silently overwritten (rank) or ambiguous (key_ns)
+      require(c != "rank" && c != "key_ns",
+        s"'$c' collides with a generated output column (rank, key_ns)")
+    }
     operators.Curation.weightedSample(df, idCol, weightCol, k, salt)
   }
 

@@ -971,19 +971,22 @@ object Curation {
     * a hashed query) with a doc_id tiebreak: both engines' `ln` agree
     * to ~1e-15 relative, six orders inside the quantum. */
   /** Generic core of q105, shared with [[graft.Graft.weightedSample]]:
-    * top-`k` of any frame by exponential-race key over `weightCol`
-    * (weights are floor-guarded at 1; the id column seeds the
-    * deterministic uniform, so distinct ids draw independent races).
-    * Output keeps the caller's column names: (rank, id, weight,
-    * key_ns). */
+    * top-`k` of any frame by exponential-race key over `weightCol` —
+    * ANY positive weight, integer or fractional (inclusion ∝ w is the
+    * E-S guarantee); rows with non-positive weight sit out of the race
+    * entirely (zero weight = never sampled), NOT clamped to 1, which
+    * would silently flatten fractional weights to uniform. The id
+    * column seeds the deterministic uniform, so distinct ids draw
+    * independent races. Output keeps the caller's column names:
+    * (rank, id, weight, key_ns). */
   private[graft] def weightedSample(df: DataFrame, idCol: String,
       weightCol: String, k: Int, salt: String): DataFrame = {
-    val keyed = df.select(
+    val keyed = df.filter(col(weightCol) > 0).select(
       col(idCol), col(weightCol),
       floor(
         -log((Portable.hash32(concat(col(idCol).cast("string"),
           lit(salt))) + 1).cast("double") / lit(4294967297.0)) /
-          greatest(col(weightCol), lit(1L)).cast("double") * lit(1e9) + lit(0.5))
+          col(weightCol).cast("double") * lit(1e9) + lit(0.5))
         .cast("long").as("key_ns"))
     val top = keyed.orderBy(col("key_ns"), col(idCol)).limit(k)
     val w = Window.orderBy(col("key_ns"), col(idCol))
@@ -1001,8 +1004,9 @@ object Curation {
     s"""WITH keyed AS (
        |  SELECT doc_id, n_chars,
        |         CAST(floor(-ln(($h + 1) / 4294967297.0)
-       |               / greatest(n_chars, 1) * 1e9 + 0.5) AS BIGINT) AS key_ns
+       |               / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS key_ns
        |  FROM documents
+       |  WHERE n_chars > 0
        |)
        |SELECT CAST(row_number() OVER (ORDER BY key_ns, doc_id) AS INTEGER) AS rank,
        |       doc_id, n_chars, key_ns

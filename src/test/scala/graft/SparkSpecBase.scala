@@ -32,6 +32,18 @@ trait SparkSpecBase extends AnyFunSuite with Matchers {
     while (System.currentTimeMillis() <= t0) Thread.`yield`()
   }
 
+  /** Temp output dir, deleted (recursively) when `f` returns or throws
+    * — specs that write files must not accumulate garbage across runs. */
+  def withTempDir[A](prefix: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   lazy val fixture: DataFrame =
     graft.sources.Csv.readEntries(spark, getClass.getResource("/entries.csv").getPath)
 
