@@ -379,6 +379,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q104/q105/q106: rollup merges map-side, sample is TakeOrdered, stats are one Expand pass") {
+    val rollup = plan("q104_incremental_rollup")
+    rollup should include("partial_sum") // both shards combine before their shuffles
+    (rollup should not).include("CartesianProduct")
+    val sample = plan("q105_weighted_sample")
+    sample should include("TakeOrderedAndProject") // top-K, never a global sort
+    val stats = plan("q106_table_stats")
+    stats should include("Expand") // 4-way multi-distinct in ONE corpus pass
+    stats should include("partial_count")
+    // one pass means ONE scan in the whole plan (each scan contributes
+    // exactly one Location: line in the formatted details)
+    stats.split("Location:").length shouldBe 2
+  }
+
   test("q101: candidates come from a token equi-join, never all-pairs") {
     val p = plan("q101_fuzzy_match")
     (p should not).include("CartesianProduct")
