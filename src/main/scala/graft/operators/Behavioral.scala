@@ -245,11 +245,47 @@ object Behavioral {
       |GROUP BY 1
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q107
+  /** The distribution-rank window family — ntile / percent_rank /
+    * cume_dist over each user's per-type activity (the quartile-
+    * bucketing a curriculum or cohort cut consumes). The window orders
+    * by an INTEGER-exact measure (event count) with a user tiebreak:
+    * ntile splits ties positionally, so only a TOTAL order over exact
+    * values is engine-stable — a double sum in the sort key would let
+    * one-ulp drift flip bucket boundaries. One shuffle to event_type
+    * cells; ratios rounded as aggregates (rank arithmetic is exact,
+    * the divide is one IEEE op). */
+  private def q107(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.events(spark, dir)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"n_events", $"user_id")
+    per.select($"event_type", $"user_id", $"n_events",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"event_type", $"user_id")
+  }
+
+  private val q107Sql: String =
+    """WITH per AS (
+      |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, user_id, n_events,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pr,
+      |       round(cume_dist() OVER w, 6) AS cd
+      |FROM per
+      |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, user_id)
+      |ORDER BY event_type, user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
     Q("q46_cohort_retention", q46, Some(q46Sql)),
     Q("q91_event_outliers", q91, Some(q91Sql)),
     Q("q104_incremental_rollup", q104, Some(q104Sql)),
+    Q("q107_rank_family", q107, Some(q107Sql)),
   )
 }

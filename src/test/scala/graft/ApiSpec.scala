@@ -83,6 +83,23 @@ class ApiSpec extends SparkSpecBase {
       Graft.weightedSample(docs, "nope", "n_chars")
   }
 
+  test("weightedSample inclusion tracks weight for fractional and skewed weights") {
+    // ids 0..999; odd ids carry 50x the weight of even ids — the
+    // sample of 100 must be dominated by odd ids (E-S proportionality)
+    val skewed = spark.range(1000).select($"id",
+      org.apache.spark.sql.functions.when($"id" % 2 === 1, 0.5)
+        .otherwise(0.01).as("wt"))
+    val got = Graft.weightedSample(skewed, "id", "wt", k = 100, salt = "#t")
+      .select($"id").as[Long].collect()
+    got.count(_ % 2 == 1) should be > 85
+    // non-positive weights never appear
+    val withZero = spark.range(10).select($"id",
+      org.apache.spark.sql.functions.when($"id" < 5, 0.0).otherwise(1.0).as("wt"))
+    val ids = Graft.weightedSample(withZero, "id", "wt", k = 10, salt = "#z")
+      .select($"id").as[Long].collect().toSet
+    ids shouldBe Set(5L, 6L, 7L, 8L, 9L)
+  }
+
   test("connectedComponents labels an ad-hoc edge list by component minimum") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
       .toDF("src", "dst")
