@@ -1067,6 +1067,33 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // -------------------------------------------------------------- q108
+  /** Grouped ordered string aggregation (LISTAGG) — the report/export
+    * shape: per language, the sorted distinct source list and its
+    * size. `collect_list` alone is partition-order-dependent, so the
+    * deterministic form is collect_set → array_sort → array_join —
+    * same discipline as every other ordering in the catalog (a plain
+    * STRING_AGG without ORDER BY would be nondeterministic in BOTH
+    * engines). Contracted map-side to #langs × #sources before the
+    * tiny presentation sort. */
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        countDistinct($"source").as("n_sources"),
+        array_join(array_sort(collect_set($"source")), ",").as("sources"))
+      .orderBy($"lang")
+  }
+
+  private val q108Sql: String =
+    """SELECT lang,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q0_filter_project", q0, Some(q0Sql)),
     Q("q1_pricing_summary", q1, Some(q1Sql)),
@@ -1104,5 +1131,6 @@ object Relational {
     Q("q49_rank_distribution", q49, Some(q49Sql)),
     Q("q99_star_revenue", q99, Some(q99Sql)),
     Q("q106_table_stats", q106, Some(q106Sql)),
+    Q("q108_string_agg", q108, Some(q108Sql)),
   )
 }
