@@ -253,8 +253,11 @@ object Behavioral {
     * ntile splits ties positionally, so only a TOTAL order over exact
     * values is engine-stable — a double sum in the sort key would let
     * one-ulp drift flip bucket boundaries. One shuffle to event_type
-    * cells; ratios rounded as aggregates (rank arithmetic is exact,
-    * the divide is one IEEE op). */
+    * cells. The ratios ship UNROUNDED (q49's discipline): rank
+    * arithmetic is integer-exact and the divide is a single IEEE op,
+    * so both engines are bit-identical — while round()ing them would
+    * REINTRODUCE divergence (Spark half-up vs DuckDB binary rounding
+    * disagree on e.g. 41/640 at 6 dp). */
   private def q107(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.events(spark, dir)
@@ -262,8 +265,8 @@ object Behavioral {
     val w = Window.partitionBy($"event_type").orderBy($"n_events", $"user_id")
     per.select($"event_type", $"user_id", $"n_events",
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
       .orderBy($"event_type", $"user_id")
   }
 
@@ -274,8 +277,8 @@ object Behavioral {
       |)
       |SELECT event_type, user_id, n_events,
       |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-      |       round(percent_rank() OVER w, 6) AS pr,
-      |       round(cume_dist() OVER w, 6) AS cd
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
       |FROM per
       |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, user_id)
       |ORDER BY event_type, user_id""".stripMargin

@@ -1078,19 +1078,27 @@ object Relational {
     * tiny presentation sort. */
   private def q108(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // explicit null filter: collect_set silently DROPS nulls while
+    // DuckDB's string_agg returns NULL for an all-null group — filter
+    // both sides so the semantics agree on any data, not just
+    // null-free fixtures. n_sources = size of the same set: mixing
+    // countDistinct with collect_set would force the distinct-rewrite's
+    // extra aggregation stages for a value the set already holds.
     Tables.documents(spark, dir)
+      .filter($"lang".isNotNull && $"source".isNotNull)
       .groupBy($"lang")
-      .agg(
-        countDistinct($"source").as("n_sources"),
-        array_join(array_sort(collect_set($"source")), ",").as("sources"))
+      .agg(array_sort(collect_set($"source")).as("srcs"))
+      .select($"lang", size($"srcs").as("n_sources"),
+        array_join($"srcs", ",").as("sources"))
       .orderBy($"lang")
   }
 
   private val q108Sql: String =
     """SELECT lang,
-      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(count(DISTINCT source) AS INTEGER) AS n_sources,
       |       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
       |FROM documents
+      |WHERE lang IS NOT NULL AND source IS NOT NULL
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
