@@ -101,6 +101,21 @@ object Graft {
     operators.Components.run(pairs, maxRounds).labels
   }
 
+  /** BFS hop distance from a seed node over the order graph (q103
+    * fixes seed = supplier 1, rounds = 3). Node ids are `custkey*2` /
+    * `suppkey*2+1`; the seed must be a graph node — a typo'd id would
+    * return a lone zero-distance row, so refuse it eagerly. Unreached
+    * nodes are absent, not NULL. */
+  def hopDistance(spark: SparkSession, dir: String, seed: Long,
+      rounds: Int = 3): DataFrame = {
+    require(rounds > 0 && rounds <= 6, s"need 0 < rounds <= 6 (got $rounds)")
+    val nodes = operators.Graph.orderEdges(spark, dir)
+      .select(col("src")).filter(col("src") === seed)
+    require(nodes.limit(1).count() == 1,
+      s"seed $seed is not a graph node (ids are custkey*2 / suppkey*2+1)")
+    operators.Graph.hopDistance(spark, dir, seed, rounds)
+  }
+
   /** Token-blocked fuzzy name matching with the edit-distance knob
     * open (q101 fixes maxDist = 2). */
   def fuzzyMatches(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {

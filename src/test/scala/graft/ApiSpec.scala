@@ -100,6 +100,17 @@ class ApiSpec extends SparkSpecBase {
     ids shouldBe Set(5L, 6L, 7L, 8L, 9L)
   }
 
+  test("hopDistance at catalog knobs matches q103; bad seeds refuse") {
+    val api = Graft.hopDistance(spark, dir, seed = 3L)
+      .withColumn("kind",
+        org.apache.spark.sql.functions.when($"node" % 2 === 0, "customer")
+          .otherwise("supplier"))
+      .select($"node", $"kind", $"dist").orderBy($"dist", $"node")
+    rows(api) shouldBe rows(SparkEntry.queries("q103_hop_distance")(spark, dir))
+    an[IllegalArgumentException] should be thrownBy
+      Graft.hopDistance(spark, dir, seed = 999999L * 2)
+  }
+
   test("connectedComponents labels an ad-hoc edge list by component minimum") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
       .toDF("src", "dst")

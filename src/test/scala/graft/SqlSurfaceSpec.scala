@@ -116,6 +116,18 @@ class SqlSurfaceSpec extends SparkSpecBase {
     sqlRows shouldBe dfRows
   }
 
+  test("q108 as SQL: identical optimized plan for the ordered LISTAGG") {
+    val sqlDf = opened.sql(
+      """SELECT lang, size(srcs) AS n_sources,
+        |       array_join(srcs, ',') AS sources
+        |FROM (SELECT lang, array_sort(collect_set(source)) AS srcs
+        |      FROM documents
+        |      WHERE lang IS NOT NULL AND source IS NOT NULL
+        |      GROUP BY lang)
+        |ORDER BY lang""".stripMargin)
+    assertSamePlan(sqlDf, dfForm("q108_string_agg"))
+  }
+
   test("views are metadata only: each SQL query plans its own pruned scan") {
     val plan = opened.sql("SELECT l_orderkey FROM lineitem WHERE l_orderkey = 1")
       .queryExecution.explainString(
