@@ -37,4 +37,14 @@ object Json {
     * corpus pipeline runs before analytical scans. */
   def fromJsonl(spark: SparkSession, jsonlDir: String, parquetDir: String): Unit =
     read(spark, jsonlDir, documents).write.mode("overwrite").parquet(parquetDir)
+
+  /** CONTINUOUS form of [[fromJsonl]]: a Structured Streaming file
+    * source over the drop directory — each newly landed jsonl file is
+    * picked up exactly once (file-source tracking in the checkpoint)
+    * and appended in columnar form. This is how a daily/hourly corpus
+    * feed runs: producers drop jsonl, the engine owns the conversion,
+    * and the dedup/curation chain (q57's incremental path) consumes
+    * the parquet side. Caller starts/stops the returned stream. */
+  def streamFromJsonl(spark: SparkSession, jsonlDir: String): DataFrame =
+    spark.readStream.schema(documents).json(jsonlDir)
 }

@@ -39,6 +39,40 @@ class JsonSpec extends SparkSpecBase {
     }
   }
 
+  test("streamFromJsonl picks up each landed drop exactly once") {
+    withTempDir("jsonldrops") { drops =>
+      withTempDir("sink") { sinkDir =>
+        def drop(name: String, ids: Seq[Long]): Unit = {
+          val lines = ids.map(i =>
+            s"""{"doc_id": $i, "text": "t$i", "lang": "en", "source": "s", "n_chars": 2}""")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(drops, name),
+            lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
+        drop("a.json", Seq(1L, 2L))
+        val q = Json.streamFromJsonl(spark, drops).writeStream
+          .format("parquet")
+          .option("path", s"$sinkDir/data")
+          .option("checkpointLocation", s"$sinkDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000) shouldBe true
+        // a second drop lands; a new incremental pass converts ONLY it
+        drop("b.json", Seq(3L))
+        val q2 = Json.streamFromJsonl(spark, drops).writeStream
+          .format("parquet")
+          .option("path", s"$sinkDir/data")
+          .option("checkpointLocation", s"$sinkDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination(60000) shouldBe true
+        val got = spark.read.parquet(s"$sinkDir/data")
+        // exactly once: no replay of a.json on the second pass
+        got.select($"doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+      }
+    }
+  }
+
   test("a malformed line surfaces as _corrupt_record instead of killing the read") {
     withTempDir("jsonl") { out =>
       val f = java.nio.file.Paths.get(out, "part-0.json")
