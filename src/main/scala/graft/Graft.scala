@@ -108,7 +108,8 @@ object Graft {
     * nodes are absent, not NULL. */
   def hopDistance(spark: SparkSession, dir: String, seed: Long,
       rounds: Int = 3): DataFrame = {
-    require(rounds > 0 && rounds <= 6, s"need 0 < rounds <= 6 (got $rounds)")
+    // the rounds bound (and its 2^rounds-plan rationale) lives in ONE
+    // place: operators.Graph.hopDistance refuses invalid values itself
     val nodes = operators.Graph.orderEdges(spark, dir)
       .select(col("src")).filter(col("src") === seed)
     require(nodes.limit(1).count() == 1,

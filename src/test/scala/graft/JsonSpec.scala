@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.{Json, Tables}
 
 /** JSONL source/sink: lossless round-trip with the DECLARED schema,
-  * and the edge conversion to parquet preserves every row. */
+  * quarantined (never silent) malformed lines, and exactly-once
+  * streaming conversion of landed drops. */
 class JsonSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -23,13 +24,23 @@ class JsonSpec extends SparkSpecBase {
     }
   }
 
-  test("fromJsonl converts a corpus drop to parquet row-for-row") {
+  test("fromJsonl converts clean rows and quarantines malformed lines") {
     withTempDir("jsonl") { jl =>
-      withTempDir("pq") { pq =>
-        Json.write(Tables.documents(spark, sfDir), jl)
+      withTempDir("pq") { pqRoot =>
+        val pq = s"$pqRoot/data"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(jl, "drop.json"),
+          ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "a", "n_chars": 2}""" +
+            "\nnot json at all\n" +
+            """{"doc_id": 2, "text": "also", "lang": "de", "source": "b", "n_chars": 4}""" +
+            "\n").getBytes("UTF-8"))
         Json.fromJsonl(spark, jl, pq)
         val converted = spark.read.parquet(pq)
-        converted.count() shouldBe Tables.documents(spark, sfDir).count()
+        // clean rows only — the malformed line is NOT a null-filled row
+        converted.select($"doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+        // ...and its raw text is preserved in the rejects file
+        val rejects = spark.read.text(s"$pq.rejects")
+        rejects.as[String].collect() shouldBe Array("not json at all")
         // columnar after conversion: a 2-column projection prunes the scan
         val p = converted.select($"doc_id", $"lang")
           .queryExecution.explainString(
@@ -39,57 +50,34 @@ class JsonSpec extends SparkSpecBase {
     }
   }
 
-  test("streamFromJsonl picks up each landed drop exactly once") {
+  test("streamFromJsonl converts each landed drop exactly once, corrupt lines flagged") {
     withTempDir("jsonldrops") { drops =>
       withTempDir("sink") { sinkDir =>
-        def drop(name: String, ids: Seq[Long]): Unit = {
-          val lines = ids.map(i =>
-            s"""{"doc_id": $i, "text": "t$i", "lang": "en", "source": "s", "n_chars": 2}""")
+        def drop(name: String, lines: Seq[String]): Unit =
           java.nio.file.Files.write(
             java.nio.file.Paths.get(drops, name),
             lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-        }
-        drop("a.json", Seq(1L, 2L))
-        val q = Json.streamFromJsonl(spark, drops).writeStream
-          .format("parquet")
-          .option("path", s"$sinkDir/data")
-          .option("checkpointLocation", s"$sinkDir/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination(60000) shouldBe true
-        // a second drop lands; a new incremental pass converts ONLY it
-        drop("b.json", Seq(3L))
-        val q2 = Json.streamFromJsonl(spark, drops).writeStream
-          .format("parquet")
-          .option("path", s"$sinkDir/data")
-          .option("checkpointLocation", s"$sinkDir/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q2.awaitTermination(60000) shouldBe true
+        drop("a.json", Seq(
+          """{"doc_id": 1, "text": "t1", "lang": "en", "source": "s", "n_chars": 2}""",
+          """{"doc_id": 2, "text": "t2", "lang": "en", "source": "s", "n_chars": 2}"""))
+        Json.streamFromJsonl(spark, drops, s"$sinkDir/data", s"$sinkDir/ckpt")
+          .awaitTermination(60000) shouldBe true
+        // a second drop lands, one line truncated; a rerun on the same
+        // checkpoint converts ONLY the new file
+        drop("b.json", Seq(
+          """{"doc_id": 3, "text": "t3", "lang": "en", "source": "s", "n_chars": 2}""",
+          """{"doc_id": 4, "text"""))
+        Json.streamFromJsonl(spark, drops, s"$sinkDir/data", s"$sinkDir/ckpt")
+          .awaitTermination(60000) shouldBe true
         val got = spark.read.parquet(s"$sinkDir/data")
         // exactly once: no replay of a.json on the second pass
-        got.select($"doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
-      }
-    }
-  }
-
-  test("a malformed line surfaces as _corrupt_record instead of killing the read") {
-    withTempDir("jsonl") { out =>
-      val f = java.nio.file.Paths.get(out, "part-0.json")
-      java.nio.file.Files.write(f,
-        ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "a", "n_chars": 2}""" +
-          "\nnot json at all\n").getBytes("UTF-8"))
-      val schema = Json.documents.add("_corrupt_record", "string")
-      // Spark disallows querying ONLY the corrupt-record column from the
-      // raw file (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, the
-      // documented pattern
-      val got = Json.read(spark, out, schema).cache()
-      try {
-        got.count() shouldBe 2
-        got.filter($"_corrupt_record".isNotNull).count() shouldBe 1
         got.filter($"_corrupt_record".isNull)
-          .select($"doc_id").as[Long].collect() shouldBe Array(1L)
-      } finally got.unpersist()
+          .select($"doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+        // the truncated line survives flagged, raw text intact
+        got.filter($"_corrupt_record".isNotNull)
+          .select($"_corrupt_record").as[String].collect() shouldBe
+          Array("""{"doc_id": 4, "text""")
+      }
     }
   }
 }
