@@ -1102,6 +1102,55 @@ object Relational {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------- q109
+  /** Referential-integrity audit — FK orphan counts (anti-joins) and
+    * PK duplicate counts (count − distinct) as one long-form report:
+    * the data-quality gate a pipeline runs after every load, emitted
+    * as a table so it lands next to q106's column stats in a quality
+    * dashboard. Each check is one anti-join or one aggregate; the
+    * unioned report is #checks rows. At 100 TB the anti-joins ride
+    * the same broadcast/shuffle machinery as q6 — and a runtime bloom
+    * filter (PlanSpec's proof) prunes the fact side early when the
+    * key side is selective. */
+  private def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def report(relation: String, metric: String, n: org.apache.spark.sql.Column,
+        from: DataFrame): DataFrame =
+      from.agg(n.as("n"))
+        .select(lit(relation).as("relation"), lit(metric).as("metric"), $"n")
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, dir).select($"c_custkey")
+    report("lineitem->orders", "fk_orphans", count(lit(1)),
+        li.join(ord, $"l_orderkey" === $"o_orderkey", "left_anti"))
+      .unionAll(report("orders->customer", "fk_orphans", count(lit(1)),
+        ord.join(cust, $"o_custkey" === $"c_custkey", "left_anti")))
+      .unionAll(report("orders", "pk_dupes",
+        count(lit(1)) - countDistinct($"o_orderkey"), ord))
+      .unionAll(report("customer", "pk_dupes",
+        count(lit(1)) - countDistinct($"c_custkey"), cust))
+      .orderBy($"relation", $"metric")
+  }
+
+  private val q109Sql: String =
+    """SELECT 'lineitem->orders' AS relation, 'fk_orphans' AS metric,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'orders->customer', 'fk_orphans', CAST(count(*) AS BIGINT)
+      |FROM orders o WHERE NOT EXISTS
+      |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'orders', 'pk_dupes',
+      |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'customer', 'pk_dupes',
+      |       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      |FROM customer
+      |ORDER BY relation, metric""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q0_filter_project", q0, Some(q0Sql)),
     Q("q1_pricing_summary", q1, Some(q1Sql)),
@@ -1140,5 +1189,6 @@ object Relational {
     Q("q99_star_revenue", q99, Some(q99Sql)),
     Q("q106_table_stats", q106, Some(q106Sql)),
     Q("q108_string_agg", q108, Some(q108Sql)),
+    Q("q109_integrity_audit", q109, Some(q109Sql)),
   )
 }
