@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Packing.all ++
       operators.Anomaly.all ++
       operators.Behavioral.all ++
+      operators.Temporal.all ++
       operators.Graph.all ++
       multimodal.Multimodal.all
 

@@ -276,9 +276,115 @@ object Graph {
        |ORDER BY dist, node""".stripMargin
   }
 
+  // -------------------------------------------------------------- q112
+  /** Triangle census of the part co-purchase graph (parts sharing an
+    * order) — node/edge/wedge/triangle counts plus the global
+    * clustering coefficient 3·T/wedges, the one-row structure summary
+    * that says whether a graph is clique-y enough for community
+    * detection to be worth running. The customer–supplier graph is
+    * bipartite (zero triangles by construction), so this measures the
+    * co-occurrence projection instead — the graph recommendation
+    * pipelines actually mine.
+    *
+    * Scale design — the textbook MapReduce triangle algorithm (Suri &
+    * Vassilvitskii, WWW'11): orient every edge from the (degree, id)-
+    * smaller endpoint to the larger, enumerate wedges only from each
+    * node's ORIENTED out-neighbors, and close them with one equi-join
+    * against the oriented edge set. Orientation bounds out-degree by
+    * O(√E), so wedge volume is O(E^1.5) regardless of how skewed the
+    * raw degree distribution is — a hot hub never enumerates its
+    * quadratic neighborhood. Every step is an equi-join or aggregate
+    * (pairs on order id, wedges on src, closure on (v, w)); the wedge
+    * DENOMINATOR is Σ deg·(deg−1)/2 integer algebra on the #nodes-row
+    * degree frame, never materialized pairs. */
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val pairs = items.as("i").join(items.as("j"),
+        $"i.ok" === $"j.ok" && $"i.p" < $"j.p")
+      .select($"i.p".as("a"), $"j.p".as("b")).distinct()
+    triangleCensus(pairs)
+  }
+
+  /** Census core over a distinct undirected edge list `(a, b)`, a < b —
+    * factored out so GraphSpec can drive it with hand-built graphs whose
+    * triangle counts are known by eye. */
+  private[graft] def triangleCensus(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val deg = pairs.select($"a".as("node")).union(pairs.select($"b"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg_a, a) < (deg_b, b): a total order, so each
+    // undirected edge appears exactly once and out-degree is O(√E)
+    val lower = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
+    val ori = pairs
+      .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+      .select(when(lower, $"a").otherwise($"b").as("src"),
+        when(lower, $"b").otherwise($"a").as("dst"),
+        when(lower, $"db").otherwise($"da").as("ddst"))
+    // wedges from oriented out-neighbors, ordered (ddst, dst) so the
+    // closing edge (v, w) has matching orientation; closure = equi-join
+    val tri = ori.as("t1").join(ori.as("t2"),
+        $"t1.src" === $"t2.src" &&
+          ($"t1.ddst" < $"t2.ddst" ||
+            ($"t1.ddst" === $"t2.ddst" && $"t1.dst" < $"t2.dst")))
+      .select($"t1.dst".as("v"), $"t2.dst".as("w"))
+      .join(ori.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeStats = pairs.agg(count(lit(1)).as("n_edges"))
+    // three 1-row frames; cc = 3T/wedges is one IEEE divide on exact
+    // integer operands — unrounded, bit-identical across engines
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        (lit(3.0) * $"n_triangles" / $"n_wedges").as("global_cc"))
+  }
+
+  /** Semi-join closure, not inner: a (v, w) wedge pair can close
+    * against only ONE oriented edge, but left_semi also guards the
+    * count against any hypothetical duplicate edge rows. */
+  private val q112Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT i.p AS a, j.p AS b
+      |  FROM items i JOIN items j ON i.ok = j.ok AND i.p < j.p
+      |), deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+      |  GROUP BY 1
+      |), ori AS (
+      |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN a ELSE b END AS src,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN b ELSE a END AS dst,
+      |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |              THEN db.deg ELSE da.deg END AS ddst
+      |  FROM pairs JOIN deg da ON da.node = pairs.a
+      |             JOIN deg db ON db.node = pairs.b
+      |), tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM (SELECT t1.dst AS v, t2.dst AS w
+      |        FROM ori t1 JOIN ori t2
+      |          ON t1.src = t2.src
+      |         AND (t1.ddst < t2.ddst OR (t1.ddst = t2.ddst AND t1.dst < t2.dst))) wg
+      |  WHERE EXISTS (SELECT 1 FROM ori e WHERE e.src = wg.v AND e.dst = wg.w)
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+      |       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |       n_triangles,
+      |       3.0 * n_triangles /
+      |         (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS global_cc
+      |FROM tri""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q100_pagerank", q100, Some(q100Sql)),
     Q("q102_degree_histogram", q102, Some(q102Sql)),
     Q("q103_hop_distance", q103, Some(q103Sql)),
+    Q("q112_triangle_census", q112, Some(q112Sql)),
   )
 }

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Temporal state-management operators over the `events` stream table —
+  * the warehouse side of the reference's upsert/versioned-state model
+  * (lambda-sample keeps ONLY the latest row per (sensor, ts) via CQL
+  * UPDATE, `cassandra/schema.sql`; an analytics engine over the same
+  * feed also needs the history those upserts discard): dimension
+  * versioning (SCD Type 2), interval concurrency, as-of snapshot
+  * reconciliation, and conversion attribution.
+  *
+  * Scale: every query shuffles the events table at most once on
+  * user_id; everything downstream of the per-user window is either
+  * per-row algebra or aggregates over frames that are orders of
+  * magnitude smaller than the input (versions, boundary deltas,
+  * per-user state rows). Timestamp math runs on epoch micros
+  * (`unix_micros` ↔ `epoch_us`, exact integers) — the catalog's
+  * determinism convention.
+  */
+object Temporal {
+
+  /** 30 min in micros — q44's session gap, shared definition. */
+  private val SessionGapUs = 1800000000L
+  private val DayUs = 86400000000L
+  private val WeekUs = 7L * DayUs
+
+  // -------------------------------------------------------------- q110
+  /** SCD Type-2 history build: collapse each user's event-type run into
+    * a versioned validity interval `[valid_from_us, valid_to_us)` with
+    * `valid_to_us` NULL on the open current version — the dimension-
+    * versioning shape every warehouse keeps for "what was true at time
+    * T" joins (Kimball SCD2), and the exact history the reference's
+    * last-write-wins upsert throws away.
+    *
+    * One shuffle on user_id; change detection is a lag window, version
+    * ids a running sum over the SAME window sort (no second shuffle),
+    * and the interval close is a lead over the version frame — which is
+    * #versions rows, not #events. All columns are integer/string exact,
+    * so the oracle needs no rounding at all. */
+  private def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vers = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type".as("attr"),
+        unix_micros($"ts").as("us"))
+      .withColumn("new_v",
+        when(lag($"attr", 1).over(w).isNull ||
+          $"attr" =!= lag($"attr", 1).over(w), 1).otherwise(0))
+      .withColumn("ver", sum($"new_v").over(running).cast("int"))
+      .groupBy($"user_id", $"ver")
+      // min(attr): every row in a version carries the same attr by
+      // construction; min is order-independent where first() is not
+      .agg(min($"attr").as("attr"), min($"us").as("valid_from_us"),
+        count(lit(1)).as("n_obs"))
+    val wv = Window.partitionBy($"user_id").orderBy($"ver")
+    vers
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(wv))
+      .select($"user_id", $"ver", $"attr", $"valid_from_us", $"valid_to_us",
+        $"n_obs",
+        when($"valid_to_us".isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy($"user_id", $"ver")
+  }
+
+  private val q110Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type AS attr, epoch_us(ts) AS us
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, event_id, attr, us,
+      |         CASE WHEN lag(attr) OVER w IS NULL OR attr <> lag(attr) OVER w
+      |              THEN 1 ELSE 0 END AS new_v
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), v AS (
+      |  SELECT user_id, attr, us,
+      |         CAST(sum(new_v) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS ver
+      |  FROM g
+      |), grp AS (
+      |  SELECT user_id, ver, min(attr) AS attr, min(us) AS valid_from_us,
+      |         CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM v GROUP BY 1, 2
+      |)
+      |SELECT user_id, ver, attr, valid_from_us,
+      |       lead(valid_from_us) OVER wv AS valid_to_us,
+      |       n_obs,
+      |       CAST(CASE WHEN lead(valid_from_us) OVER wv IS NULL
+      |                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM grp
+      |WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+      |ORDER BY user_id, ver""".stripMargin
+
+  // -------------------------------------------------------------- q111
+  /** Peak session concurrency per day by distributed sweep line. q44's
+    * session intervals become boundary deltas (+1 at start, −1 just
+    * after end — closed intervals, so a single-event session still
+    * counts while it lasts), and the running sum over time-ordered
+    * deltas is the concurrency curve.
+    *
+    * The prefix sum is the scale trick: a naive global ORDER BY window
+    * serializes 100 TB of boundaries through one task. Instead the
+    * classic two-phase parallel prefix (Blelloch scan) as DataFrame
+    * algebra: (a) per-day partitioned running sums — one shuffle, each
+    * day sorts independently; (b) per-day totals prefix-summed on a
+    * #days-row frame (the only global window, deliberately tiny) and
+    * broadcast back as offsets. `offset + local running` ≡ the global
+    * running sum — the ORACLE computes the naive global form, so the
+    * gate proves the decomposition exact.
+    *
+    * Peak is measured at session boundaries (concurrency only rises at
+    * a start, so the daily max over boundary points equals the
+    * continuous-time max for any day with a session start; a day whose
+    * deltas are all ends reports the level just after its first end —
+    * documented boundary-measurement semantics, identical in both
+    * engines). */
+  private def q111(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // q44's session derivation (same gap, same tie-break), reduced to
+    // intervals
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(running).cast("int"))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"us").as("s_us"), max($"us").as("e_us"))
+    val deltas = intervals
+      .select(explode(array(
+        struct($"s_us".as("us"), lit(1).as("d")),
+        struct(($"e_us" + 1).as("us"), lit(-1).as("d")))).as("b"))
+      .select($"b.us", $"b.d")
+      .groupBy($"us")
+      .agg(sum($"d").as("ds"), sum(when($"d" > 0, 1L).otherwise(0L)).as("ns"))
+      .withColumn("day_idx", expr("us div 86400000000"))
+    // phase 1: per-day local running sums (parallel across days)
+    val wd = Window.partitionBy($"day_idx").orderBy($"us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("run_local", sum($"ds").over(wd))
+    // phase 2: day totals → exclusive prefix over the #days-row frame
+    // (global window on purpose: ~30 rows here, #days at any scale)
+    val wo = Window.orderBy($"day_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy($"day_idx").agg(sum($"ds").as("tot"))
+      .withColumn("offset", coalesce(sum($"tot").over(wo), lit(0L)))
+      .select($"day_idx", $"offset")
+    local.join(broadcast(offsets), "day_idx")
+      .withColumn("run", $"offset" + $"run_local")
+      .groupBy($"day_idx")
+      .agg(max($"run").cast("int").as("peak_concurrency"),
+        sum($"ns").as("n_sessions_started"))
+      .select(
+        date_format(timestamp_micros($"day_idx" * DayUs), "yyyy-MM-dd").as("day"),
+        $"peak_concurrency", $"n_sessions_started")
+      .orderBy($"day")
+  }
+
+  /** Naive global-window form — the two-phase decomposition must equal
+    * it. */
+  private val q111Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |), g AS (
+       |  SELECT user_id, event_id, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, us,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM g
+       |), iv AS (
+       |  SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+       |  FROM s GROUP BY 1, 2
+       |), d AS (
+       |  SELECT s_us AS us, 1 AS d FROM iv
+       |  UNION ALL
+       |  SELECT e_us + 1 AS us, -1 AS d FROM iv
+       |), a AS (
+       |  SELECT us, sum(d) AS ds,
+       |         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS ns
+       |  FROM d GROUP BY 1
+       |), r AS (
+       |  SELECT us, ns,
+       |         sum(ds) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM a
+       |)
+       |SELECT strftime(make_timestamp((us // $DayUs) * $DayUs), '%Y-%m-%d') AS day,
+       |       CAST(max(run) AS INTEGER) AS peak_concurrency,
+       |       CAST(sum(ns) AS BIGINT) AS n_sessions_started
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------- q113
+  /** As-of snapshot reconciliation: each user's latest (event_type,
+    * value) state as of T1 = 2024-01-16 vs as of the full table, full-
+    * outer-joined and labeled added / changed / unchanged — the table-
+    * diff a pipeline runs between two loads to audit what an upsert
+    * feed actually did (the batch twin of the reference's continuous
+    * last-write-wins consumer). Two row_number windows share the one
+    * user_id shuffle; the diff join is #users rows a side, nothing near
+    * corpus size. Raw doubles are compared and emitted, never computed
+    * with — so no rounding is needed for engine parity. */
+  private def q113(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"))
+    def stateAsOf(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"value")
+    }
+    val old = stateAsOf(ev.filter($"us" < CutoffUs))
+      .select($"user_id", $"event_type".as("old_type"), $"value".as("old_value"))
+    val cur = stateAsOf(ev)
+      .select($"user_id", $"event_type".as("new_type"), $"value".as("new_value"))
+    old.join(cur, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        when($"old_type".isNull, lit("added"))
+          .when($"old_type" =!= $"new_type" || $"old_value" =!= $"new_value",
+            lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        $"old_type", $"old_value", $"new_type", $"new_value")
+      .orderBy($"user_id")
+  }
+
+  /** 2024-01-16T00:00:00Z — mid-range of the 2024-01 events window, so
+    * both sides of the diff are non-trivial at every scale factor. */
+  private val CutoffUs = 1705363200000000L
+
+  private val q113Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events
+       |), old AS (
+       |  SELECT user_id, event_type AS old_type, value AS old_value
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                     ORDER BY us DESC, event_id DESC) AS rn
+       |        FROM e WHERE us < $CutoffUs)
+       |  WHERE rn = 1
+       |), cur AS (
+       |  SELECT user_id, event_type AS new_type, value AS new_value
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |                                     ORDER BY us DESC, event_id DESC) AS rn
+       |        FROM e)
+       |  WHERE rn = 1
+       |)
+       |SELECT COALESCE(old.user_id, cur.user_id) AS user_id,
+       |       CASE WHEN old_type IS NULL THEN 'added'
+       |            WHEN old_type <> new_type OR old_value <> new_value THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |       old_type, old_value, new_type, new_value
+       |FROM old FULL OUTER JOIN cur ON old.user_id = cur.user_id
+       |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------- q114
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the user's most recent click/view within a 7-day lookback, else
+    * 'organic' — the marketing-analytics report shape. The touch lookup
+    * is `last(..., ignoreNulls)` over a strictly-preceding row frame on
+    * the per-user time order (ONE shuffle on user_id) — never an
+    * event×event self-join, which would go quadratic per user under
+    * exactly the hot-key skew q102 measures. Channel totals then
+    * collapse to #channels rows; the share divide is integer-exact
+    * operands in one IEEE op, shipped unrounded (q107's discipline),
+    * while revenue is a summed double and rounds to 4 dp. */
+  private def q114(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"))
+      .withColumn("lt_type",
+        last(when(isTouch, $"event_type"), ignoreNulls = true).over(prior))
+      .withColumn("lt_us",
+        last(when(isTouch, $"us"), ignoreNulls = true).over(prior))
+      .filter($"event_type" === "purchase")
+      .select(
+        when($"lt_type".isNull || $"us" - $"lt_us" > WeekUs, lit("organic"))
+          .otherwise($"lt_type").as("channel"),
+        $"value")
+    val perChannel = attributed.groupBy($"channel")
+      .agg(count(lit(1)).as("n_conversions"), round(sum($"value"), 4).as("revenue"))
+    val wall = Window.partitionBy()
+    perChannel
+      .withColumn("share",
+        $"n_conversions".cast("double") / sum($"n_conversions").over(wall))
+      .select($"channel", $"n_conversions", $"revenue", $"share")
+      .orderBy($"channel")
+  }
+
+  private val q114Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events
+       |), t AS (
+       |  SELECT user_id, event_type, value, us,
+       |         last_value(CASE WHEN event_type IN ('click', 'view')
+       |                         THEN event_type END IGNORE NULLS) OVER wp AS lt_type,
+       |         last_value(CASE WHEN event_type IN ('click', 'view')
+       |                         THEN us END IGNORE NULLS) OVER wp AS lt_us
+       |  FROM e
+       |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), conv AS (
+       |  SELECT CASE WHEN lt_type IS NULL OR us - lt_us > $WeekUs
+       |              THEN 'organic' ELSE lt_type END AS channel,
+       |         value
+       |  FROM t WHERE event_type = 'purchase'
+       |), agg AS (
+       |  SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       |         round(sum(value), 4) AS revenue
+       |  FROM conv GROUP BY 1
+       |)
+       |SELECT channel, n_conversions, revenue,
+       |       CAST(n_conversions AS DOUBLE) / sum(n_conversions) OVER () AS share
+       |FROM agg
+       |ORDER BY channel""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q110_scd2_history", q110, Some(q110Sql)),
+    Q("q111_concurrency", q111, Some(q111Sql)),
+    Q("q113_snapshot_diff", q113, Some(q113Sql)),
+    Q("q114_attribution", q114, Some(q114Sql)),
+  )
+}

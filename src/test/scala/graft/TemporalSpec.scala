@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the temporal state-management family
+  * (q110/q111/q113/q114) and the q112 triangle census — the properties
+  * the exact-value oracles can't express: interval tiling, decomposition
+  * ≡ naive recompute, partition/conservation laws, and a known-by-eye
+  * fixture graph. */
+class TemporalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- q110
+  test("q110 SCD2 versions tile each user's history exactly") {
+    val hist = SparkEntry.queries("q110_scd2_history")(spark, dir)
+    val ev = sources.Tables.events(spark, dir)
+
+    // observation counts reconcile with the raw event counts per user
+    val obs = hist.groupBy($"user_id").agg(sum($"n_obs").as("n")).as[(Long, Long)]
+      .collect().toMap
+    val raw = ev.groupBy($"user_id").agg(count(lit(1)).as("n")).as[(Long, Long)]
+      .collect().toMap
+    obs shouldBe raw
+
+    // exactly one open (current) version per user, and it is the last
+    val open = hist.filter($"is_current" === 1)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    open.map(_._2).toSet shouldBe Set(1L)
+
+    // intervals chain: valid_to of version v equals valid_from of v+1,
+    // and consecutive versions really changed the attribute
+    val w = Window.partitionBy($"user_id").orderBy($"ver")
+    val chained = hist
+      .withColumn("next_from", lead($"valid_from_us", 1).over(w))
+      .withColumn("next_attr", lead($"attr", 1).over(w))
+      .filter($"next_from".isNotNull)
+    chained.filter($"valid_to_us" =!= $"next_from").count() shouldBe 0
+    chained.filter($"attr" === $"next_attr").count() shouldBe 0
+  }
+
+  // ------------------------------------------------------------- q111
+  test("q111 two-phase prefix sum equals the naive global running sum") {
+    val got = SparkEntry.queries("q111_concurrency")(spark, dir)
+      .as[(String, Int, Long)].collect().toSeq
+
+    // naive recompute: same sessions, ONE global window (the form the
+    // DuckDB oracle uses; here it proves the Spark-side decomposition
+    // against a Spark-side single-task scan too)
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(running))
+      .groupBy($"user_id", $"sid").agg(min($"us").as("s"), max($"us").as("e"))
+      .as[(Long, Long, Long, Long)].collect()
+    val deltas = iv.flatMap(r => Seq((r._3, 1, 1), (r._4 + 1, -1, 0)))
+      .groupBy(_._1).map { case (us, xs) => (us, xs.map(_._2).sum, xs.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    var run = 0L
+    val naive = deltas.map { case (us, d, ns) =>
+      run += d
+      (us / 86400000000L, run, ns.toLong)
+    }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val expect = naive.groupBy(_._1).map { case (day, xs) =>
+      (fmt.format(java.time.Instant.ofEpochSecond(day * 86400L)),
+        xs.map(_._2).max.toInt, xs.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    got shouldBe expect
+  }
+
+  // ------------------------------------------------------------- q113
+  test("q113 snapshot diff partitions users and labels them correctly") {
+    val diff = SparkEntry.queries("q113_snapshot_diff")(spark, dir)
+    val ev = sources.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+
+    diff.count() shouldBe ev.select($"user_id").distinct().count()
+    diff.select($"status").distinct().as[String].collect().toSet
+      .subsetOf(Set("added", "changed", "unchanged")) shouldBe true
+
+    // an 'added' user has no events before the cutoff; everyone else has
+    val cutoff = 1705363200000000L
+    val preUsers = ev.filter($"us" < cutoff).select($"user_id").distinct()
+      .as[Long].collect().toSet
+    val added = diff.filter($"status" === "added").select($"user_id")
+      .as[Long].collect().toSet
+    added.intersect(preUsers) shouldBe empty
+    val notAdded = diff.filter($"status" =!= "added").select($"user_id")
+      .as[Long].collect().toSet
+    notAdded.diff(preUsers) shouldBe empty
+
+    // 'unchanged' rows carry identical state on both sides
+    diff.filter($"status" === "unchanged")
+      .filter($"old_type" =!= $"new_type" || $"old_value" =!= $"new_value")
+      .count() shouldBe 0
+  }
+
+  // ------------------------------------------------------------- q114
+  test("q114 attribution conserves conversions and shares sum to 1") {
+    val att = SparkEntry.queries("q114_attribution")(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    val purchases = sources.Tables.events(spark, dir)
+      .filter($"event_type" === "purchase").count()
+    att.map(_._2).sum shouldBe purchases
+    att.map(_._4).sum shouldBe 1.0 +- 1e-12
+    att.map(_._1).toSet.subsetOf(Set("click", "view", "organic")) shouldBe true
+  }
+
+  // ------------------------------------------------------------- q112
+  test("q112 triangle census is exact on a known fixture graph") {
+    // K4 (4 triangles) + a pendant on node 1 + a disjoint 4-cycle
+    // (0 triangles): degrees 4,3,3,3,1,2,2,2,2 → wedges 6+3·3+0+4·1 = 19
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (6L, 9L)).toDF("a", "b")
+    val row = operators.Graph.triangleCensus(edges).head()
+    row.getLong(row.fieldIndex("n_nodes")) shouldBe 9L
+    row.getLong(row.fieldIndex("n_edges")) shouldBe 11L
+    row.getLong(row.fieldIndex("n_wedges")) shouldBe 19L
+    row.getLong(row.fieldIndex("n_triangles")) shouldBe 4L
+    row.getDouble(row.fieldIndex("global_cc")) shouldBe (12.0 / 19.0)
+  }
+
+  test("q112 census internal consistency on real data") {
+    val row = SparkEntry.queries("q112_triangle_census")(spark, dir).head()
+    val (w, t) = (row.getLong(row.fieldIndex("n_wedges")),
+      row.getLong(row.fieldIndex("n_triangles")))
+    // every triangle contributes exactly 3 wedges
+    w should be >= 3 * t
+    val cc = row.getDouble(row.fieldIndex("global_cc"))
+    cc should be >= 0.0
+    cc should be <= 1.0
+  }
+}
