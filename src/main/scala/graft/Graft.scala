@@ -170,4 +170,54 @@ object Graft {
     * leakage-repaired splits), partitioned by split. */
   def curatedSnapshot(spark: SparkSession, dir: String, outDir: String): DataFrame =
     operators.Curation.materializeCurated(spark, dir, outDir)
+
+  /** SCD Type-2 validity intervals for any tracked event column (q110
+    * fixes event_type). The column must exist and not collide with the
+    * frame the builder derives. */
+  def scd2History(spark: SparkSession, dir: String,
+      attrCol: String = "event_type"): DataFrame = {
+    require(attrCol == "event_type" || attrCol == "props" || attrCol == "value",
+      s"attrCol must be an events payload column (event_type, props, value); got '$attrCol'")
+    operators.Temporal.scd2History(spark, dir, attrCol)
+  }
+
+  /** Peak session concurrency per time bucket (q111 fixes 30-min gap,
+    * day buckets). `bucketUs` is the prefix-sum granularity — smaller
+    * buckets bound per-task boundary counts at higher densities. */
+  def concurrency(spark: SparkSession, dir: String,
+      gapUs: Long = 1800000000L, bucketUs: Long = 86400000000L): DataFrame = {
+    require(gapUs > 0, s"need gapUs > 0 (got $gapUs)")
+    require(bucketUs >= 60000000L,
+      s"need bucketUs >= 1 minute (got $bucketUs) — finer buckets make the " +
+        "offset frame itself large; shrink only as densities demand")
+    operators.Temporal.concurrency(spark, dir, gapUs, bucketUs)
+  }
+
+  /** As-of snapshot reconciliation at an ad-hoc cutoff (q113 fixes
+    * 2024-01-16): per-user latest state before `cutoffUs` vs now,
+    * labeled added / changed / unchanged. */
+  def snapshotDiff(spark: SparkSession, dir: String, cutoffUs: Long): DataFrame =
+    operators.Temporal.snapshotDiff(spark, dir, cutoffUs)
+
+  /** Last-touch attribution with the touch set, conversion event, and
+    * lookback horizon open (q114 fixes click/view → purchase, 7 d). */
+  def attribution(spark: SparkSession, dir: String,
+      touchTypes: Seq[String] = Seq("click", "view"),
+      conversionType: String = "purchase",
+      lookbackUs: Long = 7L * 86400000000L): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      s"conversion '$conversionType' cannot also be a touch type — every " +
+        "conversion would attribute to itself")
+    require(lookbackUs > 0, s"need lookbackUs > 0 (got $lookbackUs)")
+    operators.Temporal.attribution(spark, dir, touchTypes, conversionType, lookbackUs)
+  }
+
+  /** Triangle census over ANY distinct undirected edge list `(a, b)`,
+    * a < b (q112 fixes the part co-purchase projection). */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    require(pairs.columns.toSeq.take(2) == Seq("a", "b"),
+      s"expected leading columns (a, b); got ${pairs.columns.toSeq.mkString(", ")}")
+    operators.Graph.triangleCensus(pairs)
+  }
 }

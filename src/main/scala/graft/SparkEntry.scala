@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Anomaly.all ++
       operators.Behavioral.all ++
       operators.Temporal.all ++
+      operators.Stats.all ++
       operators.Graph.all ++
       multimodal.Multimodal.all
 

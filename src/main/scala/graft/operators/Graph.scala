@@ -299,18 +299,31 @@ object Graph {
     * degree frame, never materialized pairs. */
   private def q112(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val items = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
-    val pairs = items.as("i").join(items.as("j"),
-        $"i.ok" === $"j.ok" && $"i.p" < $"j.p")
-      .select($"i.p".as("a"), $"j.p".as("b")).distinct()
-    triangleCensus(pairs)
+    val pairs = PersistedMemo.getOrBuild(spark, dir, "graph:co-pairs") {
+      val items = Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      items.as("i").join(items.as("j"),
+          $"i.ok" === $"j.ok" && $"i.p" < $"j.p")
+        .select($"i.p".as("a"), $"j.p".as("b")).distinct()
+    }
+    triangleCensus(pairs, memoKey = Some((dir, "graph:co-ori")))
   }
 
   /** Census core over a distinct undirected edge list `(a, b)`, a < b —
     * factored out so GraphSpec can drive it with hand-built graphs whose
-    * triangle counts are known by eye. */
-  private[graft] def triangleCensus(pairs: DataFrame): DataFrame = {
+    * triangle counts are known by eye.
+    *
+    * The oriented edge table is consumed THREE times (both wedge sides
+    * and the closure); with `memoKey` set it is built once, hash-
+    * partitioned on `src`, and persisted in [[PersistedMemo]] — the
+    * cached partitioning feeds both sides of the wedge self-join with
+    * no Exchange, exactly [[orderEdges]]' discipline. The closure side
+    * broadcasts: the edge set is the per-order-contracted pair list,
+    * orders of magnitude smaller than the corpus (at an edge scale
+    * beyond broadcast, drop the hint and it becomes a partitioned hash
+    * join on (v, w) — same semantics). */
+  private[graft] def triangleCensus(pairs: DataFrame,
+      memoKey: Option[(String, String)] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val deg = pairs.select($"a".as("node")).union(pairs.select($"b"))
@@ -318,20 +331,26 @@ object Graph {
     // orient a→b iff (deg_a, a) < (deg_b, b): a total order, so each
     // undirected edge appears exactly once and out-degree is O(√E)
     val lower = ($"da" < $"db") || ($"da" === $"db" && $"a" < $"b")
-    val ori = pairs
+    val oriPlan = pairs
       .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
       .select(when(lower, $"a").otherwise($"b").as("src"),
         when(lower, $"b").otherwise($"a").as("dst"),
         when(lower, $"db").otherwise($"da").as("ddst"))
+    val ori = memoKey match {
+      case Some((dir, key)) =>
+        PersistedMemo.getOrBuild(spark, dir, key)(oriPlan.repartition($"src"))
+      case None => oriPlan
+    }
     // wedges from oriented out-neighbors, ordered (ddst, dst) so the
     // closing edge (v, w) has matching orientation; closure = equi-join
-    val tri = ori.as("t1").join(ori.as("t2"),
+    val tri = ori.as("t1").join(ori.as("t2").hint("shuffle_hash"),
         $"t1.src" === $"t2.src" &&
           ($"t1.ddst" < $"t2.ddst" ||
             ($"t1.ddst" === $"t2.ddst" && $"t1.dst" < $"t2.dst")))
       .select($"t1.dst".as("v"), $"t2.dst".as("w"))
-      .join(ori.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"), "left_semi")
+      .join(broadcast(ori.select($"src".as("v"), $"dst".as("w"))),
+        Seq("v", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))

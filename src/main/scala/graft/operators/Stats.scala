@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Statistical profiling operators — the numeric companions of q106's
+  * ANALYZE stats: bivariate regression/correlation from mergeable
+  * sufficient statistics, equi-width value histograms, and a
+  * chi-square independence report. The reference's analyzer computes
+  * exactly these population moments per sensor (lambda-sample
+  * analyzer/src/main/scala/analyzer/Analyzer.scala — mean/stddev over
+  * a window); this family generalizes them to two variables and to
+  * shape diagnostics.
+  *
+  * Determinism across engines is the design driver here:
+  *  - q115 derives corr/slope/intercept from RAW SUFFICIENT SUMS
+  *    (n, Σx, Σy, Σxy, Σx², Σy²) with the same scalar algebra on both
+  *    sides, instead of calling each engine's corr()/regr_slope()
+  *    built-ins — different engines implement those with different
+  *    streaming-moment algorithms, so their low bits differ; identical
+  *    algebra over identically-rounded sums does not.
+  *  - q116/q117 emit only values derived from EXACT aggregates
+  *    (min/max/counts) by identical IEEE expressions — no libm, no
+  *    rounding needed at all.
+  */
+object Stats {
+
+  // -------------------------------------------------------------- q115
+  /** Per-returnflag linear relationship quantity → extendedprice:
+    * Pearson correlation, population covariance, OLS slope/intercept,
+    * and R². ONE partial+final aggregate computes the six sufficient
+    * sums per group (the same mergeable-statistic algebra as q104's
+    * rollup merge — at 100 TB these sums ARE the persisted daily
+    * rollup, and the regression re-derives from merged sums without
+    * rescanning history); everything after is per-group scalar math on
+    * a #groups-row frame. Derived doubles round at 6 dp (they carry
+    * only summation-order ulp drift — the formulas are identical on
+    * both sides by construction). */
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_xy"),
+        round(($"sxy" - $"sx" * $"sy" / $"n") / $"n", 4).as("covar_pop"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 4).as("intercept"),
+        round((($"n" * $"sxy" - $"sx" * $"sy") *
+          ($"n" * $"sxy" - $"sx" * $"sy")) /
+          (($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Same sufficient-sum algebra, spelled identically. The square in
+    * r2 is an explicit self-multiply, NOT pow(z, 2): both engines
+    * route pow through libm, whose low bits the catalog bans. */
+  private val q115Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+      |         sum(l_quantity * l_extendedprice) AS sxy,
+      |         sum(l_quantity * l_quantity) AS sxx,
+      |         sum(l_extendedprice * l_extendedprice) AS syy
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |       round((n * sxy - sx * sy) /
+      |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy,
+      |       round((sxy - sx * sy / n) / n, 4) AS covar_pop,
+      |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+      |         AS intercept,
+      |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------- q116
+  /** Equi-width value histogram per event type (20 bins) — the
+    * distribution-shape profile next to q91's robust moments and q17's
+    * quantiles. Bin edges derive from the exact min/max by identical
+    * IEEE arithmetic on both sides, so NOTHING here needs rounding:
+    * `(hi-lo)/20`, `floor((v-lo)/w)`, and `lo + b·w` are bit-identical
+    * engine-portable expressions (only libm transcendentals and
+    * summation order are not). Two passes: a #types-row stats
+    * aggregate broadcast back, then one partial+final count keyed
+    * (type, bin) — q91's exact plan shape. Empty bins are absent, not
+    * zero (join a bin spine to densify if a chart needs it). */
+  private def q116(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+      .withColumn("w", ($"hi" - $"lo") / lit(20.0))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"lo", $"w",
+        least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("int").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"),
+        (min($"lo") + $"bin" * min($"w")).as("bin_lo"))
+      .select($"event_type", $"bin", $"bin_lo", $"n")
+      .orderBy($"event_type", $"bin")
+  }
+
+  private val q116Sql: String =
+    """WITH stats AS (
+      |  SELECT event_type, min(value) AS lo, max(value) AS hi,
+      |         (max(value) - min(value)) / 20.0 AS w
+      |  FROM events GROUP BY 1
+      |), binned AS (
+      |  SELECT e.event_type, s.lo, s.w,
+      |         CAST(least(floor((e.value - s.lo) / s.w), 19.0) AS INTEGER) AS bin
+      |  FROM events e JOIN stats s USING (event_type)
+      |)
+      |SELECT event_type, bin, min(lo) + bin * min(w) AS bin_lo,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM binned
+      |GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+
+  // -------------------------------------------------------------- q117
+  /** Chi-square independence cells: event_type × ISO weekday
+    * contingency table with observed count, expected count under
+    * independence, and the per-cell chi-square contribution — "is
+    * activity mix uniform across the week", the drift test a pipeline
+    * runs between corpus snapshots (q74's KL divergence for
+    * categorical×categorical). Expected and contribution are IEEE
+    * algebra over EXACT integer marginals (row total × col total / n,
+    * (o−e)²/e) — identical expressions both sides, zero rounding. The
+    * global statistic is Σ over the 35 cells; summing it here would
+    * reintroduce order-dependent drift for no reason — the cells table
+    * IS the report, and StatsSpec reduces it in one deterministic
+    * pass. Plan: one count aggregate to #cells, marginals from the
+    * CELLS (never a second corpus scan), broadcast back. */
+  private def q117(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select($"event_type", weekday($"ts").as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
+    val colTot = cells.groupBy($"dow").agg(sum($"o").as("ct"))
+    val n = cells.agg(sum($"o").as("n"))
+    cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(n))
+      .select($"event_type", $"dow", $"o",
+        ($"rt".cast("double") * $"ct" / $"n").as("e"))
+      .withColumn("contrib", ($"o" - $"e") * ($"o" - $"e") / $"e")
+      .orderBy($"event_type", $"dow")
+  }
+
+  private val q117Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, isodow(ts) - 1 AS dow, CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM cells)
+      |SELECT c.event_type, CAST(c.dow AS INTEGER) AS dow, c.o,
+      |       CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e,
+      |       (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.n) *
+      |       (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.n) /
+      |       (CAST(rt.rt AS DOUBLE) * ct.ct / n.n) AS contrib
+      |FROM cells c
+      |JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+      |ORDER BY event_type, dow""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q115_bivariate_profile", q115, Some(q115Sql)),
+    Q("q116_value_histogram", q116, Some(q116Sql)),
+    Q("q117_chi_square_cells", q117, Some(q117Sql)),
+  )
+}

@@ -43,12 +43,18 @@ object Temporal {
     * and the interval close is a lead over the version frame — which is
     * #versions rows, not #events. All columns are integer/string exact,
     * so the oracle needs no rounding at all. */
-  private def q110(spark: SparkSession, dir: String): DataFrame = {
+  private def q110(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir, attrCol = "event_type")
+
+  /** Parameterized core of q110, shared with [[graft.Graft.scd2History]]
+    * — any event column can be the tracked attribute. */
+  private[graft] def scd2History(spark: SparkSession, dir: String,
+      attrCol: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val vers = Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"event_type".as("attr"),
+      .select($"user_id", $"event_id", col(attrCol).as("attr"),
         unix_micros($"ts").as("us"))
       .withColumn("new_v",
         when(lag($"attr", 1).over(w).isNull ||
@@ -119,7 +125,14 @@ object Temporal {
     * deltas are all ends reports the level just after its first end —
     * documented boundary-measurement semantics, identical in both
     * engines). */
-  private def q111(spark: SparkSession, dir: String): DataFrame = {
+  private def q111(spark: SparkSession, dir: String): DataFrame =
+    concurrency(spark, dir, gapUs = SessionGapUs, bucketUs = DayUs)
+
+  /** Parameterized core of q111, shared with [[graft.Graft.concurrency]]
+    * — session gap and prefix-sum bucket width are the knobs (hour or
+    * minute buckets at higher boundary densities, same algebra). */
+  private[graft] def concurrency(spark: SparkSession, dir: String,
+      gapUs: Long, bucketUs: Long): DataFrame = {
     import spark.implicits._
     // q44's session derivation (same gap, same tie-break), reduced to
     // intervals
@@ -129,7 +142,7 @@ object Temporal {
       .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
       .withColumn("new_s",
         when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > SessionGapUs, 1).otherwise(0))
+          $"us" - lag($"us", 1).over(w) > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum($"new_s").over(running).cast("int"))
       .groupBy($"user_id", $"session_id")
       .agg(min($"us").as("s_us"), max($"us").as("e_us"))
@@ -140,13 +153,14 @@ object Temporal {
       .select($"b.us", $"b.d")
       .groupBy($"us")
       .agg(sum($"d").as("ds"), sum(when($"d" > 0, 1L).otherwise(0L)).as("ns"))
-      .withColumn("day_idx", expr("us div 86400000000"))
-    // phase 1: per-day local running sums (parallel across days)
+      .withColumn("day_idx", expr(s"us div $bucketUs"))
+    // phase 1: per-bucket local running sums (parallel across buckets)
     val wd = Window.partitionBy($"day_idx").orderBy($"us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = deltas.withColumn("run_local", sum($"ds").over(wd))
-    // phase 2: day totals → exclusive prefix over the #days-row frame
-    // (global window on purpose: ~30 rows here, #days at any scale)
+    // phase 2: bucket totals → exclusive prefix over the #buckets-row
+    // frame (global window on purpose: ~30 rows here, #buckets at any
+    // scale)
     val wo = Window.orderBy($"day_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = deltas.groupBy($"day_idx").agg(sum($"ds").as("tot"))
@@ -158,7 +172,8 @@ object Temporal {
       .agg(max($"run").cast("int").as("peak_concurrency"),
         sum($"ns").as("n_sessions_started"))
       .select(
-        date_format(timestamp_micros($"day_idx" * DayUs), "yyyy-MM-dd").as("day"),
+        date_format(timestamp_micros($"day_idx" * bucketUs),
+          if (bucketUs == DayUs) "yyyy-MM-dd" else "yyyy-MM-dd HH:mm").as("day"),
         $"peak_concurrency", $"n_sessions_started")
       .orderBy($"day")
   }
@@ -212,7 +227,13 @@ object Temporal {
     * user_id shuffle; the diff join is #users rows a side, nothing near
     * corpus size. Raw doubles are compared and emitted, never computed
     * with — so no rounding is needed for engine parity. */
-  private def q113(spark: SparkSession, dir: String): DataFrame = {
+  private def q113(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(spark, dir, cutoffUs = CutoffUs)
+
+  /** Parameterized core of q113, shared with [[graft.Graft.snapshotDiff]]
+    * — the as-of cutoff is the knob. */
+  private[graft] def snapshotDiff(spark: SparkSession, dir: String,
+      cutoffUs: Long): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type", $"value",
@@ -222,7 +243,7 @@ object Temporal {
       df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
         .select($"user_id", $"event_type", $"value")
     }
-    val old = stateAsOf(ev.filter($"us" < CutoffUs))
+    val old = stateAsOf(ev.filter($"us" < cutoffUs))
       .select($"user_id", $"event_type".as("old_type"), $"value".as("old_value"))
     val cur = stateAsOf(ev)
       .select($"user_id", $"event_type".as("new_type"), $"value".as("new_value"))
@@ -276,9 +297,18 @@ object Temporal {
     * collapse to #channels rows; the share divide is integer-exact
     * operands in one IEEE op, shipped unrounded (q107's discipline),
     * while revenue is a summed double and rounds to 4 dp. */
-  private def q114(spark: SparkSession, dir: String): DataFrame = {
+  private def q114(spark: SparkSession, dir: String): DataFrame =
+    attribution(spark, dir, touchTypes = Seq("click", "view"),
+      conversionType = "purchase", lookbackUs = WeekUs)
+
+  /** Parameterized core of q114, shared with [[graft.Graft.attribution]]
+    * — touch set, conversion event, and lookback horizon are the
+    * knobs. */
+  private[graft] def attribution(spark: SparkSession, dir: String,
+      touchTypes: Seq[String], conversionType: String,
+      lookbackUs: Long): DataFrame = {
     import spark.implicits._
-    val isTouch = col("event_type").isin("click", "view")
+    val isTouch = col("event_type").isin(touchTypes: _*)
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val prior = w.rowsBetween(Window.unboundedPreceding, -1)
     val attributed = Tables.events(spark, dir)
@@ -288,9 +318,9 @@ object Temporal {
         last(when(isTouch, $"event_type"), ignoreNulls = true).over(prior))
       .withColumn("lt_us",
         last(when(isTouch, $"us"), ignoreNulls = true).over(prior))
-      .filter($"event_type" === "purchase")
+      .filter($"event_type" === conversionType)
       .select(
-        when($"lt_type".isNull || $"us" - $"lt_us" > WeekUs, lit("organic"))
+        when($"lt_type".isNull || $"us" - $"lt_us" > lookbackUs, lit("organic"))
           .otherwise($"lt_type").as("channel"),
         $"value")
     val perChannel = attributed.groupBy($"channel")

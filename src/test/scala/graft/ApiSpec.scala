@@ -126,4 +126,33 @@ class ApiSpec extends SparkSpecBase {
       .filter($"jaccard" >= 0.5).collect()
     api.map(_.toSeq).toSeq shouldBe q26.map(_.toSeq).toSeq
   }
+
+  test("temporal facade at catalog knobs equals q110/q111/q113/q114") {
+    rows(Graft.scd2History(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q110_scd2_history")(spark, dir))
+    rows(Graft.concurrency(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q111_concurrency")(spark, dir))
+    rows(Graft.snapshotDiff(spark, dir, cutoffUs = 1705363200000000L)) shouldBe
+      rows(SparkEntry.queries("q113_snapshot_diff")(spark, dir))
+    rows(Graft.attribution(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q114_attribution")(spark, dir))
+    // guards refuse nonsense instead of mis-attributing
+    an[IllegalArgumentException] should be thrownBy
+      Graft.attribution(spark, dir, touchTypes = Seq("purchase"))
+    an[IllegalArgumentException] should be thrownBy
+      Graft.concurrency(spark, dir, bucketUs = 1000L)
+  }
+
+  test("concurrency at hour buckets conserves session starts and peak bounds") {
+    val day = Graft.concurrency(spark, dir)
+      .as[(String, Int, Long)].collect()
+    val hour = Graft.concurrency(spark, dir, bucketUs = 3600000000L)
+      .as[(String, Int, Long)].collect()
+    // finer buckets partition the same session starts
+    hour.map(_._3).sum shouldBe day.map(_._3).sum
+    // a day's peak is the max of its hours' peaks (both measure the
+    // same global running sum at the same boundary points)
+    val hourByDay = hour.groupBy(_._1.take(10)).view.mapValues(_.map(_._2).max)
+    day.foreach { case (d, peak, _) => hourByDay(d) shouldBe peak }
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the statistical-profiling family (q115-q117):
+  * the sufficient-sum regression against Spark's own moment
+  * aggregates, histogram mass conservation, and the chi-square
+  * marginal identities. */
+class StatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q115 sufficient-sum regression matches Spark's built-in moments") {
+    val got = SparkEntry.queries("q115_bivariate_profile")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // independent recompute with Spark's streaming-moment aggregates —
+    // a DIFFERENT algorithm; agreement within rounding distance proves
+    // the raw-sum algebra right, not just self-consistent
+    val ref = sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"),
+        covar_pop($"l_quantity", $"l_extendedprice").as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ref.keySet shouldBe got.keySet
+    for ((flag, (c, cv)) <- ref) {
+      val row = got(flag)
+      row.getDouble(row.fieldIndex("corr_xy")) shouldBe c +- 1e-5
+      row.getDouble(row.fieldIndex("covar_pop")) shouldBe cv +- 1e-3
+      // r2 = corr² and the fitted line passes through the mean point
+      row.getDouble(row.fieldIndex("r2")) shouldBe c * c +- 1e-5
+    }
+    // regression line through (x̄, ȳ): ȳ − (slope·x̄ + intercept) ≈ 0
+    val means = sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(avg($"l_quantity").as("mx"), avg($"l_extendedprice").as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((flag, (mx, my)) <- means) {
+      val row = got(flag)
+      val fitted = row.getDouble(row.fieldIndex("slope")) * mx +
+        row.getDouble(row.fieldIndex("intercept"))
+      fitted shouldBe my +- 1e-2
+    }
+  }
+
+  test("q116 histogram conserves mass with ordered in-range bins") {
+    val hist = SparkEntry.queries("q116_value_histogram")(spark, dir)
+    val byType = hist.groupBy($"event_type").agg(sum($"n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val raw = sources.Tables.events(spark, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    byType shouldBe raw
+
+    val rows = hist.select($"event_type", $"bin", $"bin_lo")
+      .as[(String, Int, Double)].collect()
+    all(rows.map(_._2)) should (be >= 0 and be <= 19)
+    // bin_lo strictly increases with bin inside each type
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._3).sliding(2).foreach { pair =>
+        if (pair.length == 2) pair(0) should be < pair(1)
+      }
+    }
+  }
+
+  test("q117 chi-square cells satisfy the marginal identities") {
+    val cells = SparkEntry.queries("q117_chi_square_cells")(spark, dir)
+      .select($"event_type", $"dow", $"o", $"e", $"contrib")
+      .as[(String, Int, Long, Double, Double)].collect()
+    cells.length shouldBe 35 // 5 event types × 7 weekdays
+    all(cells.map(_._2)) should (be >= 0 and be <= 6)
+    all(cells.map(_._5)) should be >= 0.0
+
+    val total = cells.map(_._3).sum
+    total shouldBe sources.Tables.events(spark, dir).count()
+    // expected counts reproduce the observed marginals: Σ_dow e = Σ_dow o
+    // per type (and the same by column) — the defining property of the
+    // independence model
+    cells.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._4).sum shouldBe rs.map(_._3).sum.toDouble +- 1e-6
+    }
+    cells.groupBy(_._2).values.foreach { rs =>
+      rs.map(_._4).sum shouldBe rs.map(_._3).sum.toDouble +- 1e-6
+    }
+    // and the global statistic is finite and non-degenerate
+    val chi2 = cells.map(_._5).sum
+    chi2.isNaN shouldBe false
+    chi2 should be >= 0.0
+  }
+}
