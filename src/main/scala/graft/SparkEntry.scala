@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Behavioral.all ++
       operators.Temporal.all ++
       operators.Stats.all ++
+      operators.Maintenance.all ++
       operators.Graph.all ++
       multimodal.Multimodal.all
 

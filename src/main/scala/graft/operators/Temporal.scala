@@ -361,10 +361,56 @@ object Temporal {
        |FROM agg
        |ORDER BY channel""".stripMargin
 
+  // -------------------------------------------------------------- q119
+  /** Time-weighted average state per user — Σ v·Δt / Σ Δt where each
+    * event's value holds until the next event (the IoT/finance TWA that
+    * plain avg() gets wrong whenever sampling is irregular: a value
+    * held for a day must weigh more than one held a second — the
+    * duration-weighted reading of q110's validity intervals). One
+    * user_id shuffle; the interval close is the same lead the SCD2
+    * build uses; users with a single event have no interval and drop
+    * out (both engines, by construction).
+    *
+    * Determinism: Δt stays in integer micros (exact); the weighted sum
+    * multiplies v·Δt with identical association both sides and rounds
+    * at 6 dp (double ulp drift ~1e-14 at these magnitudes — micros are
+    * well under the 2^53 exact-integer ceiling); span_s is an exact
+    * integer divide re-expressed in seconds. */
+  private def q119(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("us"))
+      .withColumn("dt", lead($"us", 1).over(w) - $"us")
+      .filter($"dt".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        (sum($"dt") / lit(1000000L)).as("span_s"),
+        round(sum($"value" * $"dt") / sum($"dt"), 6).as("twa_value"))
+      .orderBy($"user_id")
+  }
+
+  private val q119Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+      |), d AS (
+      |  SELECT user_id, value,
+      |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |       sum(dt) / 1000000 AS span_s,
+      |       round(sum(value * dt) / sum(dt), 6) AS twa_value
+      |FROM d
+      |WHERE dt IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q110_scd2_history", q110, Some(q110Sql)),
     Q("q111_concurrency", q111, Some(q111Sql)),
     Q("q113_snapshot_diff", q113, Some(q113Sql)),
     Q("q114_attribution", q114, Some(q114Sql)),
+    Q("q119_time_weighted_avg", q119, Some(q119Sql)),
   )
 }
