@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -145,22 +146,23 @@ object Stats {
     * global statistic is Σ over the 35 cells; summing it here would
     * reintroduce order-dependent drift for no reason — the cells table
     * IS the report, and StatsSpec reduces it in one deterministic
-    * pass. Plan: one count aggregate to #cells, marginals from the
-    * CELLS (never a second corpus scan), broadcast back. */
+    * pass. Plan: one count aggregate to #cells; the marginals are
+    * WINDOW sums over the #cells frame itself (35 rows — re-joining
+    * marginal frames would rescan the corpus per marginal, and the
+    * "global" window is the same deliberately-tiny frame as q111's
+    * offsets). Integer window sums are order-independent, so the
+    * windows cost nothing in determinism. */
   private def q117(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.events(spark, dir)
+    val wr = Window.partitionBy($"event_type")
+    val wc = Window.partitionBy($"dow")
+    val wn = Window.partitionBy()
+    Tables.events(spark, dir)
       .select($"event_type", weekday($"ts").as("dow"))
       .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
-    val rowTot = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
-    val colTot = cells.groupBy($"dow").agg(sum($"o").as("ct"))
-    val n = cells.agg(sum($"o").as("n"))
-    cells
-      .join(broadcast(rowTot), "event_type")
-      .join(broadcast(colTot), "dow")
-      .crossJoin(broadcast(n))
       .select($"event_type", $"dow", $"o",
-        ($"rt".cast("double") * $"ct" / $"n").as("e"))
+        (sum($"o").over(wr).cast("double") * sum($"o").over(wc) /
+          sum($"o").over(wn)).as("e"))
       .withColumn("contrib", ($"o" - $"e") * ($"o" - $"e") / $"e")
       .orderBy($"event_type", $"dow")
   }
@@ -169,16 +171,16 @@ object Stats {
     """WITH cells AS (
       |  SELECT event_type, isodow(ts) - 1 AS dow, CAST(count(*) AS BIGINT) AS o
       |  FROM events GROUP BY 1, 2
-      |), rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
-      |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
-      |n AS (SELECT sum(o) AS n FROM cells)
-      |SELECT c.event_type, CAST(c.dow AS INTEGER) AS dow, c.o,
-      |       CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e,
-      |       (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.n) *
-      |       (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.n) /
-      |       (CAST(rt.rt AS DOUBLE) * ct.ct / n.n) AS contrib
-      |FROM cells c
-      |JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+      |), m AS (
+      |  SELECT event_type, dow, o,
+      |         CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) *
+      |           sum(o) OVER (PARTITION BY dow) /
+      |           sum(o) OVER () AS e
+      |  FROM cells
+      |)
+      |SELECT event_type, CAST(dow AS INTEGER) AS dow, o, e,
+      |       (o - e) * (o - e) / e AS contrib
+      |FROM m
       |ORDER BY event_type, dow""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -401,4 +401,50 @@ class PlanSpec extends SparkSpecBase {
     // the part scan reads only the name column
     p should include("ReadSchema: struct<p_name:string>")
   }
+
+  test("q110/q119: temporal windows ride one user_id shuffle; scans prune") {
+    val scd = plan("q110_scd2_history")
+    // change flag, version id, and interval close share the sort order:
+    // exactly two exchanges total — the user_id hash + the presentation
+    // range sort (each exchange prints twice: tree line + details)
+    scd.sliding("Exchange".length).count(_ == "Exchange") shouldBe 4
+    val twa = plan("q119_time_weighted_avg")
+    twa should include("partial_sum")
+    twa should include("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>")
+  }
+
+  test("q111: prefix-sum offsets broadcast back; no global window over the deltas") {
+    val p = plan("q111_concurrency")
+    p should include("BroadcastHashJoin") // the #buckets-row offset frame
+    // the boundary-delta running sum stays PARTITIONED by day_idx — the
+    // phase-1 window must never serialize the deltas through one task
+    p should include("windowspecdefinition(day_idx")
+  }
+
+  test("q112: wedge closure broadcasts the edge set; census is all equi-joins") {
+    val p = plan("q112_triangle_census")
+    (p should not).include("CartesianProduct")
+    p should include("BroadcastHashJoin")
+    // the lineitem scan reads only the two projection columns
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>")
+  }
+
+  test("q118: delta terms combine map-side and dimensions broadcast") {
+    val p = plan("q118_join_view_maintenance")
+    p should include("partial_sum") // each term pre-aggregates to custkey
+    p should include("BroadcastHashJoin") // customer→nation chain
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q115/q116/q117: profiling stays one or two corpus scans with broadcast stats") {
+    val reg = plan("q115_bivariate_profile")
+    reg should include("partial_sum") // six sufficient sums combine map-side
+    reg.split("Location:").length shouldBe 2 // ONE lineitem scan
+    val hist = plan("q116_value_histogram")
+    hist should include("BroadcastHashJoin") // #types-row stats frame
+    (hist should not).include("SortMergeJoin")
+    val chi = plan("q117_chi_square_cells")
+    chi.split("Location:").length shouldBe 2 // marginals are windows OVER the cells
+    (chi should not).include("Join") // no marginal re-joins at all
+  }
 }
