@@ -21,6 +21,42 @@ object Behavioral {
 
   private val SessionGapUs = 1800000000L // 30 min
 
+  /** Shared gap-sessionized event frame: `(user_id, event_id,
+    * event_type, us, session_id)` — q44's derivation (same gap, same
+    * (us, event_id) tie-break), factored so the path/transition
+    * queries (q120/q121) compose on identical session semantics. One
+    * user_id shuffle; every consumer's windows ride the same sort. */
+  private[operators] def sessionized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(running).cast("int"))
+      .drop("new_s")
+  }
+
+  /** The `g`/`s` CTE pair of [[sessionized]] in DuckDB form, shared by
+    * the q120/q121 oracles. */
+  private[operators] val sessionizedCtes: String =
+    s"""e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), g AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                   OR us - lag(us) OVER w > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+       |  FROM g
+       |)""".stripMargin
+
   // --------------------------------------------------------------- q44
   /** Gap-based sessionization: a new session starts when a user is idle
     * > 30 min; session ids are running counts of session starts. One
@@ -283,6 +319,84 @@ object Behavioral {
       |WINDOW w AS (PARTITION BY event_type ORDER BY n_events, user_id)
       |ORDER BY event_type, user_id""".stripMargin
 
+  // -------------------------------------------------------------- q120
+  /** Top-20 three-step paths within sessions — "what do users actually
+    * do in order", the product-analytics report funnels (q45) assume an
+    * answer to. Steps come from two leads over the session sort (the
+    * same one user_id shuffle as q44 — session boundaries cut paths, so
+    * a night's idle gap never fabricates a sequence); path counts are a
+    * partial+final aggregate keyed by the trigram and the top-20 is
+    * TakeOrdered under a total (n DESC, path ASC) order, never a global
+    * sort. */
+  private def q120(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"us", $"event_id")
+    sessionized(spark, dir)
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  private val q120Sql: String =
+    s"""WITH $sessionizedCtes, p AS (
+       |  SELECT event_type || '>' ||
+       |         lead(event_type, 1) OVER w || '>' ||
+       |         lead(event_type, 2) OVER w AS path,
+       |         lead(event_type, 2) OVER w AS e3
+       |  FROM s WINDOW w AS (PARTITION BY user_id, session_id
+       |                      ORDER BY us, event_id)
+       |)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n
+       |FROM p WHERE e3 IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY n DESC, path
+       |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------- q121
+  /** First-order Markov transition matrix between event types within
+    * sessions: P(next = b | current = a) with transition counts — the
+    * behavioral model behind next-action prediction and anomaly flags
+    * on broken flows. One lead over the session sort, one aggregate to
+    * ≤ #types² cells; the conditional probability is a window share
+    * over those cells (q37's normalization on a 25-row frame),
+    * integer-exact operands in one IEEE divide, shipped unrounded
+    * (q107's discipline). */
+  private def q121(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"us", $"event_id")
+    val wf = Window.partitionBy($"from_type")
+    sessionized(spark, dir)
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"from_type", $"to_type", $"n",
+        ($"n".cast("double") / sum($"n").over(wf)).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val q121Sql: String =
+    s"""WITH $sessionizedCtes, t AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id, session_id
+       |                                   ORDER BY us, event_id) AS to_type
+       |  FROM s
+       |), c AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM t WHERE to_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, n,
+       |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+       |FROM c
+       |ORDER BY from_type, to_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
@@ -290,5 +404,7 @@ object Behavioral {
     Q("q91_event_outliers", q91, Some(q91Sql)),
     Q("q104_incremental_rollup", q104, Some(q104Sql)),
     Q("q107_rank_family", q107, Some(q107Sql)),
+    Q("q120_session_paths", q120, Some(q120Sql)),
+    Q("q121_markov_transitions", q121, Some(q121Sql)),
   )
 }

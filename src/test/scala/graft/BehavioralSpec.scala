@@ -19,6 +19,32 @@ class BehavioralSpec extends SparkSpecBase {
     lo + (hi - lo) * (h - h.toInt)
   }
 
+  test("q120/q121: paths and transitions reconcile with the session structure") {
+    val sessions = SparkEntry.queries("q44_sessionize")(spark, sfDir)
+      .select($"n_events").as[Long].collect()
+    val events = sessions.sum
+    // a session of k events contributes k−1 transitions and k−2 paths
+    val transitions = SparkEntry.queries("q121_markov_transitions")(spark, sfDir)
+      .select($"n").as[Long].collect().sum
+    transitions shouldBe events - sessions.length
+    // conditional probabilities: Σ_to P(to|from) = 1 per from state
+    val byFrom = SparkEntry.queries("q121_markov_transitions")(spark, sfDir)
+      .select($"from_type", $"p").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    byFrom.values.foreach(_ shouldBe 1.0 +- 1e-12)
+    // q120: well-formed 3-step paths, counts descending under the
+    // (n DESC, path ASC) total order, never more than 20
+    val paths = SparkEntry.queries("q120_session_paths")(spark, sfDir)
+      .as[(String, Long)].collect()
+    paths.length should be <= 20
+    all(paths.map(_._1.count(_ == '>'))) shouldBe 2
+    paths.map(_._2).sliding(2).foreach { p =>
+      if (p.length == 2) p(0) should be >= p(1)
+    }
+    val expectedPaths = sessions.filter(_ >= 3).map(_ - 2).sum
+    paths.map(_._2).sum should be <= expectedPaths
+  }
+
   test("q91: median, MAD, and outlier counts equal a from-scratch recount") {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select($"event_type", $"value").as[(String, Double)].collect()
