@@ -22,11 +22,16 @@ object Behavioral {
   private val SessionGapUs = 1800000000L // 30 min
 
   /** Shared gap-sessionized event frame: `(user_id, event_id,
-    * event_type, us, session_id)` — q44's derivation (same gap, same
-    * (us, event_id) tie-break), factored so the path/transition
-    * queries (q120/q121) compose on identical session semantics. One
-    * user_id shuffle; every consumer's windows ride the same sort. */
-  private[operators] def sessionized(spark: SparkSession, dir: String): DataFrame = {
+    * event_type, us, session_id)` — THE session derivation (one gap
+    * constant, one (us, event_id) tie-break) consumed by q44's
+    * aggregate, q111's interval sweep (via `Temporal.concurrency`),
+    * and the path/transition queries (q120/q121), so every session
+    * consumer agrees on boundaries by construction. One user_id
+    * shuffle; every consumer's windows ride the same sort, and
+    * consumers that don't touch `event_type` let Catalyst prune it
+    * from the scan. */
+  private[operators] def sessionized(spark: SparkSession, dir: String,
+      gapUs: Long = SessionGapUs): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -34,7 +39,7 @@ object Behavioral {
       .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
       .withColumn("new_s",
         when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > SessionGapUs, 1).otherwise(0))
+          $"us" - lag($"us", 1).over(w) > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum($"new_s").over(running).cast("int"))
       .drop("new_s")
   }
@@ -60,17 +65,11 @@ object Behavioral {
   // --------------------------------------------------------------- q44
   /** Gap-based sessionization: a new session starts when a user is idle
     * > 30 min; session ids are running counts of session starts. One
-    * shuffle on user_id; the running sum rides the same window sort. */
+    * shuffle on user_id ([[sessionized]]); the running sum rides the
+    * same window sort. */
   private def q44(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
-      .withColumn("new_s",
-        when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > SessionGapUs, 1).otherwise(0))
-      .withColumn("session_id", sum($"new_s").over(running).cast("int"))
+    sessionized(spark, dir)
       .groupBy($"user_id", $"session_id")
       .agg(
         count(lit(1)).as("n_events"),

@@ -134,16 +134,9 @@ object Temporal {
   private[graft] def concurrency(spark: SparkSession, dir: String,
       gapUs: Long, bucketUs: Long): DataFrame = {
     import spark.implicits._
-    // q44's session derivation (same gap, same tie-break), reduced to
-    // intervals
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val intervals = Tables.events(spark, dir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
-      .withColumn("new_s",
-        when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > gapUs, 1).otherwise(0))
-      .withColumn("session_id", sum($"new_s").over(running).cast("int"))
+    // the shared session derivation (Behavioral.sessionized — same gap
+    // semantics as q44/q120/q121), reduced to intervals
+    val intervals = Behavioral.sessionized(spark, dir, gapUs)
       .groupBy($"user_id", $"session_id")
       .agg(min($"us").as("s_us"), max($"us").as("e_us"))
     val deltas = intervals
