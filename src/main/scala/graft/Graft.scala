@@ -213,11 +213,20 @@ object Graft {
     operators.Temporal.attribution(spark, dir, touchTypes, conversionType, lookbackUs)
   }
 
-  /** Triangle census over ANY distinct undirected edge list `(a, b)`,
-    * a < b (q112 fixes the part co-purchase projection). */
+  /** Triangle census over ANY undirected edge list `(a, b)` (q112
+    * fixes the part co-purchase projection). The census core requires
+    * canonical edges (distinct, a < b, no loops) — violations would
+    * silently double-count degrees and wedges — so this entry point
+    * NORMALIZES first: endpoints ordered, self-loops and null
+    * endpoints dropped, duplicates (including reversed duplicates)
+    * collapsed. */
   def triangleCensus(pairs: DataFrame): DataFrame = {
     require(pairs.columns.toSeq.take(2) == Seq("a", "b"),
       s"expected leading columns (a, b); got ${pairs.columns.toSeq.mkString(", ")}")
-    operators.Graph.triangleCensus(pairs)
+    val canonical = pairs
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")) // also drops null endpoints
+      .distinct()
+    operators.Graph.triangleCensus(canonical)
   }
 }

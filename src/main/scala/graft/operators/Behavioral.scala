@@ -19,7 +19,7 @@ import graft.sources.Tables
   */
 object Behavioral {
 
-  private val SessionGapUs = 1800000000L // 30 min
+  private[operators] val SessionGapUs = 1800000000L // 30 min
 
   /** Shared gap-sessionized event frame: `(user_id, event_id,
     * event_type, us, session_id)` — THE session derivation (one gap
@@ -78,20 +78,7 @@ object Behavioral {
   }
 
   private val q44Sql =
-    s"""WITH e AS (
-       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
-       |), g AS (
-       |  SELECT user_id, event_id, us,
-       |         CASE WHEN lag(us) OVER w IS NULL
-       |                   OR us - lag(us) OVER w > $SessionGapUs
-       |              THEN 1 ELSE 0 END AS new_s
-       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-       |), s AS (
-       |  SELECT user_id, us,
-       |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
-       |  FROM g
-       |)
+    s"""WITH $sessionizedCtes
        |SELECT user_id, session_id,
        |       count(*) AS n_events,
        |       (max(us) - min(us)) / 1000000.0 AS duration_s

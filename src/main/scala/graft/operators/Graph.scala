@@ -363,8 +363,12 @@ object Graph {
   }
 
   /** Semi-join closure, not inner: a (v, w) wedge pair can close
-    * against only ONE oriented edge, but left_semi also guards the
-    * count against any hypothetical duplicate edge rows. */
+    * against at most ONE oriented edge, and left_semi never multiplies
+    * the wedge row. (It does NOT repair a non-canonical input edge
+    * list — duplicated or reversed-duplicate edges corrupt degrees and
+    * wedges upstream of the closure, which is why the census core
+    * demands distinct a < b pairs and `Graft.triangleCensus`
+    * normalizes before calling it.) */
   private val q112Sql: String =
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

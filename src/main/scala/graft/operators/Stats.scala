@@ -110,7 +110,12 @@ object Stats {
       .withColumn("w", ($"hi" - $"lo") / lit(20.0))
     ev.join(broadcast(stats), Seq("event_type"))
       .select($"event_type", $"lo", $"w",
-        least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("int").as("bin"))
+        // w = 0 (a constant column) would make the quotient NaN, and
+        // the engines' floor/least disagree on NaN — pin that case to
+        // bin 0 explicitly on both sides
+        when($"w" === 0, lit(0))
+          .otherwise(least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("int"))
+          .as("bin"))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"),
         (min($"lo") + $"bin" * min($"w")).as("bin_lo"))
@@ -125,7 +130,9 @@ object Stats {
       |  FROM events GROUP BY 1
       |), binned AS (
       |  SELECT e.event_type, s.lo, s.w,
-      |         CAST(least(floor((e.value - s.lo) / s.w), 19.0) AS INTEGER) AS bin
+      |         CASE WHEN s.w = 0 THEN 0
+      |              ELSE CAST(least(floor((e.value - s.lo) / s.w), 19.0) AS INTEGER)
+      |         END AS bin
       |  FROM events e JOIN stats s USING (event_type)
       |)
       |SELECT event_type, bin, min(lo) + bin * min(w) AS bin_lo,
@@ -160,6 +167,17 @@ object Stats {
     Tables.events(spark, dir)
       .select($"event_type", weekday($"ts").as("dow"))
       .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+      // densify to the full type × weekday grid WITHOUT a second scan:
+      // the weekday domain is statically 0..6, so each type's missing
+      // cells generate from a literal sequence against its collected
+      // (dow → count) map — a zero-observed cell still contributes
+      // (0−e)²/e = e to the statistic, and dropping it would silently
+      // understate χ² on sparse data
+      .groupBy($"event_type")
+      .agg(map_from_entries(collect_list(struct($"dow", $"o"))).as("m"))
+      .select($"event_type", explode(sequence(lit(0), lit(6))).as("dow"), $"m")
+      .select($"event_type", $"dow",
+        coalesce(element_at($"m", $"dow"), lit(0L)).as("o"))
       .select($"event_type", $"dow", $"o",
         (sum($"o").over(wr).cast("double") * sum($"o").over(wc) /
           sum($"o").over(wn)).as("e"))
@@ -171,12 +189,17 @@ object Stats {
     """WITH cells AS (
       |  SELECT event_type, isodow(ts) - 1 AS dow, CAST(count(*) AS BIGINT) AS o
       |  FROM events GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT t.event_type, d.dow, COALESCE(c.o, 0) AS o
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT UNNEST(range(0, 7)) AS dow) d
+      |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.dow = d.dow
       |), m AS (
       |  SELECT event_type, dow, o,
       |         CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) *
       |           sum(o) OVER (PARTITION BY dow) /
       |           sum(o) OVER () AS e
-      |  FROM cells
+      |  FROM dense
       |)
       |SELECT event_type, CAST(dow AS INTEGER) AS dow, o, e,
       |       (o - e) * (o - e) / e AS contrib

@@ -25,8 +25,9 @@ import graft.sources.Tables
   */
 object Temporal {
 
-  /** 30 min in micros — q44's session gap, shared definition. */
-  private val SessionGapUs = 1800000000L
+  /** q44's session gap — THE shared constant ([[Behavioral]] owns the
+    * session derivation; re-declaring it here is how oracles drift). */
+  private def SessionGapUs = Behavioral.SessionGapUs
   private val DayUs = 86400000000L
   private val WeekUs = 7L * DayUs
 
@@ -56,9 +57,14 @@ object Temporal {
     val vers = Tables.events(spark, dir)
       .select($"user_id", $"event_id", col(attrCol).as("attr"),
         unix_micros($"ts").as("us"))
+      // null-safe change detection: `attr =!= lag(attr)` is NULL when
+      // either side is NULL, so a null-valued attribute (reachable via
+      // the facade's attrCol knob) would silently merge into the prior
+      // version AND make the next non-null row open a spurious one.
+      // First-row detection rides lag(us) — us is never null.
       .withColumn("new_v",
-        when(lag($"attr", 1).over(w).isNull ||
-          $"attr" =!= lag($"attr", 1).over(w), 1).otherwise(0))
+        when(lag($"us", 1).over(w).isNull ||
+          !($"attr" <=> lag($"attr", 1).over(w)), 1).otherwise(0))
       .withColumn("ver", sum($"new_v").over(running).cast("int"))
       .groupBy($"user_id", $"ver")
       // min(attr): every row in a version carries the same attr by
@@ -80,7 +86,8 @@ object Temporal {
       |  FROM events
       |), g AS (
       |  SELECT user_id, event_id, attr, us,
-      |         CASE WHEN lag(attr) OVER w IS NULL OR attr <> lag(attr) OVER w
+      |         CASE WHEN lag(us) OVER w IS NULL
+      |                   OR attr IS DISTINCT FROM lag(attr) OVER w
       |              THEN 1 ELSE 0 END AS new_v
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |), v AS (
@@ -171,23 +178,11 @@ object Temporal {
       .orderBy($"day")
   }
 
-  /** Naive global-window form — the two-phase decomposition must equal
-    * it. */
+  /** Naive global-window form over the SHARED sessionization CTEs
+    * ([[Behavioral.sessionizedCtes]] — one derivation, one oracle
+    * spelling) — the two-phase decomposition must equal it. */
   private val q111Sql: String =
-    s"""WITH e AS (
-       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
-       |), g AS (
-       |  SELECT user_id, event_id, us,
-       |         CASE WHEN lag(us) OVER w IS NULL
-       |                   OR us - lag(us) OVER w > $SessionGapUs
-       |              THEN 1 ELSE 0 END AS new_s
-       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-       |), s AS (
-       |  SELECT user_id, us,
-       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |                          ROWS UNBOUNDED PRECEDING) AS session_id
-       |  FROM g
-       |), iv AS (
+    s"""WITH ${Behavioral.sessionizedCtes}, iv AS (
        |  SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
        |  FROM s GROUP BY 1, 2
        |), d AS (
@@ -212,14 +207,21 @@ object Temporal {
 
   // -------------------------------------------------------------- q113
   /** As-of snapshot reconciliation: each user's latest (event_type,
-    * value) state as of T1 = 2024-01-16 vs as of the full table, full-
-    * outer-joined and labeled added / changed / unchanged — the table-
-    * diff a pipeline runs between two loads to audit what an upsert
-    * feed actually did (the batch twin of the reference's continuous
-    * last-write-wins consumer). Two row_number windows share the one
-    * user_id shuffle; the diff join is #users rows a side, nothing near
-    * corpus size. Raw doubles are compared and emitted, never computed
-    * with — so no rounding is needed for engine parity. */
+    * value) state as of T1 = 2024-01-16 vs as of the full table,
+    * labeled added / changed / unchanged — the table-diff a pipeline
+    * runs between two loads to audit what an upsert feed actually did
+    * (the batch twin of the reference's continuous last-write-wins
+    * consumer).
+    *
+    * ONE corpus scan and ONE user_id shuffle: a single descending
+    * window ranks every event (`rn` overall, `rn_old` among
+    * pre-cutoff rows — a conditional running count over the same
+    * sort), and a groupBy on the window's own partitioning key picks
+    * both states with conditional aggregates — no second scan, no
+    * diff join at all (the ORACLE keeps the naive two-CTE full-outer
+    * form, so the gate proves the fused plan equal). Raw doubles are
+    * compared and emitted, never computed with — so no rounding is
+    * needed for engine parity. */
   private def q113(spark: SparkSession, dir: String): DataFrame =
     snapshotDiff(spark, dir, cutoffUs = CutoffUs)
 
@@ -228,19 +230,22 @@ object Temporal {
   private[graft] def snapshotDiff(spark: SparkSession, dir: String,
       cutoffUs: Long): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type", $"value",
         unix_micros($"ts").as("us"))
-    def stateAsOf(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
-      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"user_id", $"event_type", $"value")
-    }
-    val old = stateAsOf(ev.filter($"us" < cutoffUs))
-      .select($"user_id", $"event_type".as("old_type"), $"value".as("old_value"))
-    val cur = stateAsOf(ev)
-      .select($"user_id", $"event_type".as("new_type"), $"value".as("new_value"))
-    old.join(cur, Seq("user_id"), "full_outer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rn_old",
+        sum(when($"us" < cutoffUs, 1).otherwise(0)).over(running))
+      .groupBy($"user_id")
+      .agg(
+        // exactly one row matches each predicate; max over one non-null
+        // value + nulls selects it without ordering sensitivity
+        max(when($"rn" === 1, $"event_type")).as("new_type"),
+        max(when($"rn" === 1, $"value")).as("new_value"),
+        max(when($"us" < cutoffUs && $"rn_old" === 1, $"event_type")).as("old_type"),
+        max(when($"us" < cutoffUs && $"rn_old" === 1, $"value")).as("old_value"))
       .select($"user_id",
         when($"old_type".isNull, lit("added"))
           .when($"old_type" =!= $"new_type" || $"old_value" =!= $"new_value",

@@ -143,6 +143,16 @@ class ApiSpec extends SparkSpecBase {
       Graft.concurrency(spark, dir, bucketUs = 1000L)
   }
 
+  test("triangleCensus facade normalizes messy edge lists to the canonical census") {
+    // reversed duplicates, repeats, and a self-loop must not inflate
+    // degrees/wedges/triangles
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("a", "b")
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    rows(Graft.triangleCensus(messy)) shouldBe
+      rows(operators.Graph.triangleCensus(clean))
+  }
+
   test("concurrency at hour buckets conserves session starts and peak bounds") {
     val day = Graft.concurrency(spark, dir)
       .as[(String, Int, Long)].collect()

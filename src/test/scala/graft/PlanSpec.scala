@@ -402,6 +402,12 @@ class PlanSpec extends SparkSpecBase {
     p should include("ReadSchema: struct<p_name:string>")
   }
 
+  test("q113: the diff is one scan and one shuffle — no second state subtree") {
+    val p = plan("q113_snapshot_diff")
+    p.split("Location:").length shouldBe 2 // ONE events scan
+    (p should not).include("Join") // both states fuse into one aggregate
+  }
+
   test("q110/q119: temporal windows ride one user_id shuffle; scans prune") {
     val scd = plan("q110_scd2_history")
     // change flag, version id, and interval close share the sort order:

@@ -42,6 +42,27 @@ class TemporalSpec extends SparkSpecBase {
     chained.filter($"attr" === $"next_attr").count() shouldBe 0
   }
 
+  test("scd2History treats NULL attributes as real versions") {
+    // the facade opens attrCol to nullable columns; [a, NULL, a] must
+    // version as three intervals — null-unsafe inequality would merge
+    // the NULL into v1 and then open a spurious duplicate 'a' version
+    withTempDir("scd2null") { dir =>
+      Seq(
+        (1L, 10000L, 7L, Option("a"), 0.0, "{}"),
+        (2L, 20000L, 7L, Option.empty[String], 0.0, "{}"),
+        (3L, 30000L, 7L, Option("a"), 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val hist = operators.Temporal.scd2History(spark, dir, "event_type")
+        .select($"ver", $"attr", $"n_obs", $"is_current").collect()
+      hist.map(r => (r.getInt(0), Option(r.getString(1)), r.getLong(2), r.getInt(3)))
+        .toSeq shouldBe Seq(
+          (1, Some("a"), 1L, 0),
+          (2, None, 1L, 0),
+          (3, Some("a"), 1L, 1))
+    }
+  }
+
   // ------------------------------------------------------------- q111
   test("q111 two-phase prefix sum equals the naive global running sum") {
     val got = SparkEntry.queries("q111_concurrency")(spark, dir)
