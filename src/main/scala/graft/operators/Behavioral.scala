@@ -383,6 +383,106 @@ object Behavioral {
        |FROM c
        |ORDER BY from_type, to_type""".stripMargin
 
+  // -------------------------------------------------------------- q122
+  /** User survival curve: S(d) = fraction of users still active ≥ d
+    * days after their first event, for d in 0..30 (the observed window)
+    * — the retention/churn report next to q46's cohort grid
+    * (Kaplan-Meier's empirical core with a single full-observation
+    * window, so no censoring correction is needed). Per-user lifetime
+    * is one min/max aggregate; the curve is a reverse cumulative sum
+    * over the ≤31-row day histogram densified from a literal spine
+    * (q117's no-second-scan trick) — the share is integer-exact ÷
+    * shipped unrounded, and nothing after the first aggregate scales
+    * with event volume. */
+  private def q122(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lt = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .groupBy($"user_id")
+      .agg((expr("max(us) div 86400000000") - expr("min(us) div 86400000000"))
+        .as("lt_days"))
+    val hist = lt.groupBy($"lt_days").agg(count(lit(1)).as("n"))
+      .agg(map_from_entries(collect_list(struct($"lt_days", $"n"))).as("m"))
+      .select(explode(sequence(lit(0L), lit(30L))).as("d"), $"m")
+      .select($"d", coalesce(element_at($"m", $"d"), lit(0L)).as("n"))
+    val surv = Window.orderBy($"d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wall = Window.partitionBy()
+    hist
+      .select($"d", sum($"n").over(surv).as("n_surviving"),
+        sum($"n").over(wall).as("total"))
+      .select($"d".cast("int").as("d"), $"n_surviving",
+        ($"n_surviving".cast("double") / $"total").as("s"))
+      .orderBy($"d")
+  }
+
+  /** Lifetime in calendar-day indices (floor-div of epoch micros), so
+    * a user spanning a midnight counts the day boundary, not 24 h. */
+  private val q122Sql: String =
+    """WITH lt AS (
+      |  SELECT user_id,
+      |         (max(epoch_us(ts)) // 86400000000) -
+      |         (min(epoch_us(ts)) // 86400000000) AS lt_days
+      |  FROM events GROUP BY 1
+      |), hist AS (
+      |  SELECT d.d, CAST(count(lt.user_id) AS BIGINT) AS n
+      |  FROM (SELECT UNNEST(range(0, 31)) AS d) d
+      |  LEFT JOIN lt ON lt.lt_days = d.d
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(d AS INTEGER) AS d,
+      |       CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+      |                         AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_surviving,
+      |       CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+      |                         AND UNBOUNDED FOLLOWING) AS DOUBLE) /
+      |         sum(n) OVER () AS s
+      |FROM hist
+      |ORDER BY d""".stripMargin
+
+  // -------------------------------------------------------------- q123
+  /** Conversion-lag percentiles: quartiles of signup → first subsequent
+    * purchase time (q45's funnel chain measured in TIME, the metric
+    * behind "how long does conversion take") — exact interpolated
+    * percentiles over integer micros (q17's proven `percentile` ↔
+    * `quantile_cont` parity; durations convert to seconds with one
+    * shared ÷ 1e6 association per quartile). Two per-user min
+    * aggregates on the user key, a one-row output — corpus-scale work
+    * ends at the first aggregate. */
+  private def q123(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val durs = ev.filter($"event_type" === "purchase")
+      .join(s1, Seq("user_id"))
+      .filter($"us" >= $"t1")
+      .groupBy($"user_id").agg((min($"us") - min($"t1")).as("dur_us"))
+    durs.agg(
+      count(lit(1)).as("n_converted"),
+      (percentile($"dur_us", lit(0.25)) / lit(1000000.0)).as("p25_s"),
+      (percentile($"dur_us", lit(0.5)) / lit(1000000.0)).as("p50_s"),
+      (percentile($"dur_us", lit(0.75)) / lit(1000000.0)).as("p75_s"))
+  }
+
+  private val q123Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(us) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), durs AS (
+      |  SELECT e.user_id, min(e.us) - min(s1.t1) AS dur_us
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us >= s1.t1
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |       quantile_cont(dur_us, 0.25) / 1000000.0 AS p25_s,
+      |       quantile_cont(dur_us, 0.5) / 1000000.0 AS p50_s,
+      |       quantile_cont(dur_us, 0.75) / 1000000.0 AS p75_s
+      |FROM durs""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
@@ -392,5 +492,7 @@ object Behavioral {
     Q("q107_rank_family", q107, Some(q107Sql)),
     Q("q120_session_paths", q120, Some(q120Sql)),
     Q("q121_markov_transitions", q121, Some(q121Sql)),
+    Q("q122_survival_curve", q122, Some(q122Sql)),
+    Q("q123_conversion_lag", q123, Some(q123Sql)),
   )
 }

@@ -45,6 +45,24 @@ class BehavioralSpec extends SparkSpecBase {
     paths.map(_._2).sum should be <= expectedPaths
   }
 
+  test("q122/q123: survival starts at 1 and never rises; lag quartiles are ordered") {
+    val surv = SparkEntry.queries("q122_survival_curve")(spark, sfDir)
+      .as[(Int, Long, Double)].collect()
+    surv.length shouldBe 31
+    surv.head._1 shouldBe 0
+    surv.head._3 shouldBe 1.0 // every user survives ≥ 0 days
+    surv.head._2 shouldBe sources.Tables.events(spark, sfDir)
+      .select($"user_id").distinct().count()
+    surv.map(_._2).sliding(2).foreach { p =>
+      if (p.length == 2) p(0) should be >= p(1) // monotone non-increasing
+    }
+    val lag = SparkEntry.queries("q123_conversion_lag")(spark, sfDir).head()
+    val (p25, p50, p75) = (lag.getDouble(1), lag.getDouble(2), lag.getDouble(3))
+    p25 should be <= p50
+    p50 should be <= p75
+    p25 should be >= 0.0
+  }
+
   test("q91: median, MAD, and outlier counts equal a from-scratch recount") {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select($"event_type", $"value").as[(String, Double)].collect()
