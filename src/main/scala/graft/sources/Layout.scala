@@ -107,4 +107,36 @@ object Layout {
       .groupBy($"file")
       .agg(count(lit(1)).as("n_rows"), min($"k").as("key_min"), max($"k").as("key_max"))
   }
+
+  /** Small-file compaction plan: assign each data file to a compaction
+    * group so every group holds ≥ `targetRows` (except possibly the
+    * last), preserving key order so compacted files KEEP disjoint
+    * key ranges (the zone-map property [[writeClustered]] established
+    * and LayoutSpec asserts — a size-only bin-packing would interleave
+    * ranges and destroy pruning). The maintenance planner every table
+    * format runs against small-file buildup from streaming ingest.
+    *
+    * Group id = running row count up to the PREVIOUS file, div target
+    * — a window over the #files-row stats frame (file metadata, never
+    * data; the same deliberately-tiny-frame pattern as q111's
+    * offsets). The stateless rule means group sizes are target ± one
+    * file's rows (a group whose predecessor overshot starts late) —
+    * the right trade for a planner: a sequential exact fold would
+    * serialize on the driver for a tolerance no compaction job cares
+    * about. Execution is then one `spark.read.parquet(files of
+    * group).repartition(1).write` per group, embarrassingly parallel
+    * across groups. */
+  def compactionPlan(spark: SparkSession, dir: String, key: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"need targetRows > 0 (got $targetRows)")
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"key_min", $"file")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    fileStats(spark, dir, key)
+      .withColumn("rows_before", coalesce(sum($"n_rows").over(w), lit(0L)))
+      .withColumn("group_id", expr(s"rows_before div $targetRows").cast("int"))
+      .select($"file", $"n_rows", $"key_min", $"key_max", $"group_id")
+      .orderBy($"key_min", $"file")
+  }
 }

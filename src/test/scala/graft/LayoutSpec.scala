@@ -87,4 +87,39 @@ class LayoutSpec extends SparkSpecBase {
     }
     e.getMessage should include("alias")
   }
+
+  test("compaction plan reaches the row target per group and keeps ranges disjoint") {
+    val out = java.nio.file.Files.createTempDirectory("layoutcmp").toString
+    // 32 deliberately-small files — streaming-ingest buildup
+    Layout.writeClustered(Tables.lineitem(spark, sfDir), out, "l_orderkey", 32)
+    val total = Tables.lineitem(spark, sfDir).count()
+    val target = total / 4
+    val plan = Layout.compactionPlan(spark, out, "l_orderkey", target)
+      .collect()
+
+    // every file is assigned exactly once; row mass is conserved
+    plan.length shouldBe 32
+    plan.map(_.getAs[String]("file")).distinct.length shouldBe 32
+    plan.map(_.getAs[Long]("n_rows")).sum shouldBe total
+
+    val byGroup = plan.groupBy(_.getAs[Int]("group_id"))
+    val maxGroup = byGroup.keys.max
+    // each group except possibly the last reaches target within one
+    // file's rows (the documented tolerance of the stateless div rule:
+    // a group whose predecessor overshot starts late)
+    val maxFile = plan.map(_.getAs[Long]("n_rows")).max
+    byGroup.foreach { case (g, files) =>
+      if (g < maxGroup)
+        files.map(_.getAs[Long]("n_rows")).sum should be > target - maxFile
+    }
+    // key-ordered assignment ⇒ compacted outputs keep disjoint ranges:
+    // group g's max key never exceeds group g+1's min key
+    val ranges = byGroup.toSeq.sortBy(_._1).map { case (g, files) =>
+      (g, files.map(_.getAs[Long]("key_min")).min,
+        files.map(_.getAs[Long]("key_max")).max)
+    }
+    ranges.sliding(2).foreach { r =>
+      if (r.length == 2) r(0)._3 should be <= r(1)._2
+    }
+  }
 }
