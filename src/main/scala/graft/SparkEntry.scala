@@ -21,6 +21,8 @@ object SparkEntry {
       operators.Behavioral.all ++
       operators.Temporal.all ++
       operators.Stats.all ++
+      operators.Timeseries.all ++
+      operators.Association.all ++
       operators.Maintenance.all ++
       operators.Graph.all ++
       multimodal.Multimodal.all

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.PersistedMemo
+import graft.sources.Tables
+
+/** Frequency-association operators over the events stream: market-
+  * basket pair mining (support/lift) and frequent-item reporting —
+  * "which items co-occur beyond chance" and "which items dominate
+  * volume", the co-engagement analyses a pipeline runs over interaction
+  * logs (and a corpus curator runs over tag/source co-occurrence).
+  * Items come from the `props.k` JSON field, q12's proven
+  * `get_json_object` ↔ `json_extract_string` parity.
+  *
+  * Scale design: the basket self-join keys on user_id, so pair
+  * generation is per-user quadratic — bounded by basket size (≤ the
+  * 100-item domain here), NEVER corpus-quadratic. Counting shuffles
+  * (item_a, item_b) keys, ≤ |domain|²/2 of them regardless of corpus
+  * size. Item counts and the 1-row user count broadcast back. The
+  * distinct (user, item) basket table feeds FOUR consumers (both join
+  * sides, item counts, user count) — left as four subtrees Catalyst
+  * re-derives it with four corpus scans, so it goes through
+  * [[PersistedMemo]] like the dedup/similarity shared intermediates:
+  * one scan + one (user,item) shuffle per (session, dataset), every
+  * consumer reads the persisted table, LRU/session-end eviction
+  * bounds the cache.
+  */
+object Association {
+
+  /** Distinct (user_id, item) baskets — the shared intermediate of the
+    * family, persisted per (session, dataset). */
+  private[graft] def basketItems(spark: SparkSession, dir: String): DataFrame =
+    PersistedMemo.getOrBuild(spark, dir, "assoc_items") {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select($"user_id",
+          get_json_object($"props", "$.k").cast("int").as("item"))
+        .distinct()
+    }
+
+  // -------------------------------------------------------------- q124
+  /** Market-basket association: for every item pair co-occurring in a
+    * user basket (distinct items per user), its user count, relative
+    * support, and lift = P(a,b) / (P(a)·P(b)). A pair filter keeps
+    * support ≥ 8% of users (on this uniform synthetic corpus that
+    * retains all pairs — on real data it prunes the tail before the
+    * expensive downstream). Support/lift are single IEEE divides over
+    * exact integer counts rounded at 6 dp — no summation drift
+    * anywhere. */
+  private def q124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = basketItems(spark, dir)
+    val nUsers = items.agg(
+      countDistinct($"user_id").cast("double").as("n_users"))
+    val itemUsers = items.groupBy($"item").agg(count(lit(1)).as("iu"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("pair_users"))
+    pairs
+      .crossJoin(broadcast(nUsers))
+      .join(broadcast(itemUsers.select($"item".as("item_a"), $"iu".as("iua"))),
+        Seq("item_a"))
+      .join(broadcast(itemUsers.select($"item".as("item_b"), $"iu".as("iub"))),
+        Seq("item_b"))
+      .filter($"pair_users" >= lit(0.08) * $"n_users")
+      .select($"item_a", $"item_b", $"pair_users",
+        round($"pair_users" / $"n_users", 6).as("support"),
+        round($"pair_users" * $"n_users" / ($"iua" * $"iub"), 6).as("lift"))
+      .orderBy($"item_a", $"item_b")
+  }
+
+  private val q124Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+      |  FROM events
+      |), nu AS (
+      |  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM items
+      |), ic AS (
+      |  SELECT item, count(*) AS iu FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_users
+      |  FROM items a JOIN items b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2
+      |)
+      |SELECT item_a, item_b, pair_users,
+      |       round(pair_users / n_users, 6) AS support,
+      |       round(pair_users * n_users / (ia.iu * ib.iu), 6) AS lift
+      |FROM pairs, nu
+      |JOIN ic ia ON ia.item = item_a
+      |JOIN ic ib ON ib.item = item_b
+      |WHERE pair_users >= 0.08 * n_users
+      |ORDER BY item_a, item_b""".stripMargin
+
+  // -------------------------------------------------------------- q128
+  /** Exact frequent items: every item whose occurrence count exceeds
+    * φ·n (φ = 0.8%), with its volume share. One partial+final count
+    * aggregate (shuffle width = #distinct items) + a broadcast 1-row
+    * total. This is the exact form; [[graft.functions.MisraGries]] is
+    * the k-counters sketch that replaces it when the item domain
+    * itself is shuffle-hostile (IDs, n-grams), with the PODS'12
+    * mergeable bound — AssociationSpec proves sketch ⊇ {items >
+    * n/(k+1)} and per-item error ≤ n/(k+1) under arbitrary
+    * repartitioning, the q17→q54 exact↔sketch swap for frequencies. */
+  private def q128(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("int").as("item"))
+    val total = occ.agg(count(lit(1)).cast("double").as("n"))
+    occ.groupBy($"item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" > lit(0.008) * $"n")
+      .select($"item", $"cnt", round($"cnt" / $"n", 6).as("share"))
+      .orderBy($"item")
+  }
+
+  private val q128Sql: String =
+    """WITH occ AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+      |  FROM events
+      |), t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM occ)
+      |SELECT item, count(*) AS cnt, round(count(*) / any_value(n), 6) AS share
+      |FROM occ, t
+      |GROUP BY item
+      |HAVING count(*) > 0.008 * any_value(n)
+      |ORDER BY item""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q124_market_basket", q124, Some(q124Sql)),
+    Q("q128_heavy_hitters", q128, Some(q128Sql)),
+  )
+}

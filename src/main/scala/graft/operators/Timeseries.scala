@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Time-series monitoring operators over the events stream: CUSUM
+  * changepoint detection, seasonal decomposition with residual
+  * anomalies, and a seasonal-naive forecast backtest. These are the
+  * drift monitors a pipeline runs over its OWN ingest telemetry — the
+  * batch generalization of the reference's per-window anomaly loop
+  * (lambda-sample analyzer/src/main/scala/analyzer/Analyzer.scala:47-59
+  * scores one sliding window; these score the whole history per key).
+  *
+  * Scale design shared by the family: the raw scan reduces to a
+  * (key, time-bucket) grid in ONE partial+final aggregate — 100 TB of
+  * events becomes #keys × #buckets rows (thousands) — and every window
+  * function after runs on that tiny grid, partitioned by key. Nothing
+  * downstream of the first aggregate ever rescans the corpus, and the
+  * per-key window state is bounded by the bucket count, not the row
+  * count.
+  *
+  * Determinism: bucket counts are integers, and integer-valued doubles
+  * below 2^53 sum EXACTLY in any order — so the sufficient sums
+  * (n, Σx, Σx²) here are bit-identical across engines despite partial
+  * aggregation, sqrt is IEEE exact-rounded (not libm-approximate), and
+  * running window sums evaluate in ORDER BY order on both engines.
+  * q125's whole pipeline is therefore drift-free by construction;
+  * q126's residual sums are the one non-integer reduction, so its flag
+  * comparison runs on 6-dp-rounded operands on both sides.
+  */
+object Timeseries {
+
+  // -------------------------------------------------------------- q125
+  /** One-sided CUSUM changepoint detection on daily event volume per
+    * type. The textbook recurrence S_t = max(0, S_{t-1} + y_t) is not
+    * a window function — but it has a closed scan form:
+    *
+    *   S_t = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t} y_i
+    *
+    * (a reset happens exactly where the prefix sum attains a new
+    * minimum), so the sequential recurrence becomes two running
+    * windows — prefix sum + running min — and DISTRIBUTES: per-key
+    * ordered scans over the daily grid, no iterative driver loop. The
+    * slack y_t = x_t − μ − 0.5σ and threshold 4σ are the standard
+    * CUSUM parameterization (Page 1954); μ, σ derive from raw
+    * sufficient sums (catalog rule: never engine stddev built-ins —
+    * their streaming-moment low bits differ).
+    *
+    * `breach` compares UNROUNDED doubles safely: every input to both
+    * sides is integer-exact or IEEE-exact-rounded (see object doc), so
+    * the comparison is bit-deterministic across engines. */
+  private def q125(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    // per-type moments as UNORDERED windows over the grid, not a
+    // grouped-join — the grid is derived once from one corpus scan
+    // (a join would re-derive it: AQE defers exchange reuse to
+    // runtime, so the initial plan carries two scans), and integer
+    // window sums are order-independent, so the unordered frame costs
+    // nothing in determinism
+    val wType = Window.partitionBy($"event_type")
+    val wRun = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wType).cast("double"))
+      .withColumn("sx", sum($"cnt").over(wType))
+      .withColumn("sxx", sum($"cnt" * $"cnt").over(wType))
+      .withColumn("sigma", sqrt($"n" * $"sxx" - $"sx" * $"sx") / $"n")
+      .withColumn("yv", $"cnt" - $"sx" / $"n" - lit(0.5) * $"sigma")
+      .withColumn("pre", sum($"yv").over(wRun))
+      .withColumn("runmin", least(min($"pre").over(wRun), lit(0.0)))
+      .select($"event_type", $"day", $"cnt".cast("long").as("cnt"),
+        round($"pre" - $"runmin", 4).as("cusum"),
+        ($"pre" - $"runmin" > lit(4.0) * $"sigma").cast("int").as("breach"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Identical algebra, spelled operation-for-operation the same:
+    * sigma is computed ONCE and reused so `0.5 * sigma` and
+    * `4.0 * sigma` share the exact operand bits with the Spark side. */
+  private val q125Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT event_type, day, cnt,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS sx,
+      |         sum(cnt * cnt) OVER (PARTITION BY event_type) AS sxx
+      |  FROM daily
+      |), y AS (
+      |  SELECT event_type, day, cnt,
+      |         sqrt(n * sxx - sx * sx) / n AS sigma,
+      |         cnt - sx / n - 0.5 * (sqrt(n * sxx - sx * sx) / n) AS yv
+      |  FROM st
+      |), p AS (
+      |  SELECT event_type, day, cnt, sigma,
+      |         sum(yv) OVER (PARTITION BY event_type ORDER BY day
+      |                       ROWS UNBOUNDED PRECEDING) AS pre
+      |  FROM y
+      |), m AS (
+      |  SELECT event_type, day, cnt, sigma, pre,
+      |         least(min(pre) OVER (PARTITION BY event_type ORDER BY day
+      |                              ROWS UNBOUNDED PRECEDING), 0.0) AS runmin
+      |  FROM p
+      |)
+      |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+      |       round(pre - runmin, 4) AS cusum,
+      |       CAST(pre - runmin > 4.0 * sigma AS INTEGER) AS breach
+      |FROM m ORDER BY event_type, day""".stripMargin
+
+  // -------------------------------------------------------------- q126
+  /** Additive seasonal decomposition of hourly volume per event type:
+    * seasonal component = hour-of-day mean, residual = observed −
+    * seasonal, and a 3σ residual outlier flag — "which hours deviated
+    * from this key's daily rhythm", the shape q48's gap-fill resample
+    * feeds into dashboards. Seasonal means are exact (integer sums /
+    * integer counts); the residual second moment is the family's one
+    * non-integer reduction, so the outlier comparison rounds BOTH
+    * operands to 6 dp on both sides — a flag can flip only if the true
+    * margin sits within summation ulp of a 1e-6 grid midpoint.
+    *
+    * Plan: corpus → hourly grid (one aggregate); the seasonal means
+    * and residual moments are unordered windows OVER the grid itself —
+    * one corpus scan, zero joins, no window wider than a per-type
+    * slice of the grid. */
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wCell = Window.partitionBy($"event_type", $"hod")
+    val wType = Window.partitionBy($"event_type")
+    Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour_ts"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("hod", hour($"hour_ts"))
+      // q125's one-scan discipline: seasonal means and residual moments
+      // are unordered windows over the grid, never joins back onto it
+      .withColumn("s", sum($"cnt").over(wCell) / count(lit(1)).over(wCell))
+      .withColumn("resid", $"cnt" - $"s")
+      .withColumn("rn", count(lit(1)).over(wType).cast("double"))
+      .withColumn("rsx", sum($"resid").over(wType))
+      .withColumn("rsxx", sum($"resid" * $"resid").over(wType))
+      .select($"event_type", $"hour_ts", $"cnt".cast("long").as("cnt"),
+        round($"s", 4).as("seasonal"), round($"resid", 4).as("resid"),
+        (round(abs($"resid" - $"rsx" / $"rn"), 6) >
+          round(lit(3.0) * (sqrt($"rn" * $"rsxx" - $"rsx" * $"rsx") / $"rn"), 6))
+          .cast("int").as("outlier"))
+      .orderBy($"event_type", $"hour_ts")
+  }
+
+  private val q126Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+      |         CAST(count(*) AS DOUBLE) AS cnt, hour(date_trunc('hour', ts)) AS hod
+      |  FROM events GROUP BY 1, 2, 4
+      |), seas AS (
+      |  SELECT event_type, hour_ts, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type, hod) /
+      |           count(*) OVER (PARTITION BY event_type, hod) AS s
+      |  FROM hourly
+      |), r AS (
+      |  SELECT event_type, hour_ts, cnt, s, cnt - s AS resid FROM seas
+      |), rs AS (
+      |  SELECT event_type, hour_ts, cnt, s, resid,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS rn,
+      |         sum(resid) OVER (PARTITION BY event_type) AS rsx,
+      |         sum(resid * resid) OVER (PARTITION BY event_type) AS rsxx
+      |  FROM r
+      |)
+      |SELECT event_type, hour_ts, CAST(cnt AS BIGINT) AS cnt,
+      |       round(s, 4) AS seasonal, round(resid, 4) AS resid,
+      |       CAST(round(abs(resid - rsx / rn), 6) >
+      |            round(3.0 * (sqrt(rn * rsxx - rsx * rsx) / rn), 6)
+      |         AS INTEGER) AS outlier
+      |FROM rs
+      |ORDER BY event_type, hour_ts""".stripMargin
+
+  // -------------------------------------------------------------- q127
+  /** Forecast backtest: score a seasonal-naive model (ŷ_t = y_{t−7},
+    * weekly seasonality) against the last-value naive baseline over
+    * the final 7 days of each type's daily series — MAE for both and
+    * sMAPE for the model. The go/no-go check before trusting any
+    * volume forecast for capacity planning; the pattern (lag-k
+    * predictor + holdout tail + error aggregate) extends to any
+    * window-expressible model. MAE sums are integer-exact; sMAPE's
+    * rational terms round at 6 dp. Lags and the holdout rank run over
+    * the observed daily grid, identical on both sides. */
+  private def q127(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val wLag = Window.partitionBy($"event_type").orderBy($"day")
+    val wTail = Window.partitionBy($"event_type").orderBy($"day".desc)
+    daily
+      .withColumn("snaive", lag($"cnt", 7).over(wLag))
+      .withColumn("naive", lag($"cnt", 1).over(wLag))
+      .withColumn("rn", row_number().over(wTail))
+      .filter($"rn" <= 7)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("test_days"),
+        round(sum(abs($"cnt" - $"snaive")) / count(lit(1)), 4).as("mae_snaive"),
+        round(sum(abs($"cnt" - $"naive")) / count(lit(1)), 4).as("mae_naive"),
+        round(sum(lit(2.0) * abs($"cnt" - $"snaive") /
+          (abs($"cnt") + abs($"snaive"))) / count(lit(1)), 6).as("smape_snaive"))
+      .orderBy($"event_type")
+  }
+
+  private val q127Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT event_type, day, cnt,
+      |         lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS snaive,
+      |         lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+      |  FROM daily
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS test_days,
+      |       round(sum(abs(cnt - snaive)) / count(*), 4) AS mae_snaive,
+      |       round(sum(abs(cnt - naive)) / count(*), 4) AS mae_naive,
+      |       round(sum(2.0 * abs(cnt - snaive) / (abs(cnt) + abs(snaive)))
+      |             / count(*), 6) AS smape_snaive
+      |FROM lagged WHERE rn <= 7
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q125_cusum_changepoint", q125, Some(q125Sql)),
+    Q("q126_seasonal_decompose", q126, Some(q126Sql)),
+    Q("q127_forecast_backtest", q127, Some(q127Sql)),
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+
+/** Cross-checks for the association family (q124/q128) and the
+  * Misra–Gries sketch guarantee. The MG tests exercise the PODS'12
+  * mergeable bound under Spark's real partial-aggregation path
+  * (repartitioned input → map-side sketches → merge), not a single
+  * in-order fold — the shape the sketch must survive at scale. */
+class AssociationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val baskets: Map[Long, Set[Int]] =
+    sources.Tables.events(spark, dir)
+      .select($"user_id", get_json_object($"props", "$.k").cast("int").as("item"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("q124 support and lift match a driver recompute over the baskets") {
+    val nUsers = baskets.size.toDouble
+    val itemUsers = baskets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = (for {
+      (_, items) <- baskets.toSeq
+      Seq(a, b) <- items.toSeq.sorted.combinations(2)
+    } yield (a, b)).groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, pu) => pu >= 0.08 * nUsers }.toMap
+
+    val got = SparkEntry.queries("q124_market_basket")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("item_a")), r.getInt(r.fieldIndex("item_b"))) ->
+        (r.getLong(r.fieldIndex("pair_users")),
+          r.getDouble(r.fieldIndex("support")), r.getDouble(r.fieldIndex("lift"))))
+      .toMap
+    got.keySet shouldBe expected.keySet
+    for (((a, b), (pu, support, lift)) <- got) {
+      pu shouldBe expected((a, b)).toLong
+      support shouldBe pu / nUsers +- 1e-6
+      lift shouldBe pu * nUsers / (itemUsers(a).toDouble * itemUsers(b)) +- 1e-6
+    }
+  }
+
+  test("q128 returns exactly the items above the φ·n threshold") {
+    val occ = sources.Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("int").as("item"))
+      .collect().map(_.getInt(0))
+    val n = occ.length.toDouble
+    val exact = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = exact.filter { case (_, c) => c > 0.008 * n }
+
+    val got = SparkEntry.queries("q128_heavy_hitters")(spark, dir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    got.keySet shouldBe expected.keySet
+    for ((item, (cnt, share)) <- got) {
+      cnt shouldBe expected(item)
+      share shouldBe cnt / n +- 1e-6
+    }
+  }
+
+  test("MisraGries holds the mergeable bound under repartitioned aggregation") {
+    val k = 32
+    val occ = sources.Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("item"))
+      .collect().map(_.getLong(0)).toSeq
+    val n = occ.size.toLong
+    val exact = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val err = n / (k + 1).toDouble
+
+    for (parts <- Seq(3, 11)) {
+      val sketch = spark.createDataset(occ).repartition(parts)
+        .select(new MisraGries(k).toColumn)
+        .collect().head.toMap
+      sketch.size should be <= k
+      // one-sided error: never overcount, undercount bounded by n/(k+1)
+      for ((item, est) <- sketch) {
+        est should be <= exact(item)
+        (exact(item) - est).toDouble should be <= err
+      }
+      // recall: every item with true count > n/(k+1) must survive
+      for ((item, c) <- exact if c > err)
+        withClue(s"item $item (count $c) missing at parts=$parts: ")(
+          sketch.contains(item) shouldBe true)
+    }
+  }
+
+  test("MisraGries merge is exact when k exceeds the item universe") {
+    // k ≥ #distinct ⇒ no decrements ever fire ⇒ the sketch IS the
+    // exact frequency table, whatever the merge tree
+    val data = Seq.tabulate(500)(i => (i % 7).toLong)
+    val sketch = spark.createDataset(data).repartition(5)
+      .select(new MisraGries(16).toColumn)
+      .collect().head.toMap
+    sketch shouldBe data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+}

@@ -453,4 +453,37 @@ class PlanSpec extends SparkSpecBase {
     chi.split("Location:").length shouldBe 2 // marginals are windows OVER the cells
     (chi should not).include("Join") // no marginal re-joins at all
   }
+
+  test("q125/q127: the corpus contracts to the daily grid in one scan; windows ride it") {
+    for (q <- Seq("q125_cusum_changepoint", "q127_forecast_backtest")) {
+      val p = plan(q)
+      p.split("Location:").length shouldBe 2 // ONE events scan each
+      p should include("partial_count") // grid aggregate combines map-side
+      p should include("windowspecdefinition(event_type") // per-key ordered scan
+      (p should not).include("SortMergeJoin") // q125's stats frame broadcasts
+    }
+  }
+
+  test("q126: seasonal profile and residual moments are windows over one grid") {
+    val p = plan("q126_seasonal_decompose")
+    p.split("Location:").length shouldBe 2 // ONE events scan
+    (p should not).include("Join") // components never re-join the grid
+  }
+
+  test("q124: baskets persist once; pairs come from an equi-join on user_id") {
+    graft.core.PersistedMemo.release(spark, sfDir)
+    val p = plan("q124_market_basket")
+    // every consumer reads the persisted basket table, not the corpus —
+    // the raw events scan appears ONLY inside the one InMemoryRelation
+    p should include("InMemoryTableScan")
+    // one real scan node; the InMemoryRelation one-liner embeds the
+    // cached build's "Location:" text inline, so count LINES, not hits
+    p.linesIterator.count(_.trim.startsWith("Location:")) shouldBe 1
+    // pair generation is keyed on user_id (per-user quadratic, bounded
+    // by basket size) — never a cross/nested-loop over the basket table
+    // (the only BNLJ is the broadcast 1-row user-count crossJoin; each
+    // node prints twice in formatted mode, so count detail headers)
+    p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) shouldBe 1
+  }
 }

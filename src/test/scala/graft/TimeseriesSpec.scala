@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the time-series monitoring family (q125-q127).
+  * The load-bearing test is the q125 identity: the distributed
+  * prefix-sum/running-min form is checked row-for-row against the
+  * textbook sequential CUSUM recurrence replayed on the driver — a
+  * different algorithm, so agreement proves the scan identity, not
+  * just self-consistency (the oracle-proves-decomposition pattern). */
+class TimeseriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val daily: Map[String, Seq[(java.sql.Date, Long)]] =
+    sources.Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2.toString).map(t => (t._2, t._3)).toSeq).toMap
+
+  test("q125 window form equals the sequential CUSUM recurrence") {
+    val got = SparkEntry.queries("q125_cusum_changepoint")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(r.fieldIndex("cusum")), r.getInt(r.fieldIndex("breach"))))
+      .toMap
+    got.size shouldBe daily.values.map(_.size).sum
+    for ((tpe, series) <- daily) {
+      val xs = series.map(_._2.toDouble)
+      val n = xs.size.toDouble
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      val sigma = math.sqrt(n * sxx - sx * sx) / n
+      val mu = sx / n
+      var s = 0.0
+      for (((day, x), i) <- series.zipWithIndex) {
+        s = math.max(0.0, s + (x - mu - 0.5 * sigma)) // Page's recurrence
+        val (cusum, breach) = got((tpe, day.toString))
+        cusum shouldBe s +- 1e-3
+        breach shouldBe (if (s > 4.0 * sigma) 1 else 0)
+        if (i == 0) cusum shouldBe math.max(0.0, x - mu - 0.5 * sigma) +- 1e-3
+      }
+    }
+  }
+
+  test("q126 components reconstruct the series and residuals center at zero") {
+    val rows = SparkEntry.queries("q126_seasonal_decompose")(spark, dir).collect()
+    rows should not be empty
+    // additive decomposition: seasonal + resid == cnt (up to 4-dp rounding)
+    for (r <- rows) {
+      val cnt = r.getLong(r.fieldIndex("cnt")).toDouble
+      val s = r.getDouble(r.fieldIndex("seasonal"))
+      val resid = r.getDouble(r.fieldIndex("resid"))
+      (s + resid) shouldBe cnt +- 2e-4
+    }
+    // the seasonal component is the hour-of-day mean, so residuals sum
+    // to ~zero WITHIN each (type, hour-of-day) cell — the defining
+    // property of the fit, checked per cell not just globally
+    val byCell = rows.groupBy(r =>
+      (r.getString(0), r.getTimestamp(1).toInstant
+        .atZone(java.time.ZoneOffset.UTC).getHour))
+    for ((_, cell) <- byCell) {
+      val m = cell.map(_.getDouble(cell.head.fieldIndex("resid"))).sum / cell.size
+      m shouldBe 0.0 +- 1e-3
+    }
+    // outliers are rare by construction (3σ) — sanity-bound the rate
+    val outRate = rows.count(r => r.getInt(r.fieldIndex("outlier")) == 1).toDouble / rows.size
+    outRate should be < 0.05
+  }
+
+  test("q127 seasonal-naive MAE matches a driver replay of the lag model") {
+    val got = SparkEntry.queries("q127_forecast_backtest")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(r.fieldIndex("mae_snaive")),
+          r.getDouble(r.fieldIndex("mae_naive"))))
+      .toMap
+    got.keySet shouldBe daily.keySet
+    for ((tpe, series) <- daily) {
+      val xs = series.map(_._2.toDouble).toIndexedSeq
+      val test = xs.indices.drop(xs.size - 7)
+      val mae7 = test.map(i => math.abs(xs(i) - xs(i - 7))).sum / test.size
+      val mae1 = test.map(i => math.abs(xs(i) - xs(i - 1))).sum / test.size
+      val (days, gs, gn) = got(tpe)
+      days shouldBe 7L
+      gs shouldBe mae7 +- 1e-3
+      gn shouldBe mae1 +- 1e-3
+    }
+  }
+}
