@@ -206,9 +206,133 @@ object Stats {
       |FROM m
       |ORDER BY event_type, dow""".stripMargin
 
+  // -------------------------------------------------------------- q129
+  /** Robust means per event type: the raw mean next to its winsorized
+    * (values clamped into [p05, p95]) and trimmed (values outside
+    * dropped) counterparts — q91's MAD monitoring answered the "are
+    * there outliers" question; this quantifies how much they drag the
+    * headline mean. Quantile cutpoints ride the proven percentile ↔
+    * quantile_cont parity; the boundary tests `value ≥ p05` are safe
+    * against cutpoint ulp drift because an interpolated cutpoint
+    * either equals a data value exactly (zero-width bracket) or lies
+    * strictly between two consecutive order statistics, where no data
+    * point can sit. Plan: one quantile pass to #types rows, broadcast
+    * back, one partial+final aggregate — two corpus scans, inherent to
+    * exact quantiles (the q54 sketch swaps in at 100 TB). */
+  private def q129(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val cuts = ev.groupBy($"event_type").agg(
+      percentile($"value", lit(0.05)).as("p05"),
+      percentile($"value", lit(0.95)).as("p95"))
+    val kept = $"value" >= $"p05" && $"value" <= $"p95"
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(round(min($"p05"), 4).as("p05"), round(min($"p95"), 4).as("p95"),
+        round(sum($"value") / count(lit(1)), 4).as("mean_raw"),
+        round(sum(least(greatest($"value", $"p05"), $"p95")) / count(lit(1)), 4)
+          .as("mean_winsor"),
+        round(sum(when(kept, $"value")) / sum(when(kept, 1L).otherwise(0L)), 4)
+          .as("mean_trimmed"))
+      .orderBy($"event_type")
+  }
+
+  private val q129Sql: String =
+    """WITH b AS (
+      |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+      |         quantile_cont(value, 0.95) AS p95
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type,
+      |       round(min(p05), 4) AS p05, round(min(p95), 4) AS p95,
+      |       round(sum(value) / count(*), 4) AS mean_raw,
+      |       round(sum(least(greatest(value, p05), p95)) / count(*), 4)
+      |         AS mean_winsor,
+      |       round(sum(CASE WHEN value >= p05 AND value <= p95 THEN value END) /
+      |             sum(CASE WHEN value >= p05 AND value <= p95 THEN 1 ELSE 0 END), 4)
+      |         AS mean_trimmed
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q132
+  /** Pareto / ABC contribution classes over part revenue: parts sorted
+    * by revenue descending, classed A while the running share is ≤ 80%,
+    * B to 95%, C after — the 80/20 report behind every "top sellers"
+    * dashboard and behind corpus curation's "which sources carry the
+    * mass" cut (q79's quality twin for volume).
+    *
+    * Two scale tricks, both exactness-preserving:
+    *  - Revenue is fixed to INTEGER CENTS at the aggregate (one round,
+    *    then bigint algebra): every downstream sum is integer-exact,
+    *    and the class cuts are integer comparisons (5·cum ≤ 4·total,
+    *    20·cum ≤ 19·total) — no double ever enters an ordering or a
+    *    threshold, so the plan is bit-deterministic end to end.
+    *  - The running revenue sum is q111's two-phase Blelloch scan, not
+    *    a global window: phase 1 runs per revenue-band partitions
+    *    (band = cents div 10⁷ — a monotone function of the sort key,
+    *    so band-desc + in-band order ≡ global order), phase 2
+    *    prefix-sums the #bands-row totals and broadcasts offsets back.
+    *    The ORACLE is the naive global window — the gate proves the
+    *    decomposition exact (integer sums make it EXACT, not
+    *    approximately equal). */
+  private def q132(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")) * 100.0, 0)
+        .cast("long").as("cents"))
+      // ascending band ≡ descending revenue; `div` (not `/`) keeps the
+      // arithmetic in bigints — cents ≥ 0, so truncation is floor
+      .withColumn("band", -expr("cents div 10000000"))
+    val wLocal = Window.partitionBy($"band")
+      .orderBy($"cents".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBands = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rev.groupBy($"band").agg(sum($"cents").as("tot"))
+      .withColumn("offset", coalesce(sum($"tot").over(wBands), lit(0L)))
+      .select($"band", $"offset", sum($"tot").over().as("total"))
+    rev.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum", $"offset" + sum($"cents").over(wLocal))
+      .withColumn("abc_class",
+        when($"cum" * 5 <= $"total" * 4, "A")
+          .when($"cum" * 20 <= $"total" * 19, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum($"cents") / 100.0, 2).as("class_revenue"))
+      .orderBy($"abc_class")
+  }
+
+  /** Naive single-window form — the decomposition target. */
+  private val q132Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0, 0)
+      |              AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1
+      |), ranked AS (
+      |  SELECT l_partkey, cents,
+      |         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |                          ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(cents) OVER () AS total
+      |  FROM rev
+      |), classed AS (
+      |  SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+      |              WHEN cum * 20 <= total * 19 THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |         cents
+      |  FROM ranked
+      |)
+      |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+      |       round(sum(cents) / 100.0, 2) AS class_revenue
+      |FROM classed GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
     Q("q117_chi_square_cells", q117, Some(q117Sql)),
+    Q("q129_robust_means", q129, Some(q129Sql)),
+    Q("q132_pareto_classes", q132, Some(q132Sql)),
   )
 }

@@ -232,9 +232,127 @@ object Timeseries {
       |FROM lagged WHERE rn <= 7
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q130
+  /** Rolling 7-day correlation between two daily series (click vs
+    * purchase volume) — "do these streams move together this week",
+    * the pairwise drift monitor between q115's static regression and
+    * q125's single-series changepoints. The two series come out of ONE
+    * corpus scan as conditional counts on the daily grid; the rolling
+    * sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are frame windows over
+    * that grid and stay integer-exact, so the correlation is
+    * bit-deterministic (object doc). Rows before a full 7-day frame
+    * are suppressed on both sides. */
+  private def q130(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(sum(when($"event_type" === "click", 1).otherwise(0)).cast("double").as("x"),
+        sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("double").as("y"))
+    val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+    val wSeq = Window.orderBy($"day")
+    daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum($"x").over(w)).withColumn("sy", sum($"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .withColumn("syy", sum($"y" * $"y").over(w))
+      .withColumn("rn", row_number().over(wSeq))
+      .filter($"rn" >= 7)
+      .select($"day", $"x".cast("long").as("clicks"), $"y".cast("long").as("purchases"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_7d"))
+      .orderBy($"day")
+  }
+
+  /** The day grid is one global ordered window — fine for a daily
+    * series (#days rows at any corpus scale); a per-key variant would
+    * partition by key exactly like q125/q131. */
+  private val q130Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              AS DOUBLE) AS x,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS DOUBLE) AS y
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT day, x, y,
+      |         CAST(count(*) OVER w AS DOUBLE) AS n,
+      |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |         sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx,
+      |         sum(y*y) OVER w AS syy,
+      |         row_number() OVER (ORDER BY day) AS rn
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT day, CAST(x AS BIGINT) AS clicks, CAST(y AS BIGINT) AS purchases,
+      |       round((n * sxy - sx * sy) /
+      |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_7d
+      |FROM s WHERE rn >= 7 ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------- q131
+  /** Rolling volatility bands (Bollinger): per-type 7-day rolling mean
+    * ± 2 rolling σ with a breakout flag — q125 detects sustained level
+    * shifts, this flags single-day excursions against the RECENT
+    * regime rather than the whole-history stats q126 uses. Same
+    * one-scan daily grid, same integer-exact window sums, so the
+    * unrounded breakout comparison is bit-deterministic. Warm-up rows
+    * (< 7 days of history) are suppressed on both sides. */
+  private def q131(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    val wSeq = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum($"cnt").over(w))
+      .withColumn("sxx", sum($"cnt" * $"cnt").over(w))
+      .withColumn("rn", row_number().over(wSeq))
+      .filter($"rn" >= 7)
+      .withColumn("mid", $"sx" / $"n")
+      .withColumn("band", lit(2.0) * (sqrt($"n" * $"sxx" - $"sx" * $"sx") / $"n"))
+      .select($"event_type", $"day", $"cnt".cast("long").as("cnt"),
+        round($"mid", 4).as("mid"),
+        round($"mid" - $"band", 4).as("lower_band"),
+        round($"mid" + $"band", 4).as("upper_band"),
+        ($"cnt" > $"mid" + $"band" || $"cnt" < $"mid" - $"band")
+          .cast("int").as("breakout"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q131Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, day, cnt,
+      |         CAST(count(*) OVER w AS DOUBLE) AS n,
+      |         sum(cnt) OVER w AS sx, sum(cnt*cnt) OVER w AS sxx,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |), m AS (
+      |  SELECT event_type, day, cnt, sx / n AS mid,
+      |         2.0 * (sqrt(n * sxx - sx * sx) / n) AS band
+      |  FROM s WHERE rn >= 7
+      |)
+      |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+      |       round(mid, 4) AS mid, round(mid - band, 4) AS lower_band,
+      |       round(mid + band, 4) AS upper_band,
+      |       CAST(cnt > mid + band OR cnt < mid - band AS INTEGER) AS breakout
+      |FROM m ORDER BY event_type, day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q125_cusum_changepoint", q125, Some(q125Sql)),
     Q("q126_seasonal_decompose", q126, Some(q126Sql)),
     Q("q127_forecast_backtest", q127, Some(q127Sql)),
+    Q("q130_rolling_correlation", q130, Some(q130Sql)),
+    Q("q131_rolling_bands", q131, Some(q131Sql)),
   )
 }

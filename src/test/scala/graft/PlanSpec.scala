@@ -470,6 +470,20 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("Join") // components never re-join the grid
   }
 
+  test("q131: rolling bands are per-key frame windows over one grid scan") {
+    val p = plan("q131_rolling_bands")
+    p.split("Location:").length shouldBe 2 // ONE events scan
+    p should include("windowspecdefinition(event_type") // never an unpartitioned window
+    (p should not).include("Join")
+  }
+
+  test("q132: the Pareto prefix runs per revenue band; offsets broadcast back") {
+    val p = plan("q132_pareto_classes")
+    p should include("windowspecdefinition(band") // phase-1 local scans are partitioned
+    p should include("BroadcastHashJoin") // #bands-row offset frame joins broadcast
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q124: baskets persist once; pairs come from an equi-join on user_id") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q124_market_basket")

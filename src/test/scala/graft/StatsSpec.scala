@@ -11,6 +11,67 @@ class StatsSpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q129 winsorized and trimmed means match a driver recompute") {
+    val vals = sources.Tables.events(spark, dir)
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSeq).toMap
+    val got = SparkEntry.queries("q129_robust_means")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    got.keySet shouldBe vals.keySet
+    // driver-side percentile_cont: rank = q·(n−1), linear interpolation
+    def pct(sorted: IndexedSeq[Double], q: Double): Double = {
+      val rank = q * (sorted.size - 1)
+      val lo = sorted(rank.toInt)
+      val hi = sorted(math.ceil(rank).toInt)
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    for ((tpe, xs) <- vals) {
+      val r = got(tpe)
+      val sorted = xs.sorted.toIndexedSeq
+      val (p05, p95) = (pct(sorted, 0.05), pct(sorted, 0.95))
+      r.getDouble(r.fieldIndex("p05")) shouldBe p05 +- 1e-3
+      r.getDouble(r.fieldIndex("p95")) shouldBe p95 +- 1e-3
+      r.getDouble(r.fieldIndex("mean_raw")) shouldBe xs.sum / xs.size +- 1e-3
+      val wins = xs.map(v => math.min(math.max(v, p05), p95))
+      r.getDouble(r.fieldIndex("mean_winsor")) shouldBe wins.sum / wins.size +- 1e-3
+      val kept = xs.filter(v => v >= p05 && v <= p95)
+      r.getDouble(r.fieldIndex("mean_trimmed")) shouldBe kept.sum / kept.size +- 1e-3
+      // outliers drag the raw mean above both robust forms on this data
+      r.getDouble(r.fieldIndex("mean_winsor")) should be < r.getDouble(r.fieldIndex("mean_raw"))
+    }
+  }
+
+  test("q132 two-phase Pareto scan equals a naive driver ranking") {
+    val rev = sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")) * 100.0, 0)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (-c, k) }
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classes = rev.map { case (_, c) =>
+      cum += c
+      if (cum * 5 <= total * 4) "A" else if (cum * 20 <= total * 19) "B" else "C"
+    }
+    val expected = classes.zip(rev.map(_._2)).groupBy(_._1)
+      .view.mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+
+    val got = SparkEntry.queries("q132_pareto_classes")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.keySet shouldBe expected.keySet
+    for ((cls, (n, centsSum)) <- expected) {
+      got(cls)._1 shouldBe n
+      got(cls)._2 shouldBe centsSum / 100.0 +- 0.01
+    }
+    // the A boundary is tight: A holds ≤ 80% of revenue, A plus the
+    // first B part exceeds it
+    val aRev = expected("A")._2
+    aRev * 5 should be <= total * 4
+    val firstB = rev(expected("A")._1.toInt)._2
+    (aRev + firstB) * 5 should be > total * 4
+  }
+
   test("q115 sufficient-sum regression matches Spark's built-in moments") {
     val got = SparkEntry.queries("q115_bivariate_profile")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap

@@ -71,6 +71,51 @@ class TimeseriesSpec extends SparkSpecBase {
     outRate should be < 0.05
   }
 
+  test("q130 rolling correlation matches a driver recompute per 7-day frame") {
+    val got = SparkEntry.queries("q130_rolling_correlation")(spark, dir).collect()
+    got should not be empty
+    // rebuild the two aligned series from the per-type daily grid
+    val clicks = daily("click").map { case (d, c) => d.toString -> c.toDouble }.toMap
+    val purchases = daily("purchase").map { case (d, c) => d.toString -> c.toDouble }.toMap
+    // the grid covers every day ANY event type fired, not just these two
+    val days = daily.values.flatten.map(_._1.toString).toSet.toSeq.sorted
+    val xs = days.map(d => clicks.getOrElse(d, 0.0))
+    val ys = days.map(d => purchases.getOrElse(d, 0.0))
+    got.length shouldBe days.size - 6
+    for (r <- got) {
+      val i = days.indexOf(r.getDate(0).toString)
+      i should be >= 6
+      val (wx, wy) = (xs.slice(i - 6, i + 1), ys.slice(i - 6, i + 1))
+      val n = 7.0
+      val (sx, sy) = (wx.sum, wy.sum)
+      val sxy = wx.zip(wy).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (wx.map(a => a * a).sum, wy.map(a => a * a).sum)
+      val expect = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      r.getDouble(r.fieldIndex("corr_7d")) shouldBe expect +- 1e-5
+    }
+  }
+
+  test("q131 bands come from the trailing 7-day frame and flag true excursions") {
+    val got = SparkEntry.queries("q131_rolling_bands")(spark, dir).collect()
+    got.length shouldBe daily.values.map(v => math.max(0, v.size - 6)).sum
+    val byType = got.groupBy(_.getString(0))
+    for ((tpe, rows) <- byType) {
+      val xs = daily(tpe).map(_._2.toDouble).toIndexedSeq
+      for ((r, j) <- rows.sortBy(_.getDate(1).toString).zipWithIndex) {
+        val i = j + 6 // first emitted row sits at index 6 of the series
+        val w = xs.slice(i - 6, i + 1)
+        val (n, sx, sxx) = (7.0, w.sum, w.map(a => a * a).sum)
+        val mid = sx / n
+        val band = 2.0 * (math.sqrt(n * sxx - sx * sx) / n)
+        r.getDouble(r.fieldIndex("mid")) shouldBe mid +- 1e-3
+        r.getDouble(r.fieldIndex("upper_band")) shouldBe (mid + band) +- 1e-3
+        val flagged = r.getInt(r.fieldIndex("breakout")) == 1
+        flagged shouldBe (xs(i) > mid + band || xs(i) < mid - band)
+      }
+    }
+  }
+
   test("q127 seasonal-naive MAE matches a driver replay of the lag model") {
     val got = SparkEntry.queries("q127_forecast_backtest")(spark, dir)
       .collect()
