@@ -483,8 +483,60 @@ object Behavioral {
       |       quantile_cont(dur_us, 0.75) / 1000000.0 AS p75_s
       |FROM durs""".stripMargin
 
+  // -------------------------------------------------------------- q133
+  /** Rolling active users: DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per day — the engagement headline next
+    * to q46's cohort retention. The scale trick is the WAU side:
+    * sliding-window COUNT DISTINCT does not decompose into window
+    * frames, and the naive form is a 7-day range join (each day
+    * rescans a week — the ORACLE computes exactly that form, so the
+    * gate proves the rewrite). Instead each distinct (day, user) pair
+    * EXPLODES into the ≤ 7 window-days it supports (`sequence(0,6)`),
+    * and WAU is a plain hash countDistinct on window-day: linear 7×
+    * fan-out, partial+final aggregation, no range join anywhere. Days
+    * without a full trailing week are suppressed on both sides; WAU
+    * window-days that fall past the observed spine drop in the inner
+    * join with the DAU frame. All integers + one rounded divide. */
+  private def q133(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables.events(spark, dir)
+      .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .distinct()
+    val dau = du.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val wau = du
+      .select(explode(sequence(lit(0), lit(6))).as("off"), $"day", $"user_id")
+      .select(date_add($"day", $"off").as("day"), $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    val lo = du.agg(date_add(min($"day"), 6).as("d0"))
+    dau.join(wau, Seq("day"))
+      .crossJoin(broadcast(lo))
+      .filter($"day" >= $"d0")
+      .select($"day", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  private val q133Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events
+      |), spine AS (SELECT DISTINCT day FROM du),
+      |wau AS (
+      |  SELECT s.day, count(DISTINCT d.user_id) AS wau
+      |  FROM spine s JOIN du d ON d.day BETWEEN s.day - 6 AND s.day
+      |  GROUP BY 1
+      |), dau AS (
+      |  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1
+      |)
+      |SELECT d.day, d.dau, w.wau,
+      |       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w ON w.day = d.day
+      |WHERE d.day >= (SELECT min(day) FROM du) + 6
+      |ORDER BY d.day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
+    Q("q133_active_users", q133, Some(q133Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
     Q("q46_cohort_retention", q46, Some(q46Sql)),
     Q("q91_event_outliers", q91, Some(q91Sql)),

@@ -328,11 +328,59 @@ object Stats {
       |       round(sum(cents) / 100.0, 2) AS class_revenue
       |FROM classed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q135
+  /** Gini coefficient of part-revenue concentration per return class —
+    * the scalar companion of q132's ABC classes (Lorenz-curve area via
+    * the rank identity G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over
+    * ascending-sorted xᵢ). Same integer-cents discipline as q132:
+    * ranks and revenues are bigints, both sums are exact integers
+    * (Σ i·cents stays < 2⁶³ far past these scales; a 10⁹-part catalog
+    * would move the product sum to DECIMAL — same plan), and the only
+    * doubles are the two final IEEE divides, rounded at 6 dp. The
+    * per-class window sorts partition independently; at q132-scale
+    * cardinalities the banded two-phase scan swaps in unchanged. */
+  private def q135(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRank = Window.partitionBy($"l_returnflag").orderBy($"cents", $"l_partkey")
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")) * 100.0, 0)
+        .cast("long").as("cents"))
+      .withColumn("i", row_number().over(wRank).cast("long"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum($"cents") / 100.0, 2).as("class_revenue"),
+        round(lit(2.0) * sum($"i" * $"cents").cast("double") /
+          (count(lit(1)) * sum($"cents").cast("double")) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q135Sql: String =
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_partkey,
+      |         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0, 0)
+      |              AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT l_returnflag, cents,
+      |         CAST(row_number() OVER (PARTITION BY l_returnflag
+      |                                 ORDER BY cents, l_partkey) AS BIGINT) AS i
+      |  FROM rev
+      |)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_parts,
+      |       round(sum(cents) / 100.0, 2) AS class_revenue,
+      |       round(2.0 * CAST(sum(i * cents) AS DOUBLE) /
+      |             (count(*) * CAST(sum(cents) AS DOUBLE)) -
+      |             (count(*) + 1.0) / count(*), 6) AS gini
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
     Q("q117_chi_square_cells", q117, Some(q117Sql)),
     Q("q129_robust_means", q129, Some(q129Sql)),
     Q("q132_pareto_classes", q132, Some(q132Sql)),
+    Q("q135_gini_concentration", q135, Some(q135Sql)),
   )
 }

@@ -404,11 +404,79 @@ object Temporal {
       |GROUP BY 1
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q134
+  /** U-shaped (position-based) multi-touch attribution: every
+    * non-purchase event is a touch credited to its user's NEXT
+    * purchase — 40% to the first touch, 40% to the last, the middle
+    * 20% split evenly (degenerate paths: one touch takes 1.0, two
+    * take 0.5 each) — the multi-touch generalization of q114's
+    * last-touch report, and the credit model marketing teams actually
+    * reconcile against.
+    *
+    *  Scale shape: conversion assignment is NOT a touches×conversions
+    * join (per-user quadratic, q20's density trap) — each touch finds
+    * its next conversion with one `min(conv_ts)` over a FOLLOWING
+    * frame, then position/path-length are windows over the assigned
+    * (user, conversion) groups: three window passes on one user_id
+    * shuffle, one corpus scan, zero joins. Credits are exact rationals
+    * summed once per channel, rounded at 4 dp. */
+  private def q134(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wNext = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wPath = Window.partitionBy($"user_id", $"conv_us")
+      .orderBy($"us", $"event_id")
+    val wLen = Window.partitionBy($"user_id", $"conv_us")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("conv_us",
+        min(when($"event_type" === "purchase", $"us")).over(wNext))
+      .filter($"event_type" =!= "purchase" && $"conv_us".isNotNull)
+      .withColumn("pos", row_number().over(wPath))
+      .withColumn("m", count(lit(1)).over(wLen))
+      .withColumn("credit",
+        when($"m" === 1, lit(1.0))
+          .when($"m" === 2, lit(0.5))
+          .when($"pos" === 1 || $"pos" === $"m", lit(0.4))
+          .otherwise(lit(0.2) / ($"m" - 2)))
+      .groupBy($"event_type".as("channel"))
+      .agg(count(lit(1)).as("n_touches"), round(sum($"credit"), 4).as("credit"))
+      .orderBy($"channel")
+  }
+
+  private val q134Sql: String =
+    """WITH assigned AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |           AS conv_us
+      |  FROM events
+      |), ranked AS (
+      |  SELECT event_type AS channel,
+      |         row_number() OVER (PARTITION BY user_id, conv_us
+      |                            ORDER BY us, event_id) AS pos,
+      |         count(*) OVER (PARTITION BY user_id, conv_us) AS m
+      |  FROM assigned
+      |  WHERE event_type <> 'purchase' AND conv_us IS NOT NULL
+      |), credits AS (
+      |  SELECT channel,
+      |         CASE WHEN m = 1 THEN 1.0
+      |              WHEN m = 2 THEN 0.5
+      |              WHEN pos = 1 OR pos = m THEN 0.4
+      |              ELSE 0.2 / (m - 2) END AS credit
+      |  FROM ranked
+      |)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |       round(sum(credit), 4) AS credit
+      |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q110_scd2_history", q110, Some(q110Sql)),
     Q("q111_concurrency", q111, Some(q111Sql)),
     Q("q113_snapshot_diff", q113, Some(q113Sql)),
     Q("q114_attribution", q114, Some(q114Sql)),
     Q("q119_time_weighted_avg", q119, Some(q119Sql)),
+    Q("q134_multitouch_attribution", q134, Some(q134Sql)),
   )
 }

@@ -32,6 +32,38 @@ object WindowedStats {
         col("window.end").as("window_end"),
         col("sensor"), col("n"), col("avg_v"), col("std_v"))
 
+  /** Streaming heavy hitters: per event-time tumbling window, the
+    * Misra–Gries top-items sketch ([[graft.functions.MisraGries]] —
+    * q128's sketch twin) as a windowed streaming aggregation. The MG
+    * buffer is the streaming STATE: k (item, count) counters per open
+    * window, merged incrementally by the aggregator's own mergeable-
+    * summaries algebra as micro-batches arrive — so "trending items
+    * this hour over an unbounded item domain" runs with
+    * O(k × open windows) state where an exact streaming groupBy would
+    * hold every distinct item ever seen inside the lateness horizon.
+    * The watermark finalizes windows and evicts their counters; the
+    * PODS'12 bound (est ∈ [true − n/(k+1), true]) holds per window
+    * because batch-incremental merge IS the sketch's merge
+    * (StreamingSpec proves stream ≡ batch sketch bound on the same
+    * data). */
+  def trendingItems(
+      events: DataFrame, // streaming (ts: timestamp, item: long)
+      k: Int,
+      windowLength: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(mg(col("item")).as("top_items"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("top_items"))
+  }
+
   /** Gap-based session windows per key — the streaming twin of the q44
     * batch sessionizer, on Spark's native `session_window` (dynamic
     * merging windows: a session closes only when no event lands within

@@ -83,4 +83,27 @@ class BehavioralSpec extends SparkSpecBase {
     // the report flags something somewhere on this corpus
     rows.map(_.getAs[Long]("n_outliers")).sum should be > 0L
   }
+
+  test("q133 offset-explode WAU equals a literal sliding-set recompute") {
+    import org.apache.spark.sql.functions._
+    val du = sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val days = du.keySet.toSeq.sorted
+    val got = SparkEntry.queries("q133_active_users")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.keySet shouldBe days.drop(6).toSet
+    for ((day, (dau, wau, stick)) <- got) {
+      val i = days.indexOf(day)
+      dau shouldBe du(day).size.toLong
+      // union the literal trailing-7-day user sets — the quadratic
+      // form the explode rewrite replaces
+      val expect = days.slice(i - 6, i + 1).map(du).reduce(_ ++ _).size.toLong
+      wau shouldBe expect
+      stick shouldBe dau.toDouble / wau +- 1e-6
+    }
+  }
 }

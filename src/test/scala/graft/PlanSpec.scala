@@ -484,6 +484,27 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q133: WAU is explode + hash distinct — the range join never appears") {
+    val p = plan("q133_active_users")
+    p should include("Arguments: explode(") // the 7-way window fan-out (Generate node)
+    p should include("partial_count(distinct") // distinct combines map-side
+    // the naive form (oracle) is a BNLJ range join; the engine must not
+    // plan one anywhere except the broadcast 1-row min-day crossJoin
+    p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) shouldBe 1
+  }
+
+  test("q134/q135: attribution and Gini are window passes over one scan, no joins") {
+    val att = plan("q134_multitouch_attribution")
+    att.split("Location:").length shouldBe 2 // ONE events scan
+    att should include("windowspecdefinition(user_id") // assignment + path windows
+    (att should not).include("Join") // never touches×conversions
+    val gini = plan("q135_gini_concentration")
+    gini.split("Location:").length shouldBe 2 // ONE lineitem scan
+    gini should include("windowspecdefinition(l_returnflag")
+    (gini should not).include("Join")
+  }
+
   test("q124: baskets persist once; pairs come from an equi-join on user_id") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q124_market_basket")

@@ -72,6 +72,30 @@ class StatsSpec extends SparkSpecBase {
     (aRev + firstB) * 5 should be > total * 4
   }
 
+  test("q135 rank-identity Gini equals the mean-absolute-difference form") {
+    val rev = sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")) * 100.0, 0)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble).toSeq).toMap
+    val got = SparkEntry.queries("q135_gini_concentration")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(r.fieldIndex("gini"))).toMap
+    got.keySet shouldBe rev.keySet
+    for ((flag, xs) <- rev) {
+      // a DIFFERENT estimator: G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) — O(n²), only a
+      // test can afford it; agreement proves the rank identity right
+      val n = xs.size
+      val mu = xs.sum / n
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum / (n.toDouble * n)
+      val gini = mad / (2.0 * mu)
+      // Σ|xᵢ−xⱼ| = 2Σᵢ(2i−n−1)x₍ᵢ₎ makes the two forms algebraically
+      // identical — agreement is exact up to rounding
+      got(flag) shouldBe gini +- 1e-4
+      got(flag) should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("q115 sufficient-sum regression matches Spark's built-in moments") {
     val got = SparkEntry.queries("q115_bivariate_profile")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap

@@ -248,6 +248,47 @@ class StreamingSpec extends SparkSpecBase {
     rows.map(_._1) should contain(ts(360))
   }
 
+  test("streaming MG heavy hitters hold the batch sketch bound across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val source = MemoryStream[(Timestamp, Long)]
+    val trending = graft.streaming.WindowedStats.trendingItems(
+      source.toDF().toDF("ts", "item"), k, windowLength = "1 minute",
+      lateness = "1 minute")
+    val q = trending.writeStream.outputMode("append")
+      .format("memory").queryName("mg_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // a skewed stream into window [60,120): item 1 dominates, split
+    // across TWO micro-batches so the sketch state actually merges
+    val batch1 = Seq.fill(20)(1L) ++ Seq(2L, 3L, 4L, 5L, 6L)
+    val batch2 = Seq.fill(15)(1L) ++ Seq.fill(8)(7L) ++ Seq(8L, 9L)
+    source.addData(batch1.map(i => (ts(70), i)))
+    q.processAllAvailable()
+    source.addData(batch2.map(i => (ts(80), i)))
+    q.processAllAvailable()
+    source.addData(Seq((ts(400), 99L))) // advance watermark, finalize [60,120)
+    q.processAllAvailable()
+    source.addData(Seq((ts(700), 99L)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("mg_out")
+      .where($"window_start" === ts(60)).collect()
+    out.length shouldBe 1
+    val sketch = out.head.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = batch1 ++ batch2
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val err = all.size.toDouble / (k + 1)
+    sketch.size should be <= k
+    for ((item, est) <- sketch) {
+      est should be <= exact(item)
+      (exact(item) - est).toDouble should be <= err
+    }
+    // the dominant items survive the cross-batch merge
+    for ((item, c) <- exact if c > err) sketch.keySet should contain(item)
+  }
+
   test("session windows merge within the gap, split across it, drop late rows") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Entry]

@@ -162,4 +162,54 @@ class TemporalSpec extends SparkSpecBase {
     cc should be >= 0.0
     cc should be <= 1.0
   }
+
+  test("q134 credits conserve mass and match a sequential driver replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q134_multitouch_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // sequential replay: walk each user's timeline, credit each touch
+    // run to its closing purchase with the U-shaped weights
+    val byUser = sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._4))).toMap
+    val credit = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    val touches = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var conversions = 0
+    for ((_, evs) <- byUser) {
+      var pending = Vector.empty[String]
+      for ((_, tpe, _, _) <- evs) {
+        if (tpe == "purchase") {
+          if (pending.nonEmpty) {
+            conversions += 1
+            val m = pending.size
+            for ((ch, pos) <- pending.zipWithIndex) {
+              val w =
+                if (m == 1) 1.0
+                else if (m == 2) 0.5
+                else if (pos == 0 || pos == m - 1) 0.4
+                else 0.2 / (m - 2)
+              credit(ch) += w
+            }
+          }
+          pending = Vector.empty
+        } else {
+          pending :+= tpe
+          touches(tpe) += 1L
+        }
+      }
+      // touches after a user's last purchase never convert — drop, but
+      // uncount them to mirror the query's conv_us IS NOT NULL filter
+      pending.foreach(ch => touches(ch) -= 1L)
+    }
+    got.keySet shouldBe credit.keySet
+    for ((ch, (n, c)) <- got) {
+      n shouldBe touches(ch)
+      c shouldBe credit(ch) +- 1e-3
+    }
+    // mass conservation: every credited conversion hands out exactly 1.0
+    got.values.map(_._2).sum shouldBe conversions.toDouble +- 1e-3
+  }
 }
