@@ -229,4 +229,22 @@ object Graft {
       .distinct()
     operators.Graph.triangleCensus(canonical)
   }
+
+  /** MERGE INTO as set algebra over a PERSISTED base and a change feed:
+    *
+    *   applied = (base ANTI-JOIN feed keys) ∪ (feed upserts)
+    *
+    * `feed` carries `opCol` ('D' deletes the key, anything else
+    * upserts) plus exactly base's columns; at most one feed row per
+    * key (enforce upstream with a last-write-wins rank — see q139).
+    * Cost is delta-bounded: history is never rescanned, the anti-join
+    * broadcasts whenever a day's feed is small, and both inputs keep
+    * their own lineage (unlike the same-scan case, where q139's fused
+    * one-scan form wins — MaintenanceSpec proves the two forms agree). */
+  def cdcApply(base: DataFrame, feed: DataFrame, keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val keys = feed.select(keyCols.map(col): _*)
+    base.join(keys, keyCols, "left_anti")
+      .unionByName(feed.filter(col(opCol) =!= "D").drop(opCol))
+  }
 }

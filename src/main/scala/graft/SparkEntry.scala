@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Behavioral.all ++
       operators.Temporal.all ++
       operators.Stats.all ++
+      operators.Segmentation.all ++
       operators.Timeseries.all ++
       operators.Association.all ++
       operators.Maintenance.all ++

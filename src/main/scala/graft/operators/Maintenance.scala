@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -79,7 +80,86 @@ object Maintenance {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  // -------------------------------------------------------------- q139
+  /** CDC apply — MERGE INTO semantics as set algebra: the base snapshot
+    * (each customer's last order BEFORE the cutoff) absorbs a change
+    * feed (each customer's last order AFTER it, a tombstone when that
+    * order's status is 'F') as
+    *
+    *   applied = (base ANTI-JOIN feed keys) ∪ (feed upserts)
+    *
+    * — deletes drop state, upserts replace it, untouched keys carry.
+    * This is q113's complement: q113 DIFFS two snapshots, this APPLIES
+    * a delta, and the ORACLE is the one-shot rebuild from the full
+    * table (latest order per customer, dropped when that order is a
+    * post-cutoff 'F'), so the hash gate proves apply ≡ rebuild — the
+    * identity a 100 TB nightly MERGE relies on to never rescan history.
+    *
+    * Because base and feed here derive from the SAME table, the whole
+    * merge fuses: a single descending window carries two conditional
+    * running counts (q113's fused-rank trick) that pick each side's
+    * latest row, ONE conditional aggregate gathers both sides per key,
+    * and a CASE applies the merge — one scan, one custkey shuffle, NO
+    * join (a naive base ANTI feed ∪ upserts over shared lineage
+    * triples the scan — measured; PlanSpec locks the fused shape). At
+    * 100 TB, where base is a persisted table and the feed a day's
+    * arrivals, the set-algebra form is [[graft.Graft.cdcApply]] — the
+    * spec proves it reproduces this query on the same split. */
+  private val CdcCutoff = "2001-01-01 00:00:00"
+
+  private def q139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val oldTop = $"is_old" && $"rn_old" === 1
+    val newTop = !$"is_old" && $"rn_new" === 1
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"o_orderstatus",
+        $"o_orderdate",
+        ($"o_orderdate" < lit(CdcCutoff).cast("timestamp")).as("is_old"))
+      .withColumn("rn_old", sum(when($"is_old", 1).otherwise(0)).over(running))
+      .withColumn("rn_new", sum(when(!$"is_old", 1).otherwise(0)).over(running))
+      .groupBy($"o_custkey")
+      .agg(
+        // exactly one row matches each side's predicate (q113's rule):
+        // max over one non-null value selects it order-insensitively
+        max(when(oldTop, $"o_orderkey")).as("old_key"),
+        max(when(oldTop, $"o_totalprice")).as("old_price"),
+        max(when(newTop, $"o_orderkey")).as("new_key"),
+        max(when(newTop, $"o_totalprice")).as("new_price"),
+        max(when(newTop, $"o_orderstatus")).as("new_status"))
+      .filter($"new_key".isNull || $"new_status" =!= "F") // tombstones drop
+      .select($"o_custkey",
+        coalesce($"new_key", $"old_key").as("last_orderkey"),
+        coalesce($"new_price", $"old_price").as("last_price"),
+        when($"new_key".isNotNull, "upserted").otherwise("carried").as("src"))
+      .orderBy($"o_custkey")
+  }
+
+  /** One-shot rebuild: latest order per customer over the FULL table,
+    * dropped when that order is a post-cutoff 'F' — the merged
+    * base+delta must equal it row for row. Prices pass through raw
+    * (compared, never computed with — no rounding needed). */
+  private val q139Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+       |         o_orderdate >= TIMESTAMP '$CdcCutoff' AS is_new,
+       |         row_number() OVER (PARTITION BY o_custkey
+       |                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+       |           AS rn
+       |  FROM orders
+       |)
+       |SELECT o_custkey,
+       |       o_orderkey AS last_orderkey,
+       |       o_totalprice AS last_price,
+       |       CASE WHEN is_new THEN 'upserted' ELSE 'carried' END AS src
+       |FROM ranked
+       |WHERE rn = 1 AND NOT (is_new AND o_orderstatus = 'F')
+       |ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q118_join_view_maintenance", q118, Some(q118Sql)),
+    Q("q139_cdc_apply", q139, Some(q139Sql)),
   )
 }

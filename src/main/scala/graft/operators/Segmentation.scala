@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Population segmentation and experiment readout — the two workloads a
+  * product analytics stack runs daily on top of the behavioral family:
+  * RFM customer scoring (the classic recency/frequency/monetary
+  * quintile cut, Hughes' segmentation every CRM implements) and a
+  * two-proportion experiment readout over a deterministic hash-based
+  * assignment (the q51 split discipline applied to A/B bucketing).
+  *
+  * Determinism: every ntile window orders by an INTEGER-exact key with
+  * a customer tiebreak (q107's rule — monetary ranks on exact cents,
+  * never on a drifting double sum); the z-statistic is computed from
+  * integer sufficient counts with a fixed parenthesization and one
+  * terminal round.
+  */
+object Segmentation {
+
+  // -------------------------------------------------------------- q137
+  /** RFM quintile segmentation within market segment: per customer,
+    * recency (last order date), frequency (order count), monetary
+    * (lifetime spend) each cut into quintiles among segment peers, the
+    * 3-digit RFM cell, and the canonical lifecycle label. Scoring
+    * within c_mktsegment is both the analytically honest cut (segments
+    * have different baseline spend) and the scale-right one: each
+    * ntile is a window over a bounded peer partition, never a global
+    * single-partition sort (at 100 TB with high-cardinality cohorts
+    * the same shape holds; for a truly global cut, switch the boundary
+    * source to q54's mergeable quantile sketch and assign by range —
+    * same output contract).
+    *
+    * One orders scan collapses to #customers rows BEFORE the customer
+    * join (partial+final agg), so the join and all three windows move
+    * only aggregate rows. Monetary ORDERS on exact integer cents
+    * (per-row half-up rounding identical both engines on identical
+    * doubles) while the EMITTED lifetime spend is the double sum
+    * rounded 2 dp; recency_days is one IEEE divide of exact integer
+    * micros. */
+  private val AnchorUs = 999302400000000L // 2001-09-01, just past max(o_orderdate)
+
+  private def q137(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC at every
+        // entry point, so the cast is the identity DuckDB's epoch_us uses
+        max(unix_micros($"o_orderdate".cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100, 0).cast("long")).as("m_cents"),
+        round(sum($"o_totalprice"), 2).as("monetary"))
+    val joined = m.join(
+      Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment"),
+      $"o_custkey" === $"c_custkey")
+    def quintile(key: String): org.apache.spark.sql.Column =
+      ntile(5).over(Window.partitionBy($"c_mktsegment").orderBy(col(key), $"c_custkey"))
+    joined
+      .select($"c_custkey", $"c_mktsegment", $"n_orders", $"monetary",
+        (lit(AnchorUs) - $"last_us") / lit(86400000000.0) as "recency_days",
+        quintile("last_us").as("r_score"),
+        quintile("n_orders").as("f_score"),
+        quintile("m_cents").as("m_score"))
+      .withColumn("rfm_cell", $"r_score" * 100 + $"f_score" * 10 + $"m_score")
+      .withColumn("segment_label",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"r_score" >= 4 && $"f_score" <= 2, "new")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk")
+          .when($"r_score" <= 2 && $"f_score" <= 2, "lapsed")
+          .otherwise("core"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q137Sql: String =
+    s"""WITH m AS (
+       |  SELECT o_custkey,
+       |         max(epoch_us(o_orderdate)) AS last_us,
+       |         CAST(count(*) AS BIGINT) AS n_orders,
+       |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+       |           AS m_cents,
+       |         round(sum(o_totalprice), 2) AS monetary
+       |  FROM orders GROUP BY 1
+       |), s AS (
+       |  SELECT c.c_custkey, c.c_mktsegment, m.n_orders, m.monetary,
+       |         ($AnchorUs - m.last_us) / 86400000000.0 AS recency_days,
+       |         CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+       |                             ORDER BY m.last_us, c.c_custkey) AS INTEGER)
+       |           AS r_score,
+       |         CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+       |                             ORDER BY m.n_orders, c.c_custkey) AS INTEGER)
+       |           AS f_score,
+       |         CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+       |                             ORDER BY m.m_cents, c.c_custkey) AS INTEGER)
+       |           AS m_score
+       |  FROM m JOIN customer c ON m.o_custkey = c.c_custkey
+       |)
+       |SELECT c_custkey, c_mktsegment, n_orders, monetary, recency_days,
+       |       r_score, f_score, m_score,
+       |       r_score * 100 + f_score * 10 + m_score AS rfm_cell,
+       |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+       |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |            WHEN r_score <= 2 AND f_score <= 2 THEN 'lapsed'
+       |            ELSE 'core' END AS segment_label
+       |FROM s
+       |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- q138
+  /** Two-proportion experiment readout: users are assigned to arms by
+    * the q51 hash-split discipline (a salted portable hash — stable
+    * across reruns and backfills, never `rand()`), conversion is "any
+    * purchase above the value threshold", and the readout is the
+    * pooled two-proportion z-test — the go/no-go table an
+    * experimentation platform serves.
+    *
+    * Scale shape: one events scan → per-user conditional max (partial+
+    * final agg, #users rows) → a SINGLE conditional aggregate row of
+    * integer sufficient counts (n, conversions per arm); the z
+    * arithmetic is driver-free column algebra on that one row. The
+    * arm rates ship as single IEEE divides of exact integers (q107's
+    * discipline); z gets one terminal 6 dp round (its sqrt is an
+    * IEEE-correctly-rounded op over a fixed parenthesization, the
+    * decision threshold compares the UNROUNDED value). */
+  private val ExpSalt = "#graft-exp1"
+  private val ConvValue = 160.0
+
+  private def q138(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > ConvValue, 1)
+        .otherwise(0)).as("converted"))
+      .withColumn("variant",
+        Portable.hash32(concat($"user_id".cast("string"), lit(ExpSalt))) % 2)
+    val s = perUser.agg(
+      sum(when($"variant" === 0, 1).otherwise(0)).as("n_a"),
+      sum(when($"variant" === 0, $"converted").otherwise(0)).as("conv_a"),
+      sum(when($"variant" === 1, 1).otherwise(0)).as("n_b"),
+      sum(when($"variant" === 1, $"converted").otherwise(0)).as("conv_b"))
+    val pA = $"conv_a" / $"n_a"
+    val pB = $"conv_b" / $"n_b"
+    val pp = ($"conv_a" + $"conv_b") / ($"n_a" + $"n_b")
+    val z = (pA - pB) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    s.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+      pA.as("p_a"), pB.as("p_b"),
+      round(z, 6).as("z_stat"),
+      when(abs(z) > 1.96, 1).otherwise(0).as("is_significant"))
+  }
+
+  private val q138Sql: String = {
+    val variant = Portable.hash32Sql(s"CAST(user_id AS VARCHAR) || '$ExpSalt'") + " % 2"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN event_type = 'purchase' AND value > $ConvValue
+       |                  THEN 1 ELSE 0 END) AS converted,
+       |         $variant AS variant
+       |  FROM events GROUP BY user_id
+       |), s AS (
+       |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+       |           AS conv_a,
+       |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+       |           AS conv_b
+       |  FROM u
+       |)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |       CAST(conv_a AS DOUBLE) / n_a AS p_a,
+       |       CAST(conv_b AS DOUBLE) / n_b AS p_b,
+       |       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+       |             sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+       |                  (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+       |                  (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+       |       CASE WHEN abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+       |                     sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+       |                          (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+       |                          (1.0 / n_a + 1.0 / n_b))) > 1.96
+       |            THEN 1 ELSE 0 END AS is_significant
+       |FROM s""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q137_rfm_segments", q137, Some(q137Sql)),
+    Q("q138_ab_test", q138, Some(q138Sql)),
+  )
+}

@@ -471,6 +471,81 @@ object Temporal {
       |       round(sum(credit), 4) AS credit
       |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q136
+  /** Interval union (coverage) per user: every event opens a 12-hour
+    * presence interval `[us, us+Hold)`; overlapping or abutting
+    * intervals merge into islands, and the report is each user's
+    * island count, total covered time, and longest contiguous stretch
+    * — the uptime/dwell-time reading of the event stream (q111 answers
+    * "how many sessions are open at instant t" with a global boundary
+    * sweep; this answers "how much of the timeline does each user
+    * cover", which the sweep can't give per key).
+    *
+    * Classic sweep-line as pure window algebra on ONE user_id shuffle:
+    * an island starts where the start exceeds the running `max(end)`
+    * over all strictly-preceding intervals (strict `>`, so abutting
+    * half-open intervals merge), the island id is the running count of
+    * starts riding the SAME sort, and two hash-aggs collapse islands →
+    * users. All arithmetic stays in integer micros until one terminal
+    * IEEE divide per column — no rounding needed anywhere. At 100 TB
+    * the sweep parallelizes by key with no global structure; a key
+    * whose timeline outgrows a task splits into (user, coarse epoch)
+    * chunks whose boundary islands stitch in one extra pass. */
+  private[graft] val HoldUs = 43200000000L // 12 h
+
+  private def q136(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val preceding = w.rowsBetween(Window.unboundedPreceding, -1)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("e_us", $"us" + HoldUs)
+      .withColumn("pm", max($"e_us").over(preceding))
+      .withColumn("new_i", when($"pm".isNull || $"us" > $"pm", 1).otherwise(0))
+      .withColumn("island", sum($"new_i").over(running))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("n_ev"), (max($"e_us") - min($"us")).as("span_us"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"n_ev").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        (sum($"span_us") / lit(1000000.0)).as("covered_s"),
+        (max($"span_us") / lit(1000000.0)).as("max_island_s"))
+      .orderBy($"user_id")
+  }
+
+  private val q136Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |         epoch_us(ts) + $HoldUs AS e_us
+       |  FROM events
+       |), m AS (
+       |  SELECT user_id, event_id, us, e_us,
+       |         max(e_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS pm
+       |  FROM e
+       |), isl AS (
+       |  SELECT user_id, us, e_us,
+       |         sum(CASE WHEN pm IS NULL OR us > pm THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM m
+       |), sp AS (
+       |  SELECT user_id, island, count(*) AS n_ev,
+       |         max(e_us) - min(us) AS span_us
+       |  FROM isl GROUP BY 1, 2
+       |)
+       |SELECT user_id,
+       |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |       CAST(count(*) AS BIGINT) AS n_islands,
+       |       CAST(sum(span_us) AS BIGINT) / 1000000.0 AS covered_s,
+       |       max(span_us) / 1000000.0 AS max_island_s
+       |FROM sp
+       |GROUP BY 1
+       |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q110_scd2_history", q110, Some(q110Sql)),
     Q("q111_concurrency", q111, Some(q111Sql)),
@@ -478,5 +553,6 @@ object Temporal {
     Q("q114_attribution", q114, Some(q114Sql)),
     Q("q119_time_weighted_avg", q119, Some(q119Sql)),
     Q("q134_multitouch_attribution", q134, Some(q134Sql)),
+    Q("q136_interval_coverage", q136, Some(q136Sql)),
   )
 }

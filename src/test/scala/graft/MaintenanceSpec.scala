@@ -47,4 +47,54 @@ class MaintenanceSpec extends SparkSpecBase {
     }
     differing should be > bounds.length / 2
   }
+
+  test("q139 merge branches partition the key space and respect the feed") {
+    val cut = lit("2001-01-01 00:00:00").cast("timestamp")
+    val applied = SparkEntry.queries("q139_cdc_apply")(spark, dir)
+      .select($"o_custkey", $"src").as[(Long, String)].collect()
+    val bySrc = applied.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // both merge branches genuinely exercised, and they partition keys
+    bySrc("carried").size should be > 0
+    bySrc("upserted").size should be > 0
+    bySrc("carried").intersect(bySrc("upserted")) shouldBe empty
+
+    val latest = sources.Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus"))
+        .as("last"))
+      .select($"o_custkey", ($"last.o_orderdate" >= cut).as("is_new"),
+        $"last.o_orderstatus".as("st"))
+      .as[(Long, Boolean, String)].collect()
+    latest.foreach { case (k, isNew, st) =>
+      if (!isNew) { // no post-cutoff orders → state must carry
+        bySrc("carried") should contain(k)
+      } else if (st == "F") { // tombstone → key must be gone entirely
+        bySrc("carried") should not contain k
+        bySrc("upserted") should not contain k
+      } else bySrc("upserted") should contain(k)
+    }
+  }
+
+  test("Graft.cdcApply over a persisted base reproduces q139's fused merge") {
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit("2001-01-01 00:00:00").cast("timestamp")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val ranked = sources.Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+    // the production shape: base is a materialized snapshot, the feed a
+    // later batch — build both explicitly, then apply the set algebra
+    val base = ranked.filter($"o_orderdate" < cut)
+      .withColumn("rn2", row_number().over(w)).filter($"rn2" === 1)
+      .select($"o_custkey", $"o_orderkey".as("last_orderkey"),
+        $"o_totalprice".as("last_price"), lit("carried").as("src"))
+    val feed = ranked.filter($"o_orderdate" >= cut && $"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("last_orderkey"),
+        $"o_totalprice".as("last_price"), lit("upserted").as("src"),
+        when($"o_orderstatus" === "F", "D").otherwise("U").as("op"))
+    val applied = Graft.cdcApply(base, feed, Seq("o_custkey"))
+      .orderBy($"o_custkey").collect()
+    val fused = SparkEntry.queries("q139_cdc_apply")(spark, dir).collect()
+    applied shouldBe fused
+  }
 }

@@ -505,6 +505,36 @@ class PlanSpec extends SparkSpecBase {
     (gini should not).include("Join")
   }
 
+  test("q136/q139: interval sweep and CDC merge fuse to one scan, one key shuffle, no join") {
+    for (q <- Seq("q136_interval_coverage", "q139_cdc_apply")) {
+      val p = plan(q)
+      p.split("Location:").length shouldBe 2 // ONE corpus scan
+      (p should not).include("Join") // merge/sweep fuse into aggregates
+      val key = if (q.startsWith("q136")) "user_id" else "o_custkey"
+      p should include(s"windowspecdefinition($key")
+      // the key hash + the presentation sort only (each prints twice)
+      p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 4
+    }
+  }
+
+  test("q137: the ntile triple rides one segment shuffle; customer broadcasts") {
+    val p = plan("q137_rfm_segments")
+    p should include("partial_sum") // orders collapse to customers map-side
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    // all three quintile windows share ONE exchange into segment cells —
+    // the two extra sorts between them are intra-partition re-orders
+    "hashpartitioning\\(c_mktsegment".r.findAllIn(p).length shouldBe 1
+    "windowspecdefinition\\(c_mktsegment".r.findAllIn(p).length shouldBe 3
+  }
+
+  test("q138: experiment readout is two aggregate grains over one scan, no join") {
+    val p = plan("q138_ab_test")
+    p.split("Location:").length shouldBe 2
+    (p should not).include("Join")
+    p should include("partial_max") // per-user conversion combines map-side
+  }
+
   test("q124: baskets persist once; pairs come from an equi-join on user_id") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q124_market_basket")

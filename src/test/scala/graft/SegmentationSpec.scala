@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the segmentation family the exact-value oracles can't
+  * express: ntile balance within every scoring partition, label/score
+  * consistency, assignment determinism, and that the z readout agrees
+  * with a from-scratch recomputation off the emitted counts. */
+class SegmentationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q137 quintiles are balanced within each segment and labels match scores") {
+    val rows = SparkEntry.queries("q137_rfm_segments")(spark, dir)
+      .select($"c_mktsegment", $"r_score", $"f_score", $"m_score",
+        $"rfm_cell", $"segment_label")
+      .as[(String, Int, Int, Int, Int, String)].collect()
+
+    // ntile(5) balance: within a segment, bucket sizes differ by ≤ 1
+    for (dim <- 0 until 3) {
+      val pick: ((String, Int, Int, Int, Int, String)) => Int =
+        r => dim match { case 0 => r._2; case 1 => r._3; case _ => r._4 }
+      rows.groupBy(_._1).foreach { case (_, seg) =>
+        val sizes = seg.groupBy(pick).values.map(_.length)
+        (sizes.max - sizes.min) should be <= 1
+      }
+    }
+    rows.foreach { case (_, r, f, m, cell, label) =>
+      cell shouldBe r * 100 + f * 10 + m
+      val expect =
+        if (r >= 4 && f >= 4 && m >= 4) "champion"
+        else if (r >= 4 && f <= 2) "new"
+        else if (r <= 2 && f >= 4) "at_risk"
+        else if (r <= 2 && f <= 2) "lapsed"
+        else "core"
+      label shouldBe expect
+    }
+    // the cut is non-degenerate: several lifecycle labels appear
+    rows.map(_._6).distinct.length should be >= 3
+  }
+
+  test("q137 monetary score ranks by exact cents, recency by last order") {
+    val scored = SparkEntry.queries("q137_rfm_segments")(spark, dir)
+    val joined = scored.join(
+      sources.Tables.orders(spark, dir).groupBy($"o_custkey").agg(
+        sum(round($"o_totalprice" * 100, 0).cast("long")).as("cents"),
+        max(unix_micros($"o_orderdate".cast("timestamp"))).as("last_us")),
+      $"c_custkey" === $"o_custkey")
+      .select($"c_mktsegment", $"m_score", $"cents", $"r_score", $"last_us",
+        $"c_custkey")
+      .as[(String, Int, Long, Int, Long, Long)].collect()
+    joined.groupBy(_._1).foreach { case (_, seg) =>
+      // a higher m_score bucket never holds a strictly poorer (cents, key)
+      val byM = seg.sortBy(r => (r._3, r._6)).map(_._2)
+      byM shouldBe byM.sorted
+      val byR = seg.sortBy(r => (r._5, r._6)).map(_._4)
+      byR shouldBe byR.sorted
+    }
+  }
+
+  test("q138 counts reconcile and the z readout recomputes from them") {
+    val row = SparkEntry.queries("q138_ab_test")(spark, dir).collect().head
+    val (na, ca, nb, cb) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+    val nUsers = sources.Tables.events(spark, dir)
+      .select($"user_id").distinct().count()
+    na + nb shouldBe nUsers
+    ca should be <= na
+    cb should be <= nb
+    // both arms populated at the smallest fixture — the divides are live
+    na should be > 0L
+    nb should be > 0L
+
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    row.getDouble(4) shouldBe pa
+    row.getDouble(5) shouldBe pb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    row.getDouble(6) shouldBe z +- 1e-6
+    row.getInt(7) shouldBe (if (math.abs(z) > 1.96) 1 else 0)
+  }
+
+  test("q138 assignment is the deterministic salted split, stable across runs") {
+    val v1 = SparkEntry.queries("q138_ab_test")(spark, dir).collect()
+    val v2 = SparkEntry.queries("q138_ab_test")(spark, dir).collect()
+    v1 shouldBe v2 // no rand() anywhere: a backfill reproduces the readout
+  }
+}

@@ -212,4 +212,33 @@ class TemporalSpec extends SparkSpecBase {
     // mass conservation: every credited conversion hands out exactly 1.0
     got.values.map(_._2).sum shouldBe conversions.toDouble +- 1e-3
   }
+
+  // ------------------------------------------------------------- q136
+  test("q136 coverage equals a straight in-memory interval merge") {
+    val hold = operators.Temporal.HoldUs
+    val got = SparkEntry.queries("q136_interval_coverage")(spark, dir)
+      .select($"user_id", $"n_events", $"n_islands", $"covered_s",
+        $"max_island_s")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    val byUser = sources.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    got.keySet shouldBe byUser.keySet
+    for ((u, evs) <- byUser) {
+      // merge [us, us+hold) greedily over the sorted starts
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (s <- evs.map(_._2).sorted) {
+        if (spans.nonEmpty && s <= spans.last._2)
+          spans(spans.size - 1) = (spans.last._1, math.max(spans.last._2, s + hold))
+        else spans += ((s, s + hold))
+      }
+      val (nEv, nIsl, cov, mx) = got(u)
+      nEv shouldBe evs.length.toLong
+      nIsl shouldBe spans.length.toLong
+      cov shouldBe spans.map(sp => sp._2 - sp._1).sum / 1e6 +- 1e-9
+      mx shouldBe spans.map(sp => sp._2 - sp._1).max / 1e6 +- 1e-9
+    }
+  }
 }
