@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -131,8 +132,76 @@ object Association {
       |HAVING count(*) > 0.008 * any_value(n)
       |ORDER BY item""".stripMargin
 
+  // -------------------------------------------------------------- q140
+  /** Item-to-item collaborative filtering over order baskets: for every
+    * part, its top-5 co-purchased parts by basket cosine co/√(nₐ·n_b)
+    * (Linden, Smith & York, IEEE Internet Computing '03 — the
+    * "customers who bought X also bought Y" list, computed offline
+    * exactly as they describe). Pair generation self-joins the
+    * DISTINCT (order, part) basket table on orderkey with a < b —
+    * per-BASKET quadratic, bounded by basket size (≤ 7 lines per
+    * order in this schema; at 100 TB cap or sample pathological mega-
+    * baskets first, they carry no signal), never corpus-quadratic.
+    * Item frequencies broadcast back onto the pair frame; cosine is
+    * two IEEE ops (one sqrt, one divide) over exact integer counts —
+    * bit-identical in both engines, shipped UNROUNDED (q107's
+    * discipline) — and the per-part top-5 ranks (cosine DESC, other)
+    * with a pre-shuffle WindowGroupLimit. */
+  private def q140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val freq = baskets.groupBy($"p").agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("p1"), $"b.p".as("p2"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.select($"p1".as("part"), $"p2".as("other"), $"co")
+      .unionByName(pairs.select($"p2".as("part"), $"p1".as("other"), $"co"))
+    val w = Window.partitionBy($"part").orderBy($"cosine".desc, $"other")
+    sym
+      .join(broadcast(freq.select($"p".as("part"), $"n".as("na"))), Seq("part"))
+      .join(broadcast(freq.select($"p".as("other"), $"n".as("nb"))), Seq("other"))
+      .withColumn("cosine", $"co" / sqrt(($"na" * $"nb").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"part", $"other", $"co".as("co_count"), $"cosine")
+      .orderBy($"part", $"cosine".desc, $"other")
+  }
+
+  private val q140Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), freq AS (
+      |  SELECT p, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS co
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
+      |  GROUP BY 1, 2
+      |), sym AS (
+      |  SELECT p1 AS part, p2 AS other, co FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS part, p1 AS other, co FROM pairs
+      |), scored AS (
+      |  SELECT s.part, s.other, s.co,
+      |         s.co / sqrt(CAST(f1.n * f2.n AS DOUBLE)) AS cosine
+      |  FROM sym s
+      |  JOIN freq f1 ON s.part = f1.p
+      |  JOIN freq f2 ON s.other = f2.p
+      |), ranked AS (
+      |  SELECT part, other, co, cosine,
+      |         row_number() OVER (PARTITION BY part
+      |                            ORDER BY cosine DESC, other) AS rn
+      |  FROM scored
+      |)
+      |SELECT part, other, co AS co_count, cosine
+      |FROM ranked
+      |WHERE rn <= 5
+      |ORDER BY part, cosine DESC, other""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q124_market_basket", q124, Some(q124Sql)),
     Q("q128_heavy_hitters", q128, Some(q128Sql)),
+    Q("q140_item_similarity", q140, Some(q140Sql)),
   )
 }

@@ -130,14 +130,23 @@ object Segmentation {
   private val ExpSalt = "#graft-exp1"
   private val ConvValue = 160.0
 
+  /** The experiment arm as a pure function of the unit key — q51's
+    * salted-hash split discipline applied to A/B bucketing; ONE
+    * definition shared by q138 and q141 so both readouts agree on
+    * assignment by construction. */
+  private[operators] def armOf(user: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Portable.hash32(concat(user.cast("string"), lit(ExpSalt))) % 2
+
+  private[operators] def armOfSql(e: String): String =
+    Portable.hash32Sql(s"CAST($e AS VARCHAR) || '$ExpSalt'") + " % 2"
+
   private def q138(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perUser = Tables.events(spark, dir)
       .groupBy($"user_id")
       .agg(max(when($"event_type" === "purchase" && $"value" > ConvValue, 1)
         .otherwise(0)).as("converted"))
-      .withColumn("variant",
-        Portable.hash32(concat($"user_id".cast("string"), lit(ExpSalt))) % 2)
+      .withColumn("variant", armOf($"user_id"))
     val s = perUser.agg(
       sum(when($"variant" === 0, 1).otherwise(0)).as("n_a"),
       sum(when($"variant" === 0, $"converted").otherwise(0)).as("conv_a"),
@@ -155,7 +164,7 @@ object Segmentation {
   }
 
   private val q138Sql: String = {
-    val variant = Portable.hash32Sql(s"CAST(user_id AS VARCHAR) || '$ExpSalt'") + " % 2"
+    val variant = armOfSql("user_id")
     s"""WITH u AS (
        |  SELECT user_id,
        |         max(CASE WHEN event_type = 'purchase' AND value > $ConvValue
@@ -186,8 +195,92 @@ object Segmentation {
        |FROM s""".stripMargin
   }
 
+  // -------------------------------------------------------------- q141
+  /** CUPED variance reduction for the experiment readout (Deng, Xu,
+    * Kohavi & Walker, WSDM'13): each user's post-period purchase
+    * revenue is adjusted by their PRE-period revenue — the covariate
+    * the treatment cannot have touched — via
+    *
+    *   ŷᵢ = yᵢ − θ·(xᵢ − x̄),  θ = cov(x,y)/var(x)
+    *
+    * which shrinks metric variance by corr² without biasing the arm
+    * difference. Per-arm adjusted means collapse to sufficient-sum
+    * algebra: mean_adj = ȳₐ − θ·(x̄ₐ − x̄), so the whole readout is
+    * one events scan → per-user conditional sums (#users rows) →
+    * per-arm sums (2 rows) → window-over-the-2-rows global sums —
+    * θ and x̄ derive from the ARM subtotals on both sides (identical
+    * association), q115's raw-sufficient-sums discipline (never an
+    * engine corr() builtin), fixed parenthesization, terminal rounds
+    * only. Assignment is [[armOf]] — the same arms as q138 by
+    * construction. Nothing downstream of the per-user aggregate
+    * scales with event volume. */
+  private val CupedCutoffUs = 1705363200000000L // 2024-01-16, q113's mid-range cutoff
+
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isPurch = $"event_type" === "purchase"
+    val us = unix_micros($"ts")
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        sum(when(isPurch && us < CupedCutoffUs, $"value").otherwise(0.0)).as("x"),
+        sum(when(isPurch && us >= CupedCutoffUs, $"value").otherwise(0.0)).as("y"))
+      .withColumn("variant", armOf($"user_id"))
+    val arms = perUser.groupBy($"variant").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val theta = (sum($"n").over(wAll) * sum($"sxy").over(wAll) -
+      sum($"sx").over(wAll) * sum($"sy").over(wAll)) /
+      (sum($"n").over(wAll) * sum($"sxx").over(wAll) -
+        sum($"sx").over(wAll) * sum($"sx").over(wAll))
+    val xbar = sum($"sx").over(wAll) / sum($"n").over(wAll)
+    arms
+      .select($"variant", $"n".as("n_users"),
+        round($"sx" / $"n", 4).as("mean_pre"),
+        round($"sy" / $"n", 4).as("mean_post"),
+        round($"sy" / $"n" - theta * ($"sx" / $"n" - xbar), 4).as("mean_post_adj"),
+        round(theta, 6).as("theta"))
+      .orderBy($"variant")
+  }
+
+  private val q141Sql: String = {
+    val variant = armOfSql("user_id")
+    val th = "(gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) < $CupedCutoffUs
+       |                  THEN value ELSE 0.0 END) AS x,
+       |         sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= $CupedCutoffUs
+       |                  THEN value ELSE 0.0 END) AS y,
+       |         $variant AS variant
+       |  FROM events GROUP BY user_id
+       |), a AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM u GROUP BY 1
+       |), g AS (
+       |  SELECT variant, n, sx, sy,
+       |         CAST(sum(n) OVER () AS BIGINT) AS gn,
+       |         sum(sx) OVER () AS gsx, sum(sy) OVER () AS gsy,
+       |         sum(sxy) OVER () AS gsxy, sum(sxx) OVER () AS gsxx
+       |  FROM a
+       |)
+       |SELECT variant, n AS n_users,
+       |       round(sx / n, 4) AS mean_pre,
+       |       round(sy / n, 4) AS mean_post,
+       |       round(sy / n - $th * (sx / n - gsx / gn), 4) AS mean_post_adj,
+       |       round($th, 6) AS theta
+       |FROM g
+       |ORDER BY variant""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q137_rfm_segments", q137, Some(q137Sql)),
     Q("q138_ab_test", q138, Some(q138Sql)),
+    Q("q141_cuped_adjustment", q141, Some(q141Sql)),
   )
 }

@@ -348,11 +348,102 @@ object Timeseries {
       |       CAST(cnt > mid + band OR cnt < mid - band AS INTEGER) AS breakout
       |FROM m ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------------- q142
+  /** Population Stability Index per event type between the two halves
+    * of the observation window — THE score-drift monitor ML platforms
+    * run between a model's training and serving windows:
+    *
+    *   PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+    *
+    * over 10 equal-width value bins (q116's exact-min/max edges, so
+    * the bin function is bit-identical IEEE algebra in both engines;
+    * the same NaN guard pins degenerate zero-width types to bin 0).
+    * Bins missing from a half clamp their share to 1e-6 — the
+    * standard floor that keeps ln finite while still charging
+    * appeared/vanished bins (dropping them would hide exactly the
+    * drift PSI exists to catch); the spine that makes those bins
+    * EXIST comes from a literal 0..9 sequence per type (q117's
+    * densification — no second scan). q74 is this monitor for
+    * categorical/token distributions; this covers the numeric
+    * columns. Shape: one corpus scan → #types stats broadcast back →
+    * one (type, bin) partial+final count → ≤ types×10-row spine ⟕ →
+    * per-type Σ over 10 values, rounded 6 dp (ln is libm — the round
+    * absorbs its low bits, q52's rule; conventional drift bands:
+    * <0.1 stable, 0.1–0.25 moderate, >0.25 major). */
+  private val PsiCutoffUs = 1705363200000000L // 2024-01-16, the window's midpoint
+
+  private def q142(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"value",
+        (unix_micros($"ts") < PsiCutoffUs).as("is_pre"))
+    val stats = ev.groupBy($"event_type")
+      .agg(min($"value").as("lo"), max($"value").as("hi"),
+        sum(when($"is_pre", 1L).otherwise(0L)).as("n_pre"),
+        sum(when(!$"is_pre", 1L).otherwise(0L)).as("n_post"))
+      .withColumn("w", ($"hi" - $"lo") / lit(10.0))
+    val counts = ev.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type",
+        when($"w" === 0, lit(0))
+          .otherwise(least(floor(($"value" - $"lo") / $"w"), lit(9.0)).cast("int"))
+          .as("bin"),
+        $"is_pre")
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"is_pre", 1L).otherwise(0L)).as("c_pre"),
+        sum(when(!$"is_pre", 1L).otherwise(0L)).as("c_post"))
+    val spine = stats.select($"event_type", $"n_pre", $"n_post",
+      explode(sequence(lit(0), lit(9))).as("bin"))
+    spine.join(counts, Seq("event_type", "bin"), "left_outer")
+      .select($"event_type", $"n_pre", $"n_post",
+        greatest(coalesce($"c_pre", lit(0L)) / $"n_pre", lit(1e-6)).as("p"),
+        greatest(coalesce($"c_post", lit(0L)) / $"n_post", lit(1e-6)).as("q"))
+      .groupBy($"event_type")
+      .agg(min($"n_pre").as("n_pre"), min($"n_post").as("n_post"),
+        round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  private val q142Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, value, epoch_us(ts) < $PsiCutoffUs AS is_pre
+       |  FROM events
+       |), stats AS (
+       |  SELECT event_type, min(value) AS lo, max(value) AS hi,
+       |         (max(value) - min(value)) / 10.0 AS w,
+       |         CAST(sum(CASE WHEN is_pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+       |         CAST(sum(CASE WHEN is_pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post
+       |  FROM e GROUP BY 1
+       |), counts AS (
+       |  SELECT e.event_type,
+       |         CASE WHEN s.w = 0 THEN 0
+       |              ELSE CAST(least(floor((e.value - s.lo) / s.w), 9.0) AS INTEGER)
+       |         END AS bin,
+       |         CAST(sum(CASE WHEN e.is_pre THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+       |         CAST(sum(CASE WHEN e.is_pre THEN 0 ELSE 1 END) AS BIGINT) AS c_post
+       |  FROM e JOIN stats s USING (event_type)
+       |  GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT s.event_type, s.n_pre, s.n_post, b.bin
+       |  FROM stats s CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b
+       |), shares AS (
+       |  SELECT sp.event_type, sp.n_pre, sp.n_post,
+       |         greatest(COALESCE(c.c_pre, 0) / sp.n_pre, 1e-6) AS p,
+       |         greatest(COALESCE(c.c_post, 0) / sp.n_post, 1e-6) AS q
+       |  FROM spine sp
+       |  LEFT JOIN counts c ON sp.event_type = c.event_type AND sp.bin = c.bin
+       |)
+       |SELECT event_type, min(n_pre) AS n_pre, min(n_post) AS n_post,
+       |       round(sum((p - q) * ln(p / q)), 6) AS psi
+       |FROM shares
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q125_cusum_changepoint", q125, Some(q125Sql)),
     Q("q126_seasonal_decompose", q126, Some(q126Sql)),
     Q("q127_forecast_backtest", q127, Some(q127Sql)),
     Q("q130_rolling_correlation", q130, Some(q130Sql)),
     Q("q131_rolling_bands", q131, Some(q131Sql)),
+    Q("q142_psi_drift", q142, Some(q142Sql)),
   )
 }

@@ -89,6 +89,43 @@ class AssociationSpec extends SparkSpecBase {
     }
   }
 
+  test("q140 top-5 lists match a full driver recompute of basket cosine") {
+    val pb = sources.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val freq = pb.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = collection.mutable.Map.empty[(Long, Long), Long]
+    for {
+      (_, lines) <- pb.groupBy(_._1)
+      Seq(a, b) <- lines.map(_._2).sorted.toSeq.combinations(2)
+    } co((a, b)) = co.getOrElse((a, b), 0L) + 1
+    val expected = co.toSeq
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).view.mapValues { rows =>
+        rows.map { case (p, o, c) =>
+          (o, c, c / math.sqrt((freq(p) * freq(o)).toDouble))
+        }.sortBy { case (o, _, cos) => (-cos, o) }.take(5).toSeq
+      }.toMap
+
+    val got = SparkEntry.queries("q140_item_similarity")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byPart = got.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    byPart.keySet shouldBe expected.keySet
+    for ((part, rows) <- byPart) {
+      val exp = expected(part)
+      rows.length shouldBe exp.length // min(5, #neighbours), never padded
+      // collect preserves the query's (cosine DESC, other) order — compare
+      // the ranked lists positionally, cosine to the shared IEEE algebra
+      for (((_, o, c, cos), (eo, ec, ecos)) <- rows.zip(exp)) {
+        o shouldBe eo
+        c shouldBe ec
+        cos shouldBe ecos +- 1e-12
+        cos should (be > 0.0 and be <= 1.0)
+      }
+    }
+  }
+
   test("MisraGries merge is exact when k exceeds the item universe") {
     // k ≥ #distinct ⇒ no decrements ever fire ⇒ the sketch IS the
     // exact frequency table, whatever the merge tree

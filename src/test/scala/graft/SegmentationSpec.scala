@@ -81,6 +81,55 @@ class SegmentationSpec extends SparkSpecBase {
     row.getInt(7) shouldBe (if (math.abs(z) > 1.96) 1 else 0)
   }
 
+  test("q141 shares q138's arms and the CUPED algebra recomputes on the driver") {
+    val rows = SparkEntry.queries("q141_cuped_adjustment")(spark, dir).collect()
+    rows.length shouldBe 2
+    // same salted assignment as q138 by construction — arm sizes agree
+    val ab = SparkEntry.queries("q138_ab_test")(spark, dir).collect().head
+    rows(0).getLong(rows(0).fieldIndex("n_users")) shouldBe ab.getLong(0)
+    rows(1).getLong(rows(1).fieldIndex("n_users")) shouldBe ab.getLong(2)
+
+    // driver recompute of θ and the adjusted means from per-user sums,
+    // replicating the salt literal (locks the published assignment)
+    val cutoff = 1705363200000000L
+    val isPre = $"event_type" === "purchase" && unix_micros($"ts") < cutoff
+    val isPost = $"event_type" === "purchase" && unix_micros($"ts") >= cutoff
+    val perUser = sources.Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sum(when(isPre, $"value").otherwise(0.0)).as("x"),
+        sum(when(isPost, $"value").otherwise(0.0)).as("y"))
+      .withColumn("variant", functions.Portable.hash32(
+        concat($"user_id".cast("string"), lit("#graft-exp1"))) % 2)
+      .collect()
+      .map(r => (r.getAs[Number](r.fieldIndex("variant")).intValue,
+        r.getDouble(r.fieldIndex("x")), r.getDouble(r.fieldIndex("y"))))
+    val byArm = perUser.groupBy(_._1)
+    val (gn, gsx, gsy) = (perUser.length.toDouble,
+      perUser.map(_._2).sum, perUser.map(_._3).sum)
+    val gsxy = perUser.map(t => t._2 * t._3).sum
+    val gsxx = perUser.map(t => t._2 * t._2).sum
+    val theta = (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)
+    val xbar = gsx / gn
+
+    var weightedAdj = 0.0
+    var weightedPost = 0.0
+    for (r <- rows) {
+      val arm = byArm(r.getAs[Number](0).intValue)
+      val n = arm.length.toDouble
+      val (mx, my) = (arm.map(_._2).sum / n, arm.map(_._3).sum / n)
+      r.getDouble(r.fieldIndex("mean_pre")) shouldBe mx +- 1e-4
+      r.getDouble(r.fieldIndex("mean_post")) shouldBe my +- 1e-4
+      r.getDouble(r.fieldIndex("mean_post_adj")) shouldBe
+        (my - theta * (mx - xbar)) +- 1e-4
+      r.getDouble(r.fieldIndex("theta")) shouldBe theta +- 1e-6
+      weightedAdj += n * r.getDouble(r.fieldIndex("mean_post_adj"))
+      weightedPost += n * r.getDouble(r.fieldIndex("mean_post"))
+    }
+    // the defining CUPED invariant: Σ n_a·(x̄_a − x̄) = 0, so adjustment
+    // moves the arms but never the population mean
+    weightedAdj shouldBe weightedPost +- gn * 2e-4
+  }
+
   test("q138 assignment is the deterministic salted split, stable across runs") {
     val v1 = SparkEntry.queries("q138_ab_test")(spark, dir).collect()
     val v2 = SparkEntry.queries("q138_ab_test")(spark, dir).collect()

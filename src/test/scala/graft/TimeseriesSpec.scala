@@ -116,6 +116,42 @@ class TimeseriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q142 PSI matches a driver recompute and every term is non-negative") {
+    val cutoff = 1705363200000000L
+    val ev = sources.Tables.events(spark, dir)
+      .select($"event_type", $"value", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = SparkEntry.queries("q142_psi_drift")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val byType = ev.groupBy(_._1)
+    got.keySet shouldBe byType.keySet
+    for ((tpe, rows) <- byType) {
+      val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+      val w = (hi - lo) / 10.0
+      def bin(v: Double): Int =
+        if (w == 0) 0 else math.min(math.floor((v - lo) / w), 9.0).toInt
+      val pre = rows.filter(_._3 < cutoff)
+      val post = rows.filter(_._3 >= cutoff)
+      val cp = pre.groupBy(r => bin(r._2)).view.mapValues(_.length).toMap
+      val cq = post.groupBy(r => bin(r._2)).view.mapValues(_.length).toMap
+      val terms = (0 to 9).map { b =>
+        val p = math.max(cp.getOrElse(b, 0).toDouble / pre.length, 1e-6)
+        val q = math.max(cq.getOrElse(b, 0).toDouble / post.length, 1e-6)
+        (p - q) * math.log(p / q)
+      }
+      // sign(p−q) = sign(ln(p/q)): each bin's contribution is ≥ 0, so a
+      // buggy implementation can't hide drift behind cancelling terms
+      terms.foreach(_ should be >= 0.0)
+      val (np, nq, psi) = got(tpe)
+      np shouldBe pre.length.toLong
+      nq shouldBe post.length.toLong
+      psi shouldBe terms.sum +- 1e-5
+      psi should be >= 0.0
+    }
+  }
+
   test("q127 seasonal-naive MAE matches a driver replay of the lag model") {
     val got = SparkEntry.queries("q127_forecast_backtest")(spark, dir)
       .collect()
