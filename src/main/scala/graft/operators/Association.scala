@@ -138,7 +138,7 @@ object Association {
     * (Linden, Smith & York, IEEE Internet Computing '03 — the
     * "customers who bought X also bought Y" list, computed offline
     * exactly as they describe). Pair generation self-joins the
-    * DISTINCT (order, part) basket table on orderkey with a < b —
+    * DISTINCT (order, part) basket table on orderkey —
     * per-BASKET quadratic, bounded by basket size (≤ 7 lines per
     * order in this schema; at 100 TB cap or sample pathological mega-
     * baskets first, they carry no signal), never corpus-quadratic.
@@ -146,18 +146,32 @@ object Association {
     * two IEEE ops (one sqrt, one divide) over exact integer counts —
     * bit-identical in both engines, shipped UNROUNDED (q107's
     * discipline) — and the per-part top-5 ranks (cosine DESC, other)
-    * with a pre-shuffle WindowGroupLimit. */
+    * with a pre-shuffle WindowGroupLimit.
+    *
+    * The distinct basket table feeds THREE consumers (both self-join
+    * sides + item frequencies) — left as subtrees Catalyst re-derives
+    * it with a corpus scan each, so it goes through [[PersistedMemo]]
+    * like q124's user baskets. The symmetric pair list is generated
+    * DIRECTLY (`a.p =!= b.p`, both orders) rather than `<` + union:
+    * the union form re-executes the entire join+aggregate subtree for
+    * the mirrored half, which doubles the heavy work; emitting both
+    * orders costs 2× pre-aggregate rows on the same single subtree —
+    * strictly cheaper at any scale. */
+  private[graft] def partBaskets(spark: SparkSession, dir: String): DataFrame =
+    PersistedMemo.getOrBuild(spark, dir, "assoc_part_baskets") {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    }
+
   private def q140(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val baskets = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val baskets = partBaskets(spark, dir)
     val freq = baskets.groupBy($"p").agg(count(lit(1)).as("n"))
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
-      .groupBy($"a.p".as("p1"), $"b.p".as("p2"))
+    val sym = baskets.as("a")
+      .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" =!= $"b.p")
+      .groupBy($"a.p".as("part"), $"b.p".as("other"))
       .agg(count(lit(1)).as("co"))
-    val sym = pairs.select($"p1".as("part"), $"p2".as("other"), $"co")
-      .unionByName(pairs.select($"p2".as("part"), $"p1".as("other"), $"co"))
     val w = Window.partitionBy($"part").orderBy($"cosine".desc, $"other")
     sym
       .join(broadcast(freq.select($"p".as("part"), $"n".as("na"))), Seq("part"))
@@ -174,14 +188,10 @@ object Association {
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
       |), freq AS (
       |  SELECT p, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
-      |), pairs AS (
-      |  SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS co
-      |  FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
-      |  GROUP BY 1, 2
       |), sym AS (
-      |  SELECT p1 AS part, p2 AS other, co FROM pairs
-      |  UNION ALL
-      |  SELECT p2 AS part, p1 AS other, co FROM pairs
+      |  SELECT a.p AS part, c.p AS other, CAST(count(*) AS BIGINT) AS co
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.p <> c.p
+      |  GROUP BY 1, 2
       |), scored AS (
       |  SELECT s.part, s.other, s.co,
       |         s.co / sqrt(CAST(f1.n * f2.n AS DOUBLE)) AS cosine

@@ -535,6 +535,37 @@ class PlanSpec extends SparkSpecBase {
     p should include("partial_max") // per-user conversion combines map-side
   }
 
+  test("q140: part baskets persist once; top-5 ranks limit before the shuffle") {
+    graft.core.PersistedMemo.release(spark, sfDir)
+    val p = plan("q140_item_similarity")
+    // every consumer (both self-join sides + the two frequency
+    // broadcasts) reads the persisted basket table — ONE real scan
+    p should include("InMemoryTableScan")
+    p.linesIterator.count(_.trim.startsWith("Location:")) shouldBe 1
+    // pair generation is an equi-join on orderkey (per-basket quadratic)
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+    // frequencies broadcast; rank-5 prunes map-side BEFORE the part
+    // shuffle as well as after — the WindowGroupLimit pair
+    p should include("BroadcastHashJoin")
+    "WindowGroupLimit".r.findAllIn(p).length should be >= 2
+  }
+
+  test("q141/q142: experiment and drift readouts stay in aggregate space") {
+    val cuped = plan("q141_cuped_adjustment")
+    // one events scan; everything after the per-user aggregate is
+    // #users → 2 → 2 rows, so no join may appear anywhere
+    cuped.split("Location:").length shouldBe 2
+    (cuped should not).include("Join")
+    cuped should include("partial_sum") // per-user sums combine map-side
+    val psi = plan("q142_psi_drift")
+    // per-type stats and the 10-bin spine broadcast back onto the
+    // corpus — the (type,bin) count is the only wide aggregate
+    psi should include("BroadcastHashJoin")
+    (psi should not).include("SortMergeJoin")
+    psi should include("partial_sum") // the conditional half-counts combine map-side
+  }
+
   test("q124: baskets persist once; pairs come from an equi-join on user_id") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q124_market_basket")
