@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.functions.Portable
 import graft.sources.Tables
 
 /** Statistical profiling operators — the numeric companions of q106's
@@ -375,6 +376,140 @@ object Stats {
       |             (count(*) + 1.0) / count(*), 6) AS gini
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q144
+  /** Benford first-digit audit over order totals — the fraud /
+    * data-fabrication screen (Nigrini's forensic-accounting staple):
+    * observed first-digit shares against Benford's law
+    * P(d) = log₁₀(1 + 1/d), with per-digit chi-square contributions.
+    *
+    * The first digit comes from the exact integer CENTS (q132's
+    * discipline) via its decimal string — substr of a BIGINT renders
+    * identically in every engine, where float log10-based extraction
+    * could flip at power-of-ten boundaries. The digit table densifies
+    * to all nine digits through q117's collected-map + literal-spine
+    * trick (an absent digit is EVIDENCE — its (0−e)²/e charge must
+    * appear, and both engines must agree it exists). Benford shares
+    * are ln(1+1/d)/ln(10) SAME-SPELLED on both sides (never one
+    * engine's log10 against the other's ln ratio — libm low bits
+    * differ), terminal 6-dp rounds. One orders scan → 9 rows; every
+    * window rides the 9-row frame. */
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round($"o_totalprice" * 100.0, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("o"))
+    val wAll = Window.partitionBy()
+    digits
+      .agg(map_from_entries(collect_list(struct($"digit", $"o"))).as("m"))
+      .select(explode(sequence(lit(1), lit(9))).as("digit"), $"m")
+      .select($"digit", coalesce(element_at($"m", $"digit"), lit(0L)).as("observed"))
+      .withColumn("n", sum($"observed").over(wAll))
+      .withColumn("e_share", log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+      .select($"digit", $"observed",
+        round($"observed" / $"n", 6).as("share"),
+        round($"e_share", 6).as("benford_share"),
+        round(($"observed" - $"n" * $"e_share") * ($"observed" - $"n" * $"e_share") /
+          ($"n" * $"e_share"), 6).as("chi2_contrib"))
+      .orderBy($"digit")
+  }
+
+  private val q144Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1
+      |), dense AS (
+      |  SELECT d.digit, COALESCE(c.o, 0) AS observed
+      |  FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+      |  LEFT JOIN c ON c.digit = d.digit
+      |), m AS (
+      |  SELECT CAST(digit AS INTEGER) AS digit, observed,
+      |         sum(observed) OVER () AS n,
+      |         ln(1.0 + 1.0 / digit) / ln(10.0) AS e_share
+      |  FROM dense
+      |)
+      |SELECT digit, observed,
+      |       round(observed / n, 6) AS share,
+      |       round(e_share, 6) AS benford_share,
+      |       round((observed - n * e_share) * (observed - n * e_share) /
+      |             (n * e_share), 6) AS chi2_contrib
+      |FROM m ORDER BY digit""".stripMargin
+
+  // -------------------------------------------------------------- q145
+  /** Bootstrap confidence intervals for the per-type mean value via
+    * DETERMINISTIC Poisson resampling — the resampling scheme built
+    * for data too large to index (Chamandy, Muralidharan, Najmi &
+    * Naidu, "Estimating uncertainty for massive data streams",
+    * Google '12): replicate r weights each row by an iid-ish
+    * Poisson(1) draw, so no replicate ever materializes and the whole
+    * family is one streaming pass. The draw is the salted portable
+    * hash of (event_id, replicate) pushed through the Poisson(1)
+    * inverse CDF as integer threshold compares on a 10⁵ grain — a
+    * pure function of the row key, so a backfill or retry reproduces
+    * every interval bit-for-bit (q51/q53's determinism discipline;
+    * `rand()` here would make the CI itself flaky). The ≥5 tail
+    * (cum P = 0.99941) lumps into weight 5 — a 6·10⁻⁴ truncation far
+    * below the CI's own Monte-Carlo noise.
+    *
+    * Shape: corpus × 100 replicates explode map-side (documented cost;
+    * the 100× rows never shuffle wider than (type, rep) keys) → one
+    * partial+final weighted-mean aggregate to #types·100 rows →
+    * rank-3 / rank-98 order statistics (exact 2.5/97.5 percentiles of
+    * 100 — explicit row_number, never an engine percentile builtin)
+    * over the tiny frame. At 100 TB, drop replicates to 25-50 or
+    * pre-aggregate per (key, rep) shard — the weights merge because
+    * Poisson sums are Poisson. */
+  private val BootSalt = "#graft-boot"
+
+  private def q145(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = Portable.hash32(concat($"event_id".cast("string"), lit(":"),
+      $"rep".cast("string"), lit(BootSalt))) % 100000
+    val pois = when(u < 36788, 0L).when(u < 73576, 1L).when(u < 91970, 2L)
+      .when(u < 98101, 3L).when(u < 99634, 4L).otherwise(5L)
+    val wRank = Window.partitionBy($"event_type").orderBy($"m", $"rep")
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value",
+        explode(sequence(lit(1), lit(100))).as("rep"))
+      .withColumn("w", pois)
+      .groupBy($"event_type", $"rep")
+      .agg((sum($"w" * $"value") / sum($"w")).as("m"))
+      .withColumn("rk", row_number().over(wRank))
+      .groupBy($"event_type")
+      .agg(round(avg($"m"), 4).as("boot_mean"),
+        round(min(when($"rk" === 3, $"m")), 4).as("ci_lo"),
+        round(min(when($"rk" === 98, $"m")), 4).as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
+  private val q145Sql: String = {
+    val u = Portable.hash32Sql(
+      "CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR) || '#graft-boot'")
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, value, r.rep
+       |  FROM events CROSS JOIN (SELECT UNNEST(range(1, 101)) AS rep) r
+       |), wtd AS (
+       |  SELECT event_type, rep, value,
+       |         CASE WHEN u < 36788 THEN 0 WHEN u < 73576 THEN 1
+       |              WHEN u < 91970 THEN 2 WHEN u < 98101 THEN 3
+       |              WHEN u < 99634 THEN 4 ELSE 5 END AS w
+       |  FROM (SELECT event_type, rep, value, $u % 100000 AS u FROM ev)
+       |), rm AS (
+       |  SELECT event_type, rep, sum(w * value) / sum(w) AS m
+       |  FROM wtd GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT event_type, m,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY m, rep) AS rk
+       |  FROM rm
+       |)
+       |SELECT event_type, round(avg(m), 4) AS boot_mean,
+       |       round(min(CASE WHEN rk = 3 THEN m END), 4) AS ci_lo,
+       |       round(min(CASE WHEN rk = 98 THEN m END), 4) AS ci_hi
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
@@ -382,5 +517,7 @@ object Stats {
     Q("q129_robust_means", q129, Some(q129Sql)),
     Q("q132_pareto_classes", q132, Some(q132Sql)),
     Q("q135_gini_concentration", q135, Some(q135Sql)),
+    Q("q144_benford_digits", q144, Some(q144Sql)),
+    Q("q145_bootstrap_ci", q145, Some(q145Sql)),
   )
 }

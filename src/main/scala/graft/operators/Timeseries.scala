@@ -438,6 +438,73 @@ object Timeseries {
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q143
+  /** Autocorrelation function of the daily activity series, lags 1-7
+    * per event type — the diagnostic read before fitting any seasonal
+    * model (q126 assumes a 24h cycle; the ACF is what PROVES the cycle
+    * and its strength; Box & Jenkins' identification step):
+    *
+    *   r_k = Σ_{t>k} devₜ·devₜ₋ₖ / Σₜ devₜ²,  dev = cnt − mean
+    *
+    * The corpus contracts to the (type, day) grid in one scan (q125's
+    * shape); mean and the denominator attach as full-partition windows
+    * over the tiny grid; the seven lags are seven window functions
+    * over ONE (type, day-ordered) sort that `stack` unpivots to
+    * (lag_k, lagged-dev) rows — the grid is ≤ #types·#days rows
+    * regardless of corpus size, so nothing past the first aggregate
+    * scales with volume. Same-spelled deviation algebra both sides
+    * (exact integer counts, one division); the double sums carry only
+    * summation-order ulp, absorbed by the terminal 6-dp round. */
+  private def q143(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy($"event_type")
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val grid = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val dev = grid
+      .withColumn("dev", $"cnt" - sum($"cnt").over(wAll).cast("double") /
+        count(lit(1)).over(wAll))
+      .withColumn("den", sum($"dev" * $"dev").over(wAll))
+    dev
+      .select(($"event_type" +: $"dev" +: $"den" +:
+        (1 to 7).map(k => lag($"dev", k).over(wOrd).as(s"l$k"))): _*)
+      .selectExpr("event_type", "dev", "den",
+        "stack(7, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5, 6, l6, 7, l7) AS (lag_k, ldev)")
+      .filter($"ldev".isNotNull)
+      .groupBy($"event_type", $"lag_k")
+      .agg(round(sum($"dev" * $"ldev") / min($"den"), 6).as("acf"))
+      .orderBy($"event_type", $"lag_k")
+  }
+
+  private val q143Sql: String = {
+    val lags = (1 to 7).map(k => s"lag(dev, $k) OVER wo AS l$k").mkString(",\n       |         ")
+    val unpivot = (1 to 7).map(k =>
+      s"SELECT event_type, $k AS lag_k, dev, l$k AS ldev, den FROM w").mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), d AS (
+       |  SELECT event_type, day,
+       |         cnt - CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE) /
+       |               count(*) OVER (PARTITION BY event_type) AS dev
+       |  FROM g
+       |), w AS (
+       |  SELECT event_type, dev,
+       |         sum(dev * dev) OVER (PARTITION BY event_type) AS den,
+       |         $lags
+       |  FROM d
+       |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+       |), s AS (
+       |  $unpivot
+       |)
+       |SELECT event_type, CAST(lag_k AS INTEGER) AS lag_k,
+       |       round(sum(dev * ldev) / min(den), 6) AS acf
+       |FROM s WHERE ldev IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q125_cusum_changepoint", q125, Some(q125Sql)),
     Q("q126_seasonal_decompose", q126, Some(q126Sql)),
@@ -445,5 +512,6 @@ object Timeseries {
     Q("q130_rolling_correlation", q130, Some(q130Sql)),
     Q("q131_rolling_bands", q131, Some(q131Sql)),
     Q("q142_psi_drift", q142, Some(q142Sql)),
+    Q("q143_autocorrelation", q143, Some(q143Sql)),
   )
 }

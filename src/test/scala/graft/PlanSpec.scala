@@ -566,6 +566,22 @@ class PlanSpec extends SparkSpecBase {
     psi should include("partial_sum") // the conditional half-counts combine map-side
   }
 
+  test("q143/q144/q145: diagnostics contract to tiny frames in one scan, no joins") {
+    val acf = plan("q143_autocorrelation")
+    acf.split("Location:").length shouldBe 2 // ONE events scan
+    (acf should not).include("Join") // lags unpivot; nothing re-joins the grid
+    acf should include("windowspecdefinition(event_type") // per-type ordered lags
+    val ben = plan("q144_benford_digits")
+    ben.split("Location:").length shouldBe 2 // ONE orders scan
+    (ben should not).include("SortMergeJoin") // densify via map+spine, no re-join
+    ben should include("partial_count") // digit counts combine map-side
+    val boot = plan("q145_bootstrap_ci")
+    boot.split("Location:").length shouldBe 2 // ONE events scan ×100 replicates
+    (boot should not).include("Join") // replicates never materialize or join
+    boot should include("partial_sum") // weighted sums combine map-side
+    boot should include("windowspecdefinition(event_type") // rank over #types·100
+  }
+
   test("q124: baskets persist once; pairs come from an equi-join on user_id") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q124_market_basket")

@@ -41,6 +41,68 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q144 digit shares recompute from exact cents and sum to one") {
+    val digits = sources.Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      .collect().map(_.getLong(0).toString.head.asDigit)
+    val n = digits.length.toDouble
+    val obs = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("q144_benford_digits")(spark, dir).collect()
+    rows.length shouldBe 9 // densified: every digit reports, present or not
+    var shareSum = 0.0
+    var benfordSum = 0.0
+    for (r <- rows) {
+      val d = r.getInt(0)
+      r.getLong(1) shouldBe obs.getOrElse(d, 0L)
+      val e = math.log(1.0 + 1.0 / d) / math.log(10.0)
+      r.getDouble(r.fieldIndex("benford_share")) shouldBe e +- 1e-6
+      val o = obs.getOrElse(d, 0L).toDouble
+      r.getDouble(r.fieldIndex("share")) shouldBe o / n +- 1e-6
+      r.getDouble(r.fieldIndex("chi2_contrib")) shouldBe
+        (o - n * e) * (o - n * e) / (n * e) +- 1e-3
+      shareSum += r.getDouble(r.fieldIndex("share"))
+      benfordSum += r.getDouble(r.fieldIndex("benford_share"))
+    }
+    shareSum shouldBe 1.0 +- 1e-5 // both distributions are complete
+    benfordSum shouldBe 1.0 +- 1e-5
+  }
+
+  test("q145 bootstrap intervals reproduce from the salted hash exactly") {
+    val rows = sources.Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long, rep: Int): Long = {
+      val hex = md.digest(s"$id:$rep#graft-boot".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100000
+    }
+    def pois(u: Long): Long =
+      if (u < 36788) 0 else if (u < 73576) 1 else if (u < 91970) 2
+      else if (u < 98101) 3 else if (u < 99634) 4 else 5
+    val got = SparkEntry.queries("q145_bootstrap_ci")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    got.keySet shouldBe rows.map(_._1).toSet
+    for ((tpe, tr) <- rows.groupBy(_._1)) {
+      // replay every replicate from the same salted hash → same weights
+      val means = (1 to 100).map { rep =>
+        var sw = 0L; var swv = 0.0
+        for ((_, id, v) <- tr) { val w = pois(u(id, rep)); sw += w; swv += w * v }
+        (swv / sw, rep)
+      }
+      val sorted = means.sortBy { case (m, rep) => (m, rep) }.map(_._1)
+      val r = got(tpe)
+      r.getDouble(r.fieldIndex("ci_lo")) shouldBe sorted(2) +- 1e-4
+      r.getDouble(r.fieldIndex("ci_hi")) shouldBe sorted(97) +- 1e-4
+      r.getDouble(r.fieldIndex("boot_mean")) shouldBe
+        means.map(_._1).sum / 100.0 +- 1e-4
+      // the interval is real: it brackets the plain sample mean
+      val sampleMean = tr.map(_._3).sum / tr.length
+      r.getDouble(r.fieldIndex("ci_lo")) should be < sampleMean
+      r.getDouble(r.fieldIndex("ci_hi")) should be > sampleMean
+    }
+  }
+
   test("q132 two-phase Pareto scan equals a naive driver ranking") {
     val rev = sources.Tables.lineitem(spark, dir)
       .groupBy($"l_partkey")

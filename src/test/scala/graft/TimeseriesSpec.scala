@@ -152,6 +152,25 @@ class TimeseriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q143 ACF matches the textbook recompute and respects Cauchy-Schwarz") {
+    val got = SparkEntry.queries("q143_autocorrelation")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    got.size shouldBe daily.size * 7
+    for ((tpe, series) <- daily) {
+      val xs = series.map(_._2.toDouble).toIndexedSeq
+      val mean = xs.sum / xs.size
+      val dev = xs.map(_ - mean)
+      val den = dev.map(d => d * d).sum
+      for (k <- 1 to 7) {
+        val num = (k until xs.size).map(i => dev(i) * dev(i - k)).sum
+        val r = got((tpe, k))
+        r shouldBe num / den +- 1e-5
+        math.abs(r) should be <= 1.0 // |r_k| ≤ 1 by Cauchy-Schwarz
+      }
+    }
+  }
+
   test("q127 seasonal-naive MAE matches a driver replay of the lag model") {
     val got = SparkEntry.queries("q127_forecast_backtest")(spark, dir)
       .collect()
