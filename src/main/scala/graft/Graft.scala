@@ -230,6 +230,37 @@ object Graft {
     operators.Graph.triangleCensus(canonical)
   }
 
+  /** Item-to-item collaborative filtering with the neighbourhood size
+    * open (q140 fixes top-5): per-part top-`topK` co-purchased parts
+    * by basket cosine, from the persisted basket table. */
+  def itemSimilarity(spark: SparkSession, dir: String, topK: Int = 5): DataFrame =
+    operators.Association.itemSimilarity(spark, dir, topK)
+
+  /** Per-type PSI drift between the halves of the observation window,
+    * with the cutoff and bin count open (q142 fixes 2024-01-16 / 10
+    * bins). For continuous scoring of a live stream against a frozen
+    * reference, use [[streaming.DriftStream]]. */
+  def psiDrift(spark: SparkSession, dir: String,
+      cutoffUs: Long = 1705363200000000L, bins: Int = 10): DataFrame =
+    operators.Timeseries.psiDrift(spark, dir, cutoffUs, bins)
+
+  /** Daily-series autocorrelation per event type up to `maxLag`
+    * (q143 fixes 7). */
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame =
+    operators.Timeseries.acf(spark, dir, maxLag)
+
+  /** Benford first-digit audit over ANY frame's positive amount
+    * column (q144 fixes orders.o_totalprice at cent precision).
+    * `scale` is the fixed-point precision turning amounts into the
+    * exact integers whose decimal strings yield the digits. */
+  def benford(df: DataFrame, amountCol: String, scale: Int = 2): DataFrame =
+    operators.Stats.benford(df, amountCol, scale)
+
+  /** Deterministic Poisson-bootstrap 95% CI for the per-type mean
+    * value, with the replicate count open (q145 fixes 100). */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 100): DataFrame =
+    operators.Stats.bootstrapCi(spark, dir, reps)
+
   /** MERGE INTO as set algebra over a PERSISTED base and a change feed:
     *
     *   applied = (base ANTI-JOIN feed keys) ∪ (feed upserts)

@@ -164,7 +164,11 @@ object Association {
         .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
     }
 
-  private def q140(spark: SparkSession, dir: String): DataFrame = {
+  /** q140's engine with the neighbourhood size open — the facade's
+    * [[graft.Graft.itemSimilarity]]. */
+  private[graft] def itemSimilarity(spark: SparkSession, dir: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"need topK > 0 (got $topK)")
     import spark.implicits._
     val baskets = partBaskets(spark, dir)
     val freq = baskets.groupBy($"p").agg(count(lit(1)).as("n"))
@@ -178,10 +182,13 @@ object Association {
       .join(broadcast(freq.select($"p".as("other"), $"n".as("nb"))), Seq("other"))
       .withColumn("cosine", $"co" / sqrt(($"na" * $"nb").cast("double")))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
+      .filter($"rn" <= topK)
       .select($"part", $"other", $"co".as("co_count"), $"cosine")
       .orderBy($"part", $"cosine".desc, $"other")
   }
+
+  private def q140(spark: SparkSession, dir: String): DataFrame =
+    itemSimilarity(spark, dir, topK = 5)
 
   private val q140Sql: String =
     """WITH b AS (

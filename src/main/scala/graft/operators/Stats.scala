@@ -393,25 +393,38 @@ object Stats {
     * engine's log10 against the other's ln ratio — libm low bits
     * differ), terminal 6-dp rounds. One orders scan → 9 rows; every
     * window rides the 9-row frame. */
+  /** q144's engine over ANY frame and positive amount column — the
+    * facade's [[graft.Graft.benford]]. `scale` is the fixed-point
+    * precision (2 = cents) that turns the amount into the exact
+    * integer whose decimal string yields the digit. */
+  private[graft] def benford(df: DataFrame, amountCol: String,
+      scale: Int): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"need 0 <= scale <= 9 (got $scale)")
+    val wAll = Window.partitionBy()
+    val n = col("n")
+    val eShare = col("e_share")
+    df
+      .select(substring(round(col(amountCol) * math.pow(10.0, scale), 0)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+      .agg(map_from_entries(collect_list(struct(col("digit"), col("o")))).as("m"))
+      .select(explode(sequence(lit(1), lit(9))).as("digit"), col("m"))
+      .select(col("digit"),
+        coalesce(element_at(col("m"), col("digit")), lit(0L)).as("observed"))
+      .withColumn("n", sum(col("observed")).over(wAll))
+      .withColumn("e_share", log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .select(col("digit"), col("observed"),
+        round(col("observed") / n, 6).as("share"),
+        round(eShare, 6).as("benford_share"),
+        round((col("observed") - n * eShare) * (col("observed") - n * eShare) /
+          (n * eShare), 6).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
   private def q144(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val digits = Tables.orders(spark, dir)
-      .select(substring(round($"o_totalprice" * 100.0, 0).cast("long")
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy($"digit").agg(count(lit(1)).as("o"))
-    val wAll = Window.partitionBy()
-    digits
-      .agg(map_from_entries(collect_list(struct($"digit", $"o"))).as("m"))
-      .select(explode(sequence(lit(1), lit(9))).as("digit"), $"m")
-      .select($"digit", coalesce(element_at($"m", $"digit"), lit(0L)).as("observed"))
-      .withColumn("n", sum($"observed").over(wAll))
-      .withColumn("e_share", log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
-      .select($"digit", $"observed",
-        round($"observed" / $"n", 6).as("share"),
-        round($"e_share", 6).as("benford_share"),
-        round(($"observed" - $"n" * $"e_share") * ($"observed" - $"n" * $"e_share") /
-          ($"n" * $"e_share"), 6).as("chi2_contrib"))
-      .orderBy($"digit")
+    benford(Tables.orders(spark, dir).select($"o_totalprice"),
+      "o_totalprice", scale = 2)
   }
 
   private val q144Sql: String =
@@ -463,8 +476,16 @@ object Stats {
     * Poisson sums are Poisson. */
   private val BootSalt = "#graft-boot"
 
-  private def q145(spark: SparkSession, dir: String): DataFrame = {
+  /** q145's engine with the replicate count open — the facade's
+    * [[graft.Graft.bootstrapCi]]. The 95% interval reads the
+    * ceil(0.025·R)/ceil(0.975·R) order statistics, the convention
+    * that lands on ranks 3/98 at R = 100. */
+  private[graft] def bootstrapCi(spark: SparkSession, dir: String,
+      reps: Int): DataFrame = {
+    require(reps >= 40, s"need reps >= 40 for a 95% interval (got $reps)")
     import spark.implicits._
+    val loRank = math.ceil(0.025 * reps).toInt
+    val hiRank = math.ceil(0.975 * reps).toInt
     val u = Portable.hash32(concat($"event_id".cast("string"), lit(":"),
       $"rep".cast("string"), lit(BootSalt))) % 100000
     val pois = when(u < 36788, 0L).when(u < 73576, 1L).when(u < 91970, 2L)
@@ -472,17 +493,20 @@ object Stats {
     val wRank = Window.partitionBy($"event_type").orderBy($"m", $"rep")
     Tables.events(spark, dir)
       .select($"event_type", $"event_id", $"value",
-        explode(sequence(lit(1), lit(100))).as("rep"))
+        explode(sequence(lit(1), lit(reps))).as("rep"))
       .withColumn("w", pois)
       .groupBy($"event_type", $"rep")
       .agg((sum($"w" * $"value") / sum($"w")).as("m"))
       .withColumn("rk", row_number().over(wRank))
       .groupBy($"event_type")
       .agg(round(avg($"m"), 4).as("boot_mean"),
-        round(min(when($"rk" === 3, $"m")), 4).as("ci_lo"),
-        round(min(when($"rk" === 98, $"m")), 4).as("ci_hi"))
+        round(min(when($"rk" === loRank, $"m")), 4).as("ci_lo"),
+        round(min(when($"rk" === hiRank, $"m")), 4).as("ci_hi"))
       .orderBy($"event_type")
   }
+
+  private def q145(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCi(spark, dir, reps = 100)
 
   private val q145Sql: String = {
     val u = Portable.hash32Sql(

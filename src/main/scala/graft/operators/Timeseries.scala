@@ -372,27 +372,31 @@ object Timeseries {
     * <0.1 stable, 0.1–0.25 moderate, >0.25 major). */
   private val PsiCutoffUs = 1705363200000000L // 2024-01-16, the window's midpoint
 
-  private def q142(spark: SparkSession, dir: String): DataFrame = {
+  /** q142's engine with the cutoff and bin count open — the facade's
+    * [[graft.Graft.psiDrift]]. */
+  private[graft] def psiDrift(spark: SparkSession, dir: String,
+      cutoffUs: Long, bins: Int): DataFrame = {
+    require(bins > 1, s"need bins > 1 (got $bins)")
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_type", $"value",
-        (unix_micros($"ts") < PsiCutoffUs).as("is_pre"))
+        (unix_micros($"ts") < cutoffUs).as("is_pre"))
     val stats = ev.groupBy($"event_type")
       .agg(min($"value").as("lo"), max($"value").as("hi"),
         sum(when($"is_pre", 1L).otherwise(0L)).as("n_pre"),
         sum(when(!$"is_pre", 1L).otherwise(0L)).as("n_post"))
-      .withColumn("w", ($"hi" - $"lo") / lit(10.0))
+      .withColumn("w", ($"hi" - $"lo") / lit(bins.toDouble))
     val counts = ev.join(broadcast(stats), Seq("event_type"))
       .select($"event_type",
         when($"w" === 0, lit(0))
-          .otherwise(least(floor(($"value" - $"lo") / $"w"), lit(9.0)).cast("int"))
+          .otherwise(least(floor(($"value" - $"lo") / $"w"), lit(bins - 1.0)).cast("int"))
           .as("bin"),
         $"is_pre")
       .groupBy($"event_type", $"bin")
       .agg(sum(when($"is_pre", 1L).otherwise(0L)).as("c_pre"),
         sum(when(!$"is_pre", 1L).otherwise(0L)).as("c_post"))
     val spine = stats.select($"event_type", $"n_pre", $"n_post",
-      explode(sequence(lit(0), lit(9))).as("bin"))
+      explode(sequence(lit(0), lit(bins - 1))).as("bin"))
     spine.join(counts, Seq("event_type", "bin"), "left_outer")
       .select($"event_type", $"n_pre", $"n_post",
         greatest(coalesce($"c_pre", lit(0L)) / $"n_pre", lit(1e-6)).as("p"),
@@ -402,6 +406,9 @@ object Timeseries {
         round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
       .orderBy($"event_type")
   }
+
+  private def q142(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(spark, dir, PsiCutoffUs, bins = 10)
 
   private val q142Sql: String =
     s"""WITH e AS (
@@ -455,7 +462,10 @@ object Timeseries {
     * scales with volume. Same-spelled deviation algebra both sides
     * (exact integer counts, one division); the double sums carry only
     * summation-order ulp, absorbed by the terminal 6-dp round. */
-  private def q143(spark: SparkSession, dir: String): DataFrame = {
+  /** q143's engine with the lag horizon open — the facade's
+    * [[graft.Graft.acf]]. */
+  private[graft] def acf(spark: SparkSession, dir: String, maxLag: Int): DataFrame = {
+    require(maxLag > 0, s"need maxLag > 0 (got $maxLag)")
     import spark.implicits._
     val wAll = Window.partitionBy($"event_type")
     val wOrd = Window.partitionBy($"event_type").orderBy($"day")
@@ -466,16 +476,20 @@ object Timeseries {
       .withColumn("dev", $"cnt" - sum($"cnt").over(wAll).cast("double") /
         count(lit(1)).over(wAll))
       .withColumn("den", sum($"dev" * $"dev").over(wAll))
+    val stackArgs = (1 to maxLag).map(k => s"$k, l$k").mkString(", ")
     dev
       .select(($"event_type" +: $"dev" +: $"den" +:
-        (1 to 7).map(k => lag($"dev", k).over(wOrd).as(s"l$k"))): _*)
+        (1 to maxLag).map(k => lag($"dev", k).over(wOrd).as(s"l$k"))): _*)
       .selectExpr("event_type", "dev", "den",
-        "stack(7, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5, 6, l6, 7, l7) AS (lag_k, ldev)")
+        s"stack($maxLag, $stackArgs) AS (lag_k, ldev)")
       .filter($"ldev".isNotNull)
       .groupBy($"event_type", $"lag_k")
       .agg(round(sum($"dev" * $"ldev") / min($"den"), 6).as("acf"))
       .orderBy($"event_type", $"lag_k")
   }
+
+  private def q143(spark: SparkSession, dir: String): DataFrame =
+    acf(spark, dir, maxLag = 7)
 
   private val q143Sql: String = {
     val lags = (1 to 7).map(k => s"lag(dev, $k) OVER wo AS l$k").mkString(",\n       |         ")

@@ -153,6 +153,59 @@ class ApiSpec extends SparkSpecBase {
       rows(operators.Graph.triangleCensus(clean))
   }
 
+  test("diagnostics facade at catalog knobs equals q140/q142/q143/q144/q145") {
+    rows(Graft.itemSimilarity(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q140_item_similarity")(spark, dir))
+    rows(Graft.psiDrift(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q142_psi_drift")(spark, dir))
+    rows(Graft.acf(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q143_autocorrelation")(spark, dir))
+    rows(Graft.benford(sources.Tables.orders(spark, dir)
+      .select($"o_totalprice"), "o_totalprice")) shouldBe
+      rows(SparkEntry.queries("q144_benford_digits")(spark, dir))
+    rows(Graft.bootstrapCi(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q145_bootstrap_ci")(spark, dir))
+  }
+
+  test("diagnostics facade stays sane off the catalog defaults") {
+    // a smaller neighbourhood is a prefix of the larger ranked list
+    val top2 = Graft.itemSimilarity(spark, dir, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top5 = Graft.itemSimilarity(spark, dir).collect()
+      .groupBy(_.getLong(0)).values
+      .flatMap(_.sortBy(r => (-r.getDouble(3), r.getLong(1))).take(2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    top2 shouldBe top5
+    // shorter ACF horizon = the same leading lags
+    val acf3 = Graft.acf(spark, dir, maxLag = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val acf7 = Graft.acf(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    acf3 shouldBe acf7.filter(_._1._2 <= 3)
+    // coarser PSI bins still ≥ 0 per type, same population split
+    val psi5 = Graft.psiDrift(spark, dir, bins = 5).collect()
+    val psi10 = Graft.psiDrift(spark, dir).collect()
+    psi5.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe
+      psi10.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    psi5.foreach(_.getDouble(3) should be >= 0.0)
+    // Benford over a synthetic exact-Benford frame scores ~zero χ²
+    val benfordish = (1 to 9).flatMap(d =>
+      Seq.fill(math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt)(d * 111.11))
+      .toDF("amt")
+    val audit = Graft.benford(benfordish, "amt").collect()
+    audit.map(_.getLong(1)).sum shouldBe benfordish.count()
+    audit.foreach(_.getDouble(4) should be < 1.0)
+    // fewer replicates: a valid interval that still brackets the mean
+    val ci50 = Graft.bootstrapCi(spark, dir, reps = 50).collect()
+    ci50.foreach { r =>
+      r.getDouble(2) should be < r.getDouble(3) // lo < hi
+      r.getDouble(1) should (be >= r.getDouble(2) and be <= r.getDouble(3))
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Graft.bootstrapCi(spark, dir, reps = 10)
+    an[IllegalArgumentException] should be thrownBy Graft.acf(spark, dir, 0)
+  }
+
   test("concurrency at hour buckets conserves session starts and peak bounds") {
     val day = Graft.concurrency(spark, dir)
       .as[(String, Int, Long)].collect()
