@@ -534,9 +534,69 @@ object Behavioral {
       |WHERE d.day >= (SELECT min(day) FROM du) + 6
       |ORDER BY d.day""".stripMargin
 
+  // -------------------------------------------------------------- q146
+  /** Activity streaks per user: longest run of CONSECUTIVE active days,
+    * streak count, total active days, and the length of the latest
+    * streak — the engagement-habit report next to q133's DAU/WAU
+    * (Duolingo's headline metric; q122 measures lifetime, this measures
+    * continuity inside it). Classic gaps-and-islands: on the distinct
+    * (user, day-index) grid, `day − row_number()` is constant exactly
+    * within a consecutive run (both step by 1), so streaks fall out of
+    * ONE per-user window + two hash-aggs — no self-join, no recursion.
+    *
+    * Everything is integer day indices and counts (floor-div of epoch
+    * micros — zero doubles in the whole query, nothing to round, hash-
+    * deterministic by construction). Scale shape: the corpus contracts
+    * to the distinct (user, day) grid in one partial+final aggregate
+    * (≤ users × days rows at any volume); the window and both
+    * aggregates ride the same user_id shuffle. */
+  private def q146(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"d")
+    val wUser = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+      .withColumn("grp", $"d" - row_number().over(wOrd))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), max($"d").as("d_end"))
+      .withColumn("d_last", max($"d_end").over(wUser))
+      .groupBy($"user_id")
+      .agg(
+        sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("longest_streak"),
+        max(when($"d_end" === $"d_last", $"len")).as("latest_streak"))
+      .orderBy($"user_id")
+  }
+
+  private val q146Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, d,
+      |         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM du
+      |), s AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, max(d) AS d_end
+      |  FROM g GROUP BY 1, 2
+      |), m AS (
+      |  SELECT user_id, len, d_end,
+      |         max(d_end) OVER (PARTITION BY user_id) AS d_last
+      |  FROM s
+      |)
+      |SELECT user_id,
+      |       CAST(sum(len) AS BIGINT) AS n_active_days,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       max(len) AS longest_streak,
+      |       max(CASE WHEN d_end = d_last THEN len END) AS latest_streak
+      |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q44_sessionize", q44, Some(q44Sql)),
     Q("q133_active_users", q133, Some(q133Sql)),
+    Q("q146_activity_streaks", q146, Some(q146Sql)),
     Q("q45_funnel", q45, Some(q45Sql)),
     Q("q46_cohort_retention", q46, Some(q46Sql)),
     Q("q91_event_outliers", q91, Some(q91Sql)),
