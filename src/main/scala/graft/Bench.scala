@@ -32,14 +32,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // pass 1 — untimed warmup: builds shared intermediates + codegen.
-    // Failures are ignored here; the timed pass reports them.
+    // Failures are ignored here; the timed pass reports them. Runs 8
+    // queries concurrently (Spark actions are thread-safe; local[32]
+    // has headroom): warmup cost is dominated by driver-side plan
+    // compile + codegen, which is single-threaded per query, so
+    // overlapping queries cuts the untimed pass ~4× without touching
+    // the timed pass (which stays strictly sequential).
     val t0 = System.nanoTime()
-    names.foreach { case (_, fn) =>
-      // NonFatal only: an OOM'd/broken JVM must abort the run, not
-      // produce a plausible-looking timed pass over a dead session
-      try fn(spark, sfDir).count()
-      catch { case scala.util.control.NonFatal(_) => () }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val warm = names.map { case (_, fn) =>
+      scala.concurrent.Future {
+        // NonFatal only: an OOM'd/broken JVM must abort the run, not
+        // produce a plausible-looking timed pass over a dead session
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(warm), scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     val buildSec = (System.nanoTime() - t0) / 1e9
     // pass 2 — warm, timed. A failed query reports -1 (never a
     // success-shaped elapsed time) and is listed in "failed" so
@@ -55,7 +68,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build_sec":$buildSec,"failed":$failedJson,"sf":"$sfDir"}""")
+    // key order matters for HUMANS, not parsers: the harness keeps only
+    // the TAIL of stdout, and with 146 per-query entries a leading
+    // "metric"/"value" prefix gets truncated away (round 3's report lost
+    // its headline). The big queries map goes first; every scalar the
+    // round report needs goes last so it always survives the cut.
+    println(s"""{"queries":$qs,"build_sec":$buildSec,"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size},"metric":"total","value":$total,"unit":"sec"}""")
     core.PersistedMemo.clearAll()
     spark.stop()
   }

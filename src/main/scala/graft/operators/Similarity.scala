@@ -316,7 +316,14 @@ object Similarity {
     }
 
   /** Exact-cosine verification of a candidate table: join the persisted
-    * norms, one fused dot per pair. */
+    * norms, one fused dot per pair.
+    *
+    * The emitted cosine is `round(·,4) + 0.0`: IEEE `+ 0.0` maps `-0.0`
+    * to `0.0` and is exact identity everywhere else. Spark's round
+    * (BigDecimal) never yields a signed zero but DuckDB's (C-style)
+    * keeps the sign, so a pair whose cosine rounds to zero from below
+    * hashes differently between the twins unless both normalize —
+    * round-3 correctness caught exactly one such pair on q55. */
   private[graft] def verified(e: DataFrame, cands: DataFrame): DataFrame = {
     val cos = dot("a.v", "b.v") / (col("a.nrm") * col("b.nrm"))
     cands
@@ -324,7 +331,7 @@ object Similarity {
       .join(e.as("b"), col("vec_b") === col("b.vec_id"))
       .select(
         col("vec_a"), col("vec_b"),
-        round(cos, 4).as("cosine"),
+        (round(cos, 4) + lit(0.0)).as("cosine"),
         (col("a.label") === col("b.label")).cast("int").as("same_label"))
   }
 
@@ -368,7 +375,7 @@ object Similarity {
   private val q28Sql: String =
     s"""WITH $normsCte, ${bandCandsCte(HB, BandBits)}
        |SELECT c.vec_a, c.vec_b,
-       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) AS cosine,
+       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) + 0.0 AS cosine,
        |       CAST(a.label = b.label AS INTEGER) AS same_label
        |FROM cands c
        |JOIN norms a ON a.vec_id = c.vec_a
@@ -401,7 +408,7 @@ object Similarity {
   private val q55Sql: String =
     s"""WITH $normsCte, ${bandCandsCte(HP55, ProdBandBits)}
        |SELECT c.vec_a, c.vec_b,
-       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) AS cosine,
+       |       round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) + 0.0 AS cosine,
        |       CAST(a.label = b.label AS INTEGER) AS same_label,
        |       CAST(round(${dotSql("a", "b")} / (a.nrm * b.nrm), 4) >= $ProdThreshold AS INTEGER) AS passed
        |FROM cands c
