@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Association.all ++
       operators.Maintenance.all ++
       operators.Graph.all ++
+      operators.Skew.all ++
       multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -404,10 +404,83 @@ object Graph {
       |         (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS global_cc
       |FROM tri""".stripMargin
 
+  // -------------------------------------------------------------- q147
+  /** Community detection by synchronous weighted label propagation
+    * (Raghavan et al. 2007), 4 rounds — the fourth graph primitive
+    * next to ranking (q100), reachability (q103) and components
+    * ([[Components]]): where components answer "connected at all?",
+    * LPA answers "densely connected to WHOM?", the modularity signal a
+    * mix-curation pass uses to find self-citing source cliques.
+    *
+    * Determinism (the reason this is 4 SYNCHRONOUS rounds, not
+    * async-until-converged): every node starts as its own label; each
+    * round every node adopts the label with the max total incident
+    * edge weight among its neighbors, ties to the LOWEST label — a
+    * pure function of the round-(k−1) labeling, so the unrolled oracle
+    * is exact. Edge weights are lineitem counts cast to double:
+    * integer-valued, so the per-(node, label) weight sums are EXACT in
+    * any aggregation order and the argmax can never flip on ulp drift
+    * (no rounding needed anywhere).
+    *
+    * Scale shape: each round is ONE equi-join of the label vector
+    * against the src-partitioned cached edge table (rounds shuffle
+    * only the #nodes-row vector — [[orderEdges]]' contract) + two
+    * hash aggregates: votes keyed (dst, label), then the per-dst
+    * argmax as a max-of-struct partial+final aggregate — NO window,
+    * NO per-round sort. `max(struct(lw, −label))` is the
+    * order-independent argmax-with-lowest-label-tiebreak. */
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = orderEdges(spark, dir) // (src, dst, w, p), cached on src
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to 4) {
+      val votes = edges.join(labels.hint("shuffle_hash"), $"src" === $"node")
+        .groupBy($"dst", $"lbl").agg(sum($"w").as("lw"))
+      labels = votes.groupBy($"dst")
+        .agg(max(struct($"lw".as("lw"), (-$"lbl").as("nl"))).as("m"))
+        .select($"dst".as("node"), (-$"m.nl").as("lbl"))
+    }
+    labels.select($"node",
+        when($"node" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        $"lbl".as("community"))
+      .orderBy($"community", $"node")
+  }
+
+  /** Unrolled twin; row_number spells the same (lw DESC, label ASC)
+    * argmax the struct-max encodes. */
+  private val q147Sql: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (
+         |  SELECT e.dst, l.lbl, sum(e.w) AS lw
+         |  FROM edges e JOIN $prev l ON l.node = e.src
+         |  GROUP BY 1, 2
+         |), l$i AS (
+         |  SELECT dst AS node, lbl
+         |  FROM (SELECT dst, lbl,
+         |               row_number() OVER (PARTITION BY dst
+         |                                  ORDER BY lw DESC, lbl ASC) AS rn
+         |        FROM v$i) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $edgeCtes,
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds
+       |SELECT node,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       lbl AS community
+       |FROM l4
+       |ORDER BY community, node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q100_pagerank", q100, Some(q100Sql)),
     Q("q102_degree_histogram", q102, Some(q102Sql)),
     Q("q103_hop_distance", q103, Some(q103Sql)),
     Q("q112_triangle_census", q112, Some(q112Sql)),
+    Q("q147_label_propagation", q147, Some(q147Sql)),
   )
 }

@@ -1222,6 +1222,113 @@ object Similarity {
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
 
+  // -------------------------------------------------------------- q149
+  /** One Lloyd refinement round over the IVF cells — the offline
+    * centroid-improvement step the hash-derived partitioning (q41's
+    * deterministic ±1 vertices) deliberately leaves out of the query
+    * path. Emits the before/after census per cell: member count under
+    * the hash centroids, how many members a refined (data-mean)
+    * centroid pulls away, and the reassigned count — the report that
+    * says whether the index is worth rebuilding on learned centroids.
+    *
+    * Determinism: refined centroid components are `round(avg, 4)`
+    * (q76's discipline) BEFORE any dot, so both engines score against
+    * bit-identical centroids; rescores round at 6 dp with the
+    * first-max/lowest-cell tie (q41's argmax contract).
+    *
+    * Scale shape — the reason this is the scale path for centroid
+    * LEARNING: the update step is one posexplode + partial+final mean
+    * keyed (cell, dim) → K×D rows; the K×D frame then CONTRACTS to a
+    * single array-of-struct row (sorted collect_list — order imposed,
+    * not assumed) that broadcasts into a scan-speed reassignment: per
+    * row, K fused zip_with/aggregate dots over the broadcast array, no
+    * join, no shuffle, exactly [[cellScores]]' shape with data-derived
+    * literals. A full k-means is this round iterated: each iteration
+    * one aggregate + one broadcast scan — no driver collect in the
+    * loop. The oracle spells the same round as unnest-join-sum
+    * algebra. An emptied cell still reports via the 0..K-1 spine
+    * (q117's densify rule). */
+  private def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = embNorm(spark, dir)
+      .withColumn("cluster", cellFromScores(cellScores))
+      .select($"vec_id", $"v", $"cluster")
+    val cents = assigned
+      .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"pos")
+      .agg(round(avg($"x"), 4).as("c"))
+    val centRow = cents.groupBy($"cluster")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"cluster", transform($"pc", p => p("c")).as("carr"))
+      .agg(array_sort(collect_list(struct($"cluster", $"carr"))).as("cents"))
+    val scored = assigned.crossJoin(broadcast(centRow))
+      .withColumn("scores", transform($"cents", cc =>
+        round(aggregate(zip_with($"v", cc("carr"), (a, b) => a * b),
+          lit(0.0), (acc, y) => acc + y), 6)))
+      .withColumn("new_cluster",
+        element_at($"cents",
+          array_position($"scores", array_max($"scores")).cast("int"))("cluster"))
+    val before = assigned.groupBy($"cluster").agg(count(lit(1)).as("nb"))
+    val moves = scored.groupBy($"cluster")
+      .agg(sum(when($"new_cluster" =!= $"cluster", 1L).otherwise(0L)).as("mo"))
+    val after = scored.groupBy($"new_cluster".as("cluster"))
+      .agg(count(lit(1)).as("na"))
+    spark.range(NClusters).select($"id".cast("int").as("cluster"))
+      .join(before, Seq("cluster"), "left")
+      .join(moves, Seq("cluster"), "left")
+      .join(after, Seq("cluster"), "left")
+      .select($"cluster",
+        coalesce($"nb", lit(0L)).as("n_before"),
+        coalesce($"mo", lit(0L)).as("moved_out"),
+        coalesce($"na", lit(0L)).as("n_after"))
+      .orderBy($"cluster")
+  }
+
+  private val q149Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), dims AS (
+       |  SELECT a.cluster, a.vec_id,
+       |         unnest(range(len(n.embedding))) AS pos,
+       |         unnest([CAST(e AS DOUBLE) for e in n.embedding]) AS x
+       |  FROM assign a JOIN norms n ON n.vec_id = a.vec_id
+       |), cmean AS (
+       |  SELECT cluster, pos, round(avg(x), 4) AS c FROM dims GROUP BY 1, 2
+       |), rescore AS (
+       |  SELECT d.vec_id, cm.cluster AS cand, round(sum(d.x * cm.c), 6) AS s
+       |  FROM dims d JOIN cmean cm ON cm.pos = d.pos
+       |  GROUP BY 1, 2
+       |), reassign AS (
+       |  SELECT vec_id, cand AS new_cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cand ASC) AS rn
+       |        FROM rescore) t
+       |  WHERE rn = 1
+       |), spine AS (SELECT unnest(range($NClusters)) AS cluster),
+       |bf AS (SELECT cluster, count(*) AS nb FROM assign GROUP BY 1),
+       |mv AS (
+       |  SELECT a.cluster, sum(CASE WHEN r.new_cluster <> a.cluster THEN 1 ELSE 0 END) AS mo
+       |  FROM assign a JOIN reassign r ON r.vec_id = a.vec_id GROUP BY 1
+       |), af AS (SELECT new_cluster AS cluster, count(*) AS na FROM reassign GROUP BY 1)
+       |SELECT CAST(spine.cluster AS INTEGER) AS cluster,
+       |       CAST(coalesce(nb, 0) AS BIGINT) AS n_before,
+       |       CAST(coalesce(mo, 0) AS BIGINT) AS moved_out,
+       |       CAST(coalesce(na, 0) AS BIGINT) AS n_after
+       |FROM spine
+       |LEFT JOIN bf ON bf.cluster = spine.cluster
+       |LEFT JOIN mv ON mv.cluster = spine.cluster
+       |LEFT JOIN af ON af.cluster = spine.cluster
+       |ORDER BY cluster""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
@@ -1237,5 +1344,6 @@ object Similarity {
     Q("q86_hard_negatives", q86, Some(q86Sql)),
     Q("q88_multiprobe_ivf", q88, Some(q88Sql)),
     Q("q96_quantized_ivf", q96, Some(q96Sql)),
+    Q("q149_lloyd_refinement", q149, Some(q149Sql)),
   )
 }

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
 
 /** Skew-mitigation primitives for hot keys (SCALE.md "Joins"): AQE's
   * runtime skew-split covers sort-merge joins, but a key so hot that
@@ -55,4 +58,56 @@ object Skew {
       .join(replicatedSmall, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  // -------------------------------------------------------------- q151
+  /** Salted two-phase per-supplier quantity profile — the hot-key
+    * aggregation discipline promoted into the oracle-gated catalog:
+    * the DuckDB twin is the PLAIN one-pass GROUP BY, so the gate
+    * proves salt-then-merge ≡ direct for the whole algebraic family
+    * (count/sum/min/max merge; mean re-derives from merged sums —
+    * q104's merge-≡-recompute contract, applied to intra-key
+    * parallelism instead of shard rollup).
+    *
+    * When this matters at 100 TB: Catalyst's map-side partial
+    * aggregate already contracts repeats WITHIN a partition, but the
+    * final aggregate still hash-routes each key to ONE reducer — a key
+    * holding 30% of the corpus makes that reducer the straggler, and
+    * AQE's runtime skew split covers joins, not aggregations. Salting
+    * the partial stage by a deterministic row-attribute hash (never
+    * rand() — task retries must reproduce the salt) caps any reducer
+    * at 1/`buckets` of the hot key before the ≤`buckets`-row merge.
+    *
+    * Exactness: l_quantity is integer-valued, so double sums are exact
+    * in ANY grouping/order and the mean's one divide matches bit-for-
+    * bit — the salted split introduces no drift to round away (the
+    * terminal round is presentation only, shared by both sides). */
+  private def q151(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partial = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .withColumn("salt", pmod(abs(hash($"l_orderkey", $"l_linenumber")), lit(16)))
+      .groupBy($"l_suppkey", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"l_quantity").as("ps"),
+        min($"l_quantity").as("pmin"), max($"l_quantity").as("pmax"))
+    partial.groupBy($"l_suppkey")
+      .agg(sum($"pn").as("n_rows"), sum($"ps").as("sum_qty"),
+        min($"pmin").as("min_qty"), max($"pmax").as("max_qty"))
+      .select($"l_suppkey", $"n_rows", $"sum_qty", $"min_qty", $"max_qty",
+        round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** The oracle is deliberately the UNSALTED spelling. */
+  private val q151Sql: String =
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+      |       sum(l_quantity) AS sum_qty,
+      |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |       round(sum(l_quantity) / count(*), 6) AS avg_qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_suppkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q151_salted_agg", q151, Some(q151Sql)),
+  )
 }

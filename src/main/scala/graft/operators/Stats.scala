@@ -534,9 +534,49 @@ object Stats {
        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------------- q148
+  /** Equi-DEPTH value histogram per event type (10 equal-mass buckets
+    * with realized bounds and counts) — q116's equi-width twin and the
+    * optimizer-statistics shape ANALYZE actually keeps (equi-depth
+    * bounds adapt to density, so selectivity estimates stay tight on
+    * skewed values where fixed-width bins collapse into one hot bin).
+    *
+    * Determinism: ntile splits TIES POSITIONALLY, so the window orders
+    * by (value, event_id) — the unique integer key makes the total
+    * order engine-independent (q107's tie discipline). Bounds are raw
+    * stored doubles selected by min/max — no arithmetic, no rounding.
+    *
+    * Scale shape: one shuffle per event type for the ntile sort, then
+    * a partial+final count keyed (type, bucket). The full per-key sort
+    * is the exact form; at 100 TB the same report derives from q54's
+    * mergeable approx_percentile sketch (boundaries at k/10 quantiles)
+    * without a global sort — exact here, sketch there, same columns. */
+  private def q148(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value")
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_rows"), min($"value").as("lo"), max($"value").as("hi"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val q148Sql: String =
+    """SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(value) AS lo, max(value) AS hi
+      |FROM (SELECT event_type, value,
+      |             ntile(10) OVER (PARTITION BY event_type
+      |                             ORDER BY value, event_id) AS bucket
+      |      FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
+    Q("q148_equidepth_histogram", q148, Some(q148Sql)),
     Q("q117_chi_square_cells", q117, Some(q117Sql)),
     Q("q129_robust_means", q129, Some(q129Sql)),
     Q("q132_pareto_classes", q132, Some(q132Sql)),

@@ -30,21 +30,47 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp type, so read nanos as Long and FLOOR to microseconds
-    * (DuckDB's nanos→TIMESTAMP conversion floors, so truncate-toward-
-    * zero `div` would diverge on pre-epoch timestamps; the floor-div is
-    * pure integer algebra — a double round-trip would lose precision
-    * above 2^53 ns ≈ 1970+104 days). The `nanosAsLong` conf is also set
-    * at session build by Bench/Verify/SparkSpecBase; setting it here too
-    * (idempotent — it is read at scan planning, same thread) keeps the
-    * loader usable from any entry point, e.g. the driver's smoke check. */
+  /** The events `ts` column has shipped in THREE physical encodings
+    * across dataset generations, so the loader normalizes from the
+    * SCANNED type instead of assuming one:
+    *
+    *  - `TIMESTAMP(NANOS)` (early generations): Spark has no nanosecond
+    *    timestamp, so `nanosAsLong` reads nanos as Long and we FLOOR to
+    *    microseconds (DuckDB's nanos→TIMESTAMP floors too; truncate-
+    *    toward-zero `div` would diverge pre-epoch; the floor-div is pure
+    *    integer algebra — a double round-trip would lose precision above
+    *    2^53 ns ≈ 1970+104 days). The conf is also set at session build
+    *    by Bench/Verify/SparkSpecBase; setting it here too (idempotent —
+    *    read at scan planning, same thread) keeps the loader usable from
+    *    any entry point.
+    *  - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (current
+    *    generations): Spark scans it as TIMESTAMP_NTZ; the UTC-session
+    *    cast to TimestampType maps wall-clock to the same microsecond
+    *    instant DuckDB's naive read + `epoch_us` sees, so every
+    *    downstream `unix_micros(ts)` is unchanged. All engine session
+    *    builders pin `spark.sql.session.timeZone=UTC` (a non-UTC session
+    *    would shift the instant).
+    *  - `TimestampType` (Spark-written fixtures / entry tables): already
+    *    the canonical form. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(
-          "(ts div 1000) - CAST((ts % 1000) < 0 AS INT)")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(
+          expr("(ts div 1000) - CAST((ts % 1000) < 0 AS INT)")))
+      case TimestampNTZType =>
+        // the cast below interprets NTZ wall-clock in the SESSION zone,
+        // so it is instant-preserving only under UTC — pin it exactly
+        // like nanosAsLong above (idempotent: every engine session
+        // builder already sets UTC; this covers external sessions, e.g.
+        // the driver's smoke check)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -108,4 +108,27 @@ class GraphSpec extends SparkSpecBase {
       r.getAs[Long]("n_b") shouldBe counts(r.getAs[String]("name_b"))
     }
   }
+
+  test("q147 label propagation partitions the node set deterministically") {
+    val rows = SparkEntry.queries("q147_label_propagation")(spark, dir)
+      .as[(Long, String, Long)].collect()
+    // every graph node labeled exactly once, kinds consistent with ids
+    val nodes = Graft.pagerank(spark, dir, iterations = 1)
+      .select($"node").as[Long].collect().toSet
+    rows.map(_._1).toSet shouldBe nodes
+    rows.length shouldBe nodes.size
+    rows.foreach { case (node, kind, _) =>
+      kind shouldBe (if (node % 2 == 0) "customer" else "supplier")
+    }
+    // every community label is itself a node of the graph (labels only
+    // ever propagate from initial node-id self-labels)
+    rows.map(_._3).toSet.subsetOf(nodes) shouldBe true
+    // propagation actually contracts: fewer communities than nodes
+    rows.map(_._3).distinct.length should be < nodes.size
+    // bit-for-bit re-run stability (pure function of the edge table)
+    val again = SparkEntry.queries("q147_label_propagation")(spark, dir)
+      .as[(Long, String, Long)].collect()
+    again.toSeq shouldBe rows.toSeq
+  }
+
 }

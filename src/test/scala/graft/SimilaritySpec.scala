@@ -222,4 +222,21 @@ class SimilaritySpec extends SparkSpecBase {
       c shouldBe r4(vs.sum / vs.length)
     }
   }
+
+  test("q149 Lloyd census conserves vectors and move accounting") {
+    val rows = SparkEntry.queries("q149_lloyd_refinement")(spark, sfDir)
+      .as[(Int, Long, Long, Long)].collect()
+    rows.map(_._1).toSeq shouldBe (0 until 16)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    rows.map(_._2).sum shouldBe n   // before-census tiles the corpus
+    rows.map(_._4).sum shouldBe n   // after-census tiles it too
+    rows.foreach { case (_, nb, mo, na) =>
+      mo should be <= nb            // can only lose members you had
+      na should be >= nb - mo       // stayers are a floor on the after count
+    }
+    // refined (data-mean) centroids must beat random splits on their own
+    // members: a majority of vectors keep their cell after refinement
+    rows.map(_._3).sum.toDouble / n should be < 0.5
+  }
+
 }

@@ -38,4 +38,21 @@ class SkewSpec extends SparkSpecBase {
     // every row survived exactly once (no dup/loss from replication)
     salted.size shouldBe skewed.count()
   }
+
+  test("q151 salted two-phase profile equals the direct one-pass aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val salted = SparkEntry.queries("q151_salted_agg")(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val direct = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("sum_qty"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+      .select($"l_suppkey", $"n_rows", $"sum_qty", $"min_qty", $"max_qty",
+        round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
+      .orderBy($"l_suppkey")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    // bit-for-bit: integer-valued quantities make every double exact
+    salted shouldBe direct
+  }
+
 }

@@ -235,4 +235,27 @@ class StatsSpec extends SparkSpecBase {
     chi2.isNaN shouldBe false
     chi2 should be >= 0.0
   }
+
+  test("q148 equi-depth buckets tile each type with balanced mass and ordered bounds") {
+    val rows = SparkEntry.queries("q148_equidepth_histogram")(spark, dir)
+      .as[(String, Int, Long, Double, Double)].collect()
+    val byType = rows.groupBy(_._1)
+    val counts = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    byType.foreach { case (t, rs) =>
+      // mass conservation: buckets tile the type exactly
+      rs.map(_._3).sum shouldBe counts(t)
+      // ntile balance: bucket sizes differ by at most one
+      (rs.map(_._3).max - rs.map(_._3).min) should be <= 1L
+      // bounds are ordered within and across buckets (ties may touch)
+      val sorted = rs.sortBy(_._2)
+      sorted.foreach { r => r._4 should be <= r._5 }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a._5 should be <= b._4
+        case _ =>
+      }
+    }
+  }
+
 }
