@@ -546,8 +546,85 @@ object Temporal {
        |GROUP BY 1
        |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q150
+  /** Point-in-time version join: every event enriched with the SCD2
+    * version (q110's intervals) that was VALID at its instant — the
+    * lookup every "what was true when this fact happened" join needs,
+    * and the join shape that makes or breaks a versioned-dimension
+    * warehouse at scale.
+    *
+    * Spark side: the interval join FUSES into the q110 window pass —
+    * version membership is the running change-count at the event's own
+    * (us, event_id) sort position, version size and currency are two
+    * more windows riding the SAME user_id shuffle (hash(user_id)
+    * satisfies the (user_id, ver) clustering, so no second exchange).
+    * The ORACLE stays the naive form: build the version intervals,
+    * then a genuine per-user interval join on the row-ordinal axis
+    * (rank ranges — integer-exact, tie-free where raw timestamps can
+    * collide). The gate therefore proves fusion ≡ interval join —
+    * q113's one-scan discipline applied to dimension versioning.
+    *
+    * At 100 TB with a PERSISTED dimension (facts and versions in
+    * different tables, where no fusion exists): broadcast the
+    * version table if it fits; else q56's bucketed range join. This
+    * query is the same-table case, where the scale-safe form is to
+    * never join at all. */
+  private def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wv = Window.partitionBy($"user_id", $"ver")
+    val wu = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type".as("attr"),
+        unix_micros($"ts").as("us"))
+      // q110's null-safe change flag, verbatim — one attr definition
+      .withColumn("new_v",
+        when(lag($"us", 1).over(w).isNull ||
+          !($"attr" <=> lag($"attr", 1).over(w)), 1).otherwise(0))
+      .withColumn("ver", sum($"new_v").over(running).cast("int"))
+      .withColumn("n_obs", count(lit(1)).over(wv))
+      .withColumn("is_current",
+        when($"ver" === max($"ver").over(wu), 1).otherwise(0).cast("int"))
+      .select($"event_id", $"user_id", $"us", $"ver", $"attr",
+        $"n_obs", $"is_current")
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+
+  /** The naive spelling the fusion must equal: versions as rank
+    * intervals `[rn_from, rn_to)`, events interval-joined per user. */
+  private val q150Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type AS attr, epoch_us(ts) AS us,
+      |         row_number() OVER w AS rn,
+      |         CASE WHEN lag(us) OVER w IS NULL
+      |               OR attr <> lag(attr) OVER w THEN 1 ELSE 0 END AS new_v
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), verd AS (
+      |  SELECT *, CAST(sum(new_v) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS ver
+      |  FROM ev
+      |), vers AS (
+      |  SELECT user_id, ver, min(attr) AS attr, min(rn) AS rn_from,
+      |         CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM verd GROUP BY 1, 2
+      |), intervals AS (
+      |  SELECT *,
+      |         lead(rn_from) OVER (PARTITION BY user_id ORDER BY ver) AS rn_to
+      |  FROM vers
+      |)
+      |SELECT e.event_id, e.user_id, e.us, v.ver, v.attr, v.n_obs,
+      |       CAST(CASE WHEN v.rn_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM verd e
+      |JOIN intervals v
+      |  ON v.user_id = e.user_id
+      | AND e.rn >= v.rn_from AND (v.rn_to IS NULL OR e.rn < v.rn_to)
+      |ORDER BY e.user_id, e.us, e.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q110_scd2_history", q110, Some(q110Sql)),
+    Q("q150_point_in_time", q150, Some(q150Sql)),
     Q("q111_concurrency", q111, Some(q111Sql)),
     Q("q113_snapshot_diff", q113, Some(q113Sql)),
     Q("q114_attribution", q114, Some(q114Sql)),

@@ -636,4 +636,15 @@ class PlanSpec extends SparkSpecBase {
     "HashAggregate".r.findAllIn(p).length should be >= 4
   }
 
+
+  test("q150: the interval join fuses away — one scan, one key shuffle, no join") {
+    val p = plan("q150_point_in_time")
+    p.split("Location:").length shouldBe 2 // ONE events scan
+    (p should not).include("Join")
+    // one hash exchange on user_id; the only other exchange is the
+    // presentation range sort
+    p.sliding("hashpartitioning".length).count(_ == "hashpartitioning") shouldBe 1
+    p should include("hashpartitioning(user_id")
+  }
+
 }

@@ -241,4 +241,32 @@ class TemporalSpec extends SparkSpecBase {
       mx shouldBe spans.map(sp => sp._2 - sp._1).max / 1e6 +- 1e-9
     }
   }
+
+  // ------------------------------------------------------------- q150
+  test("q150 point-in-time enrichment reconciles with q110's versions") {
+    val rows = SparkEntry.queries("q150_point_in_time")(spark, dir)
+      .as[(Long, Long, Long, Int, String, Long, Int)].collect()
+    // total: every event enriched exactly once (the interval join can
+    // neither drop nor multiply facts)
+    rows.length shouldBe sources.Tables.events(spark, dir).count()
+    val byVersion = rows.groupBy(r => (r._2, r._4))
+    byVersion.values.foreach { vs =>
+      // the carried version size IS the member count
+      vs.foreach(_._6 shouldBe vs.length.toLong)
+      // one attr per version
+      vs.map(_._5).distinct.length shouldBe 1
+    }
+    // exactly one OPEN version per user, and it is the max-ver one
+    rows.groupBy(_._2).values.foreach { us =>
+      val cur = us.filter(_._7 == 1)
+      cur.map(r => (r._2, r._4)).distinct.length shouldBe 1
+      cur.map(_._4).head shouldBe us.map(_._4).max
+    }
+    // and the version frame itself matches q110 (user, ver, attr, n_obs)
+    val scd = SparkEntry.queries("q110_scd2_history")(spark, dir)
+      .select($"user_id", $"ver", $"attr", $"n_obs")
+      .as[(Long, Int, String, Long)].collect().toSet
+    byVersion.map { case ((u, v), vs) => (u, v, vs.head._5, vs.head._6) }.toSet shouldBe scd
+  }
+
 }
