@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -278,4 +278,44 @@ object Graft {
     base.join(keys, keyCols, "left_anti")
       .unionByName(feed.filter(col(opCol) =!= "D").drop(opCol))
   }
+
+  /** Synchronous weighted label-propagation communities over the order
+    * graph with the round count open (q147 fixes 4). Returns
+    * `(node, lbl)`; node ids are `custkey*2` / `suppkey*2+1`, labels
+    * are the node ids the votes converge on. */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame =
+    operators.Graph.labelPropagation(spark, dir, rounds)
+
+  /** Equi-depth histogram over ANY frame (q148 fixes events / 10
+    * bins). `tieCol` must be a unique per-row key: ntile splits ties
+    * positionally, so a non-unique sort would make bucket boundaries
+    * run-dependent. */
+  def equidepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, bins: Int = 10): DataFrame =
+    operators.Stats.equidepthHistogram(df, groupCol, valueCol, tieCol, bins)
+
+  /** IVF cell assignment after `rounds` Lloyd refinements of the
+    * deterministic hash centroids (q149 reports the single-round
+    * census). Returns `(vec_id, cluster)` — feed it to an index
+    * rebuild when q149's census says refinement pays. */
+  def lloydAssign(spark: SparkSession, dir: String,
+      rounds: Int = 1): DataFrame =
+    operators.Similarity.lloydAssign(spark, dir, rounds)
+
+  /** Point-in-time SCD2 enrichment of every event, with the versioned
+    * attribute open (q150 fixes event_type — q110's `scd2History`
+    * contract). */
+  def pointInTime(spark: SparkSession, dir: String,
+      attrCol: String = "event_type"): DataFrame =
+    operators.Temporal.pointInTime(spark, dir, attrCol)
+
+  /** Salted two-phase count/sum/min/max/mean profile over ANY frame —
+    * the hot-key aggregation mitigation with the bucket count open
+    * (q151 fixes lineitem / 16). `saltFrom` must be a deterministic
+    * function of stable row attributes (task retries must reproduce
+    * it); pass the row's primary key. */
+  def saltedProfile(df: DataFrame, key: String, valueCol: String,
+      buckets: Int = 16, saltFrom: Column): DataFrame =
+    operators.Skew.saltedProfile(df, key, valueCol, buckets, saltFrom)
 }

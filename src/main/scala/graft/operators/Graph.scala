@@ -429,19 +429,36 @@ object Graph {
     * argmax as a max-of-struct partial+final aggregate — NO window,
     * NO per-round sort. `max(struct(lw, −label))` is the
     * order-independent argmax-with-lowest-label-tiebreak. */
-  private def q147(spark: SparkSession, dir: String): DataFrame = {
+  /** Open-knob LPA core shared by q147 and [[graft.Graft.labelPropagation]]:
+    * returns `(node, lbl)` after `rounds` synchronous rounds. The lazy
+    * plan grows LINEARLY in rounds (the label vector feeds exactly one
+    * join per round), but analyzer cost still compounds — refuse deep
+    * unrolls instead of silently handing Catalyst a huge tree; a
+    * convergence-driven run adopts [[Components.run]]'s per-round
+    * freeze. */
+  private[graft] def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     import spark.implicits._
+    require(rounds > 0 && rounds <= 16,
+      s"need 0 < rounds <= 16 (got $rounds) — adopt Components.run's " +
+        "per-round freeze for convergence-driven propagation")
     val edges = orderEdges(spark, dir) // (src, dst, w, p), cached on src
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
-    for (_ <- 1 to 4) {
+    for (_ <- 1 to rounds) {
       val votes = edges.join(labels.hint("shuffle_hash"), $"src" === $"node")
         .groupBy($"dst", $"lbl").agg(sum($"w").as("lw"))
       labels = votes.groupBy($"dst")
         .agg(max(struct($"lw".as("lw"), (-$"lbl").as("nl"))).as("m"))
         .select($"dst".as("node"), (-$"m.nl").as("lbl"))
     }
-    labels.select($"node",
+    labels
+  }
+
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    labelPropagation(spark, dir, rounds = 4)
+      .select($"node",
         when($"node" % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("kind"),
         $"lbl".as("community"))

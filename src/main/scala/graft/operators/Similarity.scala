@@ -1248,11 +1248,18 @@ object Similarity {
     * loop. The oracle spells the same round as unnest-join-sum
     * algebra. An emptied cell still reports via the 0..K-1 spine
     * (q117's densify rule). */
-  private def q149(spark: SparkSession, dir: String): DataFrame = {
+  /** One Lloyd update+reassignment over an assignment frame
+    * `(vec_id, v, cluster)`: per-(cell, dim) means (rounded 4 dp)
+    * contract to a single broadcast array row; `new_cluster` is the
+    * argmax of K fused HOF dots per row (rounded 6 dp, first-max =
+    * lowest cell). Shared by q149's census and the iterated
+    * [[lloydAssign]]. NOTE the input is consumed by BOTH the centroid
+    * aggregate and the rescore scan — callers iterating this must
+    * bound rounds or freeze between them (the plan doubles per
+    * round). */
+  private def reassigned(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val assigned = embNorm(spark, dir)
-      .withColumn("cluster", cellFromScores(cellScores))
-      .select($"vec_id", $"v", $"cluster")
     val cents = assigned
       .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
       .groupBy($"cluster", $"pos")
@@ -1261,13 +1268,42 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select($"cluster", transform($"pc", p => p("c")).as("carr"))
       .agg(array_sort(collect_list(struct($"cluster", $"carr"))).as("cents"))
-    val scored = assigned.crossJoin(broadcast(centRow))
+    assigned.crossJoin(broadcast(centRow))
       .withColumn("scores", transform($"cents", cc =>
         round(aggregate(zip_with($"v", cc("carr"), (a, b) => a * b),
           lit(0.0), (acc, y) => acc + y), 6)))
       .withColumn("new_cluster",
         element_at($"cents",
           array_position($"scores", array_max($"scores")).cast("int"))("cluster"))
+  }
+
+  /** `rounds` Lloyd refinements from the hash-centroid assignment —
+    * the open-knob centroid learner behind q149's single-round census
+    * ([[graft.Graft.lloydAssign]]). Returns `(vec_id, cluster)`. Each
+    * round references its predecessor twice (means + rescore), so the
+    * lazy plan doubles per round — the bound refuses what the analyzer
+    * can't hold; a deeper run adopts [[Components.run]]'s per-round
+    * freeze. */
+  private[graft] def lloydAssign(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    require(rounds > 0 && rounds <= 4,
+      s"need 0 < rounds <= 4 (got $rounds) — the lazy plan doubles per " +
+        "round; freeze per round (Components.run discipline) to go deeper")
+    var a = embNorm(spark, dir)
+      .withColumn("cluster", cellFromScores(cellScores))
+      .select($"vec_id", $"v", $"cluster")
+    for (_ <- 1 to rounds)
+      a = reassigned(a).select($"vec_id", $"v", $"new_cluster".as("cluster"))
+    a.select($"vec_id", $"cluster")
+  }
+
+  private def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = embNorm(spark, dir)
+      .withColumn("cluster", cellFromScores(cellScores))
+      .select($"vec_id", $"v", $"cluster")
+    val scored = reassigned(assigned)
     val before = assigned.groupBy($"cluster").agg(count(lit(1)).as("nb"))
     val moves = scored.groupBy($"cluster")
       .agg(sum(when($"new_cluster" =!= $"cluster", 1L).otherwise(0L)).as("mo"))

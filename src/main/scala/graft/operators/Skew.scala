@@ -81,19 +81,37 @@ object Skew {
     * in ANY grouping/order and the mean's one divide matches bit-for-
     * bit — the salted split introduces no drift to round away (the
     * terminal round is presentation only, shared by both sides). */
+  /** Open-knob salted profile over ANY frame (count/sum/min/max + the
+    * derived mean), shared by q151 and [[graft.Graft.saltedProfile]].
+    * Output columns: `(key, n_rows, sum_<v>, min_<v>, max_<v>,
+    * avg_<v>)` — the mean is UNROUNDED here; presentation rounding is
+    * the caller's. */
+  def saltedProfile(df: DataFrame, key: String, valueCol: String,
+      buckets: Int, saltFrom: Column): DataFrame = {
+    require(buckets > 1 && buckets <= 4096,
+      s"need 1 < buckets <= 4096 (got $buckets)")
+    val partial = df
+      .withColumn("__salt", pmod(abs(hash(saltFrom)), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum(col(valueCol)).as("ps"),
+        min(col(valueCol)).as("pmin"), max(col(valueCol)).as("pmax"))
+    partial.groupBy(col(key))
+      .agg(sum(col("pn")).as("n_rows"), sum(col("ps")).as(s"sum_$valueCol"),
+        min(col("pmin")).as(s"min_$valueCol"), max(col("pmax")).as(s"max_$valueCol"))
+      .withColumn(s"avg_$valueCol", col(s"sum_$valueCol") / col("n_rows"))
+  }
+
   private def q151(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val partial = Tables.lineitem(spark, dir)
-      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity")
-      .withColumn("salt", pmod(abs(hash($"l_orderkey", $"l_linenumber")), lit(16)))
-      .groupBy($"l_suppkey", $"salt")
-      .agg(count(lit(1)).as("pn"), sum($"l_quantity").as("ps"),
-        min($"l_quantity").as("pmin"), max($"l_quantity").as("pmax"))
-    partial.groupBy($"l_suppkey")
-      .agg(sum($"pn").as("n_rows"), sum($"ps").as("sum_qty"),
-        min($"pmin").as("min_qty"), max($"pmax").as("max_qty"))
-      .select($"l_suppkey", $"n_rows", $"sum_qty", $"min_qty", $"max_qty",
-        round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
+    saltedProfile(
+      Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity"),
+      key = "l_suppkey", valueCol = "l_quantity", buckets = 16,
+      saltFrom = struct($"l_orderkey", $"l_linenumber"))
+      .select($"l_suppkey", $"n_rows",
+        $"sum_l_quantity".as("sum_qty"), $"min_l_quantity".as("min_qty"),
+        $"max_l_quantity".as("max_qty"),
+        round($"avg_l_quantity", 6).as("avg_qty"))
       .orderBy($"l_suppkey")
   }
 

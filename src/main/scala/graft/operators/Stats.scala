@@ -551,16 +551,27 @@ object Stats {
     * is the exact form; at 100 TB the same report derives from q54's
     * mergeable approx_percentile sketch (boundaries at k/10 quantiles)
     * without a global sort — exact here, sketch there, same columns. */
-  private def q148(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    Tables.events(spark, dir)
-      .select($"event_type", $"event_id", $"value")
-      .withColumn("bucket", ntile(10).over(w))
-      .groupBy($"event_type", $"bucket")
-      .agg(count(lit(1)).as("n_rows"), min($"value").as("lo"), max($"value").as("hi"))
-      .orderBy($"event_type", $"bucket")
+  /** Open-knob equi-depth core over ANY frame, shared by q148 and
+    * [[graft.Graft.equidepthHistogram]]. `tieCol` must be a unique
+    * per-row key — ntile splits ties positionally, so without it the
+    * bucket boundary on a tied value would be engine- and
+    * run-dependent. */
+  private[graft] def equidepthHistogram(df: DataFrame, groupCol: String,
+      valueCol: String, tieCol: String, bins: Int): DataFrame = {
+    require(bins > 1 && bins <= 1000, s"need 1 < bins <= 1000 (got $bins)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    df.select(col(groupCol), col(tieCol), col(valueCol))
+      .withColumn("bucket", ntile(bins).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .orderBy(col(groupCol), col("bucket"))
   }
+
+  private def q148(spark: SparkSession, dir: String): DataFrame =
+    equidepthHistogram(Tables.events(spark, dir),
+      groupCol = "event_type", valueCol = "value", tieCol = "event_id",
+      bins = 10)
 
   private val q148Sql: String =
     """SELECT event_type, CAST(bucket AS INTEGER) AS bucket,

@@ -569,14 +569,21 @@ object Temporal {
     * version table if it fits; else q56's bucketed range join. This
     * query is the same-table case, where the scale-safe form is to
     * never join at all. */
-  private def q150(spark: SparkSession, dir: String): DataFrame = {
+  private def q150(spark: SparkSession, dir: String): DataFrame =
+    pointInTime(spark, dir, attrCol = "event_type")
+
+  /** Open-knob core of q150, shared with [[graft.Graft.pointInTime]] —
+    * any event column can be the versioned attribute (q110's
+    * `scd2History` contract). */
+  private[graft] def pointInTime(spark: SparkSession, dir: String,
+      attrCol: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wv = Window.partitionBy($"user_id", $"ver")
     val wu = Window.partitionBy($"user_id")
     Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"event_type".as("attr"),
+      .select($"user_id", $"event_id", col(attrCol).as("attr"),
         unix_micros($"ts").as("us"))
       // q110's null-safe change flag, verbatim — one attr definition
       .withColumn("new_v",

@@ -218,4 +218,42 @@ class ApiSpec extends SparkSpecBase {
     val hourByDay = hour.groupBy(_._1.take(10)).view.mapValues(_.map(_._2).max)
     day.foreach { case (d, peak, _) => hourByDay(d) shouldBe peak }
   }
+
+  test("round-4 facades at catalog knobs equal q147/q148/q149-init/q150/q151") {
+    import org.apache.spark.sql.functions._
+    // labelPropagation(4) + presentation = q147
+    val lpa = Graft.labelPropagation(spark, dir)
+      .select($"node",
+        when($"node" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        $"lbl".as("community"))
+      .orderBy($"community", $"node")
+    rows(lpa) shouldBe rows(SparkEntry.queries("q147_label_propagation")(spark, dir))
+    // equidepthHistogram at catalog knobs = q148
+    val edh = Graft.equidepthHistogram(sources.Tables.events(spark, dir),
+      "event_type", "value", "event_id", bins = 10)
+    rows(edh) shouldBe rows(SparkEntry.queries("q148_equidepth_histogram")(spark, dir))
+    // one lloydAssign round reconciles with q149's census: per-cluster
+    // sizes of the refined assignment ARE the after-counts
+    val sizes = Graft.lloydAssign(spark, dir, rounds = 1)
+      .groupBy($"cluster").count().as[(Int, Long)].collect().toMap
+    SparkEntry.queries("q149_lloyd_refinement")(spark, dir)
+      .select($"cluster", $"n_after").as[(Int, Long)].collect()
+      .foreach { case (c, na) => sizes.getOrElse(c, 0L) shouldBe na }
+    // pointInTime at the catalog attribute = q150
+    rows(Graft.pointInTime(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q150_point_in_time")(spark, dir))
+    // saltedProfile at catalog knobs + presentation = q151
+    val sp = Graft.saltedProfile(
+      sources.Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity"),
+      "l_suppkey", "l_quantity", buckets = 16,
+      saltFrom = struct($"l_orderkey", $"l_linenumber"))
+      .select($"l_suppkey", $"n_rows",
+        $"sum_l_quantity".as("sum_qty"), $"min_l_quantity".as("min_qty"),
+        $"max_l_quantity".as("max_qty"), round($"avg_l_quantity", 6).as("avg_qty"))
+      .orderBy($"l_suppkey")
+    rows(sp) shouldBe rows(SparkEntry.queries("q151_salted_agg")(spark, dir))
+  }
+
 }
