@@ -40,4 +40,61 @@ class MultimodalSpec extends SparkSpecBase {
     Multimodal.FakeDecoder.resize(d, 32, 32).width shouldBe 32
     Multimodal.FakeDecoder.sampleFrames(d, 2).length shouldBe (d.nFrames + 1) / 2
   }
+
+  // ------------------------------------------------------ MediaCodec
+  test("PPM round-trips exactly and validates malformed payloads") {
+    import Multimodal.MediaCodec
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 37 % 256).toByte)
+    val bytes = MediaCodec.encodePpm(4, 3, rgb)
+    val p = MediaCodec.decodePpm(bytes)
+    p.width shouldBe 4
+    p.height shouldBe 3
+    p.maxVal shouldBe 255
+    // mean luminance is the exact integer sum over channel bytes / n
+    p.meanLuma shouldBe rgb.map(_ & 0xff).map(_.toLong).sum.toDouble / rgb.length
+    // corrupt magic / truncated body must throw, not decode garbage
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte))
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodePpm(bytes.dropRight(1))
+  }
+
+  test("WAV PCM16 round-trips exactly and validates chunk structure") {
+    import Multimodal.MediaCodec
+    val samples = Array.tabulate[Short](50)(i => (i * 331 - 8000).toShort)
+    val bytes = MediaCodec.encodeWavPcm16(16000, samples)
+    bytes.length shouldBe 44 + 100
+    val w = MediaCodec.decodeWav(bytes)
+    w.sampleRate shouldBe 16000
+    w.nSamples shouldBe 50
+    w.channels shouldBe 1
+    w.bitsPerSample shouldBe 16
+    w.rmsQ shouldBe math.sqrt(samples.map(s => s.toDouble * s).sum / 50) +- 1e-9
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodeWav(bytes.dropRight(2)) // data chunk shorter than declared
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodeWav("JUNK".getBytes("US-ASCII") ++ bytes.drop(4))
+  }
+
+  test("q152 real decode round-trips the generated corpus payloads") {
+    val rows = SparkEntry.queries("q152_media_decode")(spark, sfDir).collect()
+    rows.length shouldBe sources.Tables.documents(spark, sfDir).count()
+    rows.foreach { r =>
+      val (kind, real) = (r.getAs[String]("kind"), r.getAs[Int]("decoded_real"))
+      real shouldBe (if (kind == "video") 0 else 1)
+      if (kind == "image") {
+        r.getAs[Int]("width") should be >= 8
+        r.getAs[Int]("height") should be >= 8
+        // decoded dims reconcile with the payload size: header + w*h*3
+        val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+        r.getAs[Int]("n_bytes") shouldBe
+          9 + w.toString.length + h.toString.length + w * h * 3
+      }
+      if (kind == "audio") {
+        r.getAs[Int]("sample_rate") % 8000 shouldBe 0
+        r.getAs[Int]("n_bytes") shouldBe 44 + 2 * r.getAs[Int]("n_samples")
+      }
+    }
+  }
+
 }
