@@ -65,7 +65,10 @@ object Bench {
     }
     val results = runs.map { case (n, t, _) => n -> t }
     val failed = runs.collect { case (n, _, false) => "\"" + n + "\"" }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale formatter writes a comma decimal
+    // separator under e.g. de_DE, which is invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1008,6 +1008,70 @@ object TextAnalysis {
       |WHERE rn <= 20
       |ORDER BY rn""".stripMargin
 
+  // -------------------------------------------------------------- q153
+  /** Linear quality classifier at scan speed — the model-based rung of
+    * the quality ladder above q32's hand-set heuristic and q78's
+    * unigram-LM surprisal (the fastText-style filter CCNet/LLaMA-era
+    * pipelines run corpus-wide): mean-pooled hashed-unigram features ×
+    * a fixed weight vector + bias, per row, zero shuffles.
+    *
+    * The weight vector stands in for a trained artifact (deterministic
+    * pseudo-random literals — training a real model needs labels this
+    * corpus lacks); swapping in learned weights changes ONE literal
+    * array and no plan shape. What the oracle gate actually proves is
+    * the SERVING path: feature hashing ([[Portable.hash32]], the
+    * engine-portable md5 bridge), bucket lookup, mean-pool, and
+    * thresholding agree bit-for-bit across engines.
+    *
+    * Determinism — the integer-cents discipline (SCALE.md), not
+    * rounding: weights are INTEGER milli-units, so the pooled sum is a
+    * BIGINT (exact in any aggregation order), the threshold decides on
+    * that integer, and the reported logit is ONE terminal IEEE divide
+    * of exact integers — bit-identical across engines with no round()
+    * anywhere. The first spelling pooled rounded DOUBLES and fell to
+    * the round-half trap the moment a /1000 weight met a power-of-two
+    * token count (x.xxxxx5 exactly — Spark's BigDecimal HALF_UP and
+    * DuckDB's binary round split; 6 of 500 docs at sf0.01). */
+  private val QcBuckets = 64
+  private val QcBiasMilli = -20L // −0.02 in milli-units
+  private[operators] val QcMilliWeights: IndexedSeq[Long] =
+    (0 until QcBuckets).map(j => (j * 2654435761L % 1000) - 500)
+
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = typedlit(QcMilliWeights)
+    val pooled = aggregate(
+      transform($"t", tok =>
+        element_at(w, (Portable.hash32(tok) % QcBuckets).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .withColumn("n_tokens", size($"t"))
+      // raw milli-score scaled by n: logit·1000·n, an exact BIGINT
+      .withColumn("raw", pooled + lit(QcBiasMilli) * $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        ($"raw".cast("double") / (lit(1000.0) * $"n_tokens")).as("quality_logit"),
+        ($"raw" >= 0).cast("int").as("quality_pass"))
+      .orderBy($"doc_id")
+  }
+
+  private val q153Sql: String = {
+    val wLit = QcMilliWeights.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+       |), f AS (
+       |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       |         CAST(list_sum([($wLit)[(${Portable.hash32Sql("t")} % $QcBuckets) + 1]
+       |                        for t in toks]) + ($QcBiasMilli) * len(toks) AS BIGINT) AS raw
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens,
+       |       CAST(raw AS DOUBLE) / (1000.0 * n_tokens) AS quality_logit,
+       |       CAST(raw >= 0 AS INTEGER) AS quality_pass
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
@@ -1024,5 +1088,6 @@ object TextAnalysis {
     Q("q85_bpe_pairs", q85, Some(q85Sql)),
     Q("q94_hybrid_rrf", q94, Some(q94Sql)),
     Q("q95_sketch_union", q95, None), // mergeable HLL — FiltersSpec bounds vs exact
+    Q("q153_quality_classifier", q153, Some(q153Sql)),
   )
 }

@@ -350,4 +350,32 @@ class FiltersSpec extends SparkSpecBase {
       .as[(String, Long, Long)].collect().toSeq
     got shouldBe expected
   }
+
+  test("q153 classifier logits replay from scratch through the portable hash") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q153_quality_classifier")(spark, dir)
+      .as[(Long, Int, Double, Int)].collect()
+    val docs = sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.length shouldBe docs.size
+    // independent reconstruction: same bucket formula, same milli-weights
+    val milli = (0 until 64).map(j => (j * 2654435761L % 1000) - 500)
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    rows.foreach { case (id, n, logit, pass) =>
+      val toks = docs(id).split("\\s+")
+      n shouldBe toks.length
+      val raw = toks.foldLeft(0L)((a, t) => a + milli(bucket(t))) - 20L * n
+      // EXACT equality: one IEEE divide of exact integers, no rounding
+      logit shouldBe raw.toDouble / (1000.0 * n)
+      pass shouldBe (if (raw >= 0) 1 else 0)
+    }
+    // the classifier discriminates: both classes occur
+    rows.map(_._4).distinct.sorted shouldBe Seq(0, 1)
+  }
+
 }

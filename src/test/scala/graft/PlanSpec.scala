@@ -647,4 +647,13 @@ class PlanSpec extends SparkSpecBase {
     p should include("hashpartitioning(user_id")
   }
 
+
+  test("q153: classifier scoring is map-side — sort is the only exchange") {
+    val p = plan("q153_quality_classifier")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 2 // tree line + detail header
+    p should include("rangepartitioning(doc_id")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    (p should not).include("Join")
+  }
+
 }
