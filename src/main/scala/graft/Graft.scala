@@ -310,6 +310,16 @@ object Graft {
       attrCol: String = "event_type"): DataFrame =
     operators.Temporal.pointInTime(spark, dir, attrCol)
 
+  /** Hashed-feature linear quality classifier over ANY (id, text)
+    * frame with the weight vector OPEN (q153 fixes the 64-bucket
+    * deterministic stand-in): pass a trained fastText-style export as
+    * integer milli-unit weights + bias and the scoring path — portable
+    * feature hashing, exact-integer pooling, one terminal divide —
+    * is unchanged, zero shuffles, no retraining plumbing. */
+  def qualityClassify(df: DataFrame, idCol: String, textCol: String,
+      milliWeights: Seq[Long], biasMilli: Long = 0L): DataFrame =
+    operators.TextAnalysis.qualityClassify(df, idCol, textCol, milliWeights, biasMilli)
+
   /** Salted two-phase count/sum/min/max/mean profile over ANY frame —
     * the hot-key aggregation mitigation with the bucket count open
     * (q151 fixes lineitem / 16). `saltFrom` must be a deterministic

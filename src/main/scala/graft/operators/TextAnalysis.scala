@@ -1037,23 +1037,34 @@ object TextAnalysis {
   private[operators] val QcMilliWeights: IndexedSeq[Long] =
     (0 until QcBuckets).map(j => (j * 2654435761L % 1000) - 500)
 
-  private def q153(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = typedlit(QcMilliWeights)
+  /** Open-knob classifier core shared by q153 and
+    * [[graft.Graft.qualityClassify]]: score ANY (idCol, textCol) frame
+    * against a caller-supplied milli-unit weight vector — the "swap in
+    * the trained export" seam, as a call instead of a code edit. The
+    * bucket count is the weight vector's length. */
+  private[graft] def qualityClassify(df: DataFrame, idCol: String,
+      textCol: String, milliWeights: Seq[Long], biasMilli: Long): DataFrame = {
+    require(milliWeights.nonEmpty && milliWeights.size <= (1 << 20),
+      s"need 1 <= buckets <= 2^20 (got ${milliWeights.size})")
+    val w = typedlit(milliWeights)
     val pooled = aggregate(
-      transform($"t", tok =>
-        element_at(w, (Portable.hash32(tok) % QcBuckets).cast("int") + 1)),
+      transform(col("t"), tok =>
+        element_at(w, (Portable.hash32(tok) % milliWeights.size).cast("int") + 1)),
       lit(0L), (acc, x) => acc + x)
-    Tables.documents(spark, dir)
-      .withColumn("t", Portable.tokens($"text"))
-      .withColumn("n_tokens", size($"t"))
+    df.withColumn("t", Portable.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("t")))
       // raw milli-score scaled by n: logit·1000·n, an exact BIGINT
-      .withColumn("raw", pooled + lit(QcBiasMilli) * $"n_tokens")
-      .select($"doc_id", $"n_tokens",
-        ($"raw".cast("double") / (lit(1000.0) * $"n_tokens")).as("quality_logit"),
-        ($"raw" >= 0).cast("int").as("quality_pass"))
-      .orderBy($"doc_id")
+      .withColumn("raw", pooled + lit(biasMilli) * col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (col("raw").cast("double") / (lit(1000.0) * col("n_tokens")))
+          .as("quality_logit"),
+        (col("raw") >= 0).cast("int").as("quality_pass"))
+      .orderBy(col(idCol))
   }
+
+  private def q153(spark: SparkSession, dir: String): DataFrame =
+    qualityClassify(Tables.documents(spark, dir), "doc_id", "text",
+      QcMilliWeights, QcBiasMilli)
 
   private val q153Sql: String = {
     val wLit = QcMilliWeights.mkString("[", ", ", "]")

@@ -256,4 +256,17 @@ class ApiSpec extends SparkSpecBase {
     rows(sp) shouldBe rows(SparkEntry.queries("q151_salted_agg")(spark, dir))
   }
 
+
+  test("qualityClassify at catalog weights equals q153; a custom export rescores") {
+    import org.apache.spark.sql.functions._
+    val weights = (0 until 64).map(j => (j * 2654435761L % 1000) - 500)
+    val api = Graft.qualityClassify(sources.Tables.documents(spark, dir),
+      "doc_id", "text", weights, biasMilli = -20L)
+    rows(api) shouldBe rows(SparkEntry.queries("q153_quality_classifier")(spark, dir))
+    // an all-positive "trained export" passes everything — the knob is live
+    val lenient = Graft.qualityClassify(sources.Tables.documents(spark, dir),
+      "doc_id", "text", Seq.fill(8)(100L))
+    lenient.agg(min($"quality_pass")).head().getInt(0) shouldBe 1
+  }
+
 }

@@ -97,4 +97,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+
+  test("MediaCodec round-trips hold across a sweep of shapes") {
+    import Multimodal.MediaCodec
+    // PPM: every (w, h) in a dimension sweep — including 1×1 and
+    // asymmetric digit widths (9×10 exercises the header length math)
+    for (w <- Seq(1, 3, 9, 24); h <- Seq(1, 7, 10, 31)) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + w * 17 + h) % 256).toByte)
+      val p = MediaCodec.decodePpm(MediaCodec.encodePpm(w, h, rgb))
+      (p.width, p.height, p.maxVal) shouldBe ((w, h, 255))
+      p.meanLuma shouldBe rgb.map(b => (b & 0xff).toLong).sum.toDouble / rgb.length
+    }
+    // WAV: rates and lengths including zero samples and extreme values
+    for (rate <- Seq(8000, 16000, 44100); n <- Seq(0, 1, 63)) {
+      val samples = Array.tabulate[Short](n)(i =>
+        (if (i % 3 == 0) Short.MinValue else i * 1021).toShort)
+      val wv = MediaCodec.decodeWav(MediaCodec.encodeWavPcm16(rate, samples))
+      (wv.sampleRate, wv.nSamples) shouldBe ((rate, n))
+      if (n == 0) wv.rmsQ shouldBe 0.0
+      else wv.rmsQ shouldBe
+        math.sqrt(samples.map(s => s.toDouble * s).sum / n) +- 1e-9
+    }
+  }
+
 }
