@@ -1083,6 +1083,91 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q154
+  /** Bigram-LM surprisal of the held-out split: an add-1-smoothed
+    * CONDITIONAL model `p(w2|w1) = (c(w1 w2)+1)/(c_train(w1)+V)` fit on
+    * the train split scores every test document by mean negative
+    * log-likelihood per bigram — the context-aware upgrade of q78's
+    * unigram signal (a doc of common words in an uncommon ORDER now
+    * scores high; CCNet's KenLM filter reduced to its oracle-exact
+    * public core — production stacks extend the same shape to
+    * interpolated 5-grams).
+    *
+    * Determinism: all counts and both sides of the division are exact
+    * integers; ln is the one transcendental and each per-doc mean
+    * averages ≤ a few hundred of them, so 4-dp output rounding absorbs
+    * last-ulp latitude (q78's argument verbatim).
+    *
+    * Scale shape: the model is ONE corpus scan into a partial+final
+    * aggregate keyed by (w1, w2) — shuffle width = distinct bigrams,
+    * the width a shingle pass already carries; the unigram denominator
+    * reuses [[splitTokenCounts]] (same vocabulary, same train mass as
+    * q74/q78) and V collapses to one broadcast row. Scoring explodes
+    * only the 10 % test split and joins it by bigram key — AQE
+    * broadcasts the model when it fits, else shuffles by bigram, never
+    * by document; an unseen test bigram left-joins to c=0 and costs
+    * `-ln(1/(c(w1)+V))` with no OOV branch (the vocabulary spans the
+    * whole corpus by construction). */
+  private def q154(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uni = splitTokenCounts(spark, dir) // (token, c_train, c_test)
+    val v = uni.agg(count(lit(1)).as("v"))
+    def bigrams(docs: DataFrame): DataFrame =
+      docs
+        .select($"doc_id", Portable.tokens($"text").as("t"))
+        .select($"doc_id",
+          explode(zip_with(
+            slice($"t", lit(1), size($"t") - 1),
+            slice($"t", lit(2), size($"t") - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select($"doc_id", $"bg.w1", $"bg.w2")
+    val docs = Tables.documents(spark, dir)
+    val b2 = bigrams(docs.where(Curation.splitBucket($"doc_id") < 80))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    bigrams(docs.where(Curation.splitBucket($"doc_id") >= 90))
+      .join(b2, Seq("w1", "w2"), "left")
+      .join(uni.select($"token".as("w1"), $"c_train"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        ((coalesce($"c2", lit(0L)) + 1L).cast("double") /
+          ($"c_train" + $"v").cast("double")).as("p"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log($"p")), 4).as("avg_nll2"))
+      .orderBy($"doc_id")
+  }
+
+  private val q154Sql: String =
+    s"""WITH $splitCountsCtes, d AS (
+       |  SELECT doc_id, ${Curation.splitBucketSql("doc_id")} AS bucket,
+       |         string_split_regex(text, '\\s+') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, bucket, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, bucket, t,
+       |               unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM d)
+       |), b2 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM bg WHERE bucket < 80 GROUP BY 1, 2
+       |), vv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v FROM counts
+       |), scored AS (
+       |  SELECT g.doc_id,
+       |         CAST(COALESCE(b2.c2, 0) + 1 AS DOUBLE) /
+       |           CAST(c.c_train + vv.v AS DOUBLE) AS p
+       |  FROM bg g
+       |  JOIN counts c ON c.token = g.w1
+       |  LEFT JOIN b2 ON b2.w1 = g.w1 AND b2.w2 = g.w2
+       |  CROSS JOIN vv
+       |  WHERE g.bucket >= 90
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       round(avg(-ln(p)), 4) AS avg_nll2
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
@@ -1100,5 +1185,6 @@ object TextAnalysis {
     Q("q94_hybrid_rrf", q94, Some(q94Sql)),
     Q("q95_sketch_union", q95, None), // mergeable HLL — FiltersSpec bounds vs exact
     Q("q153_quality_classifier", q153, Some(q153Sql)),
+    Q("q154_bigram_surprisal", q154, Some(q154Sql)),
   )
 }

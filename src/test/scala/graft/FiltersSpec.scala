@@ -232,6 +232,44 @@ class FiltersSpec extends SparkSpecBase {
     rows.foreach { case (_, _, nll) => nll should be > 0.0 }
   }
 
+  test("q154: bigram surprisal equals a from-scratch conditional-LM recount") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q154_bigram_surprisal")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    rows.length should be > 0
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", graft.operators.Curation.splitBucket($"doc_id").as("b"),
+        split($"text", "\\s+").as("t"))
+      .as[(Long, Long, Seq[String])].collect()
+    val uniTrain = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val biTrain = collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    val vocab = collection.mutable.Set.empty[String]
+    docs.foreach { case (_, b, ts) =>
+      ts.foreach(vocab += _)
+      if (b < 80) {
+        ts.foreach(uniTrain(_) += 1)
+        ts.sliding(2).filter(_.size == 2).foreach(p => biTrain((p(0), p(1))) += 1)
+      }
+    }
+    val v = vocab.size.toLong
+    val expected = docs.filter(_._2 >= 90).collect {
+      case (id, _, ts) if ts.length >= 2 =>
+        val nll = ts.sliding(2).filter(_.size == 2).map { p =>
+          -math.log((biTrain((p(0), p(1))) + 1.0) / (uniTrain(p(0)) + v))
+        }.toSeq
+        id -> ((nll.length.toLong, r(nll.sum / nll.length, 4)))
+    }.toMap
+    rows.map(_._1).toSet shouldBe expected.keySet // exactly the test split
+    rows.foreach { case (id, n, nll) =>
+      n shouldBe expected(id)._1
+      nll shouldBe expected(id)._2
+    }
+    // the conditional model discriminates MORE than the unigram one:
+    // unseen-continuation bigrams are charged ~ln(c(w1)+V), so the test
+    // split's score spread is non-degenerate
+    rows.map(_._3).distinct.length should be > 1
+  }
+
   test("q90: novelty equals a from-scratch 3-gram recount against the train split") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
