@@ -982,6 +982,112 @@ object Dedup {
       |WHERE s.dist <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // -------------------------------------------------------------- q155
+  /** Intra-corpus duplicated-SPAN accounting (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * EVERY document, how many of its tokens sit inside an 8-gram window
+    * that also occurs verbatim in ANOTHER document. Doc-level dedup
+    * (q23-q27) removes whole near-copies; this measures the partial
+    * overlap they leave behind — boilerplate headers, quoted passages,
+    * syndicated paragraphs — as per-doc (dup_grams, merged spans,
+    * dup_tokens, dup_frac). q98 is the same span algebra pointed at an
+    * external eval set; this is the corpus pointed at itself.
+    *
+    * Cross-doc test is `min(doc_id) ≠ max(doc_id)` per gram — two exact
+    * integer extremes riding the gram-keyed aggregate, never a
+    * count(distinct) expansion. Islands merge per doc via gaps-and-
+    * islands on covered token indices (q98's pattern).
+    *
+    * Scale shape: positional grams are per-row array algebra; the gram
+    * table shuffles keyed by gram (the width a shingle pass already
+    * carries — and the positional explode feeds BOTH the dup-gram
+    * aggregate and the match join, so a production pipeline persists it
+    * between the two consumers exactly like the q24 signature table);
+    * matched positions and the islands window shuffle keyed by doc_id;
+    * covered-index expansion is bounded by 8 × matches. The final
+    * report left-joins summaries onto the full corpus so CLEAN docs
+    * appear with zeros — the accounting must enumerate everything it
+    * kept, not only what it would cut. */
+  private def q155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", Portable.tokens($"text").as("t"))
+    // positional 8-grams, 0-based start (q98's expression, all docs)
+    val pg = docs
+      .filter(size($"t") >= DecontamN)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(t)-$DecontamN), i -> " +
+          s"named_struct('pos', i, 'g', array_join(slice(t, i+1, $DecontamN), ' ')))"))
+        .as("pg"))
+      .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
+    val dup = pg.groupBy($"g")
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .where($"d0" =!= $"d1")
+      .select($"g")
+    val matched = pg.join(dup, Seq("g"))
+    val dupGrams = matched.groupBy($"doc_id").agg(count(lit(1)).as("dup_grams"))
+    val covered = matched
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (DecontamN - 1))).as("idx"))
+      .distinct()
+    val wi = Window.partitionBy($"doc_id").orderBy($"idx")
+    val spans = covered
+      .withColumn("grp", $"idx" - row_number().over(wi))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"grp").as("n_spans"), count(lit(1)).as("dup_tokens"))
+    docs
+      .join(dupGrams, Seq("doc_id"), "left_outer")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id",
+        size($"t").as("n_tokens"),
+        greatest(size($"t") - (DecontamN - 1), lit(0)).as("n_grams"),
+        coalesce($"dup_grams", lit(0L)).as("dup_grams"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        // raw quotient, never rounded (single IEEE divide — q65's rule)
+        (coalesce($"dup_tokens", lit(0L)).cast("double") / size($"t")).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val q155Sql: String =
+    s"""WITH toks2 AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), pg AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         array_to_string(list_slice(t, i, i + ${DecontamN - 1}), ' ') AS g
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${DecontamN - 1})) AS i
+       |        FROM toks2 WHERE len(t) >= $DecontamN)
+       |), dup AS (
+       |  SELECT g
+       |  FROM (SELECT g, min(doc_id) AS d0, max(doc_id) AS d1 FROM pg GROUP BY g)
+       |  WHERE d0 <> d1
+       |), m AS (
+       |  SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (g)
+       |), dg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams FROM m GROUP BY 1
+       |), covered AS (
+       |  SELECT DISTINCT m.doc_id, CAST(u.idx AS INTEGER) AS idx
+       |  FROM m, unnest(generate_series(m.pos, m.pos + ${DecontamN - 1})) AS u(idx)
+       |), isl AS (
+       |  SELECT doc_id, idx,
+       |         idx - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS INTEGER) AS grp
+       |  FROM covered
+       |), sp AS (
+       |  SELECT doc_id, CAST(count(DISTINCT grp) AS BIGINT) AS n_spans,
+       |         CAST(count(*) AS BIGINT) AS dup_tokens
+       |  FROM isl GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+       |       CAST(greatest(len(t) - ${DecontamN - 1}, 0) AS INTEGER) AS n_grams,
+       |       COALESCE(dg.dup_grams, 0) AS dup_grams,
+       |       COALESCE(sp.n_spans, 0) AS n_spans,
+       |       COALESCE(sp.dup_tokens, 0) AS dup_tokens,
+       |       CAST(COALESCE(sp.dup_tokens, 0) AS DOUBLE) / len(t) AS dup_frac
+       |FROM toks2 d
+       |LEFT JOIN dg USING (doc_id)
+       |LEFT JOIN sp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
@@ -996,5 +1102,6 @@ object Dedup {
     Q("q92_source_signatures", q92, Some(q92Sql)),
     Q("q98_contamination_spans", q98, Some(q98Sql)),
     Q("q101_fuzzy_match", q101, Some(q101Sql)),
+    Q("q155_dup_spans", q155, Some(q155Sql)),
   )
 }

@@ -155,4 +155,43 @@ class ScrubSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q155 duplicated-span accounting equals a from-scratch recount") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q155_dup_spans")(spark, dir)
+      .as[(Long, Int, Int, Long, Long, Long, Double)].collect()
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+    rows.length shouldBe docs.length // the report enumerates the whole corpus
+    val W = 8
+    def grams(ts: Seq[String]): Seq[(Int, String)] =
+      if (ts.length < W) Seq.empty
+      else ts.sliding(W).zipWithIndex.map { case (g, i) => i -> g.mkString(" ") }.toSeq
+    val byDoc = docs.map { case (id, ts) => id -> grams(ts) }.toMap
+    // a gram is duplicated iff it occurs in ≥ 2 distinct docs
+    val docsOfGram = collection.mutable.Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    byDoc.foreach { case (id, gs) => gs.foreach { case (_, g) => docsOfGram(g) += id } }
+    val dupSet = docsOfGram.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    rows.foreach { case (id, nTok, nGr, dupGr, nSpans, dupTok, frac) =>
+      val ts = docs.find(_._1 == id).get._2
+      nTok shouldBe ts.length
+      nGr shouldBe math.max(ts.length - W + 1, 0)
+      val hits = byDoc(id).filter { case (_, g) => dupSet(g) }
+      dupGr shouldBe hits.size.toLong
+      val covered = hits.flatMap { case (i, _) => i until i + W }.toSet
+      dupTok shouldBe covered.size.toLong
+      // island count: covered positions split at gaps
+      val sorted = covered.toSeq.sorted
+      val islands =
+        if (sorted.isEmpty) 0
+        else 1 + sorted.sliding(2).count { case Seq(a, b) => b > a + 1; case _ => false }
+      nSpans shouldBe islands.toLong
+      frac shouldBe covered.size.toDouble / ts.length
+    }
+    // the synthetic corpus plants duplicate clusters — some spans exist,
+    // and clean docs exist too (the metric discriminates)
+    rows.count(_._6 > 0) should be > 0
+    rows.count(_._6 == 0) should be > 0
+  }
 }
