@@ -131,4 +131,43 @@ class GraphSpec extends SparkSpecBase {
     again.toSeq shouldBe rows.toSeq
   }
 
+  test("q156 Adamic-Adar scores equal a from-scratch basket recount") {
+    val rows = SparkEntry.queries("q156_link_prediction")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    rows.length should be > 0
+    val baskets = graft.sources.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    // scale-safety is structural: basket width is a small per-order
+    // constant (max 8/13/16 measured at sf0.001/0.01/0.1), not a
+    // corpus-growing hub degree
+    baskets.values.map(_.length).max should be <= 32
+    val score = collection.mutable.Map.empty[(Long, Long), (Long, Double)]
+      .withDefaultValue((0L, 0.0))
+    baskets.values.filter(_.length >= 2).foreach { ss =>
+      val w = 1.0 / math.log(ss.length.toDouble)
+      for (i <- ss.indices; j <- i + 1 until ss.length) {
+        val k = (ss(i), ss(j))
+        val (c, sc) = score(k); score(k) = (c + 1, sc + w)
+      }
+    }
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the emitted top-50 is the recount's top-50 under the same order
+    val expected = score.toSeq
+      .map { case ((a, b), (c, s)) => (a, b, c, s) }
+      .sortBy { case (a, b, _, s) => (-r(s, 6), a, b) }
+      .take(rows.length)
+    rows.toSeq.zip(expected).foreach { case ((a, b, c, s4), (ea, eb, ec, es)) =>
+      (a, b, c) shouldBe ((ea, eb, ec))
+      s4 shouldBe r(es, 4) +- 1e-9
+    }
+    // descending by score, pairs well-formed
+    rows.sliding(2).foreach {
+      case Array(x, y) => r(x._4, 4) should be >= r(y._4, 4) - 1e-4
+      case _           => ()
+    }
+    rows.foreach { case (a, b, c, _) => a should be < b; c should be >= 1L }
+  }
+
 }
