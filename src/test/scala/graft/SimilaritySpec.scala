@@ -159,6 +159,39 @@ class SimilaritySpec extends SparkSpecBase {
       org.apache.spark.sql.functions.length($"codes"))).head().getInt(0) shouldBe 64
   }
 
+  test("q157: trained PQ-ADC rerank recovers most of the exact top-5; index is well-formed") {
+    val exact5 = SparkEntry.queries("q29_knn_brute_force")(spark, sfDir)
+      .filter($"rn" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val out = SparkEntry.queries("q157_pq_adc_knn")(spark, sfDir).collect()
+    out.length shouldBe 25
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 2 Lloyd rounds lift recall from 0.24 (sampled codebook) to ~0.72
+    // on this corpus; the floor locks the training step in
+    (got intersect exact5).size.toDouble / exact5.size should be >= 0.6
+    // emitted cosine is the EXACT rerank value, descending with rn
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      sorted.map(_.getAs[Int]("rn")).toSeq shouldBe (1 to 5)
+      sorted.map(_.getAs[Double]("cosine")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be >= b - 1e-4
+        case _         => ()
+      }
+    }
+    // the persisted index: 16 codes/vector, each a 4-bit id, plus a norm
+    val idx = graft.operators.Similarity.pqIndex(spark, sfDir)
+    val rows = idx.select($"codes", $"pqnrm").collect()
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](0)
+      cs.length shouldBe 16
+      all(cs) should (be >= 0 and be <= 15)
+      r.getDouble(1) should be > 0.0
+    }
+    // the codebook discriminates: every subspace uses more than one code
+    val used = rows.map(_.getSeq[Int](0))
+    (0 until 16).foreach { j => used.map(_(j)).distinct.length should be > 1 }
+  }
+
   test("q86: hard negatives never share the query's label and rank by cosine") {
     val out = SparkEntry.queries("q86_hard_negatives")(spark, sfDir).collect()
     out.length shouldBe 25
