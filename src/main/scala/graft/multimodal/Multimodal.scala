@@ -89,6 +89,18 @@ object Multimodal {
       header ++ rgb
     }
 
+    /** Validating P6 parse that also returns the raw RGB body — the
+      * pixel-level entry point [[Multimodal.dhashOf]] consumes. */
+    def decodePpmPixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val p = decodePpm(bytes) // full validation
+      val nl3 = {
+        val nl1 = bytes.indexOf('\n'.toByte)
+        val nl2 = bytes.indexOf('\n'.toByte, nl1 + 1)
+        bytes.indexOf('\n'.toByte, nl2 + 1)
+      }
+      (p.width, p.height, java.util.Arrays.copyOfRange(bytes, nl3 + 1, bytes.length))
+    }
+
     def decodePpm(bytes: Array[Byte]): Ppm = {
       val nl1 = bytes.indexOf('\n'.toByte)
       require(nl1 == 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
@@ -341,8 +353,120 @@ object Multimodal {
       |FROM a
       |ORDER BY asset_id""".stripMargin
 
+  // -------------------------------------------------------------- q158
+  /** Difference-hash (dHash) of a decoded RGB image: block-average the
+    * pixels onto a 9-wide × 8-tall grid and set bit (y, x) when cell
+    * (y, x) is brighter than its right neighbor — the standard 64-bit
+    * perceptual fingerprint for image near-dup detection (robust to
+    * re-encoding and resizing, unlike a byte checksum).
+    *
+    * Every comparison is EXACT INTEGER algebra: a cell carries
+    * (Σ(r+g+b), pixel count) and "brighter" is the cross-multiplied
+    * mean comparison `sL·nR > sR·nL` — no float division anywhere, so
+    * the hash is bit-identical across engines and partitionings. A
+    * source column that maps to an empty grid cell (w = 8 < 9 target
+    * columns) contributes count 0, and 0 > 0 is false on both sides.
+    * The two 32-bit halves ship as BIGINTs (one 64-bit word would
+    * overflow the sign bit at bit 63). */
+  private[graft] def dhashOf(w: Int, h: Int, rgb: Array[Byte]): (Long, Long) = {
+    val s = Array.ofDim[Long](8, 9)
+    val n = Array.ofDim[Long](8, 9)
+    var p = 0
+    val np = w * h
+    while (p < np) {
+      val px = p % w
+      val py = p / w
+      val cx = px * 9 / w
+      val cy = py * 8 / h
+      val base = p * 3
+      val g3 = (rgb(base) & 0xff) + (rgb(base + 1) & 0xff) + (rgb(base + 2) & 0xff)
+      s(cy)(cx) += g3
+      n(cy)(cx) += 1
+      p += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val bit = if (s(cy)(cx) * n(cy)(cx + 1) > s(cy)(cx + 1) * n(cy)(cx)) 1L else 0L
+        val b = cy * 8 + cx
+        if (b >= 32) hi |= bit << (b - 32) else lo |= bit << b
+        cx += 1
+      }
+      cy += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-image perceptual-hash row. */
+  final case class ImageHash(
+      asset_id: Long, width: Int, height: Int, dhash_hi: Long, dhash_lo: Long)
+
+  /** q158: REAL pixel path end to end — the PPM assets are decoded with
+    * the validating parser and dHashed; the oracle recomputes the same
+    * 64 bits from the generation's closed form (text bytes tiled over
+    * w·h·3 channels, extracted byte-by-byte from the hex encoding) —
+    * any slip in the parse, the tiling, the grid mapping, or the bit
+    * packing breaks the hash. Map-side only: decode + hash never
+    * shuffle; downstream near-dup banding joins on 16-bit hash bands
+    * (q60's simhash discipline), never on pixels. */
+  private def q158(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    realAssets(spark, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { batch =>
+        batch.map { a =>
+          val (w, h, rgb) = MediaCodec.decodePpmPixels(a.content)
+          val (hi, lo) = dhashOf(w, h, rgb)
+          ImageHash(a.asset_id, w, h, hi, lo)
+        }
+      }
+      .toDF()
+      .orderBy($"asset_id")
+  }
+
+  private val q158Sql =
+    """WITH imgs AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(8 + doc_id % 24 AS INTEGER) AS w,
+      |         CAST(8 + octet_length(encode(text)) % 24 AS INTEGER) AS h,
+      |         CAST(octet_length(encode(text)) AS INTEGER) AS tlen,
+      |         hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), px AS (
+      |  SELECT asset_id,
+      |         (u.p % w) * 9 // w AS cx, (u.p // w) * 8 // h AS cy,
+      |         CAST(concat('0x', substr(hx, ((u.p*3 + 0) % tlen)*2 + 1, 2)) AS INTEGER)
+      |       + CAST(concat('0x', substr(hx, ((u.p*3 + 1) % tlen)*2 + 1, 2)) AS INTEGER)
+      |       + CAST(concat('0x', substr(hx, ((u.p*3 + 2) % tlen)*2 + 1, 2)) AS INTEGER) AS g3
+      |  FROM imgs, unnest(generate_series(0, w*h - 1)) AS u(p)
+      |), cells AS (
+      |  SELECT asset_id, cy, cx,
+      |         CAST(sum(g3) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM px GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT l.asset_id, l.cy, l.cx,
+      |         CAST(CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS BIGINT) AS bit
+      |  FROM cells l
+      |  JOIN cells r ON r.asset_id = l.asset_id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx <= 7
+      |)
+      |SELECT i.asset_id, i.w AS width, i.h AS height,
+      |       CAST(COALESCE(sum(CASE WHEN b.cy*8 + b.cx >= 32
+      |                               THEN b.bit << (b.cy*8 + b.cx - 32)
+      |                               ELSE 0 END), 0) AS BIGINT) AS dhash_hi,
+      |       CAST(COALESCE(sum(CASE WHEN b.cy*8 + b.cx < 32
+      |                               THEN b.bit << (b.cy*8 + b.cx)
+      |                               ELSE 0 END), 0) AS BIGINT) AS dhash_lo
+      |FROM imgs i LEFT JOIN bits b USING (asset_id)
+      |GROUP BY 1, 2, 3
+      |ORDER BY asset_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_multimodal_features", q36, Some(q36Sql)),
     Q("q152_media_decode", q152, Some(q152Sql)),
+    Q("q158_image_dhash", q158, Some(q158Sql)),
   )
 }

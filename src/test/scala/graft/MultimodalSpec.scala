@@ -120,4 +120,35 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q158 dHash has the perceptual-hash properties: gradient, scale invariance, locality") {
+    import Multimodal.dhashOf
+    def gradient(w: Int, h: Int, reverse: Boolean): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w
+        val v = (x * 255 / (w - 1)).min(255)
+        (if (reverse) 255 - v else v).toByte
+      }
+    // strictly increasing columns → every left cell darker → all bits 0
+    dhashOf(9, 8, gradient(9, 8, reverse = false)) shouldBe ((0L, 0L))
+    // strictly decreasing → all 64 bits set
+    dhashOf(9, 8, gradient(9, 8, reverse = true)) shouldBe ((0xffffffffL, 0xffffffffL))
+    // block-averaging makes the hash RESOLUTION-INVARIANT: the same
+    // gradient at 4× the pixels hashes identically
+    dhashOf(36, 32, gradient(36, 32, reverse = true)) shouldBe
+      dhashOf(9, 8, gradient(9, 8, reverse = true))
+    // locality: flipping one pixel block moves few bits (near-dup stays
+    // near), while the reversed image is far away
+    val base = gradient(36, 32, reverse = false)
+    val dented = base.clone()
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      dented((y * 36 + x) * 3 + c) = 255.toByte
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val hBase = dhashOf(36, 32, base)
+    hamming(hBase, dhashOf(36, 32, dented)) should (be >= 1 and be <= 6)
+    hamming(hBase, dhashOf(36, 32, gradient(36, 32, reverse = true))) shouldBe 64
+    // empty-column edge (w = 8 < 9 grid columns) is well-defined
+    noException should be thrownBy dhashOf(8, 8, gradient(8, 8, reverse = true))
+  }
+
 }
