@@ -656,4 +656,54 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("Join")
   }
 
+  test("q154: bigram model aggregates partial+final; scoring never cross-joins") {
+    val p = plan("q154_bigram_surprisal")
+    // the (w1, w2) model and the per-doc rollup are both two-phase
+    p should include("partial_count")
+    (p should not).include("CartesianProduct")
+    // the model and unigram joins hash; the ONLY nested loop is the
+    // 1-row broadcast vocabulary total riding a Cross build
+    p should include("BroadcastHashJoin")
+    p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") shouldBe 2 // tree line + detail header
+    p should include("BroadcastNestedLoopJoin Cross BuildRight")
+    // only the two-column projection of documents is ever read
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q155: span accounting joins gram-keyed, windows doc-keyed, no cartesian") {
+    val p = plan("q155_dup_spans")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    // the islands window partitions by doc_id — never a global window
+    p should include("windowspecdefinition(doc_id#")
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("q156: AA pairs come from equi-joins on the order key, top-50 is TakeOrdered") {
+    val p = plan("q156_link_prediction")
+    p should include("TakeOrderedAndProject")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    // only the two join columns of lineitem are scanned
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>")
+  }
+
+  test("q157: PQ scoring streams the index against broadcast queries") {
+    val p = plan("q157_pq_adc_knn")
+    // the candidate pass is the q29/q83 broadcast shape (vec_id <> query_id
+    // is a non-equi residual on a broadcast, not a shuffled join)...
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    // ...and the ADC windows partition per query, never globally
+    p should include("windowspecdefinition(query_id#")
+  }
+
+  test("q158: dHash is computed map-side; the only exchange is the output sort") {
+    val p = plan("q158_image_dhash")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 2 // tree line + detail header
+    p should include("rangepartitioning(asset_id")
+    (p should not).include("Join")
+  }
+
 }
