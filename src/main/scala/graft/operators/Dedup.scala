@@ -1088,6 +1088,85 @@ object Dedup {
        |LEFT JOIN sp USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q159
+  /** Winnowed fingerprint index (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every 5-gram, slide a 4-hash window,
+    * and keep only each window's minimum hash (ties to the RIGHTMOST
+    * position). The selected (position, hash) set is ~2/(w+1) ≈ 40 %
+    * of the gram table with a hard guarantee: any shared token run of
+    * length ≥ w+k−1 = 8 spans a full window in both documents, so
+    * both select its minimum — every match q155's exhaustive gram
+    * table would find at 8-gram granularity is still DETECTED from
+    * fingerprints alone. This is the scale path for span-level dedup:
+    * the cross-doc join runs over the winnowed index, not every gram.
+    *
+    * Shape: gram hashing is per-row algebra; selection is one
+    * doc-keyed window pass (min-of-struct (hash, −pos) over a w-row
+    * frame — the rightmost-min tiebreak as a single lexicographic
+    * min), then a distinct. Integer-exact end to end (portable md5
+    * hash, no floats), so the index is bit-identical on both engines
+    * and across partitionings. */
+  private val WinK = 5 // gram width
+  private val WinW = 4 // window width (hashes per window)
+
+  /** Winnowed (doc_id, pos, fp) fingerprints of any (doc_id, text)
+    * frame — factored out so the spec can prove the detection
+    * guarantee on constructed documents. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pg = docs
+      .withColumn("t", Portable.tokens($"text"))
+      .filter(size($"t") >= WinK)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(t)-$WinK), i -> " +
+          s"named_struct('pos', i, 'g', array_join(slice(t, i+1, $WinK), ' ')))"))
+        .as("pg"))
+      .select($"doc_id", $"pg.pos".as("pos"), Portable.hash32($"pg.g").as("h"))
+    val frame = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, WinW - 1)
+    pg
+      .withColumn("sel", min(struct($"h", (-$"pos").as("np"))).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .where($"cnt" === WinW) // truncated trailing windows select nothing
+      .select($"doc_id", (-$"sel.np").cast("int").as("pos"), $"sel.h".as("fp"))
+      .distinct()
+  }
+
+  private def q159(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winnowFingerprints(Tables.documents(spark, dir).select($"doc_id", $"text"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  private val q159Sql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), pgw AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         ${Portable.hash32Sql(s"array_to_string(list_slice(t, i, i + ${WinK - 1}), ' ')")} AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${WinK - 1})) AS i
+       |        FROM toksw WHERE len(t) >= $WinK)
+       |), wm AS (
+       |  SELECT doc_id, pos AS s,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS mh,
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS cnt
+       |  FROM pgw
+       |), fps AS (
+       |  SELECT w.doc_id, w.s, w.mh AS fp, max(g.pos) AS pos
+       |  FROM wm w
+       |  JOIN pgw g ON g.doc_id = w.doc_id
+       |             AND g.pos BETWEEN w.s AND w.s + ${WinW - 1}
+       |             AND g.h = w.mh
+       |  WHERE w.cnt = $WinW
+       |  GROUP BY w.doc_id, w.s, w.mh
+       |)
+       |SELECT DISTINCT doc_id, pos, fp
+       |FROM fps
+       |ORDER BY doc_id, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q23_dedup_exact", q23, Some(q23Sql)),
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
@@ -1103,5 +1182,6 @@ object Dedup {
     Q("q98_contamination_spans", q98, Some(q98Sql)),
     Q("q101_fuzzy_match", q101, Some(q101Sql)),
     Q("q155_dup_spans", q155, Some(q155Sql)),
+    Q("q159_winnowing", q159, Some(q159Sql)),
   )
 }

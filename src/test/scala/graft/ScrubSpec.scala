@@ -194,4 +194,54 @@ class ScrubSpec extends SparkSpecBase {
     rows.count(_._6 > 0) should be > 0
     rows.count(_._6 == 0) should be > 0
   }
+
+  test("q159 winnowing: density, recount, and the detection guarantee") {
+    import spark.implicits._
+    val fps = SparkEntry.queries("q159_winnowing")(spark, dir)
+      .as[(Long, Int, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+    // ~2/(w+1) of grams selected (Schleimer et al. §4), w = 4
+    val nGrams = docs.map(d => math.max(d._2.length - 4, 0)).sum
+    val density = fps.length.toDouble / nGrams
+    density should (be >= 0.3 and be <= 0.5)
+    // from-scratch recount on a sample of docs: rightmost-min per
+    // complete 4-hash window, deduplicated
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val byDoc = fps.groupBy(_._1)
+    docs.take(20).foreach { case (id, ts) =>
+      val hs = if (ts.length < 5) Array.empty[Long]
+      else ts.sliding(5).map(g => h32(g.mkString(" "))).toArray
+      val expect = (0 to hs.length - 4).map { s =>
+        val win = (s until s + 4).map(p => (hs(p), p))
+        val mh = win.map(_._1).min
+        val pos = win.filter(_._1 == mh).map(_._2).max // rightmost min
+        (pos, mh)
+      }.distinct.sorted
+      byDoc.getOrElse(id, Array.empty).map(f => (f._2, f._3)).toSeq.sorted shouldBe expect
+    }
+    // THE guarantee: two docs sharing a >= k+w-1 = 8-token run always
+    // share a fingerprint hash, however different the surroundings
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val pair = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $shared b1 b2 b3 b4 b5"),
+      (2L, s"c1 c2 c3 c4 c5 c6 $shared d1 d2 d3 d4")).toDF("doc_id", "text")
+    val pf = graft.operators.Dedup.winnowFingerprints(pair)
+      .as[(Long, Int, Long)].collect()
+    val f1 = pf.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = pf.filter(_._1 == 2L).map(_._3).toSet
+    (f1 intersect f2) should not be empty
+    // negative control: disjoint vocabularies share nothing
+    val disjoint = Seq(
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      (4L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")).toDF("doc_id", "text")
+    val df2 = graft.operators.Dedup.winnowFingerprints(disjoint)
+      .as[(Long, Int, Long)].collect()
+    (df2.filter(_._1 == 3L).map(_._3).toSet intersect
+      df2.filter(_._1 == 4L).map(_._3).toSet) shouldBe empty
+  }
 }
