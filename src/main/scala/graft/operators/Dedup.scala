@@ -1133,11 +1133,72 @@ object Dedup {
       .distinct()
   }
 
+  /** Memoized corpus fingerprint index — q159 dumps it, q160 joins it;
+    * a production pipeline persists exactly this table and appends to
+    * it per shard (selection is stateless per doc). */
+  private[graft] def winnowIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "dedup:winnow") {
+      import spark.implicits._
+      winnowFingerprints(Tables.documents(spark, dir).select($"doc_id", $"text"))
+    }
+
   private def q159(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    winnowFingerprints(Tables.documents(spark, dir).select($"doc_id", $"text"))
-      .orderBy($"doc_id", $"pos")
+    winnowIndex(spark, dir).orderBy($"doc_id", $"pos")
   }
+
+  // -------------------------------------------------------------- q160
+  /** Winnowed match pairs — the MOSS detector's second half: join the
+    * fingerprint index on hash value, count DISTINCT shared
+    * fingerprints per doc pair, keep pairs sharing ≥ 2 (one shared
+    * 32-bit value can be a hash collision; two is a span signal).
+    * This is q155's span detection at ~40 % of the gram volume and
+    * with the same pigeonhole economics as MinHash banding (q25): the
+    * join is an equi-join on fp, cost Σ bucket², never all-pairs —
+    * and the guarantee says any ≥ 8-token shared run still surfaces.
+    *
+    * Shape: the (doc, fp) projection contracts the index before the
+    * self-join; the pair aggregate keys on (doc_a, doc_b). At 100 TB
+    * the fp join inherits the q25 skew discipline: a boilerplate
+    * fingerprint shared by thousands of docs is exactly a hot LSH
+    * bucket — cap or drop stop-fingerprints by document frequency
+    * (they carry no pair information, like stopwords). */
+  private def q160(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dfp = winnowIndex(spark, dir).select($"doc_id", $"fp").distinct()
+    dfp.as("a").join(dfp.as("b"), Seq("fp"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .where($"shared_fps" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q160Sql: String =
+    s"""WITH toksw AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), pgw AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         ${Portable.hash32Sql(s"array_to_string(list_slice(t, i, i + ${WinK - 1}), ' ')")} AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${WinK - 1})) AS i
+       |        FROM toksw WHERE len(t) >= $WinK)
+       |), wm AS (
+       |  SELECT doc_id, pos AS s,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS mh,
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS cnt
+       |  FROM pgw
+       |), dfp AS (
+       |  SELECT DISTINCT doc_id, mh AS fp FROM wm WHERE cnt = $WinW
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM dfp a JOIN dfp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val q159Sql: String =
     s"""WITH toksw AS (
@@ -1183,5 +1244,6 @@ object Dedup {
     Q("q101_fuzzy_match", q101, Some(q101Sql)),
     Q("q155_dup_spans", q155, Some(q155Sql)),
     Q("q159_winnowing", q159, Some(q159Sql)),
+    Q("q160_winnow_pairs", q160, Some(q160Sql)),
   )
 }

@@ -244,4 +244,24 @@ class ScrubSpec extends SparkSpecBase {
     (df2.filter(_._1 == 3L).map(_._3).toSet intersect
       df2.filter(_._1 == 4L).map(_._3).toSet) shouldBe empty
   }
+
+  test("q160 winnow pairs are well-formed, consistent with q155, and recall the MinHash pairs") {
+    import spark.implicits._
+    val wp = SparkEntry.queries("q160_winnow_pairs")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    wp.length should be > 0
+    wp.foreach { case (a, b, s) => a should be < b; s should be >= 2L }
+    // structural consistency: a doc in any winnow pair shares >= 1
+    // cross-doc gram, so the exhaustive q155 table MUST show coverage
+    val dupDocs = SparkEntry.queries("q155_dup_spans")(spark, dir)
+      .filter($"dup_tokens" > 0).select($"doc_id").as[Long].collect().toSet
+    wp.flatMap(p => Seq(p._1, p._2)).toSet.subsetOf(dupDocs) shouldBe true
+    // the 40%-density index still recalls most MinHash-banded near-dup
+    // pairs (the misses are pairs whose edits break every verbatim
+    // 8-token run — a different sensitivity, not a defect)
+    val mh = SparkEntry.queries("q26_ngram_jaccard")(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val wpairs = wp.map(p => (p._1, p._2)).toSet
+    (wpairs intersect mh).size.toDouble / mh.size should be >= 0.6
+  }
 }
