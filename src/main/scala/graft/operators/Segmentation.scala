@@ -278,9 +278,95 @@ object Segmentation {
        |ORDER BY variant""".stripMargin
   }
 
+  // -------------------------------------------------------------- q161
+  /** Mann–Whitney U experiment readout — the NONPARAMETRIC rung of the
+    * experiment family (q138 tests proportions, q141 variance-reduces
+    * means; this tests whole distributions): per-user activity counts
+    * are midranked over the combined sample, U derives from arm A's
+    * rank sum, and the z approximation carries the standard TIE
+    * correction `var = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))` — counts
+    * tie heavily, so the correction is load-bearing, not decoration.
+    * Arms are [[armOf]] — the same assignment as q138/q141 by
+    * construction.
+    *
+    * Determinism is structural: the metric is an exact integer, so
+    * ranks can't flip on ulp drift (a double-sum metric would make the
+    * RANKING itself nondeterministic — q107's tie discipline); every
+    * midrank is a multiple of 0.5 and every rank-sum term is exactly
+    * representable, so `r_a`/`u_stat` are BIT-exact in any summation
+    * order and only z needs its one terminal round (6 dp; the
+    * significance flag compares the unrounded value, q138's rule).
+    *
+    * Scale shape: one events scan → per-user count (#users rows) →
+    * value histogram (#distinct counts rows — the frame CONTRACTS
+    * before any window) → cumulative-less window over that tiny frame
+    * (q111's contracted-global-window shape) → ONE sufficient-stat
+    * row. Nothing after the first aggregate scales with events. */
+  private def q161(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("m"))
+      .withColumn("variant", armOf($"user_id"))
+    val hist = perUser.groupBy($"m").agg(
+      count(lit(1)).as("c"),
+      sum(when($"variant" === 0, 1L).otherwise(0L)).as("ca"))
+    val wv = Window.orderBy($"m").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cum_less", coalesce(sum($"c").over(wv), lit(0L)))
+      .withColumn("midrank", $"cum_less" + ($"c" + 1L) / lit(2.0))
+    val s = ranked.agg(
+      sum($"ca").as("n_a"),
+      sum($"c").as("n"),
+      sum($"ca" * $"midrank").as("r_a"),
+      sum($"c" * $"c" * $"c" - $"c").as("tie_sum"))
+    val nb = $"n" - $"n_a"
+    val uA = $"r_a" - ($"n_a" * ($"n_a" + 1L)).cast("double") / lit(2.0)
+    val z = (uA - ($"n_a" * nb).cast("double") / lit(2.0)) /
+      sqrt(($"n_a" * nb).cast("double") / lit(12.0) *
+        (($"n" + 1L).cast("double") -
+          $"tie_sum".cast("double") / ($"n" * ($"n" - 1L)).cast("double")))
+    s.select($"n_a", nb.as("n_b"), $"r_a", uA.as("u_stat"),
+      round(z, 6).as("z_stat"),
+      when(abs(z) > 1.96, 1).otherwise(0).as("is_significant"))
+  }
+
+  private val q161Sql: String = {
+    val variant = armOfSql("user_id")
+    val uA = "r_a - CAST(n_a*(n_a+1) AS DOUBLE)/2.0"
+    val z = s"($uA - CAST(n_a*(n - n_a) AS DOUBLE)/2.0) / " +
+      "sqrt(CAST(n_a*(n - n_a) AS DOUBLE)/12.0 * " +
+      "(CAST(n+1 AS DOUBLE) - CAST(tie_sum AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)))"
+    s"""WITH u AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS m, $variant AS variant
+       |  FROM events GROUP BY user_id
+       |), h AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS c,
+       |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+       |  FROM u GROUP BY m
+       |), r AS (
+       |  SELECT m, c, ca,
+       |         COALESCE(CAST(sum(c) OVER (ORDER BY m
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |           AS cum_less
+       |  FROM h
+       |), s AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |         CAST(sum(c) AS BIGINT) AS n,
+       |         sum(ca * (cum_less + (c + 1) / 2.0)) AS r_a,
+       |         CAST(sum(c*c*c - c) AS BIGINT) AS tie_sum
+       |  FROM r
+       |)
+       |SELECT n_a, n - n_a AS n_b, r_a,
+       |       $uA AS u_stat,
+       |       round($z, 6) AS z_stat,
+       |       CASE WHEN abs($z) > 1.96 THEN 1 ELSE 0 END AS is_significant
+       |FROM s""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q137_rfm_segments", q137, Some(q137Sql)),
     Q("q138_ab_test", q138, Some(q138Sql)),
     Q("q141_cuped_adjustment", q141, Some(q141Sql)),
+    Q("q161_mann_whitney", q161, Some(q161Sql)),
   )
 }

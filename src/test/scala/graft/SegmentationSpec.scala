@@ -135,4 +135,44 @@ class SegmentationSpec extends SparkSpecBase {
     val v2 = SparkEntry.queries("q138_ab_test")(spark, dir).collect()
     v1 shouldBe v2 // no rand() anywhere: a backfill reproduces the readout
   }
+
+  test("q161 Mann-Whitney equals a from-scratch midrank recount with tie correction") {
+    val row = SparkEntry.queries("q161_mann_whitney")(spark, dir).collect().head
+    // driver recount: per-user event counts, the same salted arms
+    val perUser = sources.Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("m"))
+      .withColumn("variant", functions.Portable.hash32(
+        concat($"user_id".cast("string"), lit("#graft-exp1"))) % 2)
+      .collect()
+      .map(r => (r.getAs[Number](r.fieldIndex("variant")).intValue,
+        r.getLong(r.fieldIndex("m"))))
+    val n = perUser.length
+    val nA = perUser.count(_._1 == 0)
+    row.getLong(row.fieldIndex("n_a")) shouldBe nA.toLong
+    row.getLong(row.fieldIndex("n_b")) shouldBe (n - nA).toLong
+    // midranks over the combined sample
+    val sorted = perUser.map(_._2).sorted
+    val midrank = perUser.map(_._2).distinct.map { v =>
+      val less = sorted.count(_ < v); val eq = sorted.count(_ == v)
+      v -> (less + (eq + 1) / 2.0)
+    }.toMap
+    val rA = perUser.filter(_._1 == 0).map(t => midrank(t._2)).sum
+    row.getDouble(row.fieldIndex("r_a")) shouldBe rA // exact: halves only
+    // rank-sum identity: R_a + R_b = N(N+1)/2
+    val rB = perUser.filter(_._1 == 1).map(t => midrank(t._2)).sum
+    rA + rB shouldBe n.toLong * (n + 1) / 2.0
+    val uA = rA - nA.toLong * (nA + 1) / 2.0
+    row.getDouble(row.fieldIndex("u_stat")) shouldBe uA
+    // z with the tie-corrected variance, textbook form
+    val ties = perUser.map(_._2).groupBy(identity).values.map(_.length.toLong)
+    val tieSum = ties.map(t => t * t * t - t).sum
+    val nB = n - nA
+    val varU = nA.toDouble * nB / 12.0 *
+      ((n + 1).toDouble - tieSum.toDouble / (n.toLong * (n - 1)).toDouble)
+    val z = (uA - nA.toDouble * nB / 2.0) / math.sqrt(varU)
+    row.getDouble(row.fieldIndex("z_stat")) shouldBe z +- 1e-6
+    // ties really exist in a count metric: the correction is load-bearing
+    tieSum should be > 0L
+    row.getInt(row.fieldIndex("is_significant")) shouldBe (if (math.abs(z) > 1.96) 1 else 0)
+  }
 }
