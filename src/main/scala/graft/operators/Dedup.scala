@@ -1109,28 +1109,64 @@ object Dedup {
   private val WinK = 5 // gram width
   private val WinW = 4 // window width (hashes per window)
 
+  /** One winnowed fingerprint row. */
+  final case class WinnowFp(doc_id: Long, pos: Int, fp: Long)
+
   /** Winnowed (doc_id, pos, fp) fingerprints of any (doc_id, text)
     * frame — factored out so the spec can prove the detection
-    * guarantee on constructed documents. */
+    * guarantee on constructed documents.
+    *
+    * Selection is doc-LOCAL, so it runs as a `mapPartitions` Scala
+    * loop at scan speed: no shuffle, no window state, and because it
+    * is a stateless typed map it is a legal STREAMING stage — the
+    * per-shard index append is this same function (ScrubSpec proves
+    * stream ≡ batch bit-for-bit). This is the catalog's one justified
+    * per-partition imperative operator besides media decode: the
+    * column-algebra spellings were measured pathological — a window
+    * pass shuffles every gram by doc_id for logic that never leaves
+    * the row, and the HOF spelling (nested transform/IF over a hash
+    * array) exploded past the codegen threshold into interpreted
+    * eval that re-split the text per gram × window (~200 s for 500
+    * docs; this loop: milliseconds). The hash is the same portable
+    * md5-prefix as [[Portable.hash32]], byte-for-byte, which is what
+    * keeps the DuckDB oracle twin exact. */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pg = docs
-      .withColumn("t", Portable.tokens($"text"))
-      .filter(size($"t") >= WinK)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(0, size(t)-$WinK), i -> " +
-          s"named_struct('pos', i, 'g', array_join(slice(t, i+1, $WinK), ' ')))"))
-        .as("pg"))
-      .select($"doc_id", $"pg.pos".as("pos"), Portable.hash32($"pg.g").as("h"))
-    val frame = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(Window.currentRow, WinW - 1)
-    pg
-      .withColumn("sel", min(struct($"h", (-$"pos").as("np"))).over(frame))
-      .withColumn("cnt", count(lit(1)).over(frame))
-      .where($"cnt" === WinW) // truncated trailing windows select nothing
-      .select($"doc_id", (-$"sel.np").cast("int").as("pos"), $"sel.h".as("fp"))
-      .distinct()
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          // limit -1 matches Spark's split(col, regex) semantics
+          val t = text.split("\\s+", -1)
+          val nG = t.length - WinK + 1
+          // a complete w-hash window needs k+w−1 tokens; shorter docs
+          // select nothing (the truncated-window rule)
+          if (nG < WinW) Iterator.empty
+          else {
+            val hs = Array.tabulate(nG) { i =>
+              val g = t.slice(i, i + WinK).mkString(" ")
+              val d = md.digest(g.getBytes("UTF-8"))
+              java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+            }
+            val sel = collection.mutable.LinkedHashSet.empty[Int]
+            var s = 0
+            while (s <= nG - WinW) {
+              // rightmost minimum of the window: <= with ascending p
+              var best = s
+              var p = s + 1
+              while (p < s + WinW) {
+                if (hs(p) <= hs(best)) best = p
+                p += 1
+              }
+              sel += best
+              s += 1
+            }
+            sel.iterator.map(p => WinnowFp(id, p, hs(p)))
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Memoized corpus fingerprint index — q159 dumps it, q160 joins it;

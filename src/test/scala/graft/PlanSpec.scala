@@ -699,6 +699,18 @@ class PlanSpec extends SparkSpecBase {
     p should include("windowspecdefinition(query_id#")
   }
 
+  test("q159: winnow selection is a shuffle-free scan-speed map") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = graft.operators.Dedup.winnowFingerprints(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should include("MapPartitions")
+    (p should not).include("Exchange") // no shuffle, no window state
+    (p should not).include("Window")
+  }
+
   test("q158: dHash is computed map-side; the only exchange is the output sort") {
     val p = plan("q158_image_dhash")
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 2 // tree line + detail header

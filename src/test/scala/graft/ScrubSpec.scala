@@ -245,6 +245,35 @@ class ScrubSpec extends SparkSpecBase {
       df2.filter(_._1 == 4L).map(_._3).toSet) shouldBe empty
   }
 
+  test("streaming winnow-index append equals the batch build row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (shard1, shard2) = docs.splitAt(docs.length / 2)
+    withTempDir("winnowidx") { out =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(Long, String)]
+      // selection is a stateless typed map, so the per-shard index
+      // append is the SAME function the batch build runs
+      val q = source.toDS().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Dedup.winnowFingerprints(batch)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      source.addData(shard1.toSeq); q.processAllAvailable()
+      source.addData(shard2.toSeq); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.read.parquet(out)
+        .as[(Long, Int, Long)].collect().toSet
+      val batch = SparkEntry.queries("q159_winnowing")(spark, dir)
+        .as[(Long, Int, Long)].collect().toSet
+      streamed shouldBe batch
+    }
+  }
+
   test("q160 winnow pairs are well-formed, consistent with q155, and recall the MinHash pairs") {
     import spark.implicits._
     val wp = SparkEntry.queries("q160_winnow_pairs")(spark, dir)
