@@ -328,4 +328,49 @@ object Graft {
   def saltedProfile(df: DataFrame, key: String, valueCol: String,
       buckets: Int = 16, saltFrom: Column): DataFrame =
     operators.Skew.saltedProfile(df, key, valueCol, buckets, saltFrom)
+
+  /** Intra-corpus duplicated-span accounting with the gram-width knob
+    * open (q155 fixes 8): wider = only long verbatim runs count,
+    * narrower = more sensitive. Per-doc (dup_grams, spans, dup_tokens,
+    * dup_frac) over the whole corpus. */
+  def dupSpans(spark: SparkSession, dir: String, gramWidth: Int = 8): DataFrame =
+    operators.Dedup.dupSpans(spark, dir, gramWidth)
+
+  /** Winnowed fingerprints of ANY (doc_id, text) frame — the MOSS
+    * selection (q159's function verbatim): ~40 % of gram hashes with
+    * the ≥ 8-token detection guarantee. Stateless per doc, so it is
+    * also the streaming per-shard index append. */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    operators.Dedup.winnowFingerprints(docs)
+
+  /** Winnowed match pairs with the evidence threshold open (q160 fixes
+    * minShared = 2; 1 reports single-fingerprint coincidences too). */
+  def winnowedPairs(spark: SparkSession, dir: String, minShared: Int = 2): DataFrame =
+    operators.Dedup.winnowedPairs(spark, dir, minShared)
+
+  /** Adamic–Adar supplier link prediction through shared order baskets
+    * with the result size open (q156 fixes top-50). */
+  def linkPrediction(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    operators.Graph.linkPrediction(spark, dir, topK)
+
+  /** Product-quantized ANN with the query-set and depth knobs open
+    * (q157 fixes the 5 canonical queries, shortlist 20, k = 5). The
+    * trained 16×16×4 codebook and its persisted index stay fixed —
+    * they ARE the index artifact; `shortlist` trades recall for exact
+    * rerank cost. */
+  def pqSearch(spark: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 5, shortlist: Int = 20): DataFrame =
+    operators.Similarity.pqSearch(spark, dir, queryIds, k, shortlist)
+
+  /** Perceptual dHashes of the corpus image assets (q158): 64-bit
+    * difference hash halves from the real-decoded PPM pixels. */
+  def imageHashes(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.queries("q158_image_dhash")(spark, dir)
+
+  /** Tie-corrected Mann–Whitney U readout over ANY per-unit frame with
+    * columns `m` (INTEGRAL metric — ranks over drifting double sums
+    * would be nondeterministic) and `variant` (0/1). q161 fixes the
+    * frame to per-user event counts under the standard salted arms. */
+  def mannWhitney(perUnit: DataFrame): DataFrame =
+    operators.Segmentation.mannWhitney(perUnit)
 }

@@ -1008,16 +1008,23 @@ object Dedup {
     * report left-joins summaries onto the full corpus so CLEAN docs
     * appear with zeros — the accounting must enumerate everything it
     * kept, not only what it would cut. */
-  private def q155(spark: SparkSession, dir: String): DataFrame = {
+  private def q155(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(spark, dir, DecontamN)
+
+  /** q155's core with the gram-width knob open ([[graft.Graft.dupSpans]]):
+    * wider grams = stricter "duplicated" (longer verbatim runs only),
+    * narrower = more sensitive. */
+  private[graft] def dupSpans(spark: SparkSession, dir: String, w: Int): DataFrame = {
     import spark.implicits._
+    require(w >= 2 && w <= 64, s"need 2 <= gram width <= 64 (got $w)")
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", Portable.tokens($"text").as("t"))
-    // positional 8-grams, 0-based start (q98's expression, all docs)
+    // positional w-grams, 0-based start (q98's expression, all docs)
     val pg = docs
-      .filter(size($"t") >= DecontamN)
+      .filter(size($"t") >= w)
       .select($"doc_id", explode(expr(
-        s"transform(sequence(0, size(t)-$DecontamN), i -> " +
-          s"named_struct('pos', i, 'g', array_join(slice(t, i+1, $DecontamN), ' ')))"))
+        s"transform(sequence(0, size(t)-$w), i -> " +
+          s"named_struct('pos', i, 'g', array_join(slice(t, i+1, $w), ' ')))"))
         .as("pg"))
       .select($"doc_id", $"pg.pos".as("pos"), $"pg.g".as("g"))
     val dup = pg.groupBy($"g")
@@ -1027,7 +1034,7 @@ object Dedup {
     val matched = pg.join(dup, Seq("g"))
     val dupGrams = matched.groupBy($"doc_id").agg(count(lit(1)).as("dup_grams"))
     val covered = matched
-      .select($"doc_id", explode(sequence($"pos", $"pos" + (DecontamN - 1))).as("idx"))
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (w - 1))).as("idx"))
       .distinct()
     val wi = Window.partitionBy($"doc_id").orderBy($"idx")
     val spans = covered
@@ -1040,7 +1047,7 @@ object Dedup {
       .select(
         $"doc_id",
         size($"t").as("n_tokens"),
-        greatest(size($"t") - (DecontamN - 1), lit(0)).as("n_grams"),
+        greatest(size($"t") - (w - 1), lit(0)).as("n_grams"),
         coalesce($"dup_grams", lit(0L)).as("dup_grams"),
         coalesce($"n_spans", lit(0L)).as("n_spans"),
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
@@ -1199,15 +1206,23 @@ object Dedup {
     * fingerprint shared by thousands of docs is exactly a hot LSH
     * bucket — cap or drop stop-fingerprints by document frequency
     * (they carry no pair information, like stopwords). */
-  private def q160(spark: SparkSession, dir: String): DataFrame = {
+  private def q160(spark: SparkSession, dir: String): DataFrame =
+    winnowedPairs(spark, dir, minShared = 2)
+
+  /** q160's core with the evidence threshold open
+    * ([[graft.Graft.winnowedPairs]]): raise `minShared` to demand more
+    * shared fingerprints per reported pair. */
+  private[graft] def winnowedPairs(spark: SparkSession, dir: String,
+      minShared: Int): DataFrame = {
     import spark.implicits._
+    require(minShared >= 1, s"need minShared >= 1 (got $minShared)")
     val dfp = winnowIndex(spark, dir).select($"doc_id", $"fp").distinct()
     dfp.as("a").join(dfp.as("b"), Seq("fp"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("shared_fps"))
-      .where($"shared_fps" >= 2)
+      .where($"shared_fps" >= minShared)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -521,8 +521,15 @@ object Graph {
     * exact; the score sums ≤ common_orders transcendental terms, so the
     * output rounds at 4 dp and the rank guards at 6 dp with the pair as
     * tiebreak (q74's discipline). */
-  private def q156(spark: SparkSession, dir: String): DataFrame = {
+  private def q156(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(spark, dir, topK = 50)
+
+  /** q156's core with the result-size knob open
+    * ([[graft.Graft.linkPrediction]]). */
+  private[graft] def linkPrediction(spark: SparkSession, dir: String,
+      topK: Int): DataFrame = {
     import spark.implicits._
+    require(topK > 0 && topK <= 100000, s"need 0 < topK <= 100000 (got $topK)")
     val os = Tables.lineitem(spark, dir)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("s"))
       .distinct()
@@ -535,7 +542,7 @@ object Graph {
       .groupBy($"s_a", $"s_b")
       .agg(count(lit(1)).as("common_orders"), sum($"w").as("score"))
       .orderBy(round($"score", 6).desc, $"s_a", $"s_b")
-      .limit(50)
+      .limit(topK)
       .select($"s_a", $"s_b", $"common_orders", round($"score", 4).as("aa_score"))
   }
 

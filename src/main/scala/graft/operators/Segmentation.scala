@@ -307,7 +307,24 @@ object Segmentation {
     val perUser = Tables.events(spark, dir)
       .groupBy($"user_id").agg(count(lit(1)).as("m"))
       .withColumn("variant", armOf($"user_id"))
-    val hist = perUser.groupBy($"m").agg(
+    mannWhitney(perUser)
+  }
+
+  /** q161's core over ANY per-unit frame carrying an integral metric
+    * `m` and a 0/1 `variant` ([[graft.Graft.mannWhitney]]). The metric
+    * must be integral: ranks over a drifting double sum would make the
+    * RANKING itself nondeterministic (q107's tie discipline). */
+  private[graft] def mannWhitney(perUnit: DataFrame): DataFrame = {
+    val spark = perUnit.sparkSession
+    import spark.implicits._
+    require(Seq("m", "variant").forall(perUnit.columns.contains),
+      s"need columns (m, variant), got ${perUnit.columns.mkString(", ")}")
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(perUnit.schema("m").dataType),
+      s"metric m must be integral for deterministic ranking (got ${perUnit.schema("m").dataType})")
+    val hist = perUnit.groupBy($"m").agg(
       count(lit(1)).as("c"),
       sum(when($"variant" === 0, 1L).otherwise(0L)).as("ca"))
     val wv = Window.orderBy($"m").rowsBetween(Window.unboundedPreceding, -1)

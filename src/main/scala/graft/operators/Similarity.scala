@@ -1105,11 +1105,22 @@ object Similarity {
         .select($"vec_id", $"label", $"codes", $"pqnrm")
     }
 
-  private def q157(spark: SparkSession, dir: String): DataFrame = {
+  private def q157(spark: SparkSession, dir: String): DataFrame =
+    pqSearch(spark, dir, QueryIds, k = 5, shortlist = 20)
+
+  /** q157's core with the query-set / depth knobs open
+    * ([[graft.Graft.pqSearch]]); the codebook geometry (16×16×4, two
+    * Lloyd rounds) stays fixed with the persisted index it defines. */
+  private[graft] def pqSearch(spark: SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int, shortlist: Int): DataFrame = {
     import spark.implicits._
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"need 1..1000 query ids (got ${queryIds.size})")
+    require(k > 0 && shortlist >= k,
+      s"need 0 < k <= shortlist (got k=$k, shortlist=$shortlist)")
     val e = embNorm(spark, dir)
     val pq = pqIndex(spark, dir)
-    val queries = e.filter($"vec_id".isin(QueryIds: _*))
+    val queries = e.filter($"vec_id".isin(queryIds: _*))
       .crossJoin(broadcast(pqCodebook(spark, dir)))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         expr(
@@ -1121,16 +1132,16 @@ object Similarity {
       s"aggregate(sequence(0, ${PqM - 1}), cast(0 as double), (acc, j) -> " +
         "acc + lut[j][codes[j]])") / ($"qnrm" * $"pqnrm")
     val wa = Window.partitionBy($"query_id").orderBy(round(adc, 6).desc, $"vec_id".asc)
-    val shortlist = pq.join(broadcast(queries), $"vec_id" =!= $"query_id")
+    val shortlisted = pq.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .withColumn("approx_cosine", round(adc, 4))
       .withColumn("ra", row_number().over(wa))
-      .filter($"ra" <= 20)
+      .filter($"ra" <= shortlist)
       .select($"query_id", $"qv", $"qnrm", $"vec_id", $"approx_cosine")
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val we = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
-    shortlist.join(e.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+    shortlisted.join(e.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
       .withColumn("rn", row_number().over(we))
-      .filter($"rn" <= 5)
+      .filter($"rn" <= k)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"approx_cosine",
         round(cos, 4).as("cosine"), $"rn")
       .orderBy($"query_id", $"rn")

@@ -257,6 +257,57 @@ class ApiSpec extends SparkSpecBase {
   }
 
 
+  test("round-4b facades at catalog knobs equal q155/q156/q157/q160/q161") {
+    rows(Graft.dupSpans(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q155_dup_spans")(spark, dir))
+    rows(Graft.linkPrediction(spark, dir)) shouldBe
+      rows(SparkEntry.queries("q156_link_prediction")(spark, dir))
+    rows(Graft.pqSearch(spark, dir, Seq(0L, 1L, 2L, 3L, 4L))) shouldBe
+      rows(SparkEntry.queries("q157_pq_adc_knn")(spark, dir))
+    rows(Graft.winnowedPairs(spark, dir).orderBy($"doc_a", $"doc_b")) shouldBe
+      rows(SparkEntry.queries("q160_winnow_pairs")(spark, dir))
+    val perUser = sources.Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("m"))
+      .withColumn("variant", graft.functions.Portable.hash32(
+        org.apache.spark.sql.functions.concat(
+          $"user_id".cast("string"),
+          org.apache.spark.sql.functions.lit("#graft-exp1"))) % 2)
+    rows(Graft.mannWhitney(perUser)) shouldBe
+      rows(SparkEntry.queries("q161_mann_whitney")(spark, dir))
+  }
+
+  test("round-4b facades stay sane off the catalog defaults") {
+    // wider grams -> duplication can only shrink (monotone knob)
+    val d8 = Graft.dupSpans(spark, dir).agg(
+      org.apache.spark.sql.functions.sum($"dup_tokens")).head().getLong(0)
+    val d16 = Graft.dupSpans(spark, dir, gramWidth = 16).agg(
+      org.apache.spark.sql.functions.sum($"dup_tokens")).head().getLong(0)
+    d16 should be <= d8
+    d8 should be > 0L
+    // a higher evidence threshold only removes pairs
+    val p2 = Graft.winnowedPairs(spark, dir).collect()
+    val p5 = Graft.winnowedPairs(spark, dir, minShared = 5).collect()
+    p5.length should be <= p2.length
+    p5.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .subsetOf(p2.map(r => (r.getLong(0), r.getLong(1))).toSet) shouldBe true
+    // a deeper shortlist can only improve PQ recall vs brute force
+    val exact = SparkEntry.queries("q29_knn_brute_force")(spark, dir)
+      .filter($"rn" <= 5).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recall(shortlist: Int): Double = {
+      val got = Graft.pqSearch(spark, dir, Seq(0L, 1L, 2L, 3L, 4L), 5, shortlist)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    recall(99) should be >= recall(20)
+    // link prediction truncates deterministically: top-10 is a prefix
+    val t50 = Graft.linkPrediction(spark, dir).collect()
+    val t10 = Graft.linkPrediction(spark, dir, topK = 10).collect()
+    t10.map(_.toSeq).toSeq shouldBe t50.take(10).map(_.toSeq).toSeq
+  }
+
   test("qualityClassify at catalog weights equals q153; a custom export rescores") {
     import org.apache.spark.sql.functions._
     val weights = (0 until 64).map(j => (j * 2654435761L % 1000) - 500)
