@@ -908,6 +908,61 @@ object Curation {
        |FROM cls
        |ORDER BY lang, source, len_bucket""".stripMargin
 
+  // -------------------------------------------------------------- q162
+  /** l-diversity audit — the companion gate to q97's k-anonymity
+    * (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    * k-Anonymity", ICDE'06): a class can be large (k-anonymous) yet
+    * still leak if every member shares the same SENSITIVE value.
+    * Quasi-identifiers here are what an adversary links on in the
+    * events table — (event_type, hour-of-day); the sensitive attribute
+    * is user_id. Per class: distinct-l (count of distinct sensitive
+    * values), entropy-l (exp of the Shannon entropy of the sensitive
+    * distribution — the strictest published variant), and the failing
+    * flag at l = 3.
+    *
+    * Scale shape: ONE partial+final aggregate to (class, user) cells,
+    * then a second contraction to #classes rows — entropy decomposes
+    * over per-(class,user) counts, so no per-row state survives the
+    * first map-side combine. At 100 TB both frames are tiny relative
+    * to the corpus; nothing windows over raw rows. */
+  private val DivL = 3
+
+  private def q162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", hour($"ts").as("hh"), $"user_id")
+      .groupBy($"event_type", $"hh", $"user_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type", $"hh")
+      .agg(sum($"c").as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        // Σ c·ln c over members; entropy = ln n − (Σ c·ln c)/n
+        sum($"c".cast("double") * log($"c".cast("double"))).as("slc"))
+      .select($"event_type", $"hh".cast("long").as("hh"), $"class_size",
+        $"l_distinct",
+        round(exp(log($"class_size".cast("double")) -
+          $"slc" / $"class_size".cast("double")), 4).as("l_entropy"),
+        ($"l_distinct" < DivL).cast("int").as("at_risk"))
+      .orderBy($"event_type", $"hh")
+  }
+
+  private val q162Sql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, hour(ts) AS hh, user_id,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, CAST(hh AS BIGINT) AS hh,
+       |       CAST(sum(c) AS BIGINT) AS class_size,
+       |       CAST(count(*) AS BIGINT) AS l_distinct,
+       |       round(exp(ln(CAST(sum(c) AS DOUBLE))
+       |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+       |               / CAST(sum(c) AS DOUBLE)), 4) AS l_entropy,
+       |       CAST(count(*) < $DivL AS INTEGER) AS at_risk
+       |FROM cells
+       |GROUP BY event_type, hh
+       |ORDER BY event_type, hh""".stripMargin
+
   // ------------------------------------------------ curated snapshot
   /** The pipeline's SINK: materialize the curated corpus to parquet,
     * composing the catalog's own stages — quality-aware keeper per
@@ -1033,5 +1088,6 @@ object Curation {
     Q("q89_source_overlap", q89, Some(q89Sql)),
     Q("q93_length_histogram", q93, Some(q93Sql)),
     Q("q97_k_anonymity", q97, Some(q97Sql)),
+    Q("q162_l_diversity", q162, Some(q162Sql)),
   )
 }

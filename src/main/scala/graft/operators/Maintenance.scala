@@ -158,8 +158,92 @@ object Maintenance {
        |WHERE rn = 1 AND NOT (is_new AND o_orderstatus = 'F')
        |ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q164
+  /** Z-order (Morton) data layout vs. ingestion-order layout — the
+    * OPTIMIZE/CLUSTER BY maintenance operator behind multi-dimensional
+    * data skipping (Morton '66; the layout Delta/Iceberg clustering
+    * writes). Events carry two query dimensions (user bucket, day
+    * index); each layout sorts the table, cuts it into 16 equal files,
+    * and reports per-file min/max of BOTH dimensions — the footer
+    * stats a scan prunes on. The linear layout yields full-span day
+    * ranges on every file (a user-filter query prunes nothing); the
+    * Z-order layout bounds both spans at ~√files, so point queries on
+    * EITHER dimension skip most files. The oracle recomputes the same
+    * interleave arithmetic, so the gate proves the bit algebra.
+    *
+    * Scale: z is per-row integer algebra (6+6 bits interleaved); the
+    * global sort here is `row_number` for deterministic file cuts at
+    * fixture scale — a production writer replaces it with
+    * `repartitionByRange(z)` + per-task files (same boundaries via
+    * range sampling, no single-partition window). */
+  private val ZBits = 6
+  private val ZFiles = 16
+
+  private def q164(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", to_date($"ts").as("day"))
+    val d0 = base.agg(min($"day").as("d0"))
+    val feat = base.crossJoin(broadcast(d0))
+      .select($"event_id", ($"user_id" % 64).as("ub"),
+        least(datediff($"day", $"d0"), lit(63)).cast("long").as("di"))
+    val zExpr = (0 until ZBits).map(i =>
+      s"((ub div ${1 << i}) % 2) * ${1L << (2 * i + 1)}L + ((di div ${1 << i}) % 2) * ${1L << (2 * i)}L")
+      .mkString(" + ")
+    val both = feat.withColumn("z", expr(zExpr))
+      .select($"event_id", $"ub", $"di",
+        explode(array(
+          struct(lit("linear").as("layout"), lit(0L).as("s1")),
+          struct(lit("zorder").as("layout"), $"z".as("s1")))).as("l"))
+      .select($"l.layout".as("layout"), $"l.s1".as("s1"),
+        $"event_id", $"ub", $"di")
+    val w = Window.partitionBy($"layout").orderBy($"s1", $"event_id")
+    val wn = Window.partitionBy($"layout")
+    both
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("file_id", expr(s"((rn - 1) * $ZFiles) div n"))
+      .groupBy($"layout", $"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"ub").as("u_lo"), max($"ub").as("u_hi"),
+        min($"di").as("d_lo"), max($"di").as("d_hi"))
+      .orderBy($"layout", $"file_id")
+  }
+
+  private val q164Sql: String = {
+    val zExpr = (0 until ZBits).map(i =>
+      s"((ub // ${1 << i}) % 2) * ${1L << (2 * i + 1)} + ((di // ${1 << i}) % 2) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_id, user_id % 64 AS ub,
+       |         CAST(least(date_diff('day',
+       |           (SELECT min(CAST(ts AS DATE)) FROM events),
+       |           CAST(ts AS DATE)), 63) AS BIGINT) AS di
+       |  FROM events
+       |), feat AS (
+       |  SELECT event_id, ub, di, $zExpr AS z FROM base
+       |), both_layouts AS (
+       |  SELECT 'linear' AS layout, 0 AS s1, event_id, ub, di FROM feat
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, z AS s1, event_id, ub, di FROM feat
+       |), cut AS (
+       |  SELECT layout, ub, di,
+       |         ((row_number() OVER (PARTITION BY layout ORDER BY s1, event_id) - 1)
+       |          * $ZFiles) // (count(*) OVER (PARTITION BY layout)) AS file_id
+       |  FROM both_layouts
+       |)
+       |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(min(ub) AS BIGINT) AS u_lo, CAST(max(ub) AS BIGINT) AS u_hi,
+       |       min(di) AS d_lo, max(di) AS d_hi
+       |FROM cut
+       |GROUP BY layout, file_id
+       |ORDER BY layout, file_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q118_join_view_maintenance", q118, Some(q118Sql)),
     Q("q139_cdc_apply", q139, Some(q139Sql)),
+    Q("q164_zorder_layout", q164, Some(q164Sql)),
   )
 }

@@ -1151,6 +1151,166 @@ object Relational {
       |FROM customer
       |ORDER BY relation, metric""".stripMargin
 
+  // -------------------------------------------------------------- q163
+  /** 2-D skyline (Pareto frontier): the parts no other part dominates
+    * on (size, retail price) — strict Pareto dominance, the
+    * multi-objective "best" query (Börzsönyi et al., "The Skyline
+    * Operator", ICDE'01). The ORACLE is the definitional quadratic
+    * NOT EXISTS; the engine side is the O(n log n) rewrite, so the
+    * gate proves the rewrite, not just self-consistency:
+    *
+    *  1. contract per x to the max-y survivors (any same-x lower-y row
+    *     is strictly dominated) — a partial+final aggregate, after
+    *     which ≤ #distinct-x rows remain;
+    *  2. over that contracted frame, a point survives iff no STRICTLY
+    *     larger x carries y ≥ its own — one running-max window on the
+    *     x-ordered frame (`range (-∞, -1)` on −x = "all strictly
+    *     better x"), never a self-join.
+    *
+    * Scale: the raw corpus sees only the per-x contraction (a
+    * partial+final max aggregate); the single-partition window runs
+    * over ≤ #distinct-x rows (sizes collide massively — 50 values at
+    * any SF), the same contracted-frame discipline as q97/q133. All
+    * comparisons are exact integers. */
+  private def q163(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // exact integer axes: size as-is, price in cents (TPC-H retail
+    // prices are 2-decimal by construction, so round(·×100) is the
+    // exact integer on both engines)
+    val per = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_size".cast("long").as("size"),
+        round($"p_retailprice" * 100).cast("long").as("price_cents"))
+    val wx = Window.partitionBy($"size")
+    val cand = per
+      .withColumn("my", max($"price_cents").over(wx))
+      .filter($"price_cents" === $"my").drop("my")
+    val wgt = Window.orderBy($"negx")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("negx", -$"size")
+      .withColumn("ygt", max($"price_cents").over(wgt))
+      .filter($"ygt".isNull || $"ygt" < $"price_cents")
+      .select($"p_partkey", $"size", $"price_cents")
+      .orderBy($"size".desc, $"p_partkey")
+  }
+
+  private val q163Sql: String =
+    """WITH per AS (
+      |  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      |  FROM part
+      |)
+      |SELECT p.p_partkey, p.size, p.price_cents
+      |FROM per p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM per q
+      |  WHERE q.size >= p.size AND q.price_cents >= p.price_cents
+      |    AND (q.size > p.size OR q.price_cents > p.price_cents))
+      |ORDER BY size DESC, p_partkey""".stripMargin
+
+  // -------------------------------------------------------------- q166
+  /** Bloom-filter semi-join pushdown — the runtime-filter pattern a
+    * distributed engine uses when the build side is too big to
+    * broadcast as rows but its FINGERPRINT is not: hash the build keys
+    * (high-balance customers) into an m-bit Bloom bitmap, push the
+    * bitmap to the probe scan (orders), and fall through to the exact
+    * join only for rows that pass. This is Spark's own
+    * InjectRuntimeFilter / rf-join made explicit and PORTABLE: k = 3
+    * md5-derived hashes (Portable.hash32 — engine-identical), m = 4096
+    * bits as 128 × 32-bit lanes bit_or-aggregated, membership = all k
+    * bits set. Because both engines build the SAME bitmap, the false
+    * positives are identical rows, so the audit (pass counts, true
+    * matches, FP count) hash-matches exactly — the gate proves the
+    * filter's set algebra, not merely its row count.
+    *
+    * Scale: the bitmap is a ≤128-row (word, mask) table — broadcast to
+    * the probe side as an equi-join regardless of build-side row count;
+    * probe rows that fail never reach the join's shuffle. FP rate at
+    * n build keys: (1 − e^{−kn/m})^k. */
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  private def bloomPos(key: Column, i: Int): Column =
+    graft.functions.Portable.hash32(
+      concat(key.cast("string"), lit(s"#graft-bloom$i"))) % BloomBits
+
+  private def q166(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buildKeys = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 9000.0).select($"c_custkey".as("k"))
+    // m-bit bitmap as (word, mask) rows: one partial+final bit_or per
+    // word — at any build cardinality this contracts to ≤128 rows.
+    // 32-bit lanes (not 64): bit 63 is unreachable on both engines the
+    // same way — DuckDB's checked BIGINT shift throws at 1<<63 while
+    // Spark wraps to the sign bit, so the portable lane is 32 wide
+    val words = buildKeys
+      .select(explode(array((0 until BloomK).map(i => bloomPos($"k", i)): _*)).as("pos"))
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .groupBy($"word").agg(expr("bit_or(bit)").as("mask"))
+    // probe side: each order tests its k bits against the broadcast
+    // bitmap; hit = every probed word exists and has the bit set
+    val probes = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .select($"o_orderkey", $"o_custkey",
+        explode(array((0 until BloomK).map(i => bloomPos($"o_custkey", i)): _*)).as("pos"))
+      .select($"o_orderkey", $"o_custkey",
+        expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .join(broadcast(words), Seq("word"), "left")
+      .groupBy($"o_orderkey", $"o_custkey")
+      .agg(min((coalesce($"mask", lit(0L)).bitwiseAND($"bit") =!= lit(0L))
+        .cast("int")).as("hit"))
+    val audit = probes
+      .join(buildKeys.withColumn("is_member", lit(1)),
+        $"o_custkey" === $"k", "left")
+      .select($"o_orderkey", $"hit", coalesce($"is_member", lit(0)).as("m"))
+    audit.agg(
+        count(lit(1)).as("n_probes"),
+        sum($"hit".cast("long")).as("bloom_pass"),
+        sum($"m".cast("long")).as("true_match"),
+        sum(($"hit" === 1 && $"m" === 0).cast("long")).as("false_pos"),
+        sum(($"hit" === 0 && $"m" === 1).cast("long")).as("false_neg"))
+      .select($"n_probes", $"bloom_pass", $"true_match", $"false_pos",
+        $"false_neg",
+        round($"false_pos".cast("double") /
+          ($"n_probes" - $"true_match"), 6).as("fp_rate"))
+  }
+
+  private val q166Sql: String = {
+    def posSql(key: String, i: Int): String =
+      s"(${graft.functions.Portable.hash32Sql(s"CAST($key AS VARCHAR) || '#graft-bloom$i'")} % $BloomBits)"
+    val buildPos = (0 until BloomK).map(i => posSql("k", i))
+      .mkString("[", ", ", "]")
+    val probePos = (0 until BloomK).map(i => posSql("o_custkey", i))
+      .mkString("[", ", ", "]")
+    s"""WITH build AS (
+       |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000.0
+       |), wordsx AS (
+       |  SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS mask
+       |  FROM (SELECT unnest($buildPos) AS pos FROM build) GROUP BY 1
+       |), probes AS (
+       |  SELECT o_orderkey, o_custkey,
+       |         min(CAST((COALESCE(w.mask, 0) & (1::BIGINT << (p.pos % 32))) <> 0
+       |                  AS INTEGER)) AS hit
+       |  FROM (SELECT o_orderkey, o_custkey, unnest($probePos) AS pos
+       |        FROM orders) p
+       |  LEFT JOIN wordsx w ON w.word = p.pos // 32
+       |  GROUP BY 1, 2
+       |), audit AS (
+       |  SELECT p.o_orderkey, p.hit,
+       |         CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS m
+       |  FROM probes p LEFT JOIN build b ON b.k = p.o_custkey
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |       CAST(sum(hit) AS BIGINT) AS bloom_pass,
+       |       CAST(sum(m) AS BIGINT) AS true_match,
+       |       CAST(sum(CASE WHEN hit = 1 AND m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       |       CAST(sum(CASE WHEN hit = 0 AND m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS false_neg,
+       |       round(CAST(sum(CASE WHEN hit = 1 AND m = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / (count(*) - sum(m)), 6) AS fp_rate
+       |FROM audit""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q0_filter_project", q0, Some(q0Sql)),
     Q("q1_pricing_summary", q1, Some(q1Sql)),
@@ -1190,5 +1350,7 @@ object Relational {
     Q("q106_table_stats", q106, Some(q106Sql)),
     Q("q108_string_agg", q108, Some(q108Sql)),
     Q("q109_integrity_audit", q109, Some(q109Sql)),
+    Q("q163_skyline", q163, Some(q163Sql)),
+    Q("q166_bloom_filter_join", q166, Some(q166Sql)),
   )
 }
