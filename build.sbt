@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 162-query bench session at local[32] holds ~10
+  // persisted shared intermediates plus codegen caches; at 8g the old
+  // heap ceiling showed up as GC drag on the slowest timed queries
+  // (q96 7.7 s benched vs 0.9 s in an isolated session). The box has
+  // 128 GiB; override with SPARK_DRIVER_MEM for constrained runs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

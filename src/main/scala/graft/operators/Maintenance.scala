@@ -187,10 +187,11 @@ object Maintenance {
     val feat = base.crossJoin(broadcast(d0))
       .select($"event_id", ($"user_id" % 64).as("ub"),
         least(datediff($"day", $"d0"), lit(63)).cast("long").as("di"))
-    val zExpr = (0 until ZBits).map(i =>
-      s"((ub div ${1 << i}) % 2) * ${1L << (2 * i + 1)}L + ((di div ${1 << i}) % 2) * ${1L << (2 * i)}L")
-      .mkString(" + ")
-    val both = feat.withColumn("z", expr(zExpr))
+    // the SHARED production interleave (sources.Layout.zorder — what
+    // writeZOrdered sorts by); the oracle respells the bit algebra
+    // independently, so the gate proves the primitive itself
+    val both = feat.withColumn("z",
+      graft.sources.Layout.zorder($"ub", $"di", ZBits, ZBits))
       .select($"event_id", $"ub", $"di",
         explode(array(
           struct(lit("linear").as("layout"), lit(0L).as("s1")),
