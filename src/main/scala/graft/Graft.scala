@@ -373,4 +373,56 @@ object Graft {
     * frame to per-user event counts under the standard salted arms. */
   def mannWhitney(perUnit: DataFrame): DataFrame =
     operators.Segmentation.mannWhitney(perUnit)
+
+  /** l-diversity privacy audit (q162) over ANY frame: per
+    * quasi-identifier class, the distinct and entropy diversity of the
+    * sensitive column plus the failing flag at `l`. q162 fixes the
+    * frame to events with (event_type, hour) quasi-identifiers and
+    * user_id sensitive. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int = 3): DataFrame =
+    operators.Curation.lDiversity(df, quasiCols, sensitiveCol, l)
+
+  /** 2-D strict-dominance skyline (q163) of ANY frame over integer
+    * axes — the O(n log n) contraction+window rewrite, never a
+    * self-join. Callers own making the axes exact integers (cents, not
+    * raw doubles). */
+  def skyline(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame =
+    operators.Relational.skyline(df, idCol, xCol, yCol)
+
+  /** Z-order vs linear layout report (q164) for ANY frame carrying two
+    * non-negative integer dimensions: per-file min/max footer stats
+    * under both orders — the "should I OPTIMIZE this table" readout
+    * for [[sources.Layout.writeZOrdered]]. */
+  def layoutReport(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, bits: Int = 6, nFiles: Int = 16): DataFrame =
+    operators.Maintenance.layoutReport(df, idCol, aCol, bCol, bits, nFiles)
+
+  /** Grid-density clusters (q165) of ANY (x, y) point frame:
+    * cells ≥ `minPts` are cores, touching cores merge via the shared
+    * pointer-jumping component engine; one row per cluster with mass
+    * and bounding box. */
+  def gridClusters(points: DataFrame, xCol: String, yCol: String,
+      step: Double = 0.05, minPts: Long = 3): DataFrame =
+    operators.Segmentation.gridClusters(points, xCol, yCol, step, minPts)
+
+  /** Bloom-filter membership pre-test (q166): appends `hit` to `df` by
+    * probing a bitmap built over `buildKeys`' single column — zero
+    * false negatives, so `filter(hit = 1)` before an exact join is a
+    * safe probe-side reduction (the explicit, engine-portable form of
+    * Catalyst's runtime bloom join filter). */
+  def withBloomHit(df: DataFrame, keyCol: String, buildKeys: DataFrame,
+      bits: Int = 4096, hashes: Int = 3): DataFrame =
+    operators.Relational.withBloomHit(df, keyCol, buildKeys, bits, hashes)
+
+  /** Bloom-accelerated left-semi join: exact result (the bloom pass
+    * only prunes definite non-members before the exact join). */
+  def bloomSemiJoin(probe: DataFrame, keyCol: String,
+      buildKeys: DataFrame): DataFrame = {
+    val kc = buildKeys.columns.head
+    withBloomHit(probe, keyCol, buildKeys)
+      .filter(col("hit") === 1).drop("hit")
+      .join(buildKeys, col(keyCol) === buildKeys(kc), "left_semi")
+  }
 }

@@ -927,23 +927,32 @@ object Curation {
     * to the corpus; nothing windows over raw rows. */
   private val DivL = 3
 
-  private def q162(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.events(spark, dir)
-      .select($"event_type", hour($"ts").as("hh"), $"user_id")
-      .groupBy($"event_type", $"hh", $"user_id")
+  /** Generic core of q162, opened via [[graft.Graft.lDiversity]]:
+    * the diversity audit over any frame's quasi-identifier columns and
+    * sensitive column. */
+  private[graft] def lDiversity(df: DataFrame, quasi: Seq[String],
+      sensitive: String, l: Int = DivL): DataFrame = {
+    val qc = quasi.map(col)
+    df.groupBy(qc :+ col(sensitive): _*)
       .agg(count(lit(1)).as("c"))
-      .groupBy($"event_type", $"hh")
-      .agg(sum($"c").as("class_size"),
+      .groupBy(qc: _*)
+      .agg(sum(col("c")).as("class_size"),
         count(lit(1)).as("l_distinct"),
         // Σ c·ln c over members; entropy = ln n − (Σ c·ln c)/n
-        sum($"c".cast("double") * log($"c".cast("double"))).as("slc"))
-      .select($"event_type", $"hh".cast("long").as("hh"), $"class_size",
-        $"l_distinct",
-        round(exp(log($"class_size".cast("double")) -
-          $"slc" / $"class_size".cast("double")), 4).as("l_entropy"),
-        ($"l_distinct" < DivL).cast("int").as("at_risk"))
-      .orderBy($"event_type", $"hh")
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(qc ++ Seq(col("class_size"), col("l_distinct"),
+        round(exp(log(col("class_size").cast("double")) -
+          col("slc") / col("class_size").cast("double")), 4).as("l_entropy"),
+        (col("l_distinct") < l).cast("int").as("at_risk")): _*)
+      .orderBy(qc: _*)
+  }
+
+  private def q162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lDiversity(
+      Tables.events(spark, dir)
+        .select($"event_type", hour($"ts").cast("long").as("hh"), $"user_id"),
+      Seq("event_type", "hh"), "user_id")
   }
 
   private val q162Sql: String =

@@ -179,6 +179,39 @@ object Maintenance {
   private val ZBits = 6
   private val ZFiles = 16
 
+  /** Generic core of q164, opened via [[graft.Graft.layoutReport]]:
+    * compares the Z-order layout against linear `idCol` order for any
+    * frame carrying two non-negative integer dimensions, cutting each
+    * into `nFiles` deterministic files and reporting per-file min/max
+    * footer stats on both dims. */
+  private[graft] def layoutReport(df: DataFrame, idCol: String,
+      aCol: String, bCol: String, bits: Int = ZBits,
+      nFiles: Int = ZFiles): DataFrame = {
+    val (id, a, b) = (col(idCol), col(aCol), col(bCol))
+    // the SHARED production interleave (sources.Layout.zorder — what
+    // writeZOrdered sorts by); the oracle respells the bit algebra
+    // independently, so the gate proves the primitive itself
+    val both = df
+      .withColumn("__z", graft.sources.Layout.zorder(a, b, bits, bits))
+      .select(id.as("__id"), a.as("__a"), b.as("__b"),
+        explode(array(
+          struct(lit("linear").as("layout"), lit(0L).as("s1")),
+          struct(lit("zorder").as("layout"), col("__z").as("s1")))).as("l"))
+      .select(col("l.layout").as("layout"), col("l.s1").as("s1"),
+        col("__id"), col("__a"), col("__b"))
+    val w = Window.partitionBy(col("layout")).orderBy(col("s1"), col("__id"))
+    val wn = Window.partitionBy(col("layout"))
+    both
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("file_id", expr(s"((rn - 1) * $nFiles) div n"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__a")).as("u_lo"), max(col("__a")).as("u_hi"),
+        min(col("__b")).as("d_lo"), max(col("__b")).as("d_hi"))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
   private def q164(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.events(spark, dir)
@@ -187,28 +220,7 @@ object Maintenance {
     val feat = base.crossJoin(broadcast(d0))
       .select($"event_id", ($"user_id" % 64).as("ub"),
         least(datediff($"day", $"d0"), lit(63)).cast("long").as("di"))
-    // the SHARED production interleave (sources.Layout.zorder — what
-    // writeZOrdered sorts by); the oracle respells the bit algebra
-    // independently, so the gate proves the primitive itself
-    val both = feat.withColumn("z",
-      graft.sources.Layout.zorder($"ub", $"di", ZBits, ZBits))
-      .select($"event_id", $"ub", $"di",
-        explode(array(
-          struct(lit("linear").as("layout"), lit(0L).as("s1")),
-          struct(lit("zorder").as("layout"), $"z".as("s1")))).as("l"))
-      .select($"l.layout".as("layout"), $"l.s1".as("s1"),
-        $"event_id", $"ub", $"di")
-    val w = Window.partitionBy($"layout").orderBy($"s1", $"event_id")
-    val wn = Window.partitionBy($"layout")
-    both
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("file_id", expr(s"((rn - 1) * $ZFiles) div n"))
-      .groupBy($"layout", $"file_id")
-      .agg(count(lit(1)).as("n_rows"),
-        min($"ub").as("u_lo"), max($"ub").as("u_hi"),
-        min($"di").as("d_lo"), max($"di").as("d_hi"))
-      .orderBy($"layout", $"file_id")
+    layoutReport(feat, "event_id", "ub", "di")
   }
 
   private val q164Sql: String = {

@@ -1172,6 +1172,26 @@ object Relational {
     * over ≤ #distinct-x rows (sizes collide massively — 50 values at
     * any SF), the same contracted-frame discipline as q97/q133. All
     * comparisons are exact integers. */
+  /** Generic core of q163, opened via [[graft.Graft.skyline]]: the
+    * strict-dominance maximization frontier of `df` over integer axes
+    * (`xCol`, `yCol`), keeping `idCol`. Same two-step rewrite for any
+    * frame; callers own making the axes exact integers. */
+  private[graft] def skyline(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val (id, x, y) = (col(idCol), col(xCol), col(yCol))
+    val wx = Window.partitionBy(x)
+    val cand = df.select(id, x, y)
+      .withColumn("__my", max(y).over(wx))
+      .filter(y === col("__my")).drop("__my")
+    val wgt = Window.orderBy(col("__negx"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("__negx", -x)
+      .withColumn("__ygt", max(y).over(wgt))
+      .filter(col("__ygt").isNull || col("__ygt") < y)
+      .select(id, x, y)
+      .orderBy(x.desc, id)
+  }
+
   private def q163(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // exact integer axes: size as-is, price in cents (TPC-H retail
@@ -1180,17 +1200,7 @@ object Relational {
     val per = Tables.part(spark, dir)
       .select($"p_partkey", $"p_size".cast("long").as("size"),
         round($"p_retailprice" * 100).cast("long").as("price_cents"))
-    val wx = Window.partitionBy($"size")
-    val cand = per
-      .withColumn("my", max($"price_cents").over(wx))
-      .filter($"price_cents" === $"my").drop("my")
-    val wgt = Window.orderBy($"negx")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    cand.withColumn("negx", -$"size")
-      .withColumn("ygt", max($"price_cents").over(wgt))
-      .filter($"ygt".isNull || $"ygt" < $"price_cents")
-      .select($"p_partkey", $"size", $"price_cents")
-      .orderBy($"size".desc, $"p_partkey")
+    skyline(per, "p_partkey", "size", "price_cents")
   }
 
   private val q163Sql: String =
@@ -1229,37 +1239,59 @@ object Relational {
   private val BloomBits = 4096
   private val BloomK = 3
 
-  private def bloomPos(key: Column, i: Int): Column =
+  private def bloomPos(key: Column, i: Int, bits: Int = BloomBits): Column =
     graft.functions.Portable.hash32(
-      concat(key.cast("string"), lit(s"#graft-bloom$i"))) % BloomBits
+      concat(key.cast("string"), lit(s"#graft-bloom$i"))) % bits
+
+  /** Generic core, opened via [[graft.Graft.bloomFilterJoin]]: appends
+    * a `hit` column (1 = the key MAY be in `buildKeys`, 0 = definitely
+    * not) to `df`, probing a bitmap built over `buildKeys`' single
+    * column.
+    *
+    * Bitmap: m-bit as (word, mask) rows, one partial+final bit_or per
+    * word — at any build cardinality this contracts to ≤ m/32 rows.
+    * 32-bit lanes (not 64): bit 63 is unreachable on both engines the
+    * same way — DuckDB's checked BIGINT shift throws at 1<<63 while
+    * Spark wraps to the sign bit, so the portable lane is 32 wide.
+    *
+    * Probe: k broadcast equi-joins of the ≤128-row bitmap — fully
+    * map-side, NO shuffle on the probe stream (the explode/groupBy
+    * spelling would re-shuffle the fact table on its own row key,
+    * which at 100 TB is the cost the filter exists to avoid). */
+  private[graft] def withBloomHit(df: DataFrame, keyCol: String,
+      buildKeys: DataFrame, bits: Int = BloomBits, k: Int = BloomK): DataFrame = {
+    val bk = buildKeys.toDF("__bk")
+    val words = bk
+      .select(explode(array((0 until k).map(i =>
+        bloomPos(col("__bk"), i, bits)): _*)).as("pos"))
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("mask"))
+    val probed = (0 until k).foldLeft(df.withColumn("__hit", lit(1))) {
+      (acc, i) =>
+        acc
+          .withColumn(s"__p$i", bloomPos(col(keyCol), i, bits))
+          .withColumn(s"__w$i", expr(s"__p$i div 32"))
+          .withColumn(s"__b$i",
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % 32 AS INT))"))
+          .join(broadcast(words.select(col("word").as(s"__word$i"),
+            col("mask").as(s"__mask$i"))),
+            col(s"__w$i") === col(s"__word$i"), "left")
+          .withColumn("__hit",
+            (col("__hit") === 1 &&
+              coalesce(col(s"__mask$i"), lit(0L))
+                .bitwiseAND(col(s"__b$i")) =!= lit(0L)).cast("int"))
+    }
+    probed.select(df.columns.map(col) :+ col("__hit").as("hit"): _*)
+  }
 
   private def q166(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val buildKeys = Tables.customer(spark, dir)
       .filter($"c_acctbal" > 9000.0).select($"c_custkey".as("k"))
-    // m-bit bitmap as (word, mask) rows: one partial+final bit_or per
-    // word — at any build cardinality this contracts to ≤128 rows.
-    // 32-bit lanes (not 64): bit 63 is unreachable on both engines the
-    // same way — DuckDB's checked BIGINT shift throws at 1<<63 while
-    // Spark wraps to the sign bit, so the portable lane is 32 wide
-    val words = buildKeys
-      .select(explode(array((0 until BloomK).map(i => bloomPos($"k", i)): _*)).as("pos"))
-      .select(expr("pos div 32").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
-      .groupBy($"word").agg(expr("bit_or(bit)").as("mask"))
-    // probe side: each order tests its k bits against the broadcast
-    // bitmap; hit = every probed word exists and has the bit set
-    val probes = Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_custkey")
-      .select($"o_orderkey", $"o_custkey",
-        explode(array((0 until BloomK).map(i => bloomPos($"o_custkey", i)): _*)).as("pos"))
-      .select($"o_orderkey", $"o_custkey",
-        expr("pos div 32").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
-      .join(broadcast(words), Seq("word"), "left")
-      .groupBy($"o_orderkey", $"o_custkey")
-      .agg(min((coalesce($"mask", lit(0L)).bitwiseAND($"bit") =!= lit(0L))
-        .cast("int")).as("hit"))
+    val probes = withBloomHit(
+      Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+      "o_custkey", buildKeys)
     val audit = probes
       .join(buildKeys.withColumn("is_member", lit(1)),
         $"o_custkey" === $"k", "left")

@@ -405,15 +405,22 @@ object Segmentation {
   private val GridStep = 0.05
   private val GridMinPts = 3
 
-  private def q165(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic core of q165, opened via [[graft.Graft.gridClusters]]:
+    * density clustering of any (x, y) point frame. `memoKey` persists
+    * the component labels as a shared intermediate (the catalog's
+    * choice); facade callers with one-shot frames leave it None. */
+  private[graft] def gridClusters(points: DataFrame, xCol: String,
+      yCol: String, step: Double = GridStep, minPts: Long = GridMinPts,
+      memoKey: Option[(String, String)] = None): DataFrame = {
+    val spark = points.sparkSession
     import spark.implicits._
-    val cells = Tables.embeddings(spark, dir)
+    val cells = points
       .select(
-        floor(element_at($"embedding", 1).cast("double") / GridStep).cast("long").as("cx"),
-        floor(element_at($"embedding", 2).cast("double") / GridStep).cast("long").as("cy"))
+        floor(col(xCol).cast("double") / step).cast("long").as("cx"),
+        floor(col(yCol).cast("double") / step).cast("long").as("cy"))
       .groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
     def cellId(cx: Column, cy: Column): Column = (cx + 100L) * 1000L + (cy + 100L)
-    val core = cells.filter($"n" >= GridMinPts)
+    val core = cells.filter($"n" >= minPts)
       .withColumn("cell_id", cellId($"cx", $"cy"))
     val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
       yield (dx, dy)
@@ -426,10 +433,12 @@ object Segmentation {
     // the label table is a persisted intermediate like q50's — the memo
     // owns its lifecycle (release/clearAll), and repeated calls (bench
     // warmup + timed pass) reuse one component computation
-    val labels = graft.core.PersistedMemo.getOrBuild(
-      spark, dir, "segmentation:grid-cc") {
-      Components.run(edges).labels
-    }.withColumnRenamed("doc_id", "cell_id")
+    def ccLabels() = Components.run(edges).labels
+    val labels = (memoKey match {
+      case Some((dir, key)) =>
+        graft.core.PersistedMemo.getOrBuild(spark, dir, key)(ccLabels())
+      case None => ccLabels()
+    }).withColumnRenamed("doc_id", "cell_id")
     core.join(labels, Seq("cell_id"), "left")
       .withColumn("cluster_id", coalesce($"lbl", $"cell_id"))
       .groupBy($"cluster_id")
@@ -437,6 +446,15 @@ object Segmentation {
         min($"cx").as("cx_lo"), max($"cx").as("cx_hi"),
         min($"cy").as("cy_lo"), max($"cy").as("cy_hi"))
       .orderBy($"cluster_id")
+  }
+
+  private def q165(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gridClusters(
+      Tables.embeddings(spark, dir)
+        .select(element_at($"embedding", 1).as("x"),
+          element_at($"embedding", 2).as("y")),
+      "x", "y", memoKey = Some((dir, "segmentation:grid-cc")))
   }
 
   private val q165Sql: String =

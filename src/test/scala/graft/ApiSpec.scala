@@ -320,4 +320,61 @@ class ApiSpec extends SparkSpecBase {
     lenient.agg(min($"quality_pass")).head().getInt(0) shouldBe 1
   }
 
+  test("round-4c facades at catalog knobs equal q162/q163/q164/q165/q166") {
+    import org.apache.spark.sql.functions.{col, element_at, hour, round => fround}
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_type", hour($"ts").cast("long").as("hh"), $"user_id")
+    rows(Graft.lDiversity(ev, Seq("event_type", "hh"), "user_id")) shouldBe
+      rows(SparkEntry.queries("q162_l_diversity")(spark, dir))
+    val per = graft.sources.Tables.part(spark, dir)
+      .select($"p_partkey", $"p_size".cast("long").as("size"),
+        fround($"p_retailprice" * 100).cast("long").as("price_cents"))
+    rows(Graft.skyline(per, "p_partkey", "size", "price_cents")) shouldBe
+      rows(SparkEntry.queries("q163_skyline")(spark, dir))
+    val pts = graft.sources.Tables.embeddings(spark, dir)
+      .select(element_at($"embedding", 1).as("x"), element_at($"embedding", 2).as("y"))
+    rows(Graft.gridClusters(pts, "x", "y")) shouldBe
+      rows(SparkEntry.queries("q165_grid_density")(spark, dir))
+    // layoutReport needs the same derived dims the catalog query fixes
+    val base = graft.sources.Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.to_date($"ts").as("day"))
+    val d0 = base.agg(org.apache.spark.sql.functions.min($"day").as("d0"))
+    val feat = base.crossJoin(org.apache.spark.sql.functions.broadcast(d0))
+      .select($"event_id", ($"user_id" % 64).as("ub"),
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.datediff($"day", $"d0"),
+          org.apache.spark.sql.functions.lit(63)).cast("long").as("di"))
+    rows(Graft.layoutReport(feat, "event_id", "ub", "di")) shouldBe
+      rows(SparkEntry.queries("q164_zorder_layout")(spark, dir))
+  }
+
+  test("round-4c facades stay sane off the catalog defaults") {
+    import org.apache.spark.sql.functions.col
+    // bloomSemiJoin is EXACT regardless of fp rate — even at a tiny,
+    // collision-heavy bitmap the final semi-join scrubs false positives
+    val build = graft.sources.Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 9000.0).select($"c_custkey")
+    val probe = graft.sources.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+    val exact = probe.join(build, $"o_custkey" === $"c_custkey", "left_semi")
+    rows(Graft.bloomSemiJoin(probe, "o_custkey", build).orderBy($"o_orderkey")) shouldBe
+      rows(exact.orderBy($"o_orderkey"))
+    val tiny = Graft.withBloomHit(probe, "o_custkey", build, bits = 64, hashes = 2)
+    // zero false negatives even when the bitmap saturates
+    tiny.join(build, $"o_custkey" === $"c_custkey", "left_semi")
+      .filter(col("hit") === 0).count() shouldBe 0L
+    // a coarser grid merges everything into fewer clusters; cluster
+    // count is monotone non-increasing in step
+    import org.apache.spark.sql.functions.element_at
+    val pts = graft.sources.Tables.embeddings(spark, dir)
+      .select(element_at($"embedding", 1).as("x"), element_at($"embedding", 2).as("y"))
+    val fine = Graft.gridClusters(pts, "x", "y", step = 0.05).count()
+    val coarse = Graft.gridClusters(pts, "x", "y", step = 0.4).count()
+    coarse should be <= fine
+    // skyline of a frame with one dominating row is that row
+    val dom = Seq((1L, 10L, 10L), (2L, 5L, 9L), (3L, 10L, 9L)).toDF("id", "x", "y")
+    rows(Graft.skyline(dom, "id", "x", "y")) shouldBe Seq(Seq(1L, 10L, 10L))
+  }
+
 }
