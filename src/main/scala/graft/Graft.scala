@@ -425,4 +425,40 @@ object Graft {
       .filter(col("hit") === 1).drop("hit")
       .join(buildKeys, col(keyCol) === buildKeys(kc), "left_semi")
   }
+
+  /** EXACT set-similarity join via prefix filtering (q167 with the
+    * threshold knob open): every pair of `sets` rows (doc_id, tk) whose
+    * set Jaccard ≥ `threshold` — zero false negatives, candidates
+    * bounded by rare-element frequency instead of N²/2. Pass any
+    * (doc_id, tk) frame; `None` uses the documents table's 3-word
+    * shingle sets (raw tokens are not discriminative on a
+    * common-vocabulary corpus). */
+  def setSimilarityJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, sets: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"need 0 < threshold <= 1 (got $threshold)")
+    val toks = sets.getOrElse(operators.SetSimilarity.tokenSets(spark, dir))
+    operators.SetSimilarity.prefixJoin(toks, threshold)
+  }
+
+  /** Asymmetric containment audit of the LSH near-dup candidates (q168
+    * with a floor knob): pairs where EITHER side's shingle containment
+    * |A∩B|/|side| reaches `minContainment` — the quote-inclusion /
+    * benchmark-inside-document cases symmetric Jaccard misses. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      minContainment: Double = 0.8): DataFrame = {
+    require(minContainment >= 0 && minContainment <= 1,
+      s"need 0 <= minContainment <= 1 (got $minContainment)")
+    SparkEntry.queries("q168_containment_audit")(spark, dir)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
+  /** Pearson correlation matrix over arbitrary numeric columns of any
+    * frame (q169 fixes the four lineitem measures): one scan computes
+    * all first/second moments; output is the upper triangle
+    * (var_a, var_b, n_rows, corr). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns (got $cols)")
+    operators.Stats.correlationMatrixOf(df, cols)
+  }
 }

@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
+      operators.SetSimilarity.all ++
       operators.TextAnalysis.all ++
       operators.Curation.all ++
       operators.Packing.all ++

@@ -251,6 +251,72 @@ object Dedup {
        |JOIN sizes zb ON zb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------- q168
+  /** Shingle-CONTAINMENT audit of the LSH candidates: for each candidate
+    * pair, the asymmetric overlap ratios |A∩B|/|A| and |A∩B|/|B| beside
+    * the symmetric Jaccard. Containment is the right lens when one
+    * document swallows another (quote inclusion, page-within-crawl,
+    * benchmark-inside-training-doc): a long doc containing a short one
+    * keeps Jaccard low (the union is dominated by the long side) while
+    * the short side's containment is ≈ 1 — exactly the pairs a
+    * contamination sweep must not miss. `direction` names the candidate
+    * swallowed side — the smaller shingle set ('a_in_b' / 'b_in_a' /
+    * 'tie'), an exact integer size comparison (equivalent to comparing
+    * the containments cross-multiplied — no fp compare).
+    *
+    * Scale: identical shape to q26 — candidates from the shared
+    * persisted LSH table, re-shingles candidate docs only; the extra
+    * ratios are per-row scalar math on the same aggregate. */
+  private def q168(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = lshCandidates(spark, dir)
+    val sh = memoized(spark, dir, "candsh") {
+      val candDocIds = cands.select($"doc_a".as("doc_id"))
+        .union(cands.select($"doc_b".as("doc_id"))).distinct()
+      shinglesFrom(Tables.documents(spark, dir)
+        .join(broadcast(candDocIds), Seq("doc_id"), "left_semi"))
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.s" === $"sb.s", "left_outer")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count($"sb.s").as("n_common"))
+    inter
+      .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
+      .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
+      .select(
+        $"doc_a", $"doc_b", $"n_common",
+        ($"n_common".cast("double") / $"za.n").as("cont_a"),
+        ($"n_common".cast("double") / $"zb.n").as("cont_b"),
+        // cross-multiplied integer compare: n/|A| vs n/|B| ⇔ |B| vs |A|
+        when($"za.n" < $"zb.n", lit("a_in_b"))
+          .when($"zb.n" < $"za.n", lit("b_in_a"))
+          .otherwise(lit("tie")).as("direction"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q168Sql: String =
+    s"""WITH $lshCandidatesCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(sb.s) AS n_common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |       CAST(i.n_common AS DOUBLE) / za.n AS cont_a,
+       |       CAST(i.n_common AS DOUBLE) / zb.n AS cont_b,
+       |       CASE WHEN za.n < zb.n THEN 'a_in_b'
+       |            WHEN zb.n < za.n THEN 'b_in_a'
+       |            ELSE 'tie' END AS direction
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------------------------------- q27
   /** 32-bit SimHash over token frequencies: per bit-plane j, sign of
     * Σ_tokens (±1 by bit j of hash32(token)); duplicates count. One
@@ -1284,6 +1350,7 @@ object Dedup {
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
     Q("q25_minhash_lsh_pairs", q25, Some(q25Sql)),
     Q("q26_ngram_jaccard", q26, Some(q26Sql)),
+    Q("q168_containment_audit", q168, Some(q168Sql)),
     Q("q27_simhash", q27, Some(q27Sql)),
     Q("q57_incremental_dedup", q57, Some(q57Sql)),
     Q("q58_decontamination", q58, Some(q58Sql)),

@@ -584,8 +584,70 @@ object Stats {
       |GROUP BY 1, 2
       |ORDER BY event_type, bucket""".stripMargin
 
+  // -------------------------------------------------------------- q169
+  /** Full Pearson correlation matrix over the four numeric lineitem
+    * measures — q115's sufficient-sum algebra generalized from one pair
+    * to all C(4,2)=6: ONE partial+final aggregate computes every
+    * first/second moment (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ) in a single scan, and
+    * the matrix is per-pair scalar math on the 1-row result. At 100 TB
+    * the moment vector is the mergeable daily rollup (14 doubles per
+    * partition, union-merge associative); widening from 4 to 400
+    * features changes the aggregate width, never the scan count — the
+    * standard feature-covariance pattern for training-data profiling.
+    * Derived corr rounds at 6 dp (identical algebra both sides; only
+    * summation-order ulp drift). */
+  private val CorrCols = IndexedSeq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Generic core (the facade's `Graft.correlationMatrix`): upper
+    * triangle of the Pearson matrix over `cs` of any frame. */
+  private[graft] def correlationMatrixOf(df: DataFrame, cs: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = cs.length
+    val sums =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        cs.indices.map(i => sum(col(cs(i))).as(s"s$i")) ++
+        cs.indices.map(i => sum(col(cs(i)) * col(cs(i))).as(s"q$i")) ++
+        (for { i <- 0 until n; j <- (i + 1) until n }
+          yield sum(col(cs(i)) * col(cs(j))).as(s"p${i}_$j"))
+    val m = df.agg(sums.head, sums.tail: _*)
+    val pairs = for { i <- 0 until n; j <- (i + 1) until n } yield
+      m.select(
+        lit(cs(i)).as("var_a"), lit(cs(j)).as("var_b"),
+        $"n".cast("long").as("n_rows"),
+        round(($"n" * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j")) /
+          sqrt(($"n" * col(s"q$i") - col(s"s$i") * col(s"s$i")) *
+            ($"n" * col(s"q$j") - col(s"s$j") * col(s"s$j"))), 6).as("corr"))
+    pairs.reduce(_ unionByName _).orderBy($"var_a", $"var_b")
+  }
+
+  private def q169(spark: SparkSession, dir: String): DataFrame =
+    correlationMatrixOf(Tables.lineitem(spark, dir), CorrCols)
+
+  private val q169Sql: String = {
+    val n = CorrCols.length
+    val moments =
+      CorrCols.indices.map(i => s"sum(${CorrCols(i)}) AS s$i, sum(${CorrCols(i)} * ${CorrCols(i)}) AS q$i") ++
+        (for { i <- 0 until n; j <- (i + 1) until n }
+          yield s"sum(${CorrCols(i)} * ${CorrCols(j)}) AS p${i}_$j")
+    val rows = (for { i <- 0 until n; j <- (i + 1) until n } yield
+      s"""  SELECT '${CorrCols(i)}' AS var_a, '${CorrCols(j)}' AS var_b,
+         |         CAST(n AS BIGINT) AS n_rows,
+         |         round((n * p${i}_$j - s$i * s$j) /
+         |               sqrt((n * q$i - s$i * s$i) * (n * q$j - s$j * s$j)), 6) AS corr
+         |  FROM m""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         ${moments.mkString(",\n         ")}
+       |  FROM lineitem
+       |)
+       |$rows
+       |ORDER BY var_a, var_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
+    Q("q169_correlation_matrix", q169, Some(q169Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
     Q("q148_equidepth_histogram", q148, Some(q148Sql)),
     Q("q117_chi_square_cells", q117, Some(q117Sql)),
