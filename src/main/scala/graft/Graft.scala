@@ -453,6 +453,18 @@ object Graft {
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
   }
 
+  /** Sorted-neighborhood ER pairs (q170 with the knobs open): verified
+    * near-spellings within `window` ranks of one lexicographic sort of
+    * the name dictionary — the blocking discipline that still fires
+    * when a typo lands in every token (q101's token blocking finds
+    * nothing to join on there); run both and union for full recall. */
+  def sortedNeighborhood(spark: SparkSession, dir: String,
+      window: Int = 10, maxDist: Int = 2): DataFrame = {
+    require(window > 0 && maxDist >= 0,
+      s"need window > 0 and maxDist >= 0 (got $window, $maxDist)")
+    operators.Dedup.sortedNeighborhoodPairs(spark, dir, window, maxDist)
+  }
+
   /** Pearson correlation matrix over arbitrary numeric columns of any
     * frame (q169 fixes the four lineitem measures): one scan computes
     * all first/second moments; output is the upper triangle

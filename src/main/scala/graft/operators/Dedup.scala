@@ -1048,6 +1048,70 @@ object Dedup {
       |WHERE s.dist <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // -------------------------------------------------------------- q170
+  /** Sorted-neighborhood ER blocking (Hernández–Stolfo merge/purge):
+    * rank the distinct name dictionary in ONE lexicographic order and
+    * verify only pairs within `SnWindow` ranks of each other. The
+    * complement of q101's token blocking — a typo inside EVERY token
+    * leaves a pair with no shared blocking key, but near-identical
+    * spellings still sort adjacently, so the neighborhood catches it;
+    * ER systems run both disciplines and union the verified pairs.
+    *
+    * Scale design (100 TB): the rank-window join is spelled with q56's
+    * bucketing discipline — block = rk / W, probe side exploded into
+    * its ≤2 overlapping blocks, EQUI-join on block with the rank test
+    * as residual — so per-task pair counts are bounded by 2W per name
+    * and the plan never degenerates to a nested-loop cross product
+    * (PlanSpec-locked). The global row_number runs over the DISTINCT
+    * dictionary (64 names here; dictionary ≪ rows at any scale) — for
+    * a dictionary too big for one partition, swap in
+    * `repartitionByRange(sortKey)` + partition-local ranks with a
+    * W-row boundary overlap, the standard distributed merge/purge
+    * layout (same trade documented on q164's layout cut). */
+  private val SnWindow = 10
+
+  private def q170(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(spark, dir, SnWindow, maxDist = 2)
+
+  private val q170Sql: String =
+    s"""WITH names AS (
+       |  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+       |), ranked AS (
+       |  SELECT p_name, n,
+       |         CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS rk
+       |  FROM names
+       |)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+       |       b.rk - a.rk AS gap, a.n AS n_a, b.n AS n_b
+       |FROM ranked a JOIN ranked b
+       |  ON b.rk > a.rk AND b.rk <= a.rk + $SnWindow
+       |WHERE levenshtein(a.p_name, b.p_name) <= 2
+       |ORDER BY name_a, name_b""".stripMargin
+
+  /** Facade core: sorted-neighborhood verified pairs with the window
+    * and distance knobs open. */
+  private[graft] def sortedNeighborhoodPairs(spark: SparkSession, dir: String,
+      window: Int, maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).cast("long").as("n"))
+    val ranked = names.select($"p_name", $"n",
+      row_number().over(Window.orderBy($"p_name")).cast("long").as("rk"))
+      .withColumn("blk", floor($"rk" / window))
+    val probe = ranked.withColumn("jb", explode(array($"blk", $"blk" + 1)))
+    probe.as("a").join(ranked.as("b"),
+        $"a.jb" === $"b.blk" &&
+          $"b.rk" > $"a.rk" && $"b.rk" <= $"a.rk" + window)
+      .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        ($"b.rk" - $"a.rk").as("gap"), $"a.n".as("n_a"), $"b.n".as("n_b"))
+      .withColumn("dist", levenshtein($"name_a", $"name_b", maxDist))
+      .filter($"dist" >= 0)
+      .select($"name_a", $"name_b", $"dist".cast("int").as("dist"),
+        $"gap", $"n_a", $"n_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
   // -------------------------------------------------------------- q155
   /** Intra-corpus duplicated-SPAN accounting (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better"): for
@@ -1360,6 +1424,7 @@ object Dedup {
     Q("q92_source_signatures", q92, Some(q92Sql)),
     Q("q98_contamination_spans", q98, Some(q98Sql)),
     Q("q101_fuzzy_match", q101, Some(q101Sql)),
+    Q("q170_sorted_neighborhood", q170, Some(q170Sql)),
     Q("q155_dup_spans", q155, Some(q155Sql)),
     Q("q159_winnowing", q159, Some(q159Sql)),
     Q("q160_winnow_pairs", q160, Some(q160Sql)),

@@ -109,6 +109,45 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("q170 sorted-neighborhood equals the brute-force rank-window recount") {
+    // recompute from scratch on the driver: rank the distinct dictionary
+    // lexicographically, verify every pair within 10 ranks at dist ≤ 2
+    val names = graft.sources.Tables.part(spark, dir)
+      .select($"p_name").distinct().as[String].collect().sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      i <- names.indices
+      j <- (i + 1) until math.min(i + 11, names.length)
+      if lev(names(i), names(j)) <= 2
+    } yield (names(i), names(j), lev(names(i), names(j)), (j - i).toLong)).toSet
+    val got = SparkEntry.queries("q170_sorted_neighborhood")(spark, dir)
+      .select($"name_a", $"name_b", $"dist", $"gap")
+      .as[(String, String, Int, Long)].collect().toSet
+    want.size should be > 0
+    got shouldBe want
+  }
+
+  test("q170 complements q101: sorted-neighborhood pairs q101's token blocking can also reach agree on distance") {
+    // where both disciplines surface a pair, the verified distance must
+    // agree (same Levenshtein ground truth, different candidate paths)
+    val sn = SparkEntry.queries("q170_sorted_neighborhood")(spark, dir)
+      .select($"name_a", $"name_b", $"dist").as[(String, String, Int)]
+      .collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    val tok = SparkEntry.queries("q101_fuzzy_match")(spark, dir)
+      .select($"name_a", $"name_b", $"dist").as[(String, String, Int)]
+      .collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    val shared = sn.keySet intersect tok.keySet
+    shared.foreach(k => sn(k) shouldBe tok(k))
+  }
+
   test("q147 label propagation partitions the node set deterministically") {
     val rows = SparkEntry.queries("q147_label_propagation")(spark, dir)
       .as[(Long, String, Long)].collect()

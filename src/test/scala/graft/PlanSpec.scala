@@ -402,6 +402,16 @@ class PlanSpec extends SparkSpecBase {
     p should include("ReadSchema: struct<p_name:string>")
   }
 
+  test("q170: rank-window join runs as a bucketed equi-join, never a nested loop") {
+    val p = plan("q170_sorted_neighborhood")
+    (p should not).include("CartesianProduct")
+    // q56's discipline: block equi-key + rank residual — a plain
+    // rank-range condition would fall back to BroadcastNestedLoopJoin
+    (p should not).include("BroadcastNestedLoopJoin")
+    // the part scan reads only the name column
+    p should include("ReadSchema: struct<p_name:string>")
+  }
+
   test("q113: the diff is one scan and one shuffle — no second state subtree") {
     val p = plan("q113_snapshot_diff")
     p.split("Location:").length shouldBe 2 // ONE events scan
