@@ -473,4 +473,40 @@ object Graft {
     require(cols.size >= 2, s"need at least two columns (got $cols)")
     operators.Stats.correlationMatrixOf(df, cols)
   }
+
+  /** k-core of the order graph by iterative peeling (q172 fixes k = 4,
+    * 3 rounds): surviving `(node, deg)` after `rounds` delete-below-k
+    * passes. Fixed small `rounds` keeps the unrolled lazy plan sane;
+    * peel to convergence by calling with increasing rounds until the
+    * node set stabilizes (GraphSpec does exactly that). */
+  def kCore(spark: SparkSession, dir: String, k: Int = 4,
+      rounds: Int = 3): DataFrame =
+    operators.Graph.kCore(spark, dir, k, rounds)
+
+  /** Next-fit small-file compaction manifest over ANY
+    * (source, doc_id, n_chars) frame with the target size open (q173
+    * fixes documents / 32 KiB): per-file doc count, bytes and id span,
+    * in (source, doc_id) pack order. */
+  def compactionPlan(docs: DataFrame, targetBytes: Long = 32768L): DataFrame =
+    operators.Maintenance.compactionPlan(docs, targetBytes)
+
+  /** Quantile normalization of `events`-shaped frames
+    * (event_id, event_type, value): every value mapped to the pooled
+    * distribution at its within-group rank (q174). After the map every
+    * group draws from the SAME distribution — the cross-source score
+    * calibration step before one global threshold is meaningful. */
+  def quantileNormalize(events: DataFrame): DataFrame =
+    operators.Stats.quantileNormalize(events)
+
+  /** Jaro–Winkler similarity matrix over the part-name dictionary with
+    * the match threshold open (q175 fixes 0.9). The scorer itself is
+    * the codegen'd `graft_jaro_winkler` expression — usable directly
+    * in SQL once [[GraftSession]] or [[GraftExtensions]] registered
+    * the function family. */
+  def jaroWinklerPairs(spark: SparkSession, dir: String,
+      matchThreshold: Double = 0.9): DataFrame = {
+    require(matchThreshold >= 0 && matchThreshold <= 1,
+      s"need 0 <= matchThreshold <= 1 (got $matchThreshold)")
+    operators.Dedup.jaroWinklerPairs(spark, dir, matchThreshold)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, DotProductBytes, PackU8}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductBytes, JaroWinklerSimilarity, PackU8}
 
 /** Library integration point: register the engine's native expressions
   * into any session via
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[PackU8], "graft_pack_u8",
         "graft_pack_u8(a) - pack an array<int> of 0..255 codes into binary"),
       (exprs: Seq[Expression]) => PackU8(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info(classOf[JaroWinklerSimilarity], "graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_dot_u8"),
       info(classOf[DotProductBytes], "graft_dot_u8",

@@ -209,6 +209,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_dot_u8", exprs => DotProductBytes(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_record_stamp", {
         case Seq(base) => RecordStamp(base)
         case exprs => throw new IllegalArgumentException(

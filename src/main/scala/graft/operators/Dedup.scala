@@ -1048,6 +1048,54 @@ object Dedup {
       |WHERE s.dist <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  // -------------------------------------------------------------- q175
+  /** Jaro–Winkler similarity matrix over the part-name DICTIONARY —
+    * the continuous fuzzy-match scorer next to q101's edit-distance
+    * gate, computed by the engine's native codegen'd
+    * [[graft.functions.JaroWinklerSimilarity]] expression (no UDF; the
+    * oracle is DuckDB's own `jaro_winkler_similarity`, so the gate
+    * cross-validates two independent implementations of the Winkler
+    * '90 algorithm bit-for-bit before the 4-dp round).
+    *
+    * Scale design: same vocabulary contraction as q101 — score the
+    * distinct-name dictionary (64 rows here, stays orders of magnitude
+    * below row count in any real catalog), then verdicts broadcast back
+    * onto rows. All-pairs over the dictionary is deliberate at this
+    * vocabulary size (a 64-row broadcast nested loop, q29's brute-force
+    * rationale); a 10⁵+-name dictionary switches to q101's token
+    * blocking or q167's prefix filter for candidates and keeps this
+    * expression as the verifier. */
+  private[graft] def jaroWinklerPairs(spark: SparkSession, dir: String,
+      matchThreshold: Double): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+    names.select($"p_name".as("name_a"), $"n".as("n_a")).as("a")
+      .join(broadcast(
+        names.select($"p_name".as("name_b"), $"n".as("n_b")).as("b")),
+        $"name_a" < $"name_b")
+      .withColumn("jw", expr("graft_jaro_winkler(name_a, name_b)"))
+      .select($"name_a", $"name_b", $"n_a", $"n_b",
+        round($"jw", 4).as("jw"),
+        ($"jw" >= matchThreshold).cast("int").as("is_match"))
+      .orderBy($"name_a", $"name_b")
+  }
+
+  private def q175(spark: SparkSession, dir: String): DataFrame =
+    jaroWinklerPairs(spark, dir, matchThreshold = 0.9)
+
+  private val q175Sql: String =
+    """WITH names AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+      |)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b, a.n AS n_a, b.n AS n_b,
+      |       round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw,
+      |       CAST(jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9 AS INTEGER)
+      |         AS is_match
+      |FROM names a JOIN names b ON a.p_name < b.p_name
+      |ORDER BY name_a, name_b""".stripMargin
+
   // -------------------------------------------------------------- q170
   /** Sorted-neighborhood ER blocking (Hernández–Stolfo merge/purge):
     * rank the distinct name dictionary in ONE lexicographic order and
@@ -1424,6 +1472,7 @@ object Dedup {
     Q("q92_source_signatures", q92, Some(q92Sql)),
     Q("q98_contamination_spans", q98, Some(q98Sql)),
     Q("q101_fuzzy_match", q101, Some(q101Sql)),
+    Q("q175_jaro_winkler", q175, Some(q175Sql)),
     Q("q170_sorted_neighborhood", q170, Some(q170Sql)),
     Q("q155_dup_spans", q155, Some(q155Sql)),
     Q("q159_winnowing", q159, Some(q159Sql)),

@@ -566,6 +566,149 @@ object Graph {
       |ORDER BY round(score, 6) DESC, s_a, s_b
       |LIMIT 50""".stripMargin
 
+  // -------------------------------------------------------------- q171
+  /** PERSONALIZED PageRank from a seed set — the graph-retrieval twin
+    * of q100 (Haveliwala, WWW'02): restart mass lands uniformly on the
+    * five seed suppliers instead of everywhere, so ranks measure
+    * proximity to the seeds, the "related entities" primitive behind
+    * recommendation expansion and graph-aware hard-negative mining.
+    * Runs the SAME [[pagerank]] core with the `teleportTo` knob set
+    * (one code path, two catalog behaviors — the q100 scaladoc's
+    * contract), so the per-round shape is unchanged: one equi-join of
+    * the rank vector against the src-partitioned cached edge table +
+    * one sum aggregate; rounds shuffle only the #nodes-row vector.
+    * Seeds are suppliers 1–5 (nodes 2k+1 — present at every scale
+    * factor); Σr = 1 still holds (teleport vector sums to 1, graph has
+    * no dangling nodes), and GraphSpec asserts it alongside the
+    * locality property (seed ranks dominate the uniform run's). */
+  private def q171(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagerank(spark, dir, iterations = 5, damping = 0.85,
+      teleportTo = PprSeeds)
+      .select($"node",
+        when($"node" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        round($"r", 6).as("ppr"))
+      .orderBy($"ppr".desc, $"node")
+  }
+
+  /** Suppliers 1–5 as node ids (suppkey*2+1). */
+  private val PprSeeds: Seq[Long] = Seq(3L, 5L, 7L, 9L, 11L)
+
+  /** Unrolled twin of the personalized recurrence: r0 is the teleport
+    * vector itself, and each round adds the damped restart ONLY on the
+    * seed nodes — same 5 rounds, same 0.2 = 1/|S| mass. */
+  private val q171Sql: String = {
+    val seedList = PprSeeds.mkString(", ")
+    val tele = s"CASE WHEN e.dst IN ($seedList) THEN 0.2 ELSE 0.0 END"
+    val rounds = (1 to 5).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         0.15 * $tele + 0.85 * sum(p.r * (e.w / o.ow)) AS r
+         |  FROM edges e
+         |  JOIN $prev p ON p.node = e.src
+         |  JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $edgeCtes,
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node,
+       |              CASE WHEN node IN ($seedList) THEN 0.2 ELSE 0.0 END AS r
+       |       FROM nodes),
+       |$rounds
+       |SELECT node,
+       |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       round(r, 6) AS ppr
+       |FROM r5
+       |ORDER BY ppr DESC, node""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q172
+  /** k-core peeling (Seidman '83) — the subgraph-density primitive next
+    * to ranking, traversal, components, communities, census and link
+    * prediction: iteratively delete nodes of degree < k until the
+    * survivors all have ≥ k neighbors INSIDE the surviving subgraph.
+    * The k-core is the standard "dense enough to matter" filter before
+    * community detection, and the engagement-stability measure (a
+    * customer in the 4-core keeps ≥4 trading partners even after every
+    * weaker participant churns).
+    *
+    * Shape per round: one partial+final count aggregate over the
+    * surviving edge list (degree), then TWO left-semi joins (src side,
+    * dst side) against the ≥k survivor set — all equi-keyed on the
+    * endpoint columns, no window, no driver data. The first-round
+    * degree join reads the src-partitioned cached edge table; rounds
+    * are a fixed small constant so the DuckDB oracle unrolls exactly
+    * (all-integer — nothing to round). A convergence-driven variant
+    * would freeze each round to a persisted frame per
+    * [[Components.run]]'s discipline; [[kCore]] refuses deep unrolls
+    * rather than hand Catalyst an exponentially-analyzed tree. */
+  private[graft] def kCore(spark: SparkSession, dir: String,
+      k: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    kCoreOf(orderEdges(spark, dir).select($"src", $"dst"), k, rounds)
+  }
+
+  /** Peel core over ANY bidirected edge list `(src, dst)` (both
+    * directions present, no duplicates — [[orderEdges]]' contract), so
+    * GraphSpec can drive the cascade on a hand-built chain whose
+    * round-by-round peel order is known by eye (the order graph's
+    * supplier hubs converge in one round — fine for the catalog row,
+    * useless for proving the iteration). */
+  private[graft] def kCoreOf(edgeList: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k > 0, s"need k > 0 (got $k)")
+    require(rounds > 0 && rounds <= 6,
+      s"need 0 < rounds <= 6 (got $rounds) — adopt Components.run's " +
+        "per-round freeze for convergence-driven peeling")
+    var edges = edgeList
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      edges = edges
+        .join(keep.hint("shuffle_hash"), edges("src") === keep("node"), "left_semi")
+      edges = edges
+        .join(keep.hint("shuffle_hash"), edges("dst") === keep("node"), "left_semi")
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  private def q172(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kCore(spark, dir, k = KCoreK, rounds = 3)
+      .select($"node",
+        when($"node" % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        $"deg")
+      .orderBy($"deg".desc, $"node")
+  }
+
+  private val KCoreK = 4
+
+  private val q172Sql: String = {
+    val peels = (1 to 3).map { i =>
+      val prev = s"e${i - 1}"
+      s"""k$i AS (
+         |  SELECT src FROM $prev GROUP BY src HAVING count(*) >= $KCoreK
+         |), e$i AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  WHERE EXISTS (SELECT 1 FROM k$i a WHERE a.src = e.src)
+         |    AND EXISTS (SELECT 1 FROM k$i b WHERE b.src = e.dst)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $edgeCtes,
+       |e0 AS (SELECT src, dst FROM edges),
+       |$peels
+       |SELECT src AS node,
+       |       CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       CAST(count(*) AS BIGINT) AS deg
+       |FROM e3
+       |GROUP BY src
+       |ORDER BY deg DESC, node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q100_pagerank", q100, Some(q100Sql)),
     Q("q102_degree_histogram", q102, Some(q102Sql)),
@@ -573,5 +716,7 @@ object Graph {
     Q("q112_triangle_census", q112, Some(q112Sql)),
     Q("q147_label_propagation", q147, Some(q147Sql)),
     Q("q156_link_prediction", q156, Some(q156Sql)),
+    Q("q171_personalized_pagerank", q171, Some(q171Sql)),
+    Q("q172_kcore", q172, Some(q172Sql)),
   )
 }

@@ -254,9 +254,66 @@ object Maintenance {
        |ORDER BY layout, file_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q173
+  /** Small-file compaction plan — the OPTIMIZE sibling of q164's
+    * CLUSTER BY: assign every document to a target output file of
+    * ~`targetBytes`, packing in (source, doc_id) order with a next-fit
+    * cut (a new file starts when the running total crosses a target
+    * boundary), and report the per-file manifest a compactor would
+    * execute — file count, bytes, doc-id span. Next-fit (not first-fit
+    * decreasing) is deliberate: it is a pure prefix-sum, preserves the
+    * id-clustered read order (footer min/max stays tight — q164's
+    * point), and is deterministic under re-runs; FFD packs ~11% tighter
+    * but destroys ordering and needs a sequential bin state.
+    *
+    * Shape: one ranked window per source (cumulative bytes), one
+    * aggregate to the per-file manifest. Bin id derives from the
+    * file-START offset (`cum − bytes`), so a document straddling a
+    * boundary belongs to the file it started in — every file except a
+    * source's last holds ≥ targetBytes − max_doc and < target + max_doc
+    * bytes. 100 TB: the window partitions by SOURCE (thousands of
+    * independent partitions, not a global sort); a pathologically hot
+    * source shards further by the same (source, day) split the ingest
+    * layout already carries, offsetting bin ids per shard — the cut
+    * arithmetic is unchanged. */
+  private[graft] def compactionPlan(docs: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"need targetBytes > 0 (got $targetBytes)")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("file_id", expr(s"(cum - n_chars) div ${targetBytes}L"))
+      .groupBy(col("source"), col("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
+      .orderBy(col("source"), col("file_id"))
+  }
+
+  private val CompactTarget = 32768L
+
+  private def q173(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(Tables.documents(spark, dir), CompactTarget)
+
+  private val q173Sql: String =
+    s"""WITH cum AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+       |              AS BIGINT) AS cum
+       |  FROM documents
+       |)
+       |SELECT source, (cum - n_chars) // $CompactTarget AS file_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       |       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+       |FROM cum
+       |GROUP BY 1, 2
+       |ORDER BY source, file_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q118_join_view_maintenance", q118, Some(q118Sql)),
     Q("q139_cdc_apply", q139, Some(q139Sql)),
     Q("q164_zorder_layout", q164, Some(q164Sql)),
+    Q("q173_compaction_plan", q173, Some(q173Sql)),
   )
 }

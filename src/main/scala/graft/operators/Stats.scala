@@ -645,8 +645,80 @@ object Stats {
        |ORDER BY var_a, var_b""".stripMargin
   }
 
+  // -------------------------------------------------------------- q174
+  /** Quantile normalization across event types — map every value onto
+    * the POOLED distribution at its within-group rank, the batch-effect
+    * harmonization standard from expression-array statistics (Bolstad
+    * et al., Bioinformatics 2003) and the score-calibration step a
+    * multi-source curation mix needs before thresholding quality scores
+    * produced by different scorers: after the map, every group has an
+    * identical value distribution, so one global cutoff means the same
+    * thing in every group.
+    *
+    * Exactness across engines is all INTEGER rank algebra: within-group
+    * rank r ∈ [0, n_g), pooled index `(r·(N−1)) div (n_g−1)` (midpoint
+    * for a singleton group), then an equi-join against the pooled
+    * order-statistics table — the emitted `norm_value` is a RAW input
+    * double from the pooled table, never arithmetic, so nothing rounds.
+    * Ties order by (value, event_id) on both sides.
+    *
+    * Scale: the per-group window partitions by event_type; the pooled
+    * ranking is written as one global ordered window here for oracle
+    * parity — the production form is `repartitionByRange(value, id)` +
+    * per-partition local ranks offset by broadcast partition counts
+    * (q164's deterministic-cut note), identical output. The pooled
+    * table joins back on the computed index: equi-join, shuffle width
+    * = N rows of three columns. */
+  private[graft] def quantileNormalize(events: DataFrame): DataFrame = {
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rg", row_number().over(wg).cast("long") - 1)
+      .withColumn("ng",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val pooled = events
+      .select(col("value").as("norm_value"), col("event_id").as("pid"))
+      .withColumn("gidx",
+        row_number().over(Window.orderBy(col("norm_value"), col("pid")))
+          .cast("long") - 1)
+      .drop("pid")
+    val n = events.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("gidx",
+        when(col("ng") > 1, expr("(rg * (nn - 1)) div (ng - 1)"))
+          .otherwise(expr("(nn - 1) div 2")))
+      .join(pooled, "gidx")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("norm_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def q174(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(Tables.events(spark, dir))
+
+  private val q174Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_id, event_type, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) - 1 AS rg,
+      |         count(*) OVER (PARTITION BY event_type) AS ng
+      |  FROM events
+      |), pooled AS (
+      |  SELECT value AS norm_value,
+      |         row_number() OVER (ORDER BY value, event_id) - 1 AS gidx
+      |  FROM events
+      |), nn AS (SELECT count(*) AS nn FROM events)
+      |SELECT r.event_id, r.event_type, r.value, p.norm_value
+      |FROM ranked r CROSS JOIN nn
+      |JOIN pooled p
+      |  ON p.gidx = CASE WHEN r.ng > 1 THEN (r.rg * (nn.nn - 1)) // (r.ng - 1)
+      |                   ELSE (nn.nn - 1) // 2 END
+      |ORDER BY r.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
+    Q("q174_quantile_normalize", q174, Some(q174Sql)),
     Q("q169_correlation_matrix", q169, Some(q169Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
     Q("q148_equidepth_histogram", q148, Some(q148Sql)),

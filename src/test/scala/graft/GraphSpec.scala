@@ -209,4 +209,56 @@ class GraphSpec extends SparkSpecBase {
     rows.foreach { case (a, b, c, _) => a should be < b; c should be >= 1L }
   }
 
+  test("q172 k-core: peeling converges, survivors keep min-degree ≥ k, cores nest") {
+    def core(k: Int, rounds: Int): Map[Long, Long] =
+      Graft.kCore(spark, dir, k = k, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    // convergence at fixture scale: one more peel changes nothing
+    val c4 = core(4, 5)
+    core(4, 6) shouldBe c4
+    c4 should not be empty
+    // at the fixed point every surviving degree clears k — this is the
+    // k-core definition, and exactly what a non-converged peel violates
+    all(c4.values) should be >= 4L
+    // the iteration does real work (not a one-shot degree filter):
+    // a 6-chain with a triangle at one end, k = 2 — each round peels
+    // exactly the current chain endpoint, so round r still holds
+    // chain nodes the next round removes; only the triangle survives
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 7L, 5L -> 7L) // 1-2-3-4-5, triangle 5-6-7
+    val chainEdges = chain.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val after1 = operators.Graph.kCoreOf(chainEdges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    val after4 = operators.Graph.kCoreOf(chainEdges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    after1.keySet shouldBe Set(2L, 3L, 4L, 5L, 6L, 7L) // endpoint 1 gone
+    after1.values.exists(_ < 2L) shouldBe true // next endpoint exposed
+    after4.keySet shouldBe Set(5L, 6L, 7L) // cascade ate the chain
+    all(after4.values) shouldBe 2L
+    // monotone nesting: the 6-core lives inside the 4-core
+    val c6 = core(6, 6)
+    c6.keySet.subsetOf(c4.keySet) shouldBe true
+    // survivor degrees re-derive from the full edge list restricted to
+    // the surviving node set (internal consistency of the edge peel)
+    val edges = operators.Graph.orderEdges(spark, dir)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val survived = c4.keySet
+    val recount = edges.filter { case (s, d) => survived(s) && survived(d) }
+      .groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    recount shouldBe c4
+  }
+
+  test("q171 personalized pagerank seeds dominate their own view and Σr = 1") {
+    val rows = SparkEntry.queries("q171_personalized_pagerank")(spark, dir)
+      .as[(Long, String, Double)].collect()
+    rows.map(_._3).sum shouldBe 1.0 +- 1e-4 // 6-dp rounded components
+    val byNode = rows.map(r => r._1 -> r._3).toMap
+    val seeds = Seq(3L, 5L, 7L, 9L, 11L)
+    val maxNonSeed = rows.filter(r => !seeds.contains(r._1)).map(_._3).max
+    // every seed outranks every non-seed: restart mass dominates at
+    // this damping on a well-mixed graph
+    seeds.foreach { s => byNode(s) should be > maxNonSeed }
+  }
+
 }

@@ -97,4 +97,41 @@ class MaintenanceSpec extends SparkSpecBase {
     val fused = SparkEntry.queries("q139_cdc_apply")(spark, dir).collect()
     applied shouldBe fused
   }
+
+  test("q173 compaction manifest equals a driver next-fit recompute exactly") {
+    val target = 32768L
+    val plan = SparkEntry.queries("q173_compaction_plan")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // driver recompute of the same next-fit cut, straight from the table
+    val docs = sources.Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    val expected = docs.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, id, len) =>
+        val fileId = cum / target
+        cum += len
+        (src, fileId, id, len)
+      }.groupBy(_._2).map { case (fid, rows) =>
+        (src, fid, rows.length.toLong, rows.map(_._4).sum,
+          rows.map(_._3).min, rows.map(_._3).max)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    plan.toSeq shouldBe expected
+    // the packing invariants a compactor relies on: per-source bins are
+    // dense from 0, byte totals conserve, and every non-final bin is
+    // filled to at least the target minus one straddling document
+    plan.groupBy(_._1).foreach { case (src, bins) =>
+      val sorted = bins.sortBy(_._2)
+      sorted.map(_._2).toSeq shouldBe sorted.indices.map(_.toLong)
+      val total = docs(src).map(_._3).sum
+      sorted.map(_._4).sum shouldBe total
+      // id spans never overlap across consecutive bins
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a._6 should be < b._5
+        case _ => ()
+      }
+    }
+  }
 }

@@ -258,4 +258,39 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q174 quantile normalization: endpoints, monotonicity, pooled membership") {
+    val rows = SparkEntry.queries("q174_quantile_normalize")(spark, dir)
+      .as[(Long, String, Double, Double)].collect()
+    val events = sources.Tables.events(spark, dir)
+      .select($"event_id").as[Long].collect()
+    rows.length shouldBe events.length // one verdict per event, none dropped
+    val pooled = rows.map(_._3).sorted
+    val pooledSet = pooled.toSet
+    // every normalized value IS a pooled order statistic (the map only
+    // re-indexes, never computes)
+    all(rows.map(_._4)) should (be >= pooled.head and be <= pooled.last)
+    rows.foreach { r => pooledSet should contain(r._4) }
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      // group min/max map to pooled min/max (rank-0 and rank-(n-1))
+      sorted.head._4 shouldBe pooled.head
+      sorted.last._4 shouldBe pooled.last
+      // monotone: higher in-group value never maps lower
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a._4 should be <= b._4
+        case _ => ()
+      }
+      // post-map, the group's distribution IS the pooled distribution:
+      // Kolmogorov distance to the pooled ECDF under 2 grid steps
+      val n = sorted.length
+      if (n > 1) {
+        val ks = sorted.zipWithIndex.map { case (r, i) =>
+          val pooledRank = pooled.indexWhere(_ >= r._4) // first match
+          math.abs(pooledRank.toDouble / pooled.length - i.toDouble / n)
+        }.max
+        ks should be <= 2.0 / n + 1e-9
+      }
+    }
+  }
+
 }

@@ -66,4 +66,45 @@ class VectorExprSpec extends SparkSpecBase {
       .as[(Double, Double)].collect()
     rows.foreach { case (n, alg) => assert(n == alg) }
   }
+
+  test("graft_jaro_winkler matches the cross-validated golden doubles exactly") {
+    GraftFunctions.register(spark)
+    // golden values read off DuckDB's jaro_winkler_similarity (the
+    // oracle twin) — EXACT double equality, covering: classic Winkler
+    // pairs, the 0.7 boost threshold (no bonus below), odd
+    // transposition cycles (t = diff div 2), window exclusions,
+    // empty/equal/singleton inputs, and case sensitivity
+    val golden = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("arnab", "aranb", 0.9466666666666665),
+      ("abcdef", "bcadef", 0.9444444444444445),
+      ("aaaaa", "aazzz", 0.6),
+      ("prefix_x", "prefiyyy", 0.85),
+      ("ab", "abcdefghij", 0.7866666666666667))
+    val out = golden.toDF("a", "b", "want")
+      .select(expr("graft_jaro_winkler(a, b)").as("got"), $"want", $"a", $"b")
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"${r.getString(2)} / ${r.getString(3)}")
+    }
+    // codegen path and the static helper agree bit-for-bit
+    golden.foreach { case (a, b, want) =>
+      functions.JaroWinkler.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) shouldBe want
+    }
+    // null propagates
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(expr("graft_jaro_winkler(a, b)")).as[Option[Double]].collect()
+    n(0) shouldBe None
+  }
 }
