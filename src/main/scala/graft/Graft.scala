@@ -509,4 +509,28 @@ object Graft {
       s"need 0 <= matchThreshold <= 1 (got $matchThreshold)")
     operators.Dedup.jaroWinklerPairs(spark, dir, matchThreshold)
   }
+
+  /** Exact per-group lower median by histogram-refinement selection
+    * (q176 fixes events / 256 buckets) — exact order statistic, no
+    * per-group full sort; works on any (event_type, value, event_id)
+    * shaped frame. */
+  def exactMedian(events: DataFrame, buckets: Int = 256): DataFrame =
+    operators.Stats.exactMedian(events, buckets)
+
+  /** Largest-remainder proration of order totals across lineitems
+    * (q177): per-lineitem integer cents summing exactly to each
+    * order's total cents. */
+  def prorate(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    operators.Allocation.prorate(lineitem, orders)
+
+  /** Weight-of-evidence binning of order value against fulfillment
+    * with the bin count open (q179 fixes 10). */
+  def woeBinning(orders: DataFrame, bins: Int = 10): DataFrame =
+    operators.Stats.woeBinning(orders, bins)
+
+  /** Frequent part triples by Apriori candidate pruning with the
+    * support threshold open (q180 fixes 2 — raise it on a corpus
+    * where level-2 survives at scale). */
+  def aprioriTriples(spark: SparkSession, dir: String, minSup: Long = 2L): DataFrame =
+    operators.Association.aprioriTriples(spark, dir, minSup)
 }

@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Segmentation.all ++
       operators.Timeseries.all ++
       operators.Association.all ++
+      operators.Allocation.all ++
       operators.Maintenance.all ++
       operators.Graph.all ++
       operators.Skew.all ++

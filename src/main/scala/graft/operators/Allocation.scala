@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Exact financial allocation — distributing a parent-level amount
+  * across child rows so the parts sum back to the whole TO THE CENT.
+  * The warehouse operation behind discount proration, cost allocation,
+  * and revenue splitting; the reference's data plane keeps money-like
+  * doubles (lambda-sample stores raw sensor doubles and blends them
+  * with fixed 35/65 integer weights, analyzer/Analyzer.scala:144-147 —
+  * the same never-lose-a-unit discipline applied here to cents).
+  *
+  * Everything is INTEGER arithmetic: amounts become cents once
+  * (round(x·100) — the only float op), shares are `(R·wᵢ) div W` with
+  * the shortfall repaired by the LARGEST-REMAINDER rule (Hamilton
+  * apportionment): the `R − Σ floor` leftover cents go one each to the
+  * rows with the largest `(R·wᵢ) mod W`, ties to the lowest line
+  * number. Exactness is structural — no row of output carries a float,
+  * so the oracle hash needs no rounding anywhere.
+  */
+object Allocation {
+
+  // -------------------------------------------------------------- q177
+  /** Prorate each order's header total across its lineitems in
+    * proportion to extended price, largest-remainder repaired —
+    * per-lineitem `alloc_cents` with Σ per order ≡ the order total in
+    * cents (AllocationSpec asserts the identity row-for-row against a
+    * driver recompute).
+    *
+    * Shape: one equi-join on orderkey (broadcast-or-shuffle by size),
+    * one per-order window to rank remainders — per-key width is basket
+    * size (≤ 7 here, a per-entity constant), so the rank never sees a
+    * corpus-scale partition. 64-bit safety: R·wᵢ ≤ order-total-cents ×
+    * line-cents ≈ 5·10⁷ × 5·10⁶ = 2.5·10¹⁴ ≪ 2⁶³. */
+  private[graft] def prorate(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice") * 100).cast("long").as("w"))
+    val od = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("r"))
+    val withTot = li
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("l_orderkey"))))
+      .withColumn("base", expr("(r * w) div wsum"))
+      .withColumn("rem", expr("(r * w) % wsum"))
+    // the tiebreak includes w: this lineitem reuses line numbers within
+    // an order, and two same-(rem, linenumber) rows with different
+    // weights would otherwise rank nondeterministically — with w in the
+    // key, remaining ties are between IDENTICAL rows, where either
+    // assignment yields the same output multiset
+    val wRank = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("rem").desc, col("l_linenumber"), col("w"))
+    withTot
+      .withColumn("short",
+        (col("r") - sum(col("base")).over(Window.partitionBy(col("l_orderkey")))))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def q177(spark: SparkSession, dir: String): DataFrame =
+    prorate(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  private val q177Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      |  FROM lineitem
+      |), od AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS r
+      |  FROM orders
+      |), shares AS (
+      |  SELECT l_orderkey, l_linenumber, r, w,
+      |         (r * w) // CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |           AS base,
+      |         (r * w) % CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |           AS rem
+      |  FROM li JOIN od ON o_orderkey = l_orderkey
+      |), repaired AS (
+      |  SELECT l_orderkey, l_linenumber, base,
+      |         r - CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |           AS short,
+      |         CAST(row_number() OVER (PARTITION BY l_orderkey
+      |                                 ORDER BY rem DESC, l_linenumber, w)
+      |              AS BIGINT) AS rk
+      |  FROM shares
+      |)
+      |SELECT l_orderkey, l_linenumber,
+      |       base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS alloc_cents
+      |FROM repaired
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q177_proration", q177, Some(q177Sql)),
+  )
+}

@@ -1151,6 +1151,81 @@ object Relational {
       |FROM customer
       |ORDER BY relation, metric""".stripMargin
 
+  // -------------------------------------------------------------- q178
+  /** Self-join cardinality readout — the planner diagnostic next to
+    * q106/q109: for the l_partkey self-join (the shape behind every
+    * same-key pair stage in this engine: q124/q140/q156/q180), compare
+    * the classic estimators against the true size Σ cᵖ² in one report:
+    *
+    *  - `independence`: |L|²/d — System R's attribute-independence
+    *    guess (Selinger '79), the one every optimizer starts from;
+    *  - `sampled_f2`: Σ over a deterministic 1/16 hash-sample of KEYS
+    *    of cᵖ², scaled ×16 — the second-frequency-moment estimator
+    *    (AMS '96 with key-universe sampling), exact per sampled key
+    *    and unbiased over the key domain, reproducible because the
+    *    sample is a hash predicate, never rand();
+    *  - `exact_f2`: Σ cᵖ² from the key histogram — one aggregate,
+    *    shuffle width = #keys, the cheap truth a planner can afford
+    *    per column.
+    *
+    * `actual` comes from COUNTING THE JOIN itself (the expensive
+    * ground truth the estimators exist to avoid), so the oracle
+    * cross-checks estimator algebra AND the Σc² = |⋈| identity. The
+    * report is the skew early-warning: exact_f2/independence is the
+    * skew factor that says whether the pair stages above need
+    * [[Skew]]'s salting. */
+  private def q178(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.lineitem(spark, dir).select($"l_partkey")
+    val hist = keys.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val actual = keys.as("a").join(keys.as("b"), Seq("l_partkey"))
+      .agg(count(lit(1)).as("actual"))
+    val base = hist.agg(
+      sum($"c").as("n"), count(lit(1)).as("d"),
+      sum($"c" * $"c").as("f2"),
+      sum(when(pmod(graft.functions.Portable.hash32($"l_partkey".cast("string")),
+          lit(16)) === 0, $"c" * $"c")
+        .otherwise(0L)).as("f2s"))
+    base.crossJoin(broadcast(actual))
+      .select(explode(array(
+        struct(lit("independence").as("method"),
+          expr("(n * n) div d").as("predicted")),
+        struct(lit("sampled_f2").as("method"), (lit(16L) * $"f2s").as("predicted")),
+        struct(lit("exact_f2").as("method"), $"f2".as("predicted")))).as("m"),
+        $"actual")
+      .select($"m.method".as("method"), $"m.predicted".as("predicted"), $"actual",
+        round($"m.predicted" / $"actual", 4).as("ratio"))
+      .orderBy($"method")
+  }
+
+  private val q178Sql: String =
+    """WITH hist AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1
+      |), base AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS d,
+      |         CAST(sum(c * c) AS BIGINT) AS f2,
+      |         CAST(sum(CASE WHEN CAST(concat('0x',
+      |                       substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+      |                     AS BIGINT) % 16 = 0
+      |                       THEN c * c ELSE 0 END) AS BIGINT) AS f2s
+      |  FROM hist
+      |), act AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS actual
+      |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+      |)
+      |SELECT method, predicted, actual,
+      |       round(predicted / CAST(actual AS DOUBLE), 4) AS ratio
+      |FROM (
+      |  SELECT 'independence' AS method, (n * n) // d AS predicted FROM base
+      |  UNION ALL
+      |  SELECT 'sampled_f2', 16 * f2s FROM base
+      |  UNION ALL
+      |  SELECT 'exact_f2', f2 FROM base
+      |) CROSS JOIN act
+      |ORDER BY method""".stripMargin
+
   // -------------------------------------------------------------- q163
   /** 2-D skyline (Pareto frontier): the parts no other part dominates
     * on (size, retail price) — strict Pareto dominance, the
@@ -1382,6 +1457,7 @@ object Relational {
     Q("q106_table_stats", q106, Some(q106Sql)),
     Q("q108_string_agg", q108, Some(q108Sql)),
     Q("q109_integrity_audit", q109, Some(q109Sql)),
+    Q("q178_selfjoin_estimate", q178, Some(q178Sql)),
     Q("q163_skyline", q163, Some(q163Sql)),
     Q("q166_bloom_filter_join", q166, Some(q166Sql)),
   )

@@ -716,9 +716,131 @@ object Stats {
       |                   ELSE (nn.nn - 1) // 2 END
       |ORDER BY r.event_id""".stripMargin
 
+  // -------------------------------------------------------------- q176
+  /** EXACT per-group median WITHOUT a per-group full sort — the
+    * histogram-refinement selection algorithm (the iterative
+    * Blum-style distributed selection every large-scale exact-quantile
+    * engine uses): pass 1 builds a 256-bucket equi-width histogram per
+    * group (one hash aggregate, shuffle width = groups × 256); the
+    * running bucket totals locate the single bucket holding the
+    * median rank; pass 2 ranks ONLY that bucket's rows (the window
+    * sort touches #rows/256 per group in expectation, recursable if a
+    * bucket is still hot). Result is the exact lower-median order
+    * statistic — rank ⌈n/2⌉ under (value, event_id) order — so the
+    * oracle is DuckDB's own `quantile_disc(0.5)` and the gate
+    * cross-validates the selection against a true sorted quantile.
+    * Bucketing only needs to be MONOTONE in the value (any consistent
+    * cut works — the rank arithmetic is exact), so the float bucket
+    * arithmetic never needs cross-engine parity. Contrast q17 (exact
+    * sort-based quartiles) and q54 (mergeable sketch, bounded error):
+    * this is the third point on the quantile cost/exactness surface —
+    * exact AND sort-free. */
+  private[graft] def exactMedian(events: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2 (got $buckets)")
+    val vals = events.select(col("event_type").as("g"),
+      col("value").as("v"), col("event_id").as("id"))
+    val stats = vals.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = vals.join(broadcast(stats), "g")
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+            * buckets), lit(buckets - 1))).cast("int"))
+    val hist = bucketed.groupBy(col("g"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("bkt"))
+    val target = hist
+      .withColumn("before", sum(col("cnt")).over(wcum) - col("cnt"))
+      .join(broadcast(stats.select(col("g"),
+        expr("(n + 1) div 2").as("k"))), "g")
+      .filter(col("before") < col("k") &&
+        col("k") <= col("before") + col("cnt"))
+      .select(col("g"), col("bkt"), col("before"), col("k"))
+    val wsel = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    bucketed.join(broadcast(target), Seq("g", "bkt"))
+      .withColumn("rn", row_number().over(wsel).cast("long"))
+      .filter(col("rn") === col("k") - col("before"))
+      .select(col("g").as("event_type"), col("v").as("median"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q176(spark: SparkSession, dir: String): DataFrame =
+    exactMedian(Tables.events(spark, dir))
+
+  private val q176Sql: String =
+    """SELECT event_type, quantile_disc(value, 0.5) AS median
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------- q179
+  /** Weight-of-evidence binning of order value against fulfillment —
+    * the credit-scoring feature diagnostic (Siddiqi, "Credit Risk
+    * Scorecards"): 10 equi-depth bins of o_totalprice (q148's
+    * ntile-with-unique-tiebreak discipline), per bin the
+    * positive/negative split (outcome = orderstatus 'F'), WOE =
+    * ln((posᵢ/pos)/(negᵢ/neg)), and the bin's information-value term
+    * (distₚ − distₙ)·WOE — Σ iv over bins is the feature's predictive
+    * power. One window pass + one hash aggregate; counts are exact
+    * integers, WOE/IV are single libm expressions over count ratios
+    * rounded at 6 dp on both engines. */
+  private[graft] def woeBinning(orders: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2 (got $bins)")
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val binned = orders
+      .select(col("o_totalprice"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"),
+        col("o_orderkey"))
+      .withColumn("bin", ntile(bins).over(w))
+    val cells = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(col("pos")).as("n_pos"),
+      min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    val tot = cells.agg(sum(col("n_pos")).cast("double").as("tp"),
+      (sum(col("n")) - sum(col("n_pos"))).cast("double").as("tn"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"), col("lo"), col("hi"),
+        round(log((col("n_pos") / col("tp")) /
+          ((col("n") - col("n_pos")) / col("tn"))), 6).as("woe"),
+        round((col("n_pos") / col("tp") - (col("n") - col("n_pos")) / col("tn")) *
+          log((col("n_pos") / col("tp")) /
+            ((col("n") - col("n_pos")) / col("tn"))), 6).as("iv_term"))
+      .orderBy(col("bin"))
+  }
+
+  private def q179(spark: SparkSession, dir: String): DataFrame =
+    woeBinning(Tables.orders(spark, dir))
+
+  private val q179Sql: String =
+    """WITH binned AS (
+      |  SELECT o_totalprice,
+      |         CAST(o_orderstatus = 'F' AS BIGINT) AS pos,
+      |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      |  FROM orders
+      |), cells AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(pos) AS BIGINT) AS n_pos,
+      |         min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |  FROM binned GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(n_pos) AS DOUBLE) AS tp,
+      |         CAST(sum(n) - sum(n_pos) AS DOUBLE) AS tn
+      |  FROM cells
+      |)
+      |SELECT CAST(bin AS INTEGER) AS bin, n, n_pos, n - n_pos AS n_neg, lo, hi,
+      |       round(ln((n_pos / tp) / ((n - n_pos) / tn)), 6) AS woe,
+      |       round((n_pos / tp - (n - n_pos) / tn) *
+      |             ln((n_pos / tp) / ((n - n_pos) / tn)), 6) AS iv_term
+      |FROM cells CROSS JOIN tot
+      |ORDER BY bin""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q174_quantile_normalize", q174, Some(q174Sql)),
+    Q("q176_exact_median", q176, Some(q176Sql)),
+    Q("q179_woe_binning", q179, Some(q179Sql)),
     Q("q169_correlation_matrix", q169, Some(q169Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
     Q("q148_equidepth_histogram", q148, Some(q148Sql)),

@@ -135,4 +135,40 @@ class AssociationSpec extends SparkSpecBase {
       .collect().head.toMap
     sketch shouldBe data.groupBy(identity).view.mapValues(_.size.toLong).toMap
   }
+
+  test("q180 apriori triples equal the unpruned brute-force mining") {
+    val got = SparkEntry.queries("q180_apriori_triples")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // brute force: enumerate every basket triple, no pruning anywhere
+    val baskets = sources.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq)
+    val support = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    baskets.values.foreach { ps =>
+      for {
+        i <- ps.indices; j <- i + 1 until ps.length; k <- j + 1 until ps.length
+      } {
+        val key = (ps(i), ps(j), ps(k))
+        support(key) = support.getOrElse(key, 0L) + 1
+      }
+    }
+    val want = support.toSeq.collect { case ((a, b, c), s) if s >= 2 => (a, b, c, s) }
+      .sortBy(t => (t._1, t._2, t._3))
+    got shouldBe want
+    // the monotonicity the pruning relies on: every sub-pair of an
+    // emitted triple is itself frequent
+    val pairSup = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val key = (ps(i), ps(j))
+        pairSup(key) = pairSup.getOrElse(key, 0L) + 1
+      }
+    }
+    got.foreach { case (a, b, c, s) =>
+      pairSup((a, b)) should be >= s
+      pairSup((a, c)) should be >= s
+      pairSup((b, c)) should be >= s
+    }
+  }
 }

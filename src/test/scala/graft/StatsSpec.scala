@@ -293,4 +293,44 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q176 histogram-refinement median equals the naive sorted order statistic") {
+    val got = SparkEntry.queries("q176_exact_median")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    val vals = sources.Tables.events(spark, dir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1)
+    got.keySet shouldBe vals.keySet
+    vals.foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val k = (sorted.length + 1) / 2 // 1-based lower-median rank
+      got(g) shouldBe sorted(k - 1)
+    }
+    // the refinement holds at pathological bucket counts too (all mass
+    // in one bucket at B = 2; exactness must not depend on spread)
+    val two = Graft.exactMedian(sources.Tables.events(spark, dir), buckets = 2)
+      .as[(String, Double)].collect().toMap
+    two shouldBe got
+  }
+
+  test("q179 WOE bins recompute from raw counts; IV terms are non-negative") {
+    val rows = SparkEntry.queries("q179_woe_binning")(spark, dir)
+      .as[(Int, Long, Long, Long, Double, Double, Double, Double)].collect()
+    rows.map(_._1).sorted.toSeq shouldBe (1 to 10)
+    val orders = sources.Tables.orders(spark, dir).count()
+    rows.map(_._2).sum shouldBe orders
+    val (tp, tn) = (rows.map(_._3).sum.toDouble, rows.map(_._4).sum.toDouble)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (_, n, pos, neg, lo, hi, woe, iv) =>
+      n shouldBe pos + neg
+      lo should be <= hi
+      woe shouldBe r6(math.log((pos / tp) / (neg / tn))) +- 1e-9
+      iv shouldBe r6((pos / tp - neg / tn) * math.log((pos / tp) / (neg / tn))) +- 1e-9
+      iv should be >= 0.0 // sign(dist diff) == sign(log ratio) always
+    }
+    // equi-depth: bin sizes differ by at most one
+    val sizes = rows.map(_._2)
+    (sizes.max - sizes.min) should be <= 1L
+  }
+
 }
