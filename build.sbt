@@ -31,5 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap ceiling showed up as GC drag on the slowest timed queries
   // (q96 7.7 s benched vs 0.9 s in an isolated session). The box has
   // 128 GiB; override with SPARK_DRIVER_MEM for constrained runs.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 28g default: the catalog's shared persisted memos (edges, signatures,
+  // baskets, norms) grew with the 180+-query catalog; at 16g the bench's
+  // warm pass showed the same GC-drag inflation the round-3 8g ceiling
+  // did (slowest rows ~2x their isolated cost). Overridable per run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

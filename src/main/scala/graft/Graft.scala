@@ -533,4 +533,21 @@ object Graft {
     * where level-2 survives at scale). */
   def aprioriTriples(spark: SparkSession, dir: String, minSup: Long = 2L): DataFrame =
     operators.Association.aprioriTriples(spark, dir, minSup)
+
+  /** Bradley–Terry strengths from within-order supplier contests with
+    * the MM round count open (q181 fixes 3). */
+  def bradleyTerry(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    operators.Association.bradleyTerry(spark, dir, rounds)
+
+  /** Median/MAD robust outlier report over any
+    * (event_type, value, event_id) frame (q182). */
+  def madOutliers(events: DataFrame): DataFrame =
+    operators.Stats.madOutliers(events)
+
+  /** Nearest-event join with tolerance over any events-shaped frame,
+    * with the probe/build types and the tolerance open (q183 fixes
+    * purchase→click at ±10 min). */
+  def nearestEvent(events: DataFrame, probeType: String = "purchase",
+      buildType: String = "click", tolUs: Long = 600000000L): DataFrame =
+    operators.Temporal.nearestEvent(events, probeType, buildType, tolUs)
 }

@@ -300,10 +300,120 @@ object Association {
       |HAVING count(*) >= 2
       |ORDER BY a, b, c""".stripMargin
 
+  // -------------------------------------------------------------- q181
+  /** Bradley–Terry preference strengths over within-order supplier
+    * contests — the pairwise-comparison ranking model behind
+    * preference-data curation (and RLHF reward baselines): when two
+    * suppliers appear in one order, the one with the larger line total
+    * "wins"; BT fits strengths θ so P(i beats j) = θᵢ/(θᵢ+θⱼ), via 3
+    * unrolled rounds of Hunter's MM update (Hunter, Ann. Stat. '04):
+    * θᵢ ← Wᵢ / Σⱼ nᵢⱼ/(θᵢ+θⱼ). Zero-win suppliers are excluded up
+    * front (their MLE is 0 and they only destabilize denominators —
+    * the standard connected-comparison-graph hygiene).
+    *
+    * Shape per round: the symmetric (i, j, nᵢⱼ) contest table joins
+    * the #suppliers-row θ vector TWICE (both endpoints — the edge
+    * table is the big side and stays put; rounds shuffle only θ, the
+    * q100 contract) then one sum aggregate per i. Contest counts are
+    * exact integers from integer-cents comparisons; θ ratios round at
+    * 4 dp against the reference supplier (lowest id), so the scale
+    * indeterminacy of BT never reaches the hash. */
+  private[graft] def bradleyTerry(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    require(rounds > 0 && rounds <= 8,
+      s"need 0 < rounds <= 8 (got $rounds)")
+    import spark.implicits._
+    val sp = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("s"))
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+    val contests = sp.as("a").join(sp.as("b"),
+        $"a.ok" === $"b.ok" && $"a.s" < $"b.s" && $"a.cents" =!= $"b.cents")
+      .select(
+        when($"a.cents" > $"b.cents", $"a.s").otherwise($"b.s").as("i"),
+        when($"a.cents" > $"b.cents", $"b.s").otherwise($"a.s").as("j"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("w"))
+    val wins = contests.groupBy($"i").agg(sum($"w").as("wins"))
+    // symmetric contest counts n_ij over the winners-only player set
+    val nij = contests.select($"i", $"j", $"w")
+      .union(contests.select($"j".as("i"), $"i".as("j"), $"w"))
+      .groupBy($"i", $"j").agg(sum($"w").as("n"))
+      .join(broadcast(wins.select($"i")), Seq("i"), "left_semi")
+      .join(broadcast(wins.select($"i".as("j"))), Seq("j"), "left_semi")
+    var theta = wins.select($"i".as("s"), lit(1.0).as("th"))
+    for (_ <- 1 to rounds) {
+      val denom = nij
+        .join(theta.select($"s".as("i"), $"th".as("ti")).hint("shuffle_hash"), Seq("i"))
+        .join(theta.select($"s".as("j"), $"th".as("tj")).hint("shuffle_hash"), Seq("j"))
+        .groupBy($"i").agg(sum($"n" / ($"ti" + $"tj")).as("d"))
+      theta = wins.join(denom, Seq("i"))
+        .select($"i".as("s"), ($"wins" / $"d").as("th"))
+    }
+    val ref = theta.orderBy($"s").limit(1).select($"th".as("ref"))
+    theta.join(broadcast(wins), theta("s") === wins("i"))
+      .crossJoin(broadcast(ref))
+      .select($"s".as("supplier"), $"wins",
+        round($"th" / $"ref", 4).as("strength"))
+      .orderBy($"supplier")
+  }
+
+  private def q181(spark: SparkSession, dir: String): DataFrame =
+    bradleyTerry(spark, dir, rounds = 3)
+
+  private val q181Sql: String = {
+    val roundCtes = (1 to 3).map { i =>
+      val prev = s"t${i - 1}"
+      s"""t$i AS (
+         |  SELECT w.i AS s, w.wins / d.d AS th
+         |  FROM wins w JOIN (
+         |    SELECT n.i, sum(n.n / (a.th + b.th)) AS d
+         |    FROM nij n
+         |    JOIN $prev a ON a.s = n.i
+         |    JOIN $prev b ON b.s = n.j
+         |    GROUP BY n.i
+         |  ) d ON d.i = w.i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH sp AS (
+       |  SELECT l_orderkey AS ok, l_suppkey AS s,
+       |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |           AS cents
+       |  FROM lineitem GROUP BY 1, 2
+       |), contests AS (
+       |  SELECT CASE WHEN a.cents > b.cents THEN a.s ELSE b.s END AS i,
+       |         CASE WHEN a.cents > b.cents THEN b.s ELSE a.s END AS j,
+       |         count(*) AS w
+       |  FROM sp a JOIN sp b
+       |    ON a.ok = b.ok AND a.s < b.s AND a.cents <> b.cents
+       |  GROUP BY 1, 2
+       |), wins AS (
+       |  SELECT i, CAST(sum(w) AS DOUBLE) AS wins FROM contests GROUP BY 1
+       |), nij0 AS (
+       |  SELECT i, j, CAST(sum(w) AS DOUBLE) AS n FROM (
+       |    SELECT i, j, w FROM contests
+       |    UNION ALL
+       |    SELECT j AS i, i AS j, w FROM contests
+       |  ) GROUP BY 1, 2
+       |), nij AS (
+       |  SELECT * FROM nij0
+       |  WHERE EXISTS (SELECT 1 FROM wins x WHERE x.i = nij0.i)
+       |    AND EXISTS (SELECT 1 FROM wins y WHERE y.i = nij0.j)
+       |), t0 AS (
+       |  SELECT i AS s, 1.0 AS th FROM wins
+       |), $roundCtes,
+       |ref AS (
+       |  SELECT th AS ref FROM t3 ORDER BY s LIMIT 1
+       |)
+       |SELECT t.s AS supplier, CAST(w.wins AS BIGINT) AS wins,
+       |       round(t.th / ref.ref, 4) AS strength
+       |FROM t3 t JOIN wins w ON w.i = t.s CROSS JOIN ref
+       |ORDER BY supplier""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q124_market_basket", q124, Some(q124Sql)),
     Q("q128_heavy_hitters", q128, Some(q128Sql)),
     Q("q140_item_similarity", q140, Some(q140Sql)),
     Q("q180_apriori_triples", q180, Some(q180Sql)),
+    Q("q181_bradley_terry", q181, Some(q181Sql)),
   )
 }

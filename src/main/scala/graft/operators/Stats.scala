@@ -813,6 +813,65 @@ object Stats {
   private def q179(spark: SparkSession, dir: String): DataFrame =
     woeBinning(Tables.orders(spark, dir))
 
+  // -------------------------------------------------------------- q182
+  /** Median/MAD robust outlier report per event type — the
+    * breakdown-point-0.5 alternative to q91's mean/stddev z-scores
+    * (Hampel '74; the robust-z rule |x−med| > 3·1.4826·MAD): one
+    * outlier cannot drag the fence the way it drags a mean. Composes
+    * [[exactMedian]] TWICE — median of values, then median of absolute
+    * deviations — so the whole report inherits q176's sort-free
+    * selection economics (two histogram aggregates + two one-bucket
+    * rank windows per level; never a per-group full sort). The
+    * emitted median/MAD are raw order statistics (nothing rounds);
+    * the fence multiply `3 · 1.4826 · mad` is the same left-to-right
+    * IEEE expression both engines fold identically. */
+  private[graft] def madOutliers(events: DataFrame): DataFrame = {
+    val med = exactMedian(events)
+      .select(col("event_type"), col("median"))
+    val joined = events.select(col("event_type"), col("value"), col("event_id"))
+      .join(broadcast(med), "event_type")
+    val mad = exactMedian(
+        joined.select(col("event_type"),
+          abs(col("value") - col("median")).as("value"), col("event_id")))
+      .select(col("event_type"), col("median").as("mad"))
+    joined.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("median")).as("median"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum((abs(col("value") - col("median")) > lit(3) * lit(1.4826) * col("mad"))
+          .cast("long")).as("n_outliers"))
+      .select(col("event_type"), col("median"), col("mad"), col("n"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 6).as("outlier_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q182(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(spark, dir))
+
+  private val q182Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_disc(value, 0.5) AS median
+      |  FROM events GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_type, e.value, m.median
+      |  FROM events e JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, quantile_disc(abs(value - median), 0.5) AS mad
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT d.event_type, d.median, a.mad,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(*) FILTER (WHERE abs(d.value - d.median)
+      |                                   > 3 * 1.4826 * a.mad) AS BIGINT)
+      |         AS n_outliers,
+      |       round(CAST(count(*) FILTER (WHERE abs(d.value - d.median)
+      |                                         > 3 * 1.4826 * a.mad) AS DOUBLE)
+      |             / count(*), 6) AS outlier_frac
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY 1, 2, 3
+      |ORDER BY event_type""".stripMargin
+
   private val q179Sql: String =
     """WITH binned AS (
       |  SELECT o_totalprice,
@@ -841,6 +900,7 @@ object Stats {
     Q("q174_quantile_normalize", q174, Some(q174Sql)),
     Q("q176_exact_median", q176, Some(q176Sql)),
     Q("q179_woe_binning", q179, Some(q179Sql)),
+    Q("q182_mad_outliers", q182, Some(q182Sql)),
     Q("q169_correlation_matrix", q169, Some(q169Sql)),
     Q("q116_value_histogram", q116, Some(q116Sql)),
     Q("q148_equidepth_histogram", q148, Some(q148Sql)),

@@ -404,6 +404,71 @@ object Temporal {
       |GROUP BY 1
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q183
+  /** NEAREST-event join with tolerance: each purchase matched to the
+    * closest click by the same user within ±10 minutes, whichever side
+    * of it — the attribution matcher q19's as-of join cannot express
+    * (as-of looks strictly backward; "nearest" needs both directions
+    * and an argmin). The third member of the event-join family:
+    * as-of (q19), range (q20/q56), nearest (here).
+    *
+    * Scale shape is q56's bucket discipline: time buckets of exactly
+    * the tolerance width, probe rows exploded into their 3 adjacent
+    * buckets, equi-join on (user, bucket) — any pair within tolerance
+    * shares a bucket by construction, so the residual |Δt| ≤ tol test
+    * never misses, and per-task pair volume is bounded by per-(user,
+    * bucket) density, never per-user history. The argmin is ONE
+    * max-of-struct-style aggregate — min(struct(|Δt|, ts, id)) — the
+    * order-independent tiebreak (earlier click, then lower id wins
+    * ties), q147's no-window argmax idiom. All-integer micros. */
+  private[graft] def nearestEvent(events: DataFrame, probeType: String,
+      buildType: String, tolUs: Long): DataFrame = {
+    require(tolUs > 0, s"need tolUs > 0 (got $tolUs)")
+    val probe = events.filter(col("event_type") === probeType)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        unix_micros(col("ts")).as("pus"))
+      .withColumn("bucket",
+        explode(array(expr(s"pus div ${tolUs}L") - 1,
+          expr(s"pus div ${tolUs}L"), expr(s"pus div ${tolUs}L") + 1)))
+    val build = events.filter(col("event_type") === buildType)
+      .select(col("event_id").as("build_id"), col("user_id"),
+        unix_micros(col("ts")).as("bus"))
+      .withColumn("bucket", expr(s"bus div ${tolUs}L"))
+    probe.join(build, Seq("user_id", "bucket"))
+      .filter(abs(col("bus") - col("pus")) <= tolUs)
+      .groupBy(col("probe_id"))
+      .agg(min(struct(abs(col("bus") - col("pus")).as("d"),
+        col("bus").as("t"), col("build_id").as("i"),
+        (col("bus") - col("pus")).as("s"))).as("m"),
+        first(col("user_id")).as("user_id"))
+      .select(col("probe_id").as("purchase_id"), col("user_id"),
+        col("m.i").as("click_id"), col("m.s").as("dt_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private def q183(spark: SparkSession, dir: String): DataFrame =
+    nearestEvent(Tables.events(spark, dir), "purchase", "click",
+      tolUs = 600000000L)
+
+  private val q183Sql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS bus
+      |  FROM events WHERE event_type = 'click'
+      |), cand AS (
+      |  SELECT p.purchase_id, p.user_id, c.click_id, c.bus - p.pus AS dt_us,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |                            ORDER BY abs(c.bus - p.pus), c.bus, c.click_id)
+      |           AS rn
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |   AND abs(c.bus - p.pus) <= 600000000
+      |)
+      |SELECT purchase_id, user_id, click_id, dt_us
+      |FROM cand WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin
+
   // -------------------------------------------------------------- q134
   /** U-shaped (position-based) multi-touch attribution: every
     * non-purchase event is a touch credited to its user's NEXT
@@ -634,6 +699,7 @@ object Temporal {
     Q("q150_point_in_time", q150, Some(q150Sql)),
     Q("q111_concurrency", q111, Some(q111Sql)),
     Q("q113_snapshot_diff", q113, Some(q113Sql)),
+    Q("q183_nearest_event", q183, Some(q183Sql)),
     Q("q114_attribution", q114, Some(q114Sql)),
     Q("q119_time_weighted_avg", q119, Some(q119Sql)),
     Q("q134_multitouch_attribution", q134, Some(q134Sql)),

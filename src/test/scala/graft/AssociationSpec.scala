@@ -171,4 +171,48 @@ class AssociationSpec extends SparkSpecBase {
       pairSup((b, c)) should be >= s
     }
   }
+
+  test("q181 Bradley-Terry strengths replay Hunter's MM recurrence exactly") {
+    val got = SparkEntry.queries("q181_bradley_terry")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    // driver replay from raw contests
+    val sp = sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("c"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    sp.values.foreach { rows =>
+      for (a <- rows; b <- rows if a._2 < b._2 && a._3 != b._3) {
+        val key = if (a._3 > b._3) (a._2, b._2) else (b._2, a._2)
+        w(key) = w.getOrElse(key, 0L) + 1
+      }
+    }
+    val wins = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val players = wins.keySet
+    val nij = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    w.foreach { case ((i, j), c) =>
+      if (players(i) && players(j)) {
+        nij((i, j)) = nij.getOrElse((i, j), 0L) + c
+        nij((j, i)) = nij.getOrElse((j, i), 0L) + c
+      }
+    }
+    var th = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      th = players.map { i =>
+        val d = nij.collect { case ((a, j), n) if a == i => n / (th(i) + th(j)) }.sum
+        i -> wins(i) / d
+      }.toMap
+    }
+    val ref = th(players.min)
+    got.map(_._1).toSet shouldBe players
+    got.foreach { case (s, winCount, strength) =>
+      winCount shouldBe wins(s)
+      // 4-dp-rounded engine value vs unrounded replay: half-ulp of the
+      // rounding plus MM drift headroom
+      strength shouldBe (th(s) / ref) +- 6e-5
+      strength should be > 0.0
+    }
+    got.find(_._1 == players.min).get._3 shouldBe 1.0
+  }
 }

@@ -728,4 +728,55 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("Join")
   }
 
+  test("q173: compaction manifest is one source-keyed window + one aggregate") {
+    val p = plan("q173_compaction_plan")
+    // the cumulative sum partitions by source — never a global sort of
+    // the corpus; the manifest aggregate is partial+final
+    p should include("hashpartitioning(source")
+    p should include("partial_count")
+    (p should not).include("Join")
+    // scan prunes to the three packing columns
+    p should include("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>")
+  }
+
+  test("q175: the name dictionary broadcasts; JW runs as the native expression") {
+    val p = plan("q175_jaro_winkler")
+    p should include("BroadcastNestedLoopJoin")
+    p.toLowerCase should include("jarowinklersimilarity")
+    // dictionary contraction feeds the pair join: the join inputs are
+    // (partial+final) aggregates, so pair volume is dict², never rows²
+    p should include("partial_count")
+    p should include("HashAggregate")
+  }
+
+  test("q176: median refinement is histogram aggregates; the rank window sorts one bucket") {
+    val p = plan("q176_exact_median")
+    p should include("partial_count") // histogram + stats aggregates combine map-side
+    // the selection window partitions by group — no global sort, and
+    // the windowed frame is the bucket-filtered join output, not the scan
+    p should include("hashpartitioning(g")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q177: proration windows and rank share one orderkey shuffle") {
+    val p = plan("q177_proration")
+    // wsum window, base-sum window and remainder rank all partition by
+    // l_orderkey: the PLAN's only hash exchange is the lineitem side —
+    // the three window passes reuse it, and the orders side broadcasts
+    val marker = "Arguments: hashpartitioning(l_orderkey"
+    p.sliding(marker.length).count(_ == marker) shouldBe 1
+    p should include("BroadcastExchange")
+    val anyHash = "Arguments: hashpartitioning"
+    p.sliding(anyHash.length).count(_ == anyHash) shouldBe 1
+  }
+
+  test("q180: apriori candidates and counters stay in equi-join space") {
+    val p = plan("q180_apriori_triples")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    // the two pruning semi-joins broadcast the frequent-pair frame
+    p should include("BroadcastHashJoin")
+    p should include("LeftSemi")
+  }
+
 }

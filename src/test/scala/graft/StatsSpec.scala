@@ -312,6 +312,29 @@ class StatsSpec extends SparkSpecBase {
     two shouldBe got
   }
 
+  test("q182 MAD report replays the two-level median and the robust fence") {
+    val got = SparkEntry.queries("q182_mad_outliers")(spark, dir)
+      .as[(String, Double, Double, Long, Long, Double)].collect()
+    val vals = sources.Tables.events(spark, dir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    got.map(_._1).toSet shouldBe vals.keySet
+    got.foreach { case (g, med, mad, n, nOut, frac) =>
+      val xs = vals(g)
+      n shouldBe xs.length
+      med shouldBe lowerMedian(xs)
+      mad shouldBe lowerMedian(xs.map(x => math.abs(x - med)))
+      nOut shouldBe xs.count(x => math.abs(x - med) > 3 * 1.4826 * mad)
+      frac shouldBe BigDecimal(nOut.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-12
+      // the robust fence keeps the bulk: outliers are a strict minority
+      nOut.toDouble / n should be < 0.5
+    }
+  }
+
   test("q179 WOE bins recompute from raw counts; IV terms are non-negative") {
     val rows = SparkEntry.queries("q179_woe_binning")(spark, dir)
       .as[(Int, Long, Long, Long, Double, Double, Double, Double)].collect()

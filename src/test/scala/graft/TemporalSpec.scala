@@ -269,4 +269,27 @@ class TemporalSpec extends SparkSpecBase {
     byVersion.map { case ((u, v), vs) => (u, v, vs.head._5, vs.head._6) }.toSet shouldBe scd
   }
 
+  test("q183 nearest-event join equals a brute-force recount incl. the tie rule") {
+    val tol = 600000000L
+    val got = SparkEntry.queries("q183_nearest_event")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ev = sources.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click").groupBy(_._2)
+    val want = ev.filter(_._3 == "purchase").flatMap { case (pid, u, _, pus) =>
+      val cands = clicks.getOrElse(u, Array.empty)
+        .filter(c => math.abs(c._4 - pus) <= tol)
+      if (cands.isEmpty) None
+      else {
+        // argmin |dt|, ties: earlier click ts, then lower id
+        val best = cands.minBy(c => (math.abs(c._4 - pus), c._4, c._1))
+        Some((pid, u, best._1, best._4 - pus))
+      }
+    }.toSeq.sortBy(_._1)
+    got shouldBe want
+    // tolerance respected and purchases without a candidate absent
+    got.foreach { case (_, _, _, dt) => math.abs(dt) should be <= tol }
+  }
+
 }
