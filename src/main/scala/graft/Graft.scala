@@ -550,4 +550,17 @@ object Graft {
   def nearestEvent(events: DataFrame, probeType: String = "purchase",
       buildType: String = "click", tolUs: Long = 600000000L): DataFrame =
     operators.Temporal.nearestEvent(events, probeType, buildType, tolUs)
+
+  /** End-to-end entity resolution over the part-name dictionary:
+    * q101 ∪ q170 ∪ q175 evidence closed by the shared component
+    * engine; every name with its resolved entity and canonical flag
+    * (q184). */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.entityClusters(spark, dir)
+
+  /** Calendarized revenue recognition: order totals spread ratably
+    * (integer cents, early-month remainders) over order-month →
+    * latest-shipment-month, rolled up to a month ledger (q185). */
+  def revenueRecognition(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    operators.Allocation.revenueRecognition(lineitem, orders)
 }

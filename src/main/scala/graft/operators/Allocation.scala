@@ -96,7 +96,75 @@ object Allocation {
       |FROM repaired
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // -------------------------------------------------------------- q185
+  /** Calendarized revenue recognition — q177's conservation discipline
+    * applied along TIME: each order's total cents spread over the
+    * calendar months from the order month through its latest shipment
+    * month (ASC 606's ratable recognition, at month granularity), base
+    * share `R div M` cents per month with the `R mod M` leftover cents
+    * recognized one each in the EARLIEST months (deterministic, no
+    * remainder ranking needed — every month's remainder is equal), then
+    * rolled up to the month ledger. Σ over the ledger ≡ Σ order totals
+    * to the cent, structurally.
+    *
+    * Shape: one orderkey-keyed max aggregate (latest shipment), one
+    * equi-join to the order header, a per-order `sequence` explode
+    * bounded by the recognition span (≤ ~80 months here — a per-entity
+    * constant, never corpus-scale), one partial+final aggregate keyed
+    * by month. The synthetic data's uncorrelated dates (a fifth of max
+    * shipdates precede the order date) are clamped to a ≥1-month span,
+    * which also dodges Spark's descending-`sequence` trap. */
+  private[graft] def revenueRecognition(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val ship = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("ship_end"))
+    orders
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("r"),
+        trunc(col("o_orderdate"), "MM").as("m0"),
+        greatest(lit(1L),
+          (months_between(trunc(col("ship_end"), "MM"),
+            trunc(col("o_orderdate"), "MM")).cast("long") + 1L)).as("m"))
+      .withColumn("idx", explode(expr("sequence(0L, m - 1L)")))
+      .select(
+        date_format(add_months(col("m0"), col("idx").cast("int")), "yyyy-MM")
+          .as("month"),
+        (expr("r div m") +
+          when(col("idx") < expr("r % m"), 1L).otherwise(0L)).as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("month"))
+  }
+
+  private def q185(spark: SparkSession, dir: String): DataFrame =
+    revenueRecognition(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  private val q185Sql: String =
+    """WITH ship AS (
+      |  SELECT l_orderkey, max(l_shipdate) AS ship_end
+      |  FROM lineitem GROUP BY 1
+      |), spans AS (
+      |  SELECT o_orderkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS r,
+      |         date_trunc('month', o_orderdate) AS m0,
+      |         greatest(1, date_diff('month',
+      |             date_trunc('month', o_orderdate),
+      |             date_trunc('month', ship_end)) + 1) AS m
+      |  FROM orders JOIN ship ON l_orderkey = o_orderkey
+      |), spread AS (
+      |  SELECT strftime(m0 + to_months(CAST(idx AS INTEGER)), '%Y-%m') AS month,
+      |         r // m + CASE WHEN idx < r % m THEN 1 ELSE 0 END AS cents
+      |  FROM spans, unnest(generate_series(0, m - 1)) AS t(idx)
+      |)
+      |SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM spread
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q177_proration", q177, Some(q177Sql)),
+    Q("q185_revenue_recognition", q185, Some(q185Sql)),
   )
 }

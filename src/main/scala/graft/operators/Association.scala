@@ -341,11 +341,15 @@ object Association {
       .join(broadcast(wins.select($"i".as("j"))), Seq("j"), "left_semi")
     var theta = wins.select($"i".as("s"), lit(1.0).as("th"))
     for (_ <- 1 to rounds) {
+      // θ is #players rows — BROADCAST both endpoint joins so the
+      // contest table never shuffles across rounds (the q172 lesson:
+      // hinting shuffle_hash here paid 7 shuffles of the big side for
+      // vectors that fit in a broadcast at any realistic player count)
       val denom = nij
-        .join(theta.select($"s".as("i"), $"th".as("ti")).hint("shuffle_hash"), Seq("i"))
-        .join(theta.select($"s".as("j"), $"th".as("tj")).hint("shuffle_hash"), Seq("j"))
+        .join(broadcast(theta.select($"s".as("i"), $"th".as("ti"))), Seq("i"))
+        .join(broadcast(theta.select($"s".as("j"), $"th".as("tj"))), Seq("j"))
         .groupBy($"i").agg(sum($"n" / ($"ti" + $"tj")).as("d"))
-      theta = wins.join(denom, Seq("i"))
+      theta = wins.join(broadcast(denom), Seq("i"))
         .select($"i".as("s"), ($"wins" / $"d").as("th"))
     }
     val ref = theta.orderBy($"s").limit(1).select($"th".as("ref"))

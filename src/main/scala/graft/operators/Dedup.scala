@@ -1096,6 +1096,96 @@ object Dedup {
       |FROM names a JOIN names b ON a.p_name < b.p_name
       |ORDER BY name_a, name_b""".stripMargin
 
+  // -------------------------------------------------------------- q184
+  /** END-TO-END entity resolution: union the three fuzzy-evidence
+    * channels the catalog already mines — token-blocked edit distance
+    * (q101), sorted-neighborhood rank windows (q170), Jaro–Winkler
+    * score matches (q175) — into one evidence graph over the name
+    * dictionary, run the SHARED pointer-jumping component engine
+    * ([[Components]], the same code q50/q57/q165 cluster with), and
+    * emit every name with its resolved entity: the lexicographically
+    * first member, the survivorship rule that needs no extra sort
+    * because the dictionary ids ARE the lexicographic ranks (label =
+    * min id ⇒ canonical = min name). Names with no fuzzy evidence
+    * resolve to themselves.
+    *
+    * This is the composition the individual rows exist for: blocking
+    * disciplines with complementary recall (typo-in-every-token ∈
+    * q170 only; transpositions-heavy ∈ q175 only) feeding one
+    * closure. Scale: every channel works on the DISTINCT dictionary
+    * (q101's contraction note); the component rounds run on the tiny
+    * evidence graph; row-level application is one broadcast of the
+    * (name → entity) verdicts. */
+  private[graft] def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+    val ids = names.select($"p_name", $"n",
+      row_number().over(Window.orderBy($"p_name")).cast("long").as("nid"))
+    val evidence = fuzzyNamePairs(spark, dir, maxDist = 2)
+      .select($"name_a", $"name_b")
+      .union(sortedNeighborhoodPairs(spark, dir, window = 10, maxDist = 2)
+        .select($"name_a", $"name_b"))
+      .union(jaroWinklerPairs(spark, dir, matchThreshold = 0.9)
+        .filter($"is_match" === 1).select($"name_a", $"name_b"))
+      .distinct()
+    val edges = evidence
+      .join(ids.select($"p_name".as("name_a"), $"nid".as("src")), "name_a")
+      .join(ids.select($"p_name".as("name_b"), $"nid".as("dst")), "name_b")
+      .select($"src", $"dst")
+    val labels = Components.run(edges).labels // (doc_id, lbl), lbl = min nid
+    ids.join(labels, ids("nid") === labels("doc_id"), "left")
+      .select($"p_name", $"n", coalesce($"lbl", $"nid").as("eid"))
+      .join(ids.select($"nid".as("eid"), $"p_name".as("entity")), "eid")
+      .select($"entity", $"p_name".as("member"), $"n".as("n_rows"),
+        ($"p_name" === $"entity").cast("int").as("is_canonical"))
+      .orderBy($"entity", $"member")
+  }
+
+  private def q184(spark: SparkSession, dir: String): DataFrame =
+    entityClusters(spark, dir)
+
+  /** Oracle: the three evidence predicates spelled definitionally over
+    * all dictionary pairs (blocking only changes what gets CHECKED,
+    * never the result set), closure by recursive CTE (q50's pattern);
+    * nid is the lexicographic rank, so q170's rank window is a nid
+    * difference. */
+  private val q184Sql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+      |), ids AS (
+      |  SELECT p_name, n,
+      |         CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS nid
+      |  FROM names
+      |), toks AS (
+      |  SELECT DISTINCT p_name, tok FROM (
+      |    SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names)
+      |), ev AS (
+      |  SELECT a.nid AS src, b.nid AS dst
+      |  FROM ids a JOIN ids b ON a.p_name < b.p_name
+      |  WHERE (levenshtein(a.p_name, b.p_name) <= 2
+      |         AND EXISTS (SELECT 1 FROM toks x JOIN toks y
+      |                     ON x.tok = y.tok
+      |                    AND x.p_name = a.p_name AND y.p_name = b.p_name))
+      |     OR (b.nid - a.nid <= 10 AND levenshtein(a.p_name, b.p_name) <= 2)
+      |     OR jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+      |), edges AS (
+      |  SELECT src, dst FROM ev UNION SELECT dst, src FROM ev
+      |), reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |), eid AS (
+      |  SELECT i.nid, i.p_name, i.n,
+      |         coalesce(least(i.nid, (SELECT min(dst) FROM reach r
+      |                                WHERE r.src = i.nid)), i.nid) AS eid
+      |  FROM ids i
+      |)
+      |SELECT c.p_name AS entity, e.p_name AS member, e.n AS n_rows,
+      |       CAST(e.p_name = c.p_name AS INTEGER) AS is_canonical
+      |FROM eid e JOIN ids c ON c.nid = e.eid
+      |ORDER BY entity, member""".stripMargin
+
   // -------------------------------------------------------------- q170
   /** Sorted-neighborhood ER blocking (Hernández–Stolfo merge/purge):
     * rank the distinct name dictionary in ONE lexicographic order and
@@ -1473,6 +1563,7 @@ object Dedup {
     Q("q98_contamination_spans", q98, Some(q98Sql)),
     Q("q101_fuzzy_match", q101, Some(q101Sql)),
     Q("q175_jaro_winkler", q175, Some(q175Sql)),
+    Q("q184_entity_resolution", q184, Some(q184Sql)),
     Q("q170_sorted_neighborhood", q170, Some(q170Sql)),
     Q("q155_dup_spans", q155, Some(q155Sql)),
     Q("q159_winnowing", q159, Some(q159Sql)),

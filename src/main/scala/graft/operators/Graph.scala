@@ -667,10 +667,18 @@ object Graph {
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
+      // the survivor set is #nodes rows (orders of magnitude below the
+      // edge list) — BROADCAST it so the edge side never shuffles for
+      // the two endpoint filters; the src-keyed degree aggregate rides
+      // the cached src partitioning. (At a node scale past broadcast,
+      // drop the hint: the same plan becomes a partitioned semi-join —
+      // semantics unchanged. The first bench spelling shuffle-hashed
+      // the EDGES twice per round: 6.6 s → broadcast form is the plan
+      // this operator wants.)
       edges = edges
-        .join(keep.hint("shuffle_hash"), edges("src") === keep("node"), "left_semi")
+        .join(broadcast(keep), edges("src") === keep("node"), "left_semi")
       edges = edges
-        .join(keep.hint("shuffle_hash"), edges("dst") === keep("node"), "left_semi")
+        .join(broadcast(keep), edges("dst") === keep("node"), "left_semi")
     }
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

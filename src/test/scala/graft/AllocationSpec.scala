@@ -56,6 +56,35 @@ class AllocationSpec extends SparkSpecBase {
     }
   }
 
+  test("q185 month ledger conserves order totals and replays the even spread") {
+    val ledger = SparkEntry.queries("q185_revenue_recognition")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    val ship = sources.Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(max($"l_shipdate").as("se"))
+    val spans = sources.Tables.orders(spark, dir)
+      .join(ship, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"),
+        date_format(trunc($"o_orderdate", "MM"), "yyyy-MM"),
+        greatest(lit(1L), months_between(trunc($"se", "MM"),
+          trunc($"o_orderdate", "MM")).cast("long") + 1))
+      .as[(Long, Long, String, Long)].collect()
+    // conservation: ledger total ≡ Σ order cents
+    ledger.map(_._3).sum shouldBe spans.map(_._2).sum
+    // driver replay of the even spread with early-month remainders
+    val want = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+    spans.foreach { case (_, r, m0, m) =>
+      val start = java.time.YearMonth.parse(m0, fmt)
+      for (i <- 0L until m) {
+        val key = start.plusMonths(i).format(fmt)
+        val cents = r / m + (if (i < r % m) 1L else 0L)
+        val (n, c) = want.getOrElse(key, (0L, 0L))
+        want(key) = (n + 1, c + cents)
+      }
+    }
+    ledger.map(r => r._1 -> ((r._2, r._3))).toMap shouldBe want.toMap
+  }
+
   test("q178 exact_f2 equals the true self-join size; sampling recomputes") {
     val rows = SparkEntry.queries("q178_selfjoin_estimate")(spark, dir)
       .as[(String, Long, Long, Double)].collect()

@@ -249,6 +249,42 @@ class GraphSpec extends SparkSpecBase {
     recount shouldBe c4
   }
 
+  test("q184 entity resolution equals a union-find over the three evidence channels") {
+    val rows = SparkEntry.queries("q184_entity_resolution")(spark, dir)
+      .as[(String, String, Long, Int)].collect()
+    // partition: every dictionary name appears exactly once as member
+    val dict = sources.Tables.part(spark, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.map(_._2).sorted.toSeq shouldBe dict.keys.toSeq.sorted
+    rows.foreach { case (_, m, n, _) => n shouldBe dict(m) }
+    // driver union-find over the union of the evidence generators
+    val pairs =
+      operators.Dedup.fuzzyNamePairs(spark, dir, 2)
+        .select($"name_a", $"name_b").as[(String, String)].collect() ++
+      operators.Dedup.sortedNeighborhoodPairs(spark, dir, 10, 2)
+        .select($"name_a", $"name_b").as[(String, String)].collect() ++
+      operators.Dedup.jaroWinklerPairs(spark, dir, 0.9)
+        .filter($"is_match" === 1)
+        .select($"name_a", $"name_b").as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.Ordering[String].max(ra, rb)) = math.Ordering[String].min(ra, rb)
+    }
+    val want = dict.keys.map(n => n -> find(n)).toMap
+    rows.foreach { case (entity, member, _, canonical) =>
+      entity shouldBe want(member)
+      canonical shouldBe (if (member == entity) 1 else 0)
+    }
+    // the canonical IS the lexicographic minimum of its entity
+    rows.groupBy(_._1).foreach { case (e, ms) => ms.map(_._2).min shouldBe e }
+  }
+
   test("q171 personalized pagerank seeds dominate their own view and Σr = 1") {
     val rows = SparkEntry.queries("q171_personalized_pagerank")(spark, dir)
       .as[(Long, String, Double)].collect()
