@@ -31,7 +31,7 @@ object Graft {
     scored.orderBy(col("score6").desc, col("doc_id").asc).limit(topK)
       .withColumn("rn", row_number().over(w))
       .select((Seq(col("doc_id")) ++ ts.indices.map(i => col(s"tf_$i")) ++
-        Seq(round(col("score6"), 4).as("score"), col("rn"))): _*)
+        Seq(graft.functions.Portable.detRound(col("score6"), 4).as("score"), col("rn"))): _*)
       .orderBy(col("rn"))
   }
 

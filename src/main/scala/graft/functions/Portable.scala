@@ -29,4 +29,57 @@ object Portable {
   /** Whitespace tokenization — Spark `split(c, "\s+")`, DuckDB
     * `string_split_regex(e, '\s+')`: same token sequences. */
   def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Deterministic cross-engine decimal rounding:
+    * `floor(x·10ᵖ + 0.5) / 10ᵖ` — pure IEEE-754 ops (multiply, add,
+    * floor, divide are all correctly-rounded and exactly specified), so
+    * both engines produce the SAME double bit-for-bit given the same
+    * input. Spark's `functions.round` is NOT portable for per-row
+    * doubles: it rounds the value's shortest decimal representation
+    * (`BigDecimal.valueOf`, HALF_UP) while DuckDB rounds the binary
+    * value — any result whose shortest repr terminates in `…5` at digit
+    * p+1 flips between the engines (round-3 q55 hit one such cosine in
+    * 8 773 rows). The floor form also never yields `-0.0` (Spark floor
+    * → LONG; `-0.5 + 0.5 = +0.0` by IEEE sign rules), so the signed-zero
+    * normalization `+ 0.0` is unnecessary. Convention: half-way values
+    * round toward +∞ — conventions don't matter for parity, only that
+    * both engines share one formula. Use [[detRoundSql]] on the oracle
+    * twin. Exact for |x·10ᵖ| < 2⁵³. */
+  def detRound(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 9, s"scale $scale out of [0,9]")
+    val p = math.pow(10, scale) // exact: 10^p representable through 1e9
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Rewrite every 2-arg `round(expr, scale)` in a DuckDB oracle SQL
+    * string into the [[detRound]] floor form (paren-balanced scan, so
+    * nested calls / list comprehensions survive; recursion rewrites
+    * rounds inside rounds). 1-arg `round(x)` and non-literal scales are
+    * left untouched. Applied centrally at catalog exposure so the SQL
+    * bodies stay readable in the mathematical `round(…, n)` form. */
+  def detRoundSql(sql: String): String = {
+    val out = new StringBuilder(sql.length + 64)
+    var i = 0
+    while (i < sql.length) {
+      val atBoundary = i == 0 || { val c = sql.charAt(i - 1); !c.isLetterOrDigit && c != '_' }
+      if (atBoundary && sql.regionMatches(true, i, "round(", 0, 6)) {
+        var depth = 1; var j = i + 6; var comma = -1
+        while (depth > 0 && j < sql.length) {
+          val c = sql.charAt(j)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (c == ',' && depth == 1) comma = j
+          j += 1
+        }
+        val scaleStr = if (comma < 0) "" else sql.substring(comma + 1, j - 1).trim
+        if (depth == 0 && comma >= 0 && scaleStr.nonEmpty && scaleStr.forall(_.isDigit)) {
+          val inner = detRoundSql(sql.substring(i + 6, comma))
+          val pw = "1" + "0" * scaleStr.toInt
+          out.append(s"floor(($inner) * $pw.0 + 0.5) / $pw.0")
+          i = j
+        } else { out.append(sql.charAt(i)); i += 1 }
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.Q
 import graft.core.PersistedMemo
 import graft.sources.Tables
@@ -30,6 +31,16 @@ import graft.sources.Tables
   * bounds the cache.
   */
 object Association {
+
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
 
   /** Distinct (user_id, item) baskets — the shared intermediate of the
     * family, persisted per (session, dataset). */
@@ -323,22 +334,33 @@ object Association {
     require(rounds > 0 && rounds <= 8,
       s"need 0 < rounds <= 8 (got $rounds)")
     import spark.implicits._
-    val sp = Tables.lineitem(spark, dir)
-      .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("s"))
-      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
-    val contests = sp.as("a").join(sp.as("b"),
-        $"a.ok" === $"b.ok" && $"a.s" < $"b.s" && $"a.cents" =!= $"b.cents")
-      .select(
-        when($"a.cents" > $"b.cents", $"a.s").otherwise($"b.s").as("i"),
-        when($"a.cents" > $"b.cents", $"b.s").otherwise($"a.s").as("j"))
-      .groupBy($"i", $"j").agg(count(lit(1)).as("w"))
+    // The contest derivation (lineitem self-join) is re-referenced by
+    // EVERY unrolled MM round via wins/nij — without a persist the lazy
+    // plan re-derives it once per round (3 rounds benched 8.0 s at
+    // sf0.1; persisted, the rounds iterate over a #pairs-row cached
+    // table). PersistedMemo owns the lifecycle, same as the dedup
+    // signature table.
+    val contests = graft.core.PersistedMemo.getOrBuild(spark, dir, "assoc:btContests") {
+      val sp = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("s"))
+        .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      sp.as("a").join(sp.as("b"),
+          $"a.ok" === $"b.ok" && $"a.s" < $"b.s" && $"a.cents" =!= $"b.cents")
+        .select(
+          when($"a.cents" > $"b.cents", $"a.s").otherwise($"b.s").as("i"),
+          when($"a.cents" > $"b.cents", $"b.s").otherwise($"a.s").as("j"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("w"))
+    }
     val wins = contests.groupBy($"i").agg(sum($"w").as("wins"))
-    // symmetric contest counts n_ij over the winners-only player set
-    val nij = contests.select($"i", $"j", $"w")
-      .union(contests.select($"j".as("i"), $"i".as("j"), $"w"))
-      .groupBy($"i", $"j").agg(sum($"w").as("n"))
-      .join(broadcast(wins.select($"i")), Seq("i"), "left_semi")
-      .join(broadcast(wins.select($"i".as("j"))), Seq("j"), "left_semi")
+    // symmetric contest counts n_ij over the winners-only player set,
+    // persisted too: each round references it with two broadcast joins
+    val nij = graft.core.PersistedMemo.getOrBuild(spark, dir, "assoc:btNij") {
+      contests.select($"i", $"j", $"w")
+        .union(contests.select($"j".as("i"), $"i".as("j"), $"w"))
+        .groupBy($"i", $"j").agg(sum($"w").as("n"))
+        .join(broadcast(wins.select($"i")), Seq("i"), "left_semi")
+        .join(broadcast(wins.select($"i".as("j"))), Seq("j"), "left_semi")
+    }
     var theta = wins.select($"i".as("s"), lit(1.0).as("th"))
     for (_ <- 1 to rounds) {
       // θ is #players rows — BROADCAST both endpoint joins so the
@@ -419,5 +441,5 @@ object Association {
     Q("q140_item_similarity", q140, Some(q140Sql)),
     Q("q180_apriori_triples", q180, Some(q180Sql)),
     Q("q181_bradley_terry", q181, Some(q181Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

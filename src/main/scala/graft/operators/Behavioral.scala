@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.Q
 import graft.sources.Tables
 
@@ -18,6 +19,16 @@ import graft.sources.Tables
   * micros for oracle parity.
   */
 object Behavioral {
+
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
 
   private[operators] val SessionGapUs = 1800000000L // 30 min
 
@@ -606,5 +617,5 @@ object Behavioral {
     Q("q121_markov_transitions", q121, Some(q121Sql)),
     Q("q122_survival_curve", q122, Some(q122Sql)),
     Q("q123_conversion_lag", q123, Some(q123Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

@@ -33,6 +33,16 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
+  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+
   // --------------------------------------------------------------- q50
   /** Duplicate-cluster resolution: connected components over the LSH
     * candidate pairs (q25's output, shared persisted table), labeling
@@ -1098,5 +1108,5 @@ object Curation {
     Q("q93_length_histogram", q93, Some(q93Sql)),
     Q("q97_k_anonymity", q97, Some(q97Sql)),
     Q("q162_l_diversity", q162, Some(q162Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

@@ -28,6 +28,16 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+
   /** MinHash permutation constants: h_j(x) = (A(j)*x + B(j)) mod P with
     * P prime > 2^32. A,B < 2^17 keep A*x < 2^49 (no Long overflow). */
   private[graft] val P = 4294967311L
@@ -1568,5 +1578,5 @@ object Dedup {
     Q("q155_dup_spans", q155, Some(q155Sql)),
     Q("q159_winnowing", q159, Some(q159Sql)),
     Q("q160_winnow_pairs", q160, Some(q160Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.Q
 import graft.core.PersistedMemo
 import graft.sources.Tables
@@ -43,6 +44,16 @@ import graft.sources.Tables
   * is the exact-value gate.
   */
 object Graph {
+
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
+  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
 
   /** Bidirected weighted edge list of the customer–supplier graph as a
     * row-stochastic transition matrix `(src, dst, w, p)` — `p` is the
@@ -726,5 +737,5 @@ object Graph {
     Q("q156_link_prediction", q156, Some(q156Sql)),
     Q("q171_personalized_pagerank", q171, Some(q171Sql)),
     Q("q172_kcore", q172, Some(q172Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.Q
 import graft.sources.Tables
 
@@ -30,6 +31,16 @@ import graft.sources.Tables
   * partitions (no global sort until the final presentation ORDER BY).
   */
 object Relational {
+
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
+  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
 
   // ---------------------------------------------------------------- q0
   /** Filter + projection with arithmetic — predicate and column pruning
@@ -1460,5 +1471,5 @@ object Relational {
     Q("q178_selfjoin_estimate", q178, Some(q178Sql)),
     Q("q163_skyline", q163, Some(q163Sql)),
     Q("q166_bloom_filter_join", q166, Some(q166Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

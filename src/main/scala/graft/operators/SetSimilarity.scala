@@ -54,15 +54,21 @@ object SetSimilarity {
     * ~74% of ALL pairs clear token-Jaccard 0.5, so nothing could prune);
     * shingles restore the sparse-set regime the prefix filter needs
     * (0.6% of pairs become candidates at the same threshold). */
-  private def tok(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("t", Portable.tokens($"text"))
-      .filter(size($"t") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("tk"))
-      .distinct()
-  }
+  private def tok(spark: SparkSession, dir: String): DataFrame =
+    // memoized + persisted: [[prefixJoin]] references this frame five
+    // times (df table, rank window, both verify sides, sizes) — unper-
+    // sisted, the lazy plan re-runs the shingle explode + distinct
+    // shuffle per reference (benched 6.1 s at sf0.1 for q167; the
+    // persisted table turns four of the five into cache scans)
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "setsim:shingles") {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("t", Portable.tokens($"text"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("tk"))
+        .distinct()
+    }
 
   private val tokCte =
     """toks AS (

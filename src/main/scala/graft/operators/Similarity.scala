@@ -48,6 +48,18 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Shadows `functions.round` for this object: every per-row rounded
+    * double here (cosines, projections, quantized scores — emitted over
+    * thousands of rows) goes through the deterministic cross-engine
+    * floor form instead of Spark's shortest-decimal-repr BigDecimal
+    * rounding; [[all]] applies [[Portable.detRoundSql]] to every oracle
+    * twin so both engines share the formula bit-for-bit. Round-3
+    * evidence: q55 hash-flipped on one cosine whose shortest repr ended
+    * in `…5` at the 5th decimal — with ~10⁵ rounded per-row values in
+    * the catalog that class of flake recurs every time the testdata is
+    * regenerated unless rounding is IEEE-only. */
+  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
+
   private val Dim = 64
   private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
 
@@ -1615,8 +1627,52 @@ object Similarity {
        |LEFT JOIN af ON af.cluster = spine.cluster
        |ORDER BY cluster""".stripMargin
 
+  // -------------------------------------------------------------- q187
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with the
+    * deterministic ±1 plane family (Achlioptas '03: Rademacher entries
+    * satisfy the JL lemma with the same concentration as Gaussians) —
+    * THE dimensionality contraction run before an ANN index build or a
+    * pairwise stage when the raw embedding width is the cost driver:
+    * distances are preserved within 1±ε w.h.p. (ε ≈ √(8·ln n / k)),
+    * and the projection is LINEAR, so downstream dot/cosine algebra
+    * composes (p(a)−p(b) = p(a−b) exactly — SimilaritySpec asserts the
+    * identity bit-for-bit and the empirical distortion band).
+    *
+    * Scale shape: 16 fused codegen'd dots per row at scan speed — no
+    * shuffle, no fit, no state; the 16×64 plane family is an md5
+    * formula both engines regenerate as literals. The scale factor
+    * 1/√16 = 0.25 is an EXACT binary double, so `p_j = 0.25·⟨v,S_j⟩`
+    * is two correctly-rounded IEEE ops on the deterministic left-fold
+    * dot — hash-exact with zero rounding. */
+  private val JlDim = 16
+  private val Jl: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlDim).map(j => signVector(s"jl$j"))
+
+  private[graft] def jlProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val cols = (0 until JlDim).map(j => (dotLit("v", Jl(j)) * lit(0.25)).as(s"p$j"))
+    e.select(($"vec_id" +: $"label" +: cols): _*).orderBy($"vec_id")
+  }
+
+  private def q187(spark: SparkSession, dir: String): DataFrame =
+    jlProject(spark, dir)
+
+  private val q187Sql: String = {
+    val pCols = (0 until JlDim).map { j =>
+      val w = s"[${Jl(j).mkString(", ")}]"
+      s"list_sum([CAST(embedding[i] AS DOUBLE) * ($w)[i] " +
+        s"for i in generate_series(1, $Dim)]) * 0.25 AS p$j"
+    }.mkString(",\n       ")
+    s"""SELECT vec_id, label,
+       |       $pCols
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
+    Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
     Q("q30_knn_srp_lsh", q30, Some(q30Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
@@ -1632,5 +1688,5 @@ object Similarity {
     Q("q96_quantized_ivf", q96, Some(q96Sql)),
     Q("q157_pq_adc_knn", q157, Some(q157Sql)),
     Q("q149_lloyd_refinement", q149, Some(q149Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

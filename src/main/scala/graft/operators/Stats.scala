@@ -30,6 +30,16 @@ import graft.sources.Tables
   */
 object Stats {
 
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+
   // -------------------------------------------------------------- q115
   /** Per-returnflag linear relationship quantity → extendedprice:
     * Pearson correlation, population covariance, OLS slope/intercept,
@@ -814,10 +824,16 @@ object Stats {
     woeBinning(Tables.orders(spark, dir))
 
   // -------------------------------------------------------------- q182
-  /** Median/MAD robust outlier report per event type — the
-    * breakdown-point-0.5 alternative to q91's mean/stddev z-scores
-    * (Hampel '74; the robust-z rule |x−med| > 3·1.4826·MAD): one
-    * outlier cannot drag the fence the way it drags a mean. Composes
+  /** Median/MAD robust outlier report per event type — the SCALE-PATH
+    * twin of q91: q91 computes the same robust fence with the
+    * interpolating `percentile` aggregate (per-group sort inside the
+    * aggregate, Iglewicz–Hoaglin 3.5 fence); this variant computes
+    * DISCRETE (lower) medians by sort-free histogram-refinement
+    * selection and the Hampel 3.0 fence — the form that survives when
+    * per-group value volume makes sort-based percentile aggregation
+    * the bottleneck, exactly the q17 → q54 exact↔approx pairing but
+    * staying EXACT (different median convention, hence different
+    * oracle: quantile_disc vs quantile_cont). Composes
     * [[exactMedian]] TWICE — median of values, then median of absolute
     * deviations — so the whole report inherits q176's sort-free
     * selection economics (two histogram aggregates + two one-bucket
@@ -910,5 +926,5 @@ object Stats {
     Q("q135_gini_concentration", q135, Some(q135Sql)),
     Q("q144_benford_digits", q144, Some(q144Sql)),
     Q("q145_bootstrap_ci", q145, Some(q145Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

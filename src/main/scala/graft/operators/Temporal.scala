@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.Q
 import graft.sources.Tables
 
@@ -24,6 +25,15 @@ import graft.sources.Tables
   * determinism convention.
   */
 object Temporal {
+
+  /** Shadows `functions.round`: rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]) and
+    * [[all]] rewrites the oracle twins with [[Portable.detRoundSql]] —
+    * the catalog-wide IEEE-only rounding convention (see Similarity). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c)
 
   /** q44's session gap — THE shared constant ([[Behavioral]] owns the
     * session derivation; re-declaring it here is how oracles drift). */
@@ -704,5 +714,5 @@ object Temporal {
     Q("q119_time_weighted_avg", q119, Some(q119Sql)),
     Q("q134_multitouch_attribution", q134, Some(q134Sql)),
     Q("q136_interval_coverage", q136, Some(q136Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

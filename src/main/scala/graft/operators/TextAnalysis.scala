@@ -19,6 +19,16 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Order of `langs` (alphabetical) is the
     * deterministic tiebreak. */
@@ -1168,8 +1178,88 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q188
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan '05) —
+    * the fixed-memory frequency sketch next to q95's HLL (distincts)
+    * and q54's KLL (quantiles): d=4 hash rows × w=512 counters hold
+    * approximate counts for an UNBOUNDED vocabulary in 2 KiB of cells,
+    * with the one-sided guarantee est ≥ exact and est ≤ exact + 2N/w
+    * per row (min over 4 rows drives the error probability to
+    * (1/2)⁴-ish). The catalog row audits the sketch against exact
+    * truth: the top-20 exact tokens with their CMS estimates and
+    * overcounts — overcount ≥ 0 is STRUCTURAL (hash collisions only
+    * ever add), so the whole report is integer-exact and
+    * oracle-checked on both engines via the portable md5 hash family
+    * ([[Portable.hash32]] with per-row salts).
+    *
+    * Scale shape: the sketch build is ONE partial+final aggregate
+    * whose shuffle width is d·w = 2 048 cells REGARDLESS of corpus
+    * size (map-side combine does the heavy lifting — this is the
+    * whole point of sketching at 100 TB); cells are mergeable across
+    * shards by cell-wise addition (the same merge q95's HLL union
+    * uses), so daily shards sketch independently and union without
+    * rescanning history. The probe side is 20 rows × 4 probes joined
+    * against the broadcast 2 048-cell table. */
+  private val CmsD = 4
+  private val CmsW = 512
+
+  private[graft] def cmsHeavyHitters(spark: SparkSession, dir: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"need topK > 0 (got $topK)")
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Portable.tokens($"text")).as("w"))
+    def probeCols(w: org.apache.spark.sql.Column) =
+      array((0 until CmsD).map(r =>
+        struct(lit(r).as("r"),
+          (Portable.hash32(concat(lit(s"cms$r|"), w)) % CmsW).as("col"))): _*)
+    val cells = toks
+      .select(inline(probeCols($"w")))
+      .groupBy($"r", $"col").agg(count(lit(1)).as("cell"))
+    val exact = toks.groupBy($"w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"w".asc).limit(topK)
+    exact
+      .select($"w", $"exact_cnt", explode(probeCols($"w")).as("p"))
+      .select($"w", $"exact_cnt", $"p.r".as("r"), $"p.col".as("col"))
+      .join(broadcast(cells), Seq("r", "col"))
+      .groupBy($"w", $"exact_cnt").agg(min($"cell").as("cms_est"))
+      .select($"w".as("token"), $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"exact_cnt".desc, $"token".asc)
+  }
+
+  private def q188(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyHitters(spark, dir, topK = 20)
+
+  private val q188Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+       |), rr AS (SELECT unnest(range(0, $CmsD)) AS r),
+       |cells AS (
+       |  SELECT rr.r,
+       |         ${Portable.hash32Sql(s"concat('cms', rr.r, '|', t.w)")} % $CmsW AS col,
+       |         CAST(count(*) AS BIGINT) AS cell
+       |  FROM toks t CROSS JOIN rr
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+       |  FROM toks GROUP BY 1
+       |  ORDER BY exact_cnt DESC, w ASC LIMIT 20
+       |), probes AS (
+       |  SELECT e.w, e.exact_cnt, rr.r,
+       |         ${Portable.hash32Sql(s"concat('cms', rr.r, '|', e.w)")} % $CmsW AS col
+       |  FROM exact e CROSS JOIN rr
+       |)
+       |SELECT p.w AS token, p.exact_cnt,
+       |       CAST(min(c.cell) AS BIGINT) AS cms_est,
+       |       CAST(min(c.cell) - p.exact_cnt AS BIGINT) AS overcount
+       |FROM probes p JOIN cells c ON c.r = p.r AND c.col = p.col
+       |GROUP BY 1, 2
+       |ORDER BY exact_cnt DESC, token ASC""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
+    Q("q188_cms_heavy_hitters", q188, Some(q188Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
     Q("q33_token_stats", q33, Some(q33Sql)),
     Q("q34_fingerprint", q34, Some(q34Sql)),
@@ -1186,5 +1276,5 @@ object TextAnalysis {
     Q("q95_sketch_union", q95, None), // mergeable HLL — FiltersSpec bounds vs exact
     Q("q153_quality_classifier", q153, Some(q153Sql)),
     Q("q154_bigram_surprisal", q154, Some(q154Sql)),
-  )
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

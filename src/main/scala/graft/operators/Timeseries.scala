@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
 import graft.Q
 import graft.sources.Tables
 
@@ -33,6 +34,16 @@ import graft.sources.Tables
   * comparison runs on 6-dp-rounded operands on both sides.
   */
 object Timeseries {
+
+  /** Shadows `functions.round`: per-row rounded doubles go through the
+    * deterministic cross-engine floor form ([[Portable.detRound]]);
+    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
+    * so both engines share one IEEE-only formula (Spark's BigDecimal
+    * shortest-repr rounding diverges from DuckDB's binary rounding on
+    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
+    * semantics: it only quantizes construction-exact cents. */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
+  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
 
   // -------------------------------------------------------------- q125
   /** One-sided CUSUM changepoint detection on daily event volume per
@@ -519,6 +530,89 @@ object Timeseries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------- q186
+  /** Two-sample Kolmogorov–Smirnov drift test per event type between
+    * the window halves (q142's cutoff) — the DISTRIBUTION-SHAPE
+    * complement of PSI: PSI charges binned mass movement (and needs a
+    * bin count + clamp), KS is binless and exact — D = sup_x |F_pre(x)
+    * − F_post(x)| over the empirical CDFs, the standard
+    * training-vs-serving feature-drift gate next to q142 (numeric),
+    * q74 (categorical) and q161 (rank shift).
+    *
+    * EXACT integer algebra end-to-end: the corpus contracts to the
+    * (type, value) grid with pre/post counts (one partial+final
+    * aggregate), cumulative counts are BIGINT window sums, and the sup
+    * is max |cum_pre·n_post − cum_post·n_pre| — an exact integer
+    * numerator (≤ 2⁶³ through ~3·10⁹ rows per half; at corpus scale
+    * past that the same algebra runs on the q54 sketch's ECDF). The
+    * emitted `ks_d` and the α=0.05 critical value c(α)·√((n₁+n₂)/n₁n₂)
+    * (c = 1.358, the asymptotic Smirnov constant) are single IEEE
+    * divisions/sqrt of exact integers — bit-identical across engines,
+    * nothing rounds. Shape: shuffle on (type, value) to the grid, then
+    * the type-keyed window+max rides one #grid-row exchange. */
+  private[graft] def ksDrift(spark: SparkSession, dir: String,
+      cutoffUs: Long): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.events(spark, dir)
+      .select($"event_type", $"value",
+        (unix_micros($"ts") < cutoffUs).as("is_pre"))
+      .groupBy($"event_type", $"value")
+      .agg(sum(when($"is_pre", 1L).otherwise(0L)).as("c_pre"),
+        sum(when(!$"is_pre", 1L).otherwise(0L)).as("c_post"))
+    val byType = Window.partitionBy($"event_type")
+    val cum = byType.orderBy($"value")
+    cnt
+      .withColumn("cum_pre", sum($"c_pre").over(cum))
+      .withColumn("cum_post", sum($"c_post").over(cum))
+      .withColumn("n_pre", sum($"c_pre").over(byType))
+      .withColumn("n_post", sum($"c_post").over(byType))
+      .groupBy($"event_type")
+      .agg(min($"n_pre").as("n_pre"), min($"n_post").as("n_post"),
+        max(abs($"cum_pre" * $"n_post" - $"cum_post" * $"n_pre")).as("d_num"))
+      .select($"event_type", $"n_pre", $"n_post", $"d_num",
+        ($"d_num".cast("double") / ($"n_pre" * $"n_post")).as("ks_d"),
+        (lit(1.358) * sqrt(($"n_pre" + $"n_post").cast("double") /
+          ($"n_pre" * $"n_post"))).as("crit_05"))
+      .withColumn("drifted",
+        ($"ks_d" > $"crit_05").cast("int"))
+      .orderBy($"event_type")
+  }
+
+  private def q186(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(spark, dir, PsiCutoffUs)
+
+  private val q186Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, value, epoch_us(ts) < $PsiCutoffUs AS is_pre
+       |  FROM events
+       |), grid AS (
+       |  SELECT event_type, value,
+       |         CAST(sum(CASE WHEN is_pre THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+       |         CAST(sum(CASE WHEN is_pre THEN 0 ELSE 1 END) AS BIGINT) AS c_post
+       |  FROM e GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type,
+       |         sum(c_pre) OVER (PARTITION BY event_type ORDER BY value) AS cum_pre,
+       |         sum(c_post) OVER (PARTITION BY event_type ORDER BY value) AS cum_post,
+       |         sum(c_pre) OVER (PARTITION BY event_type) AS n_pre,
+       |         sum(c_post) OVER (PARTITION BY event_type) AS n_post
+       |  FROM grid
+       |), d AS (
+       |  SELECT event_type,
+       |         CAST(min(n_pre) AS BIGINT) AS n_pre,
+       |         CAST(min(n_post) AS BIGINT) AS n_post,
+       |         CAST(max(abs(cum_pre * n_post - cum_post * n_pre)) AS BIGINT) AS d_num
+       |  FROM cum GROUP BY 1
+       |)
+       |SELECT event_type, n_pre, n_post, d_num,
+       |       CAST(d_num AS DOUBLE) / (n_pre * n_post) AS ks_d,
+       |       1.358 * sqrt(CAST(n_pre + n_post AS DOUBLE) / (n_pre * n_post)) AS crit_05,
+       |       CAST(CAST(d_num AS DOUBLE) / (n_pre * n_post) >
+       |            1.358 * sqrt(CAST(n_pre + n_post AS DOUBLE) / (n_pre * n_post)) AS INTEGER)
+       |         AS drifted
+       |FROM d
+       |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q125_cusum_changepoint", q125, Some(q125Sql)),
     Q("q126_seasonal_decompose", q126, Some(q126Sql)),
@@ -527,5 +621,6 @@ object Timeseries {
     Q("q131_rolling_bands", q131, Some(q131Sql)),
     Q("q142_psi_drift", q142, Some(q142Sql)),
     Q("q143_autocorrelation", q143, Some(q143Sql)),
-  )
+    Q("q186_ks_drift", q186, Some(q186Sql)),
+  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

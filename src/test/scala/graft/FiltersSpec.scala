@@ -416,4 +416,44 @@ class FiltersSpec extends SparkSpecBase {
     rows.map(_._4).distinct.sorted shouldBe Seq(0, 1)
   }
 
+  test("q188 CMS estimates are one-sided, bounded, and the sketch merges across shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q188_cms_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should have size 20
+    // exact truth from an independent recount
+    val toks = sources.Tables.documents(spark, dir)
+      .select(explode(split($"text", "\\s+")).as("w")).collect().map(_.getString(0))
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    for ((tok, exactCnt, est, over) <- rows) {
+      exactCnt shouldBe exact(tok)
+      over shouldBe est - exactCnt
+      // one-sided: collisions only ever ADD (the structural CMS law)
+      over should be >= 0L
+      // CM bound: est ≤ exact + εN with ε = e/w holds w.p. ≥ 1−e⁻ᵈ per
+      // query; on this fixed fixture it must simply hold
+      over should be <= (math.E * n / 512).ceil.toLong
+    }
+    // top-20 selection really is the exact top by (count desc, token asc)
+    val wantTop = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(20).map(_._1)
+    rows.map(_._1).toSeq shouldBe wantTop
+    // mergeability: cell-wise sum of two shard sketches equals the
+    // full-corpus sketch (the property that lets daily shards sketch
+    // independently) — replay the cell build on the driver
+    def h(r: Int, w: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$r|$w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.substring(0, 8), 16) % 512).toInt
+    }
+    val (aTok, bTok) = toks.splitAt(toks.length / 2)
+    def sketch(ts: Array[String]): Map[(Int, Int), Long] =
+      ts.flatMap(w => (0 until 4).map(r => (r, h(r, w)))).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+    val merged = (sketch(aTok).toSeq ++ sketch(bTok).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    merged shouldBe sketch(toks)
+  }
+
 }

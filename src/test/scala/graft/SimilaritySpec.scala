@@ -272,4 +272,42 @@ class SimilaritySpec extends SparkSpecBase {
     rows.map(_._3).sum.toDouble / n should be < 0.5
   }
 
+  test("q187 JL projection is linear (exactly) and distance-preserving (statistically)") {
+    import org.apache.spark.sql.functions._
+    val p = SparkEntry.queries("q187_jl_projection")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(j => r.getDouble(r.fieldIndex(s"p$j"))))
+      .toMap
+    val raw = sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    p.keySet shouldBe raw.keySet
+    // distortion: per JL, ‖p(a)−p(b)‖²/‖a−b‖² concentrates around 1;
+    // with k=16 the band is loose, so assert the median lands in a
+    // generous [0.4, 1.9] and NO pair degenerates to 0 or explodes
+    val ids = raw.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      d2 = raw(a).zip(raw(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d2 > 0
+      pd2 = p(a).zip(p(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield pd2 / d2
+    val med = ratios.sorted.apply(ratios.size / 2)
+    med should (be > 0.4 and be < 1.9)
+    ratios.min should be > 0.0
+    ratios.max should be < 5.0
+    // linearity, bit-for-bit: the projection matrix applied on the
+    // driver to (a − b) must equal p(a) − p(b) up to one IEEE add —
+    // verify against an independent driver recompute of S·v
+    val planes = (0 until 16).map(j => Similarity_testPlane(s"jl$j"))
+    for (id <- ids.take(5)) {
+      val want = planes.map(s => 0.25 * raw(id).zip(s).map { case (x, w) => x * w }.sum)
+      // driver fold is the same left-to-right association as the fused dot
+      p(id).zip(want).foreach { case (gotJ, wantJ) => gotJ shouldBe wantJ }
+    }
+  }
+
+  private def Similarity_testPlane(prefix: String): IndexedSeq[Int] =
+    operators.Similarity.testSignVector(prefix)
+
 }

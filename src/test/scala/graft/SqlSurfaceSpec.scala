@@ -39,15 +39,19 @@ class SqlSurfaceSpec extends SparkSpecBase {
   }
 
   test("q1 as SQL: identical optimized plan for the grouped aggregation") {
+    // floor(x·10² + 0.5)/10² is the catalog's deterministic cross-engine
+    // rounding (Portable.detRound) — the SQL user writes the same
+    // formula (with D suffixes: bare decimals parse as DECIMAL) and
+    // lands on the identical plan
     val sqlDf = opened.sql(
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2)       AS sum_qty,
-        |       round(sum(l_extendedprice), 2)  AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0D - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1.0D - l_discount) * (1.0D + l_tax)), 2) AS sum_charge,
-        |       round(sum(l_quantity), 2) / count(1)      AS avg_qty,
-        |       round(sum(l_extendedprice), 2) / count(1) AS avg_price,
-        |       round(sum(l_discount), 2) / count(1)      AS avg_disc,
+        |       floor(sum(l_quantity) * 100.0D + 0.5D) / 100.0D       AS sum_qty,
+        |       floor(sum(l_extendedprice) * 100.0D + 0.5D) / 100.0D  AS sum_base_price,
+        |       floor(sum(l_extendedprice * (1.0D - l_discount)) * 100.0D + 0.5D) / 100.0D AS sum_disc_price,
+        |       floor(sum(l_extendedprice * (1.0D - l_discount) * (1.0D + l_tax)) * 100.0D + 0.5D) / 100.0D AS sum_charge,
+        |       floor(sum(l_quantity) * 100.0D + 0.5D) / 100.0D / count(1)      AS avg_qty,
+        |       floor(sum(l_extendedprice) * 100.0D + 0.5D) / 100.0D / count(1) AS avg_price,
+        |       floor(sum(l_discount) * 100.0D + 0.5D) / 100.0D / count(1)      AS avg_disc,
         |       count(1)                        AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-06-01'

@@ -152,6 +152,41 @@ class TimeseriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q186 KS statistic equals the textbook sup over a driver ECDF sweep") {
+    val cutoff = 1705363200000000L
+    val ev = sources.Tables.events(spark, dir)
+      .select($"event_type", $"value", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = SparkEntry.queries("q186_ks_drift")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6)))
+      .toMap
+    val byType = ev.groupBy(_._1)
+    got.keySet shouldBe byType.keySet
+    for ((tpe, rows) <- byType) {
+      val pre = rows.filter(_._3 < cutoff).map(_._2).sorted
+      val post = rows.filter(_._3 >= cutoff).map(_._2).sorted
+      // textbook sup_x |F1(x) − F2(x)| over the pooled value grid, in
+      // exact integer cross-multiples (a DIFFERENT algorithm than the
+      // engine's windowed cumulative form)
+      val grid = (pre ++ post).distinct.sorted
+      val dNum = grid.map { x =>
+        val c1 = pre.count(_ <= x).toLong
+        val c2 = post.count(_ <= x).toLong
+        math.abs(c1 * post.length - c2 * pre.length)
+      }.max
+      val (np, nq, gotNum, ksD, crit, drifted) = got(tpe)
+      np shouldBe pre.length.toLong
+      nq shouldBe post.length.toLong
+      gotNum shouldBe dNum
+      ksD shouldBe dNum.toDouble / (np * nq)
+      ksD should (be >= 0.0 and be <= 1.0)
+      crit shouldBe 1.358 * math.sqrt((np + nq).toDouble / (np * nq))
+      drifted shouldBe (if (ksD > crit) 1 else 0)
+    }
+  }
+
   test("q143 ACF matches the textbook recompute and respects Cauchy-Schwarz") {
     val got = SparkEntry.queries("q143_autocorrelation")(spark, dir)
       .collect()
