@@ -361,24 +361,33 @@ object Association {
         .join(broadcast(wins.select($"i")), Seq("i"), "left_semi")
         .join(broadcast(wins.select($"i".as("j"))), Seq("j"), "left_semi")
     }
-    var theta = wins.select($"i".as("s"), lit(1.0).as("th"))
+    // θ is the bounded iterative vector (#players rows — BT's regime by
+    // definition; a comparison graph with more players than fit on the
+    // driver is not a BT problem). Holding it as a DRIVER map and
+    // re-materializing a literal frame per round keeps each MM round at
+    // exactly ONE distributed job over the persisted contest table with
+    // two tiny literal broadcasts. The first spelling chained lazy
+    // broadcast joins instead — materializing round r's broadcast
+    // re-executed rounds 1..r−1's chain (nested sequential broadcast
+    // jobs: 9-10 s warm at sf0.1 profiled; this form is ~3 jobs total).
+    // The per-group float sums keep the same summands; partial-sum
+    // order was always distribution-dependent and the terminal 4-dp
+    // ratio rounding absorbs it (the oracle contract is unchanged).
+    val winsVec = wins.collect().map(r => r.getLong(0) -> r.getLong(1))
+    var theta: Map[Long, Double] = winsVec.map { case (i, _) => i -> 1.0 }.toMap
     for (_ <- 1 to rounds) {
-      // θ is #players rows — BROADCAST both endpoint joins so the
-      // contest table never shuffles across rounds (the q172 lesson:
-      // hinting shuffle_hash here paid 7 shuffles of the big side for
-      // vectors that fit in a broadcast at any realistic player count)
+      val tDf = theta.toSeq.toDF("s", "th")
       val denom = nij
-        .join(broadcast(theta.select($"s".as("i"), $"th".as("ti"))), Seq("i"))
-        .join(broadcast(theta.select($"s".as("j"), $"th".as("tj"))), Seq("j"))
+        .join(broadcast(tDf.select($"s".as("i"), $"th".as("ti"))), Seq("i"))
+        .join(broadcast(tDf.select($"s".as("j"), $"th".as("tj"))), Seq("j"))
         .groupBy($"i").agg(sum($"n" / ($"ti" + $"tj")).as("d"))
-      theta = wins.join(broadcast(denom), Seq("i"))
-        .select($"i".as("s"), ($"wins" / $"d").as("th"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      theta = winsVec.map { case (i, w) => i -> w / denom(i) }.toMap
     }
-    val ref = theta.orderBy($"s").limit(1).select($"th".as("ref"))
-    theta.join(broadcast(wins), theta("s") === wins("i"))
-      .crossJoin(broadcast(ref))
-      .select($"s".as("supplier"), $"wins",
-        round($"th" / $"ref", 4).as("strength"))
+    val ref = theta(winsVec.map(_._1).min)
+    winsVec.map { case (i, w) => (i, w, theta(i)) }.toSeq
+      .toDF("supplier", "wins", "th")
+      .select($"supplier", $"wins", round($"th" / ref, 4).as("strength"))
       .orderBy($"supplier")
   }
 

@@ -779,4 +779,31 @@ class PlanSpec extends SparkSpecBase {
     p should include("LeftSemi")
   }
 
+  test("q186: KS contracts to the value grid with partial+final counts, no join") {
+    val p = plan("q186_ks_drift")
+    // corpus → (type, value) grid is ONE partial+final aggregate; the
+    // cumulative/max stage rides the grid, never a self-join of raw rows
+    p should include("partial_sum")
+    (p should not).include("Join")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q187: JL projection is a scan-speed map — the only exchange is the sort") {
+    val p = plan("q187_jl_projection")
+    (p should not).include("Join")
+    (p should not).include("hashpartitioning")
+    p.toLowerCase should include("dotproduct") // 16 fused native dots, no zip_with
+  }
+
+  test("q188: sketch builds map-side to 2048 cells and broadcasts to the probes") {
+    val p = plan("q188_cms_heavy_hitters")
+    // sketch shuffle width is (r, col) — partial counts combine map-side
+    p should include("partial_count")
+    // the 2048-cell sketch joins the 20-row probe side as a broadcast
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    // exact top-20 is TakeOrdered, never a global sort of the vocabulary
+    p should include("TakeOrderedAndProject")
+  }
+
 }
