@@ -35,5 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // baskets, norms) grew with the 180+-query catalog; at 16g the bench's
   // warm pass showed the same GC-drag inflation the round-3 8g ceiling
   // did (slowest rows ~2x their isolated cost). Overridable per run.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 48g default: 191 queries' shared caches (the q167 shingle table is
+  // the big new row) pushed 28g back into the GC-drag regime — tail
+  // queries benched 10-20x their isolated cost (q184 74 s benched vs
+  // 4.3 s isolated) and build_sec doubled. At 48g build halves and the
+  // pathological tail disappears; the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -563,4 +563,19 @@ object Graft {
     * latest-shipment-month, rolled up to a month ledger (q185). */
   def revenueRecognition(lineitem: DataFrame, orders: DataFrame): DataFrame =
     operators.Allocation.revenueRecognition(lineitem, orders)
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per event type with the
+    * window cutoff open (q186 fixes the observation midpoint). */
+  def ksDrift(spark: SparkSession, dir: String, cutoffUs: Long): DataFrame =
+    operators.Timeseries.ksDrift(spark, dir, cutoffUs)
+
+  /** Deterministic ±1 Johnson–Lindenstrauss projection of the
+    * embeddings table (q187 fixes 16 target dims). */
+  def jlProject(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.jlProject(spark, dir)
+
+  /** Count-min-sketch heavy-hitter audit with the report size open
+    * (q188 fixes top-20). */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    operators.TextAnalysis.cmsHeavyHitters(spark, dir, topK)
 }

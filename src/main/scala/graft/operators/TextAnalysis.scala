@@ -1257,9 +1257,94 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |ORDER BY exact_cnt DESC, token ASC""".stripMargin
 
+  // -------------------------------------------------------------- q189
+  /** PMI collocations (Church & Hanks '90) — the top adjacent-bigram
+    * associations of the corpus: lift(x,y) = P(xy) / (P(x)·P(y)) over
+    * adjacent token pairs, PMI = ln(lift). THE collocation detector a
+    * tokenizer-training / phrase-mining pass runs before merging
+    * multiword units (q85's BPE counts rank raw frequency; PMI ranks
+    * statistical surprise — "new york" beats "of the").
+    *
+    * Determinism: the RANKING key is the raw lift ratio — computed
+    * from exact integer counts with one fixed parenthesization
+    * `(c_xy/N2) / ((c_x/N1)·(c_y/N1))`, so it is bit-identical across
+    * engines and the ln (libm, the one non-portable op) only ever
+    * lands in the ROUNDED pmi display column, never in ordering or
+    * filtering. A min-support floor (c_xy ≥ 5) applies BEFORE ranking —
+    * the standard guard against hapax pairs whose PMI is maximal noise.
+    *
+    * Scale shape: one token-stream scan explodes to adjacent pairs;
+    * bigram and unigram counts are two partial+final aggregates; the
+    * unigram re-attach is two equi-joins on the token keys (vocabulary-
+    * wide shuffle, corpus-independent); top-20 is TakeOrdered. */
+  private[graft] def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK > 0,
+      s"need minCount >= 1 and topK > 0 (got $minCount, $topK)")
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", Portable.tokens($"text").as("t"))
+    val uni = toks.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(sum($"c1").as("n1"))
+    val bi = toks
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= minCount)
+    val n2 = toks.filter(size($"t") >= 2)
+      .agg(sum(size($"t") - 1).cast("long").as("n2"))
+    val lift = ($"c12".cast("double") / $"n2") /
+      (($"ca".cast("double") / $"n1") * ($"cb".cast("double") / $"n1"))
+    bi
+      .join(uni.select($"w".as("w1"), $"c1".as("ca")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c1".as("cb")), Seq("w2"))
+      .crossJoin(broadcast(n1.crossJoin(n2)))
+      .select($"w1", $"w2", $"c12", $"ca", $"cb", lift.as("lift"))
+      .withColumn("pmi", round(log($"lift"), 6))
+      .orderBy($"lift".desc, $"w1".asc, $"w2".asc)
+      .limit(topK)
+  }
+
+  private def q189(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(spark, dir, minCount = 5L, topK = 20)
+
+  private val q189Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+       |), n1t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM uni),
+       |bi AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+       |        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+       |              FROM toks WHERE len(t) >= 2))
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 5
+       |), n2t AS (
+       |  SELECT CAST(sum(len(t) - 1) AS BIGINT) AS n2 FROM toks WHERE len(t) >= 2
+       |)
+       |SELECT w1, w2, c12, ca, cb, lift, round(ln(lift), 6) AS pmi
+       |FROM (
+       |  SELECT b.w1, b.w2, b.c12, ua.c1 AS ca, ub.c1 AS cb,
+       |         (CAST(b.c12 AS DOUBLE) / n2) /
+       |           ((CAST(ua.c1 AS DOUBLE) / n1) * (CAST(ub.c1 AS DOUBLE) / n1)) AS lift
+       |  FROM bi b
+       |  JOIN uni ua ON ua.w = b.w1
+       |  JOIN uni ub ON ub.w = b.w2
+       |  CROSS JOIN n1t CROSS JOIN n2t
+       |)
+       |ORDER BY lift DESC, w1 ASC, w2 ASC
+       |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q188_cms_heavy_hitters", q188, Some(q188Sql)),
+    Q("q189_pmi_collocations", q189, Some(q189Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
     Q("q33_token_stats", q33, Some(q33Sql)),
     Q("q34_fingerprint", q34, Some(q34Sql)),

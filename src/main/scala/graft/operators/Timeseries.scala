@@ -613,8 +613,91 @@ object Timeseries {
        |FROM d
        |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q190
+  /** EWMA control chart on daily event volume per type (Roberts '59) —
+    * the small-persistent-shift monitor next to q125's CUSUM (CUSUM
+    * accumulates slack; EWMA forgets geometrically, so it localizes
+    * WHERE the level moved): s_t = λ·x_t + (1−λ)·s_{t−1}, s_1 = x_1.
+    *
+    * λ = ½ makes the whole recurrence EXACT DYADIC ARITHMETIC with a
+    * closed scan form: 2ᵗ·s_t = Σ_{i≤t} x_i·2^{i−1} + x_1, so the
+    * smoother is one integer bit-shift cumulative sum plus a
+    * first_value — every intermediate is an exact BIGINT (< 2⁵³ for
+    * series up to ~35 points of ≤10⁵ counts — the 30-day grid; longer
+    * horizons chunk-rescale), and the single terminal division by the
+    * exact power 2ᵗ is correctly rounded, so `ewma` is bit-identical
+    * across engines with ZERO rounding anywhere (the q136 "all-integer
+    * algebra" discipline applied to an exponential smoother). The
+    * sequential recurrence thus DISTRIBUTES as two ordered windows per
+    * type — q125's prefix-sum trick for the geometric-decay family.
+    *
+    * `resid` (today vs yesterday's smoothed level) and the 3σ shock
+    * flag compare IEEE-exact values derived from integer sufficient
+    * sums — the q125 unrounded-compare contract. */
+  private def q190(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wType = Window.partitionBy($"event_type")
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("term", expr("shiftleft(cnt, CAST(rn - 1 AS INT))"))
+      .withColumn("csum", sum($"term").over(wRun))
+      .withColumn("x1", first($"cnt").over(wRun))
+      .withColumn("ewma",
+        ($"csum" + $"x1").cast("double") /
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT))"))
+      .withColumn("prev", lag($"ewma", 1).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wType).cast("double"))
+      .withColumn("sx", sum($"cnt".cast("double")).over(wType))
+      .withColumn("sxx", sum(($"cnt" * $"cnt").cast("double")).over(wType))
+      .withColumn("sigma", sqrt($"n" * $"sxx" - $"sx" * $"sx") / $"n")
+      .withColumn("resid",
+        when($"prev".isNull, lit(0.0)).otherwise($"cnt" - $"prev"))
+      .select($"event_type", $"day", $"cnt", $"ewma", $"resid",
+        (abs($"resid") > lit(3.0) * $"sigma").cast("int").as("shock"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q190Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), g AS (
+      |  SELECT event_type, day, cnt,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+      |         sum(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type) AS sx,
+      |         sum(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+      |           OVER (PARTITION BY event_type) AS sxx
+      |  FROM daily
+      |), s AS (
+      |  SELECT event_type, day, cnt, rn, n, sx, sxx,
+      |         CAST(sum(cnt << (rn - 1)) OVER (PARTITION BY event_type ORDER BY day
+      |                                         ROWS UNBOUNDED PRECEDING) +
+      |              first_value(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+      |           (CAST(1 AS BIGINT) << rn) AS ewma
+      |  FROM g
+      |), r AS (
+      |  SELECT event_type, day, cnt, ewma, n, sx, sxx,
+      |         lag(ewma, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM s
+      |)
+      |SELECT event_type, day, cnt, ewma,
+      |       CASE WHEN prev IS NULL THEN 0.0 ELSE cnt - prev END AS resid,
+      |       CAST(abs(CASE WHEN prev IS NULL THEN 0.0 ELSE cnt - prev END) >
+      |            3.0 * (sqrt(n * sxx - sx * sx) / n) AS INTEGER) AS shock
+      |FROM r
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q125_cusum_changepoint", q125, Some(q125Sql)),
+    Q("q190_ewma_control", q190, Some(q190Sql)),
     Q("q126_seasonal_decompose", q126, Some(q126Sql)),
     Q("q127_forecast_backtest", q127, Some(q127Sql)),
     Q("q130_rolling_correlation", q130, Some(q130Sql)),

@@ -456,4 +456,35 @@ class FiltersSpec extends SparkSpecBase {
     merged shouldBe sketch(toks)
   }
 
+  test("q189 PMI collocations equal a driver recount; ranking key is the exact lift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q189_pmi_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    rows should have size 20
+    val docToks = sources.Tables.documents(spark, dir)
+      .select(split($"text", "\\s+").as("t")).collect()
+      .map(_.getSeq[String](0).toIndexedSeq)
+    val uni = docToks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n1 = docToks.map(_.size.toLong).sum
+    val bi = docToks.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n2 = docToks.filter(_.size >= 2).map(_.size.toLong - 1).sum
+    // every emitted row reconciles with the exact counts and formula
+    for ((w1, w2, c12, ca, cb, lift) <- rows) {
+      c12 shouldBe bi((w1, w2)); c12 should be >= 5L
+      ca shouldBe uni(w1); cb shouldBe uni(w2)
+      lift shouldBe (c12.toDouble / n2) / ((ca.toDouble / n1) * (cb.toDouble / n1))
+    }
+    // the 20 rows are the global top by (lift desc, w1, w2) over the
+    // min-support survivors — recompute the full ranking on the driver
+    val wantTop = bi.toSeq.filter(_._2 >= 5L).map { case ((a, b), c) =>
+      val l = (c.toDouble / n2) / ((uni(a).toDouble / n1) * (uni(b).toDouble / n1))
+      (a, b, l)
+    }.sortBy { case (a, b, l) => (-l, a, b) }.take(20).map(t => (t._1, t._2))
+    rows.map(r => (r._1, r._2)).toSeq shouldBe wantTop
+  }
+
 }

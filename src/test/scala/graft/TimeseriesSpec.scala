@@ -187,6 +187,35 @@ class TimeseriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q190 EWMA equals the sequential λ=½ recurrence bit-for-bit") {
+    val got = SparkEntry.queries("q190_ewma_control")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+      .toMap
+    got.size shouldBe daily.values.map(_.size).sum
+    for ((tpe, series) <- daily) {
+      val xs = series.map(_._2.toDouble)
+      val n = xs.size.toDouble
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      val sigma = math.sqrt(n * sxx - sx * sx) / n
+      var s = Double.NaN
+      for (((day, x), i) <- series.zipWithIndex) {
+        val prev = s
+        s = if (i == 0) x.toDouble else (x + s) / 2.0 // the λ=½ recurrence
+        val (cnt, ewma, resid, shock) = got((tpe, day.toString))
+        cnt shouldBe x
+        // the dyadic closed form must equal the sequential recurrence
+        // EXACTLY — (x+s)/2 is one add + one exact halving, and the
+        // engine's shift-sum/2^t form computes the same dyadic rational
+        ewma shouldBe s
+        val wantResid = if (i == 0) 0.0 else x - prev
+        resid shouldBe wantResid
+        shock shouldBe (if (math.abs(wantResid) > 3.0 * sigma) 1 else 0)
+      }
+    }
+  }
+
   test("q143 ACF matches the textbook recompute and respects Cauchy-Schwarz") {
     val got = SparkEntry.queries("q143_autocorrelation")(spark, dir)
       .collect()
