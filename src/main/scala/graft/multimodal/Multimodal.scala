@@ -175,6 +175,22 @@ object Multimodal {
       }
       Wav(channels, rate, bits, n, if (n == 0) 0.0 else math.sqrt(s / n))
     }
+
+    /** The raw PCM16 sample vector of a validated mono WAV — the
+      * decode surface q193's frame-level features consume (decodeWav
+      * summarizes; DSP needs the samples). Same validation contract:
+      * corrupt payloads throw. */
+    def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
+      require(bytes.length >= 44 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 8, "US-ASCII") == "WAVEfmt ", "not a PCM WAV")
+      require(le16(bytes, 20) == 1, "compressed WAV needs a real codec")
+      require(le16(bytes, 34) == 16 && le16(bytes, 22) == 1 &&
+        new String(bytes, 36, 4, "US-ASCII") == "data" &&
+        le32(bytes, 40) == bytes.length - 44,
+        "expected mono PCM16 with exact data chunk")
+      Array.tabulate[Short](le32(bytes, 40) / 2)(i => le16(bytes, 44 + i * 2).toShort)
+    }
   }
 
   /** Synthesize an asset table from `documents` (text → UTF-8 payload):
@@ -464,9 +480,97 @@ object Multimodal {
       |GROUP BY 1, 2, 3
       |ORDER BY asset_id""".stripMargin
 
+  // -------------------------------------------------------------- q193
+  /** Frame-level audio features over the REAL-decoded WAV payloads —
+    * the DSP step after q152's structural decode: per 256-sample frame,
+    * energy (Σs² exact BIGINT + RMS) and zero-crossing rate (the
+    * classic voiced/unvoiced + silence-trim features an audio curation
+    * pipeline gates on before transcription). The Spark side decodes
+    * the actual RIFF bytes back to PCM16 ([[MediaCodec
+    * .decodeWavSamples]] — validating parser, corrupt payloads throw);
+    * the ORACLE never parses a WAV: it predicts every sample from the
+    * generation's closed form ((byte−128)·256 per UTF-8 text byte, the
+    * q152 contract) via the q158 hex-substr byte extraction — so a
+    * sample-order slip, sign-extension bug, or off-by-one in the frame
+    * walk breaks the hash.
+    *
+    * Determinism: sum_sq and zcr are exact integers (samples ≤ 2¹⁵,
+    * 256-frames → Σs² < 2³⁸); rms = sqrt(sum_sq/256) is one exact
+    * halving-family division + correctly-rounded sqrt — bit-identical,
+    * zero rounding. Scale shape: decode + framing is mapPartitions
+    * (the documented codec seam — a byte parser is per-row imperative
+    * work, the one place the brief licenses it); output volume is
+    * n_samples/256 rows per asset; the binary column never shuffles
+    * (frames emit narrow numeric rows). */
+  private[graft] def audioFrames(spark: SparkSession, dir: String,
+      frame: Int = 256): DataFrame = {
+    require(frame > 0, s"need frame > 0 (got $frame)")
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val rate = 8000 * (1 + (id % 4).toInt)
+          val bytes = MediaCodec.encodeWavPcm16(rate,
+            Array.tabulate[Short](tb.length)(i => (((tb(i) & 0xff) - 128) * 256).toShort))
+          val s = MediaCodec.decodeWavSamples(bytes)
+          val nf = s.length / frame
+          (0 until nf).iterator.map { f =>
+            var ss = 0L; var zc = 0L
+            var i = f * frame
+            while (i < (f + 1) * frame) {
+              ss += s(i).toLong * s(i)
+              if (i > f * frame && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+              i += 1
+            }
+            (id, rate, f, ss, zc, math.sqrt(ss.toDouble / frame))
+          }
+        }
+      }
+      .toDF("asset_id", "sample_rate", "frame", "sum_sq", "zcr", "rms")
+      .orderBy($"asset_id", $"frame")
+  }
+
+  private def q193(spark: SparkSession, dir: String): DataFrame =
+    audioFrames(spark, dir)
+
+  private val q193Sql =
+    """WITH au AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS sample_rate,
+      |         hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), samp AS (
+      |  SELECT asset_id, sample_rate,
+      |         [(CAST(concat('0x', substr(h, i*2+1, 2)) AS INTEGER) - 128) * 256
+      |          for i in generate_series(0, n-1)] AS s,
+      |         n // 256 AS nf
+      |  FROM au
+      |), fr AS (
+      |  SELECT asset_id, sample_rate, s,
+      |         unnest(generate_series(0, nf-1)) AS frame
+      |  FROM samp WHERE nf >= 1
+      |), agg AS (
+      |  SELECT asset_id, sample_rate, CAST(frame AS INTEGER) AS frame,
+      |         CAST(list_sum([CAST(s[frame*256+i] AS BIGINT) * s[frame*256+i]
+      |                        for i in generate_series(1, 256)]) AS BIGINT) AS sum_sq,
+      |         CAST(list_sum([CASE WHEN (s[frame*256+i+1] >= 0) <> (s[frame*256+i] >= 0)
+      |                             THEN 1 ELSE 0 END
+      |                        for i in generate_series(1, 255)]) AS BIGINT) AS zcr
+      |  FROM fr
+      |)
+      |SELECT asset_id, sample_rate, frame, sum_sq, zcr,
+      |       sqrt(CAST(sum_sq AS DOUBLE) / 256.0) AS rms
+      |FROM agg
+      |ORDER BY asset_id, frame""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_multimodal_features", q36, Some(q36Sql)),
     Q("q152_media_decode", q152, Some(q152Sql)),
     Q("q158_image_dhash", q158, Some(q158Sql)),
+    Q("q193_audio_features", q193, Some(q193Sql)),
   )
 }

@@ -911,7 +911,117 @@ object Stats {
       |FROM cells CROSS JOIN tot
       |ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------- q191
+  /** Functional-dependency discovery over the orders dimension columns
+    * — the ANALYZE-adjacent profiling step schema tools run before
+    * normalization / dedup-key selection (Papenbrock et al. VLDB'15
+    * frame the search; this is the bounded-column-set audit tier):
+    * A → B holds iff every A-group sees exactly one B value. For every
+    * ordered pair over the 4-column candidate set, emits the group
+    * count, how many groups violate, the worst per-group RHS
+    * cardinality, and the verdict — all exact integers, hash-exact.
+    *
+    * Scale shape: each pair is a two-level partial+final aggregate
+    * (groupBy LHS with countDistinct RHS, then one contraction row) —
+    * shuffle width = LHS cardinality. The pair set is a compile-time
+    * profiling budget (k² aggregates over one pruned 4-column scan);
+    * at 100 TB you run it with the same budget, or seed candidates
+    * from q106's NDV stats (NDV(A) ≈ NDV(A,B) is the cheap prefilter). */
+  private val FdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  private def q191(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(FdCols.map(col): _*)
+    val pairFrames = for {
+      a <- FdCols; b <- FdCols if a != b
+    } yield base
+      .groupBy(col(a))
+      .agg(countDistinct(col(b)).as("ndb"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when($"ndb" > 1, 1L).otherwise(0L)).as("violating_groups"),
+        max($"ndb").as("max_rhs"))
+      .select(lit(a).as("lhs"), lit(b).as("rhs"),
+        $"n_groups", $"violating_groups", $"max_rhs",
+        ($"max_rhs" === 1L).cast("int").as("holds"))
+    pairFrames.reduce(_ unionAll _).orderBy($"lhs", $"rhs")
+  }
+
+  private val q191Sql: String = {
+    val selects = for { a <- FdCols; b <- FdCols if a != b } yield
+      s"""  SELECT '$a' AS lhs, '$b' AS rhs,
+         |         CAST(count(*) AS BIGINT) AS n_groups,
+         |         CAST(sum(CASE WHEN ndb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+         |         CAST(max(ndb) AS BIGINT) AS max_rhs,
+         |         CAST(max(ndb) = 1 AS INTEGER) AS holds
+         |  FROM (SELECT $a, CAST(count(DISTINCT $b) AS BIGINT) AS ndb
+         |        FROM orders GROUP BY 1)""".stripMargin
+    selects.mkString("", "\n  UNION ALL\n", "\nORDER BY lhs, rhs")
+  }
+
+  // -------------------------------------------------------------- q192
+  /** Mutual information between event type and global value decile —
+    * the NONLINEAR dependence profile next to q169's linear
+    * correlations and q117's chi-square: MI = Σ p_td·ln(p_td/(p_t·p_d))
+    * measured over the (type, decile) contingency cells. Emitted
+    * per-cell so the report localizes WHERE the dependence lives
+    * (which type concentrates in which value band); the spec sums the
+    * terms to the scalar MI and checks non-negativity.
+    *
+    * Determinism: deciles are ntile(10) ordered by (value, event_id) —
+    * q148's unique tiebreak, engine-identical; `lift` is the exact
+    * integer cross-ratio n_td·n / (n_t·n_d) in one fixed
+    * parenthesization (BIGINT products — exact through ~3·10⁹ rows,
+    * past that the same formula runs in doubles); only the ln display
+    * term rounds (detRound 6). Shape: one value-ordered global window
+    * (the decile pass; at 100 TB swap for q54's sketch edges), then
+    * partial+final cell counts + two broadcast margins. */
+  private def q192(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"value", $"event_id")
+    val binned = Tables.events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("decile", ntile(10).over(w))
+    val cells = binned.groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n_td"))
+    val mt = cells.groupBy($"event_type").agg(sum($"n_td").as("n_t"))
+    val md = cells.groupBy($"decile").agg(sum($"n_td").as("n_d"))
+    val n = cells.agg(sum($"n_td").as("n"))
+    val lift = ($"n_td" * $"n").cast("double") / ($"n_t" * $"n_d")
+    cells
+      .join(broadcast(mt), Seq("event_type"))
+      .join(broadcast(md), Seq("decile"))
+      .crossJoin(broadcast(n))
+      .select($"event_type", $"decile", $"n_td", $"n_t", $"n_d",
+        lift.as("lift"),
+        round(($"n_td".cast("double") / $"n") * log(lift), 6).as("mi_term"))
+      .orderBy($"event_type", $"decile")
+  }
+
+  private val q192Sql: String =
+    """WITH binned AS (
+      |  SELECT event_type,
+      |         ntile(10) OVER (ORDER BY value, event_id) AS decile
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n_td
+      |  FROM binned GROUP BY 1, 2
+      |), mt AS (SELECT event_type, CAST(sum(n_td) AS BIGINT) AS n_t FROM cells GROUP BY 1),
+      |md AS (SELECT decile, CAST(sum(n_td) AS BIGINT) AS n_d FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(sum(n_td) AS BIGINT) AS n FROM cells)
+      |SELECT c.event_type, CAST(c.decile AS INTEGER) AS decile, c.n_td, mt.n_t, md.n_d,
+      |       CAST(c.n_td * n AS DOUBLE) / (mt.n_t * md.n_d) AS lift,
+      |       round((CAST(c.n_td AS DOUBLE) / n) *
+      |             ln(CAST(c.n_td * n AS DOUBLE) / (mt.n_t * md.n_d)), 6) AS mi_term
+      |FROM cells c
+      |JOIN mt ON mt.event_type = c.event_type
+      |JOIN md ON md.decile = c.decile
+      |CROSS JOIN nt
+      |ORDER BY c.event_type, c.decile""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q191_fd_discovery", q191, Some(q191Sql)),
+    Q("q192_mutual_information", q192, Some(q192Sql)),
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q174_quantile_normalize", q174, Some(q174Sql)),
     Q("q176_exact_median", q176, Some(q176Sql)),

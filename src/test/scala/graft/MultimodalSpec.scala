@@ -120,6 +120,39 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q193 audio frames replay the closed-form samples; features reconcile") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q193_audio_features")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    got should not be empty
+    val docs = sources.Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    var frames = 0
+    for ((id, text) <- docs) {
+      val tb = text.getBytes("UTF-8")
+      val rate = 8000 * (1 + (id % 4).toInt)
+      // independent replay straight from the generation contract —
+      // NOT through the WAV codec the engine used
+      val s = tb.map(b => ((b & 0xff) - 128) * 256)
+      for (f <- 0 until s.length / 256) {
+        frames += 1
+        val fr = s.slice(f * 256, (f + 1) * 256)
+        val (ss, zc, rms) = got((id, rate, f))
+        ss shouldBe fr.map(x => x.toLong * x).sum
+        zc shouldBe fr.sliding(2).count(p => (p(1) >= 0) != (p(0) >= 0)).toLong
+        rms shouldBe math.sqrt(ss.toDouble / 256)
+        // energy/ZCR sanity: silence (all-128 bytes) would be ss=0; text
+        // bytes are never all 128, so every frame carries energy
+        ss should be > 0L
+        zc should (be >= 0L and be <= 255L)
+      }
+    }
+    got.size shouldBe frames // no phantom frames, no dropped tails
+  }
+
   test("q158 dHash has the perceptual-hash properties: gradient, scale invariance, locality") {
     import Multimodal.dhashOf
     def gradient(w: Int, h: Int, reverse: Boolean): Array[Byte] =

@@ -335,6 +335,51 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q191 FD verdicts equal a driver recount over the candidate columns") {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rows = sources.Tables.orders(spark, dir)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i).toString }.toMap)
+    val got = SparkEntry.queries("q191_fd_discovery")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    got.size shouldBe cols.size * (cols.size - 1)
+    for (a <- cols; b <- cols if a != b) {
+      val groups = rows.groupBy(_(a)).view.mapValues(_.map(_(b)).distinct.size.toLong)
+      val (nG, viol, maxR, holds) = got((a, b))
+      nG shouldBe groups.size.toLong
+      viol shouldBe groups.values.count(_ > 1).toLong
+      maxR shouldBe groups.values.max
+      holds shouldBe (if (groups.values.max == 1L) 1 else 0)
+    }
+  }
+
+  test("q192 MI cells satisfy the marginal identities and sum to a non-negative MI") {
+    val rows = SparkEntry.queries("q192_mutual_information")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val n = rows.map(_._3).sum
+    // margins reconcile with the cells they annotate
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      g.map(_._4).distinct should have size 1
+      g.map(_._3).sum shouldBe g.head._4
+    }
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      g.map(_._5).distinct should have size 1
+      g.map(_._3).sum shouldBe g.head._5
+    }
+    // lift is the exact cross-ratio; term = p*ln(lift) (rounded 6dp)
+    for ((_, _, nTd, nT, nD, lift, term) <- rows) {
+      lift shouldBe (nTd * n).toDouble / (nT * nD)
+      term shouldBe (math.floor((nTd.toDouble / n) * math.log(lift) * 1e6 + 0.5) / 1e6)
+    }
+    // MI ≥ 0 (Gibbs); per-cell rounding error is bounded by cells·5e-7
+    rows.map(_._7).sum should be >= -rows.size * 5e-7
+    // deciles are balanced within one row (q148's ntile discipline)
+    val dSizes = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).values
+    (dSizes.max - dSizes.min) should be <= 1L
+  }
+
   test("q179 WOE bins recompute from raw counts; IV terms are non-negative") {
     val rows = SparkEntry.queries("q179_woe_binning")(spark, dir)
       .as[(Int, Long, Long, Long, Double, Double, Double, Double)].collect()
