@@ -578,4 +578,15 @@ object Graft {
     * (q188 fixes top-20). */
   def cmsHeavyHitters(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
     operators.TextAnalysis.cmsHeavyHitters(spark, dir, topK)
+
+  /** PMI collocation mining with the support floor and report size
+    * open (q189 fixes c ≥ 5, top-20). */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame =
+    operators.TextAnalysis.pmiCollocations(spark, dir, minCount, topK)
+
+  /** Frame-level audio features over the real-decoded WAV corpus with
+    * the frame width open (q193 fixes 256 samples). */
+  def audioFrames(spark: SparkSession, dir: String, frame: Int = 256): DataFrame =
+    multimodal.Multimodal.audioFrames(spark, dir, frame)
 }

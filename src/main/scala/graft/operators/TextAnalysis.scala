@@ -1200,8 +1200,17 @@ object TextAnalysis {
     * uses), so daily shards sketch independently and union without
     * rescanning history. The probe side is 20 rows × 4 probes joined
     * against the broadcast 2 048-cell table. */
-  private val CmsD = 4
-  private val CmsW = 512
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 512
+
+  /** The (r, col) probe family of one token — shared by the batch
+    * sketch build, the probe side, and [[graft.streaming.CmsStream]]'s
+    * continuous maintenance (one definition ⇒ the streamed cells can
+    * never fork from the batch sketch). */
+  private[graft] def cmsProbes(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsD).map(r =>
+      struct(lit(r).as("r"),
+        (Portable.hash32(concat(lit(s"cms$r|"), w)) % CmsW).as("col"))): _*)
 
   private[graft] def cmsHeavyHitters(spark: SparkSession, dir: String,
       topK: Int): DataFrame = {
@@ -1209,10 +1218,7 @@ object TextAnalysis {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(Portable.tokens($"text")).as("w"))
-    def probeCols(w: org.apache.spark.sql.Column) =
-      array((0 until CmsD).map(r =>
-        struct(lit(r).as("r"),
-          (Portable.hash32(concat(lit(s"cms$r|"), w)) % CmsW).as("col"))): _*)
+    def probeCols(w: org.apache.spark.sql.Column) = cmsProbes(w)
     val cells = toks
       .select(inline(probeCols($"w")))
       .groupBy($"r", $"col").agg(count(lit(1)).as("cell"))
@@ -1341,10 +1347,62 @@ object TextAnalysis {
        |ORDER BY lift DESC, w1 ASC, w2 ASC
        |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- q194
+  /** Byte-entropy quality scoring — the compression-proxy filter
+    * (low-entropy text is repetitive boilerplate/padding, maximal
+    * entropy is binary junk blown into a text column; real prose sits
+    * in a band) used alongside q32's ratio features and q59's
+    * repetition filter: per document, Shannon entropy of the UTF-8
+    * BYTE distribution via H = ln(n) − (Σ c·ln c)/n over the byte
+    * histogram. Byte extraction is pure column algebra (hex +
+    * substring pairs — the q158/q193 idiom, shared verbatim by the
+    * oracle), so the operator is UDF-free and codegen'd end-to-end.
+    *
+    * Scale shape: explode to the byte stream (row volume = corpus
+    * bytes — the same order as any tokenizing scan), contract to the
+    * per-(doc, byte) grid (≤256 rows/doc) in one partial+final
+    * aggregate, then one per-doc aggregate. H is a rounded float
+    * aggregate (ln is libm; q142's rule). */
+  private def q194(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bytesOf = Tables.documents(spark, dir)
+      .select($"doc_id", hex(encode($"text", "UTF-8")).as("h"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(h) div 2), i -> conv(substring(h, 2*i - 1, 2), 16, 10))")).as("bv"))
+    bytesOf
+      .groupBy($"doc_id", $"bv").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        sum($"c" * log($"c")).as("slnc"))
+      .select($"doc_id", $"n_bytes", $"n_distinct_bytes",
+        round(log($"n_bytes") - $"slnc" / $"n_bytes", 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  private val q194Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INTEGER) AS bv
+      |  FROM (SELECT doc_id, hex(encode(text)) AS h,
+      |               unnest(generate_series(1, octet_length(encode(text)))) AS i
+      |        FROM documents)
+      |), hist AS (
+      |  SELECT doc_id, bv, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |       CAST(sum(c) AS BIGINT) AS n_bytes,
+      |       CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+      |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+      |FROM hist
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q188_cms_heavy_hitters", q188, Some(q188Sql)),
     Q("q189_pmi_collocations", q189, Some(q189Sql)),
+    Q("q194_byte_entropy", q194, Some(q194Sql)),
     Q("q32_quality_score", q32, Some(q32Sql)),
     Q("q33_token_stats", q33, Some(q33Sql)),
     Q("q34_fingerprint", q34, Some(q34Sql)),

@@ -487,4 +487,27 @@ class FiltersSpec extends SparkSpecBase {
     rows.map(r => (r._1, r._2)).toSeq shouldBe wantTop
   }
 
+  test("q194 byte entropy equals a driver recompute and respects its bounds") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q194_byte_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    got.size shouldBe docs.length
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes("UTF-8")
+      val hist = bytes.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = bytes.length.toLong
+      val h = math.log(n.toDouble) -
+        hist.values.map(c => c * math.log(c.toDouble)).sum / n
+      val (nB, nD, entropy) = got(id)
+      nB shouldBe n
+      nD shouldBe hist.size.toLong
+      entropy shouldBe h +- 1e-5
+      // Shannon bounds: 0 ≤ H ≤ ln(distinct symbols) ≤ ln 256
+      entropy should be >= 0.0
+      entropy should be <= math.log(hist.size.toDouble) + 1e-6
+    }
+  }
+
 }

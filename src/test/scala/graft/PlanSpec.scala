@@ -795,6 +795,52 @@ class PlanSpec extends SparkSpecBase {
     p.toLowerCase should include("dotproduct") // 16 fused native dots, no zip_with
   }
 
+  test("q189: PMI counts aggregate partial+final; top-20 is TakeOrdered, no cartesian") {
+    val p = plan("q189_pmi_collocations")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    (p should not).include("CartesianProduct")
+    // the unigram re-attach joins stay in hash-join space (broadcast at
+    // fixture stats; SMJ at vocabulary scale — never nested-loop over
+    // multi-row sides; the only BNLJ inputs are the 1-row totals)
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q190: all six EWMA window passes ride the grid agg + one type-keyed exchange") {
+    val p = plan("q190_ewma_control")
+    // exactly two hash exchanges total: the (type, day) grid aggregate
+    // and the type-keyed window sort every window pass shares
+    val anyHash = "Arguments: hashpartitioning"
+    p.sliding(anyHash.length).count(_ == anyHash) shouldBe 2
+    (p should not).include("Join")
+  }
+
+  test("q191: every FD pair scan prunes to exactly its two columns") {
+    val p = plan("q191_fd_discovery")
+    // Catalyst pushes the per-pair projection all the way down: each of
+    // the 12 scans reads only its (LHS, RHS) pair, never the 4-column
+    // base projection (and never the 6-column table)
+    p should include("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>")
+    p should include("ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>")
+    (p should not).include("o_totalprice")
+    (p should not).include("Join")
+    p should include("partial_count")
+  }
+
+  test("q192: margins broadcast back to the cells; no shuffle after the cell grid") {
+    val p = plan("q192_mutual_information")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q193: audio featurize is a scan-speed object map — no shuffle before the sort") {
+    val p = plan("q193_audio_features")
+    (p should not).include("Join")
+    (p should not).include("hashpartitioning")
+    p should include("MapPartitions") // the documented codec seam
+  }
+
   test("q188: sketch builds map-side to 2048 cells and broadcasts to the probes") {
     val p = plan("q188_cms_heavy_hitters")
     // sketch shuffle width is (r, col) — partial counts combine map-side
