@@ -982,6 +982,97 @@ object Curation {
        |GROUP BY event_type, hh
        |ORDER BY event_type, hh""".stripMargin
 
+  // -------------------------------------------------------------- q195
+  /** t-closeness audit — the third privacy gate after q97 (k-anonymity:
+    * classes big enough) and q162 (l-diversity: sensitive values varied
+    * enough): a class can pass both yet still leak if its sensitive
+    * DISTRIBUTION deviates from the table's (Li, Li & Venkatasubramanian
+    * ICDE'07 — "a class of all-high salaries is diverse but tells the
+    * adversary plenty"). Sensitive attribute here is the event value
+    * discretized to its GLOBAL decile (ordered, so distance between
+    * distributions is the ordered-EMD: EMD = Σ_j |Σ_{i≤j}(p_i − q_i)| /
+    * (m−1), the closed form the paper gives for ordered attributes);
+    * quasi-identifiers are q162's (event_type, hour).
+    *
+    * Shape: one global decile pass (q192's ntile discipline; at 100 TB
+    * the q54 sketch edges), one partial+final (class, decile)
+    * contraction, a literal 10-row spine densifies absent deciles
+    * (q142's trick — an absent decile still contributes |cum| mass),
+    * then the EMD is a decile-ordered window cumsum + one per-class
+    * aggregate over 10 rows. The cumulative differences are
+    * sequential-fold deterministic (window order fixes association);
+    * the terminal 6-dp round absorbs the 9-term sum. */
+  private val TClose = 0.2
+
+  private def q195(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wNt = Window.orderBy($"value", $"event_id")
+    val binned = Tables.events(spark, dir)
+      .select($"event_type", hour($"ts").cast("long").as("hh"),
+        $"value", $"event_id")
+      .withColumn("decile", ntile(10).over(wNt))
+    val cells = binned.groupBy($"event_type", $"hh", $"decile")
+      .agg(count(lit(1)).as("c"))
+    val globals = binned.groupBy($"decile").agg(count(lit(1)).as("g"))
+    val totals = globals.agg(sum($"g").as("n"))
+    val classes = cells.groupBy($"event_type", $"hh")
+      .agg(sum($"c").as("class_size"))
+    val spine = classes.select($"event_type", $"hh", $"class_size",
+      explode(sequence(lit(1), lit(10))).as("decile"))
+    val wCum = Window.partitionBy($"event_type", $"hh").orderBy($"decile")
+    spine
+      .join(cells, Seq("event_type", "hh", "decile"), "left_outer")
+      .join(broadcast(globals), Seq("decile"))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff",
+        coalesce($"c", lit(0L)).cast("double") / $"class_size" -
+          $"g".cast("double") / $"n")
+      .withColumn("cum", sum($"diff").over(wCum))
+      .filter($"decile" < 10) // the m-th cumulative is identically 0
+      .groupBy($"event_type", $"hh")
+      .agg(min($"class_size").as("class_size"),
+        round(sum(abs($"cum")) / 9.0, 6).as("emd"))
+      .withColumn("at_risk", ($"emd" > TClose).cast("int"))
+      .orderBy($"event_type", $"hh")
+  }
+
+  private val q195Sql: String =
+    s"""WITH binned AS (
+       |  SELECT event_type, hour(ts) AS hh,
+       |         ntile(10) OVER (ORDER BY value, event_id) AS decile
+       |  FROM events
+       |), cells AS (
+       |  SELECT event_type, hh, decile, CAST(count(*) AS BIGINT) AS c
+       |  FROM binned GROUP BY 1, 2, 3
+       |), globals AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS g FROM binned GROUP BY 1
+       |), totals AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM globals),
+       |classes AS (
+       |  SELECT event_type, hh, CAST(sum(c) AS BIGINT) AS class_size
+       |  FROM cells GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT cl.event_type, cl.hh, cl.class_size, d.decile
+       |  FROM classes cl CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+       |), cum AS (
+       |  SELECT sp.event_type, sp.hh, sp.class_size, sp.decile,
+       |         sum(CAST(COALESCE(ce.c, 0) AS DOUBLE) / sp.class_size -
+       |             CAST(g.g AS DOUBLE) / t.n)
+       |           OVER (PARTITION BY sp.event_type, sp.hh ORDER BY sp.decile) AS cum
+       |  FROM spine sp
+       |  LEFT JOIN cells ce ON ce.event_type = sp.event_type
+       |                    AND ce.hh = sp.hh AND ce.decile = sp.decile
+       |  JOIN globals g ON g.decile = sp.decile
+       |  CROSS JOIN totals t
+       |)
+       |SELECT event_type, CAST(hh AS BIGINT) AS hh,
+       |       CAST(min(class_size) AS BIGINT) AS class_size,
+       |       round(sum(abs(cum)) / 9.0, 6) AS emd,
+       |       CAST(round(sum(abs(cum)) / 9.0, 6) > $TClose AS INTEGER) AS at_risk
+       |FROM cum
+       |WHERE decile < 10
+       |GROUP BY event_type, hh
+       |ORDER BY event_type, hh""".stripMargin
+
   // ------------------------------------------------ curated snapshot
   /** The pipeline's SINK: materialize the curated corpus to parquet,
     * composing the catalog's own stages — quality-aware keeper per
@@ -1108,5 +1199,6 @@ object Curation {
     Q("q93_length_histogram", q93, Some(q93Sql)),
     Q("q97_k_anonymity", q97, Some(q97Sql)),
     Q("q162_l_diversity", q162, Some(q162Sql)),
+    Q("q195_t_closeness", q195, Some(q195Sql)),
   ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
 }

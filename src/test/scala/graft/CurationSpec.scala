@@ -321,4 +321,42 @@ class CurationSpec extends SparkSpecBase {
     planned should be <= budget.toDouble + 0.005 * rows.length
     planned should be >= budget * 0.5
   }
+
+  test("q195 t-closeness EMD equals a driver recompute and sits in [0,1]") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = SparkEntry.queries("q195_t_closeness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // independent decile assignment replayed from the same total order
+    val rows = sources.Tables.events(spark, sfDir)
+      .select($"event_type", hour($"ts").cast("long").as("hh"), $"value", $"event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = rows.length
+    val sorted = rows.sortBy(r => (r._3, r._4))
+    // ntile(k): first (n mod k) tiles get ceil(n/k) rows
+    val deciles = sorted.zipWithIndex.map { case (r, i) =>
+      val big = n % 10; val h = n / 10 + 1
+      val d = if (i < big.toLong * h) i / h else big + (i - big * h) / (n / 10)
+      (r._1, r._2) -> (d + 1)
+    }
+    val global = deciles.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byClass = deciles.groupBy(_._1)
+    got.keySet shouldBe byClass.keySet
+    for ((cls, members) <- byClass) {
+      val cc = members.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val m = members.size.toLong
+      var cum = 0.0; var acc = 0.0
+      for (d <- 1 to 9) {
+        cum += cc.getOrElse(d, 0L).toDouble / m - global(d).toDouble / n
+        acc += math.abs(cum)
+      }
+      val emd = acc / 9.0
+      val (size, gotEmd, risk) = got(cls)
+      size shouldBe m
+      gotEmd shouldBe emd +- 1e-5
+      gotEmd should (be >= 0.0 and be <= 1.0)
+      risk shouldBe (if (gotEmd > 0.2) 1 else 0)
+    }
+  }
 }
