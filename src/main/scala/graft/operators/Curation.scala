@@ -31,17 +31,7 @@ import graft.sources.Tables
   *  - q52 is two hash-aggregates (term frequency, document frequency)
   *    + a broadcast of the 1-row corpus count; shuffle width = #terms.
   */
-object Curation {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
-  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+object Curation extends DetRounding {
 
   // --------------------------------------------------------------- q50
   /** Duplicate-cluster resolution: connected components over the LSH
@@ -994,8 +984,9 @@ object Curation {
     * (m−1), the closed form the paper gives for ordered attributes);
     * quasi-identifiers are q162's (event_type, hour).
     *
-    * Shape: one global decile pass (q192's ntile discipline; at 100 TB
-    * the q54 sketch edges), one partial+final (class, decile)
+    * Shape: one DISTRIBUTED exact decile pass (q192's discipline —
+    * [[Ranks.withGlobalRank]] + [[Ranks.ntileFromRank]], never a
+    * single-task full-table window), one partial+final (class, decile)
     * contraction, a literal 10-row spine densifies absent deciles
     * (q142's trick — an absent decile still contributes |cum| mass),
     * then the EMD is a decile-ordered window cumsum + one per-class
@@ -1006,11 +997,12 @@ object Curation {
 
   private def q195(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wNt = Window.orderBy($"value", $"event_id")
-    val binned = Tables.events(spark, dir)
-      .select($"event_type", hour($"ts").cast("long").as("hh"),
-        $"value", $"event_id")
-      .withColumn("decile", ntile(10).over(wNt))
+    val binned = Ranks.withGlobalRank(
+        Tables.events(spark, dir)
+          .select($"event_type", hour($"ts").cast("long").as("hh"),
+            $"value", $"event_id"),
+        "value", "event_id", rn = "__rn", n = "__n")
+      .withColumn("decile", Ranks.ntileFromRank("__rn", "__n", 10))
     val cells = binned.groupBy($"event_type", $"hh", $"decile")
       .agg(count(lit(1)).as("c"))
     val globals = binned.groupBy($"decile").agg(count(lit(1)).as("g"))
@@ -1200,5 +1192,5 @@ object Curation {
     Q("q97_k_anonymity", q97, Some(q97Sql)),
     Q("q162_l_diversity", q162, Some(q162Sql)),
     Q("q195_t_closeness", q195, Some(q195Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -26,17 +26,7 @@ import graft.sources.Tables
   *  - Jaccard verification joins shingle sets only for LSH candidates;
   *  - SimHash: one aggregate per doc over token hash bit-planes.
   */
-object Dedup {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+object Dedup extends DetRounding {
 
   /** MinHash permutation constants: h_j(x) = (A(j)*x + B(j)) mod P with
     * P prime > 2^32. A,B < 2^17 keep A*x < 2^49 (no Long overflow). */
@@ -1130,8 +1120,11 @@ object Dedup {
     import spark.implicits._
     val names = Tables.part(spark, dir)
       .groupBy($"p_name").agg(count(lit(1)).as("n"))
-    val ids = names.select($"p_name", $"n",
-      row_number().over(Window.orderBy($"p_name")).cast("long").as("nid"))
+    // distributed lexicographic dictionary rank (prefix-bucketed
+    // two-phase prefix sum — no dictionary-global one-task window)
+    val ids = Ranks.withGlobalRankByPrefix(names, "p_name",
+        rn = "nid", n = "__dn")
+      .select($"p_name", $"n", $"nid")
     val evidence = fuzzyNamePairs(spark, dir, maxDist = 2)
       .select($"name_a", $"name_b")
       .union(sortedNeighborhoodPairs(spark, dir, window = 10, maxDist = 2)
@@ -1210,12 +1203,11 @@ object Dedup {
     * its ≤2 overlapping blocks, EQUI-join on block with the rank test
     * as residual — so per-task pair counts are bounded by 2W per name
     * and the plan never degenerates to a nested-loop cross product
-    * (PlanSpec-locked). The global row_number runs over the DISTINCT
-    * dictionary (64 names here; dictionary ≪ rows at any scale) — for
-    * a dictionary too big for one partition, swap in
-    * `repartitionByRange(sortKey)` + partition-local ranks with a
-    * W-row boundary overlap, the standard distributed merge/purge
-    * layout (same trade documented on q164's layout cut). */
+    * (PlanSpec-locked). The dictionary rank itself is DISTRIBUTED
+    * ([[Ranks.withGlobalRankByPrefix]] — prefix-bucketed local ranks +
+    * broadcast offsets, the standard distributed merge/purge layout),
+    * so no dictionary-global one-task window survives even when the
+    * dictionary scales with the corpus. */
   private val SnWindow = 10
 
   private def q170(spark: SparkSession, dir: String): DataFrame =
@@ -1244,8 +1236,13 @@ object Dedup {
     import spark.implicits._
     val names = Tables.part(spark, dir)
       .groupBy($"p_name").agg(count(lit(1)).cast("long").as("n"))
-    val ranked = names.select($"p_name", $"n",
-      row_number().over(Window.orderBy($"p_name")).cast("long").as("rk"))
+    // distributed lexicographic dictionary rank (prefix-bucketed
+    // two-phase prefix sum — the documented production swap for the
+    // dictionary-global one-task window; the oracle keeps the naive
+    // row_number spelling as the parity proof)
+    val ranked = Ranks.withGlobalRankByPrefix(names, "p_name",
+        rn = "rk", n = "__dn")
+      .select($"p_name", $"n", $"rk")
       .withColumn("blk", floor($"rk" / window))
     val probe = ranked.withColumn("jb", explode(array($"blk", $"blk" + 1)))
     probe.as("a").join(ranked.as("b"),
@@ -1578,5 +1575,5 @@ object Dedup {
     Q("q155_dup_spans", q155, Some(q155Sql)),
     Q("q159_winnowing", q159, Some(q159Sql)),
     Q("q160_winnow_pairs", q160, Some(q160Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -30,17 +30,7 @@ import graft.sources.Tables
   * operators shuffle once on their partition key and sort within
   * partitions (no global sort until the final presentation ORDER BY).
   */
-object Relational {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
-  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+object Relational extends DetRounding {
 
   // ---------------------------------------------------------------- q0
   /** Filter + projection with arithmetic — predicate and column pruning
@@ -913,14 +903,22 @@ object Relational {
   // --------------------------------------------------------------- q49
   /** Distribution ranking: order-value deciles (ntile) and percent_rank
     * per order — W6 completion. percent_rank = (rank-1)/(n-1), exact
-    * integer arithmetic → bit-identical. */
+    * integer arithmetic → bit-identical.
+    *
+    * Scale shape: the global order is computed DISTRIBUTED by
+    * [[Ranks.withGlobalRank]] (bucketed two-phase prefix sum — no
+    * single-task full-table window anywhere in the plan); ntile and
+    * percent_rank are then pure integer algebra over the exact rank.
+    * The oracle keeps the naive `OVER (ORDER BY ...)` spelling, so the
+    * hash gate proves the decomposition equals the one-task sort. */
   private def q49(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
-    Tables.orders(spark, dir)
+    val base = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_totalprice")
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
+    Ranks.withGlobalRank(base, "o_totalprice", "o_orderkey", "rn", "n")
+      .withColumn("decile", Ranks.ntileFromRank("rn", "n", 10))
+      .withColumn("pct_rank", Ranks.percentRankFromRank("rn", "n"))
+      .select($"o_orderkey", $"o_totalprice", $"decile", $"pct_rank")
       .orderBy($"o_orderkey")
   }
 
@@ -1471,5 +1469,5 @@ object Relational {
     Q("q178_selfjoin_estimate", q178, Some(q178Sql)),
     Q("q163_skyline", q163, Some(q163Sql)),
     Q("q166_bloom_filter_join", q166, Some(q166Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

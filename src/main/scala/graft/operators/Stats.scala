@@ -28,17 +28,7 @@ import graft.sources.Tables
   *    (min/max/counts) by identical IEEE expressions — no libm, no
   *    rounding needed at all.
   */
-object Stats {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+object Stats extends DetRounding {
 
   // -------------------------------------------------------------- q115
   /** Per-returnflag linear relationship quantity → extendedprice:
@@ -673,12 +663,11 @@ object Stats {
     * Ties order by (value, event_id) on both sides.
     *
     * Scale: the per-group window partitions by event_type; the pooled
-    * ranking is written as one global ordered window here for oracle
-    * parity — the production form is `repartitionByRange(value, id)` +
-    * per-partition local ranks offset by broadcast partition counts
-    * (q164's deterministic-cut note), identical output. The pooled
-    * table joins back on the computed index: equi-join, shuffle width
-    * = N rows of three columns. */
+    * ranking runs DISTRIBUTED through [[Ranks.withGlobalRank]] (bucketed
+    * two-phase prefix sum — no single-task full-table window; the
+    * oracle's naive global-window spelling is the parity proof). The
+    * pooled table joins back on the computed index: equi-join, shuffle
+    * width = N rows of three columns. */
   private[graft] def quantileNormalize(events: DataFrame): DataFrame = {
     val wg = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
@@ -687,12 +676,11 @@ object Stats {
       .withColumn("rg", row_number().over(wg).cast("long") - 1)
       .withColumn("ng",
         count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val pooled = events
-      .select(col("value").as("norm_value"), col("event_id").as("pid"))
-      .withColumn("gidx",
-        row_number().over(Window.orderBy(col("norm_value"), col("pid")))
-          .cast("long") - 1)
-      .drop("pid")
+    val pooled = Ranks.withGlobalRank(
+        events.select(col("value").as("norm_value"), col("event_id").as("pid")),
+        "norm_value", "pid", rn = "__prn", n = "__pn")
+      .withColumn("gidx", col("__prn") - 1)
+      .select(col("norm_value"), col("gidx"))
     val n = events.agg(count(lit(1)).as("nn"))
     ranked.crossJoin(broadcast(n))
       .withColumn("gidx",
@@ -791,17 +779,19 @@ object Stats {
     * positive/negative split (outcome = orderstatus 'F'), WOE =
     * ln((posᵢ/pos)/(negᵢ/neg)), and the bin's information-value term
     * (distₚ − distₙ)·WOE — Σ iv over bins is the feature's predictive
-    * power. One window pass + one hash aggregate; counts are exact
-    * integers, WOE/IV are single libm expressions over count ratios
-    * rounded at 6 dp on both engines. */
+    * power. Binning runs DISTRIBUTED through [[Ranks.withGlobalRank]] +
+    * [[Ranks.ntileFromRank]] (no single-task full-table window — the
+    * oracle's naive ntile spelling is the parity proof) + one hash
+    * aggregate; counts are exact integers, WOE/IV are single libm
+    * expressions over count ratios rounded at 6 dp on both engines. */
   private[graft] def woeBinning(orders: DataFrame, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need bins >= 2 (got $bins)")
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    val binned = orders
-      .select(col("o_totalprice"),
-        (col("o_orderstatus") === "F").cast("long").as("pos"),
-        col("o_orderkey"))
-      .withColumn("bin", ntile(bins).over(w))
+    val binned = Ranks.withGlobalRank(
+        orders.select(col("o_totalprice"),
+          (col("o_orderstatus") === "F").cast("long").as("pos"),
+          col("o_orderkey")),
+        "o_totalprice", "o_orderkey", rn = "__rn", n = "__n")
+      .withColumn("bin", Ranks.ntileFromRank("__rn", "__n", bins))
     val cells = binned.groupBy(col("bin")).agg(
       count(lit(1)).as("n"),
       sum(col("pos")).as("n_pos"),
@@ -973,15 +963,17 @@ object Stats {
     * integer cross-ratio n_td·n / (n_t·n_d) in one fixed
     * parenthesization (BIGINT products — exact through ~3·10⁹ rows,
     * past that the same formula runs in doubles); only the ln display
-    * term rounds (detRound 6). Shape: one value-ordered global window
-    * (the decile pass; at 100 TB swap for q54's sketch edges), then
-    * partial+final cell counts + two broadcast margins. */
+    * term rounds (detRound 6). Shape: deciles via the DISTRIBUTED exact
+    * rank ([[Ranks.withGlobalRank]] + [[Ranks.ntileFromRank]] — no
+    * single-task full-table window; the oracle's naive ntile spelling
+    * is the parity proof), then partial+final cell counts + two
+    * broadcast margins. */
   private def q192(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"value", $"event_id")
-    val binned = Tables.events(spark, dir)
-      .select($"event_type", $"value", $"event_id")
-      .withColumn("decile", ntile(10).over(w))
+    val binned = Ranks.withGlobalRank(
+        Tables.events(spark, dir).select($"event_type", $"value", $"event_id"),
+        "value", "event_id", rn = "__rn", n = "__n")
+      .withColumn("decile", Ranks.ntileFromRank("__rn", "__n", 10))
     val cells = binned.groupBy($"event_type", $"decile")
       .agg(count(lit(1)).as("n_td"))
     val mt = cells.groupBy($"event_type").agg(sum($"n_td").as("n_t"))
@@ -1036,5 +1028,5 @@ object Stats {
     Q("q135_gini_concentration", q135, Some(q135Sql)),
     Q("q144_benford_digits", q144, Some(q144Sql)),
     Q("q145_bootstrap_ci", q145, Some(q145Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -338,14 +338,21 @@ class PlanSpec extends SparkSpecBase {
     (fin should not).include("CartesianProduct")
   }
 
-  test("q100: per-round rank joins reuse the edge exchange; count broadcasts") {
+  test("q100: rounds are checkpoint-truncated; final plan joins the cached edges") {
     val df = SparkEntry.queries("q100_pagerank")(spark, sfDir)
-    df.collect() // identical per-round subtrees collapse at execution
+    df.collect()
     val fin = df.queryExecution.executedPlan.toString
-    fin should include("ReusedExchange") // K rounds pay the edge shuffle once
+    // round-5 design: each round localCheckpoints the #nodes-row rank
+    // vector, so the FINAL plan sees only the last round — its rank
+    // input is a materialized RDD leaf, not the K-1 preceding rounds
+    // (the round-4 17 s outlier was the un-truncated K-round tree)
+    fin should include("Scan ExistingRDD")
+    // the per-round join stays the shuffle-hash of ranks into the
+    // src-partitioned cached edge table — never a sort-merge re-sort
+    (fin should not).include("SortMergeJoin")
     (fin should not).include("CartesianProduct")
-    // the node count reaches the update rule as a broadcast 1-row frame
-    fin should include("BroadcastNestedLoopJoin")
+    // the node count is a driver literal now — no 1-row broadcast frame
+    (fin should not).include("BroadcastNestedLoopJoin")
   }
 
   test("runtime bloom filters wire semi-join reduction on fact⋈filtered-dim joins") {
@@ -850,6 +857,50 @@ class PlanSpec extends SparkSpecBase {
     (p should not).include("SortMergeJoin")
     // exact top-20 is TakeOrdered, never a global sort of the vocabulary
     p should include("TakeOrderedAndProject")
+  }
+
+  test("catalog-wide: no unpartitioned window over an unbounded fact subtree") {
+    // THE scale contract (SCALE.md): a Window with an empty partition
+    // spec pulls its whole input through ONE task, so it may only ever
+    // run over a frame already contracted to a bounded cardinality —
+    // an Aggregate (bucket/day/band histograms: rows ≤ #groups), a
+    // Limit (top-k frames), or a Filter keyed on a window-derived
+    // attribute (q163's max-per-x survivor contraction). A global
+    // window whose subtree reaches a relation leaf with none of these
+    // in between is the q49/q174/q179/q192/q195 failure class this
+    // round removed — any future reintroduction fails here, not at
+    // 100 TB.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    var globalWindowsSeen = 0
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val optimized = fn(spark, sfDir).queryExecution.optimizedPlan
+      optimized.foreach {
+        case w: Window if w.partitionSpec.isEmpty =>
+          globalWindowsSeen += 1
+          val contracted = w.child.exists {
+            case _: Aggregate   => true
+            case _: GlobalLimit => true
+            case _: LocalLimit  => true
+            case f: Filter =>
+              val winAttrs = f.collect {
+                case iw: Window => iw.windowExpressions.map(_.exprId)
+              }.flatten.toSet
+              f.condition.references.exists(a => winAttrs.contains(a.exprId))
+            case _ => false
+          }
+          if (!contracted) offenders += name
+        case _ => ()
+      }
+    }
+    // detector self-check: the catalog DOES contain (legitimate,
+    // contracted-frame) global windows — q105's rank-over-limit, the
+    // prefix-sum offset histograms — so zero sightings would mean the
+    // walk is broken, not that the catalog is clean
+    globalWindowsSeen should be > 0
+    withClue("queries with a single-task window over an uncontracted subtree: ") {
+      offenders.distinct.toList shouldBe empty
+    }
   }
 
 }
