@@ -11,6 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def catalog: Seq[Q] =
+    // ONE central application of the deterministic-rounding oracle
+    // rewrite (round-4 advisory: it used to be repeated in every
+    // module's `all`). Idempotent — the floor form it emits contains
+    // no `round(` — and a no-op for modules whose oracles never round.
+    rawCatalog.map(q => q.copy(oracle = q.oracle.map(
+      functions.Portable.detRoundSql)))
+
+  private def rawCatalog: Seq[Q] =
     operators.Relational.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++

@@ -55,21 +55,46 @@ object Portable {
     * string into the [[detRound]] floor form (paren-balanced scan, so
     * nested calls / list comprehensions survive; recursion rewrites
     * rounds inside rounds). 1-arg `round(x)` and non-literal scales are
-    * left untouched. Applied centrally at catalog exposure so the SQL
-    * bodies stay readable in the mathematical `round(…, n)` form. */
+    * left untouched. Single-quoted string literals are OPAQUE to the
+    * scan (honoring the SQL `''` escape): a literal containing
+    * `round(` or unbalanced parens is copied through verbatim, never
+    * rewritten or counted — safe by construction, not by audit.
+    * Applied centrally at catalog exposure so the SQL bodies stay
+    * readable in the mathematical `round(…, n)` form. */
   def detRoundSql(sql: String): String = {
+    // end index (exclusive) of the single-quoted literal opening at k
+    def literalEnd(s: String, k: Int): Int = {
+      var j = k + 1
+      while (j < s.length) {
+        if (s.charAt(j) == '\'') {
+          if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2 // '' escape
+          else return j + 1
+        } else j += 1
+      }
+      j // unterminated literal: treat the rest as opaque
+    }
     val out = new StringBuilder(sql.length + 64)
     var i = 0
     while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        val e = literalEnd(sql, i)
+        // NB substring, not append(s, i, e): scala.StringBuilder lacks
+        // the 3-arg CharSequence overload and auto-tuples into
+        // append(Any) — which stringifies the whole tuple
+        out.append(sql.substring(i, e)); i = e
+      } else {
       val atBoundary = i == 0 || { val c = sql.charAt(i - 1); !c.isLetterOrDigit && c != '_' }
       if (atBoundary && sql.regionMatches(true, i, "round(", 0, 6)) {
         var depth = 1; var j = i + 6; var comma = -1
         while (depth > 0 && j < sql.length) {
           val c = sql.charAt(j)
+          if (c == '\'') j = literalEnd(sql, j) // opaque to depth/comma
+          else {
           if (c == '(') depth += 1
           else if (c == ')') depth -= 1
           else if (c == ',' && depth == 1) comma = j
           j += 1
+          }
         }
         val scaleStr = if (comma < 0) "" else sql.substring(comma + 1, j - 1).trim
         if (depth == 0 && comma >= 0 && scaleStr.nonEmpty && scaleStr.forall(_.isDigit)) {
@@ -79,6 +104,7 @@ object Portable {
           i = j
         } else { out.append(sql.charAt(i)); i += 1 }
       } else { out.append(sql.charAt(i)); i += 1 }
+      }
     }
     out.toString
   }

@@ -24,16 +24,7 @@ import graft.sources.Tables
   * number. Exactness is structural — no row of output carries a float,
   * so the oracle hash needs no rounding anywhere.
   */
-object Allocation {
-
-  /** Shadows `functions.round`: rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]) and
-    * [[all]] rewrites the oracle twins with [[Portable.detRoundSql]] —
-    * the catalog-wide IEEE-only rounding convention (see Similarity). */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.round(c)
+object Allocation extends DetRounding {
 
   // -------------------------------------------------------------- q177
   /** Prorate each order's header total across its lineitems in
@@ -176,5 +167,5 @@ object Allocation {
   val all: Seq[Q] = Seq(
     Q("q177_proration", q177, Some(q177Sql)),
     Q("q185_revenue_recognition", q185, Some(q185Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

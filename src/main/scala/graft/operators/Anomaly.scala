@@ -23,17 +23,7 @@ import graft.sources.Tables
   * the window shuffle partitions by sensor key, aggregation is
   * partial+final, and nothing collects to the driver.
   */
-object Anomaly {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
-  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+object Anomaly extends DetRounding {
 
   /** Per-sensor most-recent-N window (reference `recent`/`full` reads,
     * CassandraClient.scala:38-43 under ts-DESC clustering): the
@@ -151,5 +141,5 @@ object Anomaly {
 
   val all: Seq[Q] = Seq(
     Q("q35_flagship_analysis", q35, Some(q35Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -30,17 +30,7 @@ import graft.sources.Tables
   * consumer reads the persisted table, LRU/session-end eviction
   * bounds the cache.
   */
-object Association {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+object Association extends DetRounding {
 
   /** Distinct (user_id, item) baskets — the shared intermediate of the
     * family, persisted per (session, dataset). */
@@ -361,33 +351,40 @@ object Association {
         .join(broadcast(wins.select($"i")), Seq("i"), "left_semi")
         .join(broadcast(wins.select($"i".as("j"))), Seq("j"), "left_semi")
     }
-    // θ is the bounded iterative vector (#players rows — BT's regime by
-    // definition; a comparison graph with more players than fit on the
-    // driver is not a BT problem). Holding it as a DRIVER map and
-    // re-materializing a literal frame per round keeps each MM round at
-    // exactly ONE distributed job over the persisted contest table with
-    // two tiny literal broadcasts. The first spelling chained lazy
-    // broadcast joins instead — materializing round r's broadcast
-    // re-executed rounds 1..r−1's chain (nested sequential broadcast
-    // jobs: 9-10 s warm at sf0.1 profiled; this form is ~3 jobs total).
-    // The per-group float sums keep the same summands; partial-sum
-    // order was always distribution-dependent and the terminal 4-dp
-    // ratio rounding absorbs it (the oracle contract is unchanged).
-    val winsVec = wins.collect().map(r => r.getLong(0) -> r.getLong(1))
-    var theta: Map[Long, Double] = winsVec.map { case (i, _) => i -> 1.0 }.toMap
+    // θ is the bounded iterative vector (#players rows). Round r's θ is
+    // localCheckpoint-ed — the #players-row vector materializes eagerly
+    // and its lineage is cut — so each MM round is exactly ONE
+    // distributed job over the persisted contest table with two tiny
+    // checkpoint-backed broadcasts (the profiled 3-jobs-total
+    // structure), WITHOUT the earlier driver-resident Map: supplier
+    // count scales with SF, and a collected θ put a linear driver-heap
+    // ceiling on an otherwise distributed recurrence. The per-group
+    // float sums keep the same summands; partial-sum order was always
+    // distribution-dependent and the terminal 4-dp ratio rounding
+    // absorbs it (the oracle contract is unchanged). Like q100's
+    // recurrence, the operator is EAGER at construction (the
+    // checkpoints run jobs); an empty contest set (every order
+    // single-supplier, or all-tied cents) flows through as the EMPTY
+    // result frame — every join below preserves emptiness — instead of
+    // throwing.
+    val winsDf = wins.localCheckpoint()
+    var theta = winsDf.select($"i", lit(1.0).as("th")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val tDf = theta.toSeq.toDF("s", "th")
       val denom = nij
-        .join(broadcast(tDf.select($"s".as("i"), $"th".as("ti"))), Seq("i"))
-        .join(broadcast(tDf.select($"s".as("j"), $"th".as("tj"))), Seq("j"))
+        .join(broadcast(theta.select($"i", $"th".as("ti"))), Seq("i"))
+        .join(broadcast(theta.select($"i".as("j"), $"th".as("tj"))), Seq("j"))
         .groupBy($"i").agg(sum($"n" / ($"ti" + $"tj")).as("d"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      theta = winsVec.map { case (i, w) => i -> w / denom(i) }.toMap
+      theta = winsDf.join(denom, Seq("i"))
+        .select($"i", ($"wins" / $"d").as("th"))
+        .localCheckpoint()
     }
-    val ref = theta(winsVec.map(_._1).min)
-    winsVec.map { case (i, w) => (i, w, theta(i)) }.toSeq
-      .toDF("supplier", "wins", "th")
-      .select($"supplier", $"wins", round($"th" / ref, 4).as("strength"))
+    // scale anchor: θ of the lowest-id winner (TakeOrdered 1 row —
+    // never a global sort), broadcast back over the #players frame
+    val refDf = theta.orderBy($"i".asc).limit(1).select($"th".as("ref"))
+    winsDf.join(theta, Seq("i"))
+      .crossJoin(broadcast(refDf))
+      .select($"i".as("supplier"), $"wins",
+        round($"th" / $"ref", 4).as("strength"))
       .orderBy($"supplier")
   }
 
@@ -450,5 +447,5 @@ object Association {
     Q("q140_item_similarity", q140, Some(q140Sql)),
     Q("q180_apriori_triples", q180, Some(q180Sql)),
     Q("q181_bradley_terry", q181, Some(q181Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

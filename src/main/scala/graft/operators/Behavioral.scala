@@ -18,17 +18,7 @@ import graft.sources.Tables
   * self-join row explosion anywhere; timestamp arithmetic on epoch
   * micros for oracle parity.
   */
-object Behavioral {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+object Behavioral extends DetRounding {
 
   private[operators] val SessionGapUs = 1800000000L // 30 min
 
@@ -617,5 +607,5 @@ object Behavioral {
     Q("q121_markov_transitions", q121, Some(q121Sql)),
     Q("q122_survival_curve", q122, Some(q122Sql)),
     Q("q123_conversion_lag", q123, Some(q123Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -43,17 +43,7 @@ import graft.sources.Tables
   * asserts the invariant; the DuckDB oracle (unrolled to the same K)
   * is the exact-value gate.
   */
-object Graph {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
-  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+object Graph extends DetRounding {
 
   /** Bidirected weighted edge list of the customer–supplier graph as a
     * row-stochastic transition matrix `(src, dst, w, p)` — `p` is the
@@ -107,12 +97,18 @@ object Graph {
     }
     def personalTeleport(node: Column): Column =
       when(node.isin(seeds: _*), lit(1.0 / seeds.size)).otherwise(lit(0.0))
-    // the node-count frame is only part of the plan when the teleport
-    // distribution is uniform; the personalized path is pure literals
-    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    // the node COUNT is a driver scalar, not a plan subtree: leaving it
+    // as a crossJoin(broadcast(agg)) frame embedded one copy of the
+    // node-count aggregate per ROUND into the uniform path's lazy tree
+    // (the personalized path was pure literals) — the round-4 bench
+    // measured that asymmetry as q100 17.2 s vs q171 3.3 s for the same
+    // recurrence. One count() job over the cached edge memo (the
+    // personalized path already runs one for seed validation) makes the
+    // two paths symmetric. This makes the operator EAGER at
+    // construction, like the seed validation above.
+    val nVal = nodes.count().toDouble
     var ranks =
-      if (seeds.isEmpty)
-        nodes.crossJoin(broadcast(n)).select($"node", (lit(1.0) / $"n").as("r"))
+      if (seeds.isEmpty) nodes.select($"node", lit(1.0 / nVal).as("r"))
       else nodes.select($"node", personalTeleport($"node").as("r"))
     for (_ <- 1 to iterations) {
       // name-based join condition: `ranks` derives from `edges` after
@@ -125,13 +121,23 @@ object Graph {
       val contrib = edges.join(ranks.hint("shuffle_hash"), $"src" === $"node")
         .groupBy($"dst")
         .agg(sum($"r" * $"p").as("contrib"))
-      ranks =
+      val next =
         if (seeds.isEmpty)
-          contrib.crossJoin(broadcast(n)).select($"dst".as("node"),
-            (lit(1.0 - damping) / $"n" + lit(damping) * $"contrib").as("r"))
+          contrib.select($"dst".as("node"),
+            (lit((1.0 - damping) / nVal) + lit(damping) * $"contrib").as("r"))
         else contrib.select($"dst".as("node"),
           (lit(1.0 - damping) * personalTeleport($"dst") +
             lit(damping) * $"contrib").as("r"))
+      // truncate lineage every round: without this the K rounds build
+      // ONE deep lazy tree that Catalyst re-optimizes and AQE re-plans
+      // wholesale (optimizer cost compounds quadratically in K — the
+      // other half of the round-4 q100 outlier). localCheckpoint
+      // materializes the #nodes-row vector and replaces the subtree
+      // with a LogicalRDD leaf; the float values pass through
+      // unchanged, so the unrolled DuckDB oracle still matches. The
+      // K−1 superseded checkpoint RDDs (#nodes rows each) stay pinned
+      // until session end — bounded, documented.
+      ranks = next.localCheckpoint()
     }
     ranks
   }
@@ -691,34 +697,46 @@ object Graph {
       spark.createDataFrame(df.rdd, df.schema).persist()
     var edges = edgeList
     var prevFrozen: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      // the survivor set is #nodes rows (orders of magnitude below the
-      // edge list) — BROADCAST it so the edge side never shuffles for
-      // the two endpoint filters; the src-keyed degree aggregate rides
-      // the previous round's cache. (At a node scale past broadcast,
-      // drop the hint: the same plan becomes a partitioned semi-join —
-      // semantics unchanged. The first bench spelling shuffle-hashed
-      // the EDGES twice per round: 6.6 s → broadcast form is the plan
-      // this operator wants.)
-      val next = freeze(edges
-        .join(broadcast(keep), edges("src") === keep("node"), "left_semi")
-        .join(broadcast(keep), edges("dst") === keep("node"), "left_semi"))
-      next.count() // materialize BEFORE dropping the predecessor
+    // try/finally: a round that throws mid-loop (executor loss, OOM)
+    // must not strand the in-flight round's persisted frame for the
+    // session lifetime — `prevFrozen` always holds the one live cache,
+    // and the finally releases it on ANY non-success exit.
+    var ok = false
+    var out: DataFrame = null
+    try {
+      for (_ <- 1 to rounds) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("node"))
+        // the survivor set is #nodes rows (orders of magnitude below the
+        // edge list) — BROADCAST it so the edge side never shuffles for
+        // the two endpoint filters; the src-keyed degree aggregate rides
+        // the previous round's cache. (At a node scale past broadcast,
+        // drop the hint: the same plan becomes a partitioned semi-join —
+        // semantics unchanged. The first bench spelling shuffle-hashed
+        // the EDGES twice per round: 6.6 s → broadcast form is the plan
+        // this operator wants.)
+        val next = freeze(edges
+          .join(broadcast(keep), edges("src") === keep("node"), "left_semi")
+          .join(broadcast(keep), edges("dst") === keep("node"), "left_semi"))
+        next.count() // materialize BEFORE dropping the predecessor
+        prevFrozen.foreach(_.unpersist())
+        prevFrozen = Some(next)
+        edges = next
+      }
+      // contract the peeled edge list to the small survivor-degree
+      // frame, freeze it, and release the last round's edge cache — the
+      // returned frame is PERSISTED (#survivors rows); the caller owns
+      // its lifecycle (Components.run's contract; the catalog path
+      // hands it to PersistedMemo)
+      out = freeze(
+        edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+      out.count()
+      ok = true
+      out
+    } finally {
       prevFrozen.foreach(_.unpersist())
-      prevFrozen = Some(next)
-      edges = next
+      if (!ok && out != null) out.unpersist()
     }
-    // contract the peeled edge list to the small survivor-degree frame,
-    // freeze it, and release the last round's edge cache — the returned
-    // frame is PERSISTED (#survivors rows); the caller owns its
-    // lifecycle (Components.run's contract; the catalog path hands it
-    // to PersistedMemo)
-    val out = freeze(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    out.count()
-    prevFrozen.foreach(_.unpersist())
-    out
   }
 
   private def q172(spark: SparkSession, dir: String): DataFrame = {
@@ -764,5 +782,5 @@ object Graph {
     Q("q156_link_prediction", q156, Some(q156Sql)),
     Q("q171_personalized_pagerank", q171, Some(q171Sql)),
     Q("q172_kcore", q172, Some(q172Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

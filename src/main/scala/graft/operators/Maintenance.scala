@@ -20,16 +20,7 @@ import graft.sources.Tables
   * The ORACLE is the straight full recompute, so the correctness gate
   * proves the expansion exact, not just self-consistent.
   */
-object Maintenance {
-
-  /** Shadows `functions.round`: rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]) and
-    * [[all]] rewrites the oracle twins with [[Portable.detRoundSql]] —
-    * the catalog-wide IEEE-only rounding convention (see Similarity). */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.round(c)
+object Maintenance extends DetRounding {
 
   // -------------------------------------------------------------- q118
   /** Per-nation revenue view maintained incrementally: orders split at
@@ -325,5 +316,5 @@ object Maintenance {
     Q("q139_cdc_apply", q139, Some(q139Sql)),
     Q("q164_zorder_layout", q164, Some(q164Sql)),
     Q("q173_compaction_plan", q173, Some(q173Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -21,17 +21,7 @@ import graft.sources.Tables
   * integer sufficient counts with a fixed parenthesization and one
   * terminal round.
   */
-object Segmentation {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
-  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+object Segmentation extends DetRounding {
 
   // -------------------------------------------------------------- q137
   /** RFM quintile segmentation within market segment: per customer,
@@ -507,5 +497,5 @@ object Segmentation {
     Q("q141_cuped_adjustment", q141, Some(q141Sql)),
     Q("q161_mann_whitney", q161, Some(q161Sql)),
     Q("q165_grid_density", q165, Some(q165Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

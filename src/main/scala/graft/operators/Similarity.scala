@@ -46,19 +46,7 @@ import graft.sources.Tables
   * values (reference for the LSH framing: lambda-sample has no vector
   * ops; this is the §2.10 training-data-pipeline extension surface).
   */
-object Similarity {
-
-  /** Shadows `functions.round` for this object: every per-row rounded
-    * double here (cosines, projections, quantized scores — emitted over
-    * thousands of rows) goes through the deterministic cross-engine
-    * floor form instead of Spark's shortest-decimal-repr BigDecimal
-    * rounding; [[all]] applies [[Portable.detRoundSql]] to every oracle
-    * twin so both engines share the formula bit-for-bit. Round-3
-    * evidence: q55 hash-flipped on one cosine whose shortest repr ended
-    * in `…5` at the 5th decimal — with ~10⁵ rounded per-row values in
-    * the catalog that class of flake recurs every time the testdata is
-    * regenerated unless rounding is IEEE-only. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
+object Similarity extends DetRounding {
 
   private val Dim = 64
   private val QueryIds = Seq(0L, 1L, 2L, 3L, 4L)
@@ -1688,5 +1676,5 @@ object Similarity {
     Q("q96_quantized_ivf", q96, Some(q96Sql)),
     Q("q157_pq_adc_knn", q157, Some(q157Sql)),
     Q("q149_lloyd_refinement", q149, Some(q149Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

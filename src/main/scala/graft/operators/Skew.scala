@@ -17,17 +17,7 @@ import graft.sources.Tables
   * the operators stay idempotent under retries — the same reason the
   * engine's oracle queries avoid nondeterminism anywhere.
   */
-object Skew {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: Column, scale: Int): Column = Portable.detRound(c, scale)
-  private def round(c: Column): Column = org.apache.spark.sql.functions.round(c)
+object Skew extends DetRounding {
 
   /** Two-phase salted aggregation: partial sums/counts over
     * (key, salt) spread a hot key across `buckets` reducers, the final
@@ -138,5 +128,5 @@ object Skew {
 
   val all: Seq[Q] = Seq(
     Q("q151_salted_agg", q151, Some(q151Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

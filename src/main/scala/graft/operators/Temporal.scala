@@ -24,16 +24,7 @@ import graft.sources.Tables
   * (`unix_micros` ↔ `epoch_us`, exact integers) — the catalog's
   * determinism convention.
   */
-object Temporal {
-
-  /** Shadows `functions.round`: rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]) and
-    * [[all]] rewrites the oracle twins with [[Portable.detRoundSql]] —
-    * the catalog-wide IEEE-only rounding convention (see Similarity). */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.round(c)
+object Temporal extends DetRounding {
 
   /** q44's session gap — THE shared constant ([[Behavioral]] owns the
     * session derivation; re-declaring it here is how oracles drift). */
@@ -714,5 +705,5 @@ object Temporal {
     Q("q119_time_weighted_avg", q119, Some(q119Sql)),
     Q("q134_multitouch_attribution", q134, Some(q134Sql)),
     Q("q136_interval_coverage", q136, Some(q136Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

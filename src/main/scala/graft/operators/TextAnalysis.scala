@@ -17,17 +17,7 @@ import graft.sources.Tables
   * run map-side at scan throughput. No UDFs: everything is built-in
   * expressions, so the whole stage codegens.
   */
-object TextAnalysis {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+object TextAnalysis extends DetRounding {
 
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Order of `langs` (alphabetical) is the
@@ -769,7 +759,7 @@ object TextAnalysis {
       terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val ts = terms.distinct
     graft.core.PersistedMemo.getOrBuild(spark, dir,
-      s"text:bm25:${ts.mkString(" ")}|$k1|$b") {
+      s"text:bm25:${ts.mkString("\u0000")}|$k1|$b") {
       import spark.implicits._
       val per = Tables.documents(spark, dir)
         .withColumn("t", Portable.tokens($"text"))
@@ -1419,5 +1409,5 @@ object TextAnalysis {
     Q("q95_sketch_union", q95, None), // mergeable HLL — FiltersSpec bounds vs exact
     Q("q153_quality_classifier", q153, Some(q153Sql)),
     Q("q154_bigram_surprisal", q154, Some(q154Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -33,17 +33,7 @@ import graft.sources.Tables
   * q126's residual sums are the one non-integer reduction, so its flag
   * comparison runs on 6-dp-rounded operands on both sides.
   */
-object Timeseries {
-
-  /** Shadows `functions.round`: per-row rounded doubles go through the
-    * deterministic cross-engine floor form ([[Portable.detRound]]);
-    * [[all]] rewrites every oracle twin with [[Portable.detRoundSql]]
-    * so both engines share one IEEE-only formula (Spark's BigDecimal
-    * shortest-repr rounding diverges from DuckDB's binary rounding on
-    * `…5`-boundary doubles — round-3 q55). 1-arg `round` keeps Spark
-    * semantics: it only quantizes construction-exact cents. */
-  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = Portable.detRound(c, scale)
-  private def round(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = org.apache.spark.sql.functions.round(c)
+object Timeseries extends DetRounding {
 
   // -------------------------------------------------------------- q125
   /** One-sided CUSUM changepoint detection on daily event volume per
@@ -624,7 +614,9 @@ object Timeseries {
     * smoother is one integer bit-shift cumulative sum plus a
     * first_value — every intermediate is an exact BIGINT (< 2⁵³ for
     * series up to ~35 points of ≤10⁵ counts — the 30-day grid; longer
-    * horizons chunk-rescale), and the single terminal division by the
+    * horizons need a chunk-rescale, and in-query raise_error guards
+    * abort LOUDLY past the horizon instead of wrapping), and the
+    * single terminal division by the
     * exact power 2ᵗ is correctly rounded, so `ewma` is bit-identical
     * across engines with ZERO rounding anywhere (the q136 "all-integer
     * algebra" discipline applied to an exponential smoother). The
@@ -644,8 +636,24 @@ object Timeseries {
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("rn", row_number().over(wOrd))
-      .withColumn("term", expr("shiftleft(cnt, CAST(rn - 1 AS INT))"))
+      // LOUD degradation guards: Java long shifts wrap mod 64 (silent
+      // garbage past ~62 points) and dyadic exactness dies past 2⁵³ —
+      // DuckDB's << raises instead, so without these the two engines
+      // would fail DIFFERENTLY. A per-type series longer than the
+      // exact-shift horizon, or a cumulative term past 2⁵³, aborts the
+      // query with the chunk-rescale instruction rather than hashing
+      // garbage.
+      .withColumn("term",
+        when($"rn" > 45, raise_error(format_string(
+          "q190 dyadic EWMA: series length %d exceeds the exact-shift " +
+            "horizon (45 points); chunk-rescale the recurrence", $"rn")))
+          .otherwise(expr("shiftleft(cnt, CAST(rn - 1 AS INT))")))
       .withColumn("csum", sum($"term").over(wRun))
+      .withColumn("csum",
+        when($"csum" > lit(9007199254740992L), raise_error(format_string(
+          "q190 dyadic EWMA: cumulative dyadic sum %d exceeds 2^53 — " +
+            "exactness lost; chunk-rescale the recurrence", $"csum")))
+          .otherwise($"csum"))
       .withColumn("x1", first($"cnt").over(wRun))
       .withColumn("ewma",
         ($"csum" + $"x1").cast("double") /
@@ -705,5 +713,5 @@ object Timeseries {
     Q("q142_psi_drift", q142, Some(q142Sql)),
     Q("q143_autocorrelation", q143, Some(q143Sql)),
     Q("q186_ks_drift", q186, Some(q186Sql)),
-  ).map(q => q.copy(oracle = q.oracle.map(Portable.detRoundSql)))
+  )
 }

@@ -67,4 +67,26 @@ class PortableSpec extends SparkSpecBase {
     import scala.jdk.CollectionConverters._
     all.asScala.min should be > future // all after the clamped probe
   }
+
+  test("detRoundSql: rewrites 2-arg rounds, is opaque to string literals") {
+    import graft.functions.Portable.detRoundSql
+    // basic rewrite + nested recursion
+    detRoundSql("SELECT round(x, 2) AS r") shouldBe
+      "SELECT floor((x) * 100.0 + 0.5) / 100.0 AS r"
+    detRoundSql("round(round(x, 4) / n, 2)") shouldBe
+      "floor((floor((x) * 10000.0 + 0.5) / 10000.0 / n) * 100.0 + 0.5) / 100.0"
+    // 1-arg and non-literal scales untouched
+    detRoundSql("round(x) + round(x, n)") shouldBe "round(x) + round(x, n)"
+    // literals are opaque: 'round(' inside a string must NOT be
+    // rewritten, and parens/commas inside literals must not confuse
+    // the balance scan of a REAL round around them
+    detRoundSql("SELECT 'round(x, 2)' AS s") shouldBe "SELECT 'round(x, 2)' AS s"
+    detRoundSql("round(strpos(t, '(,)') + x, 2)") shouldBe
+      "floor((strpos(t, '(,)') + x) * 100.0 + 0.5) / 100.0"
+    // SQL '' escape inside a literal stays inside the literal
+    detRoundSql("SELECT 'it''s round(a, 1)' AS s, round(y, 1) AS r") shouldBe
+      "SELECT 'it''s round(a, 1)' AS s, floor((y) * 10.0 + 0.5) / 10.0 AS r"
+    // copied-through literals survive byte-for-byte (the append path)
+    detRoundSql("date_trunc('day', ts)") shouldBe "date_trunc('day', ts)"
+  }
 }
