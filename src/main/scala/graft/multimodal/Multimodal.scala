@@ -13,13 +13,14 @@ import graft.sources.Tables
   * typed transforms (the Scala analog of `mapInPandas` — one iterator
   * per partition, decode amortized across the batch).
   *
-  * Media DECODE splits honestly by what the environment permits:
-  * container-free formats decode for REAL ([[MediaCodec]] — binary PPM
-  * images and WAV PCM16 audio are pure byte arithmetic, validated and
-  * oracle-gated via q152's encode→decode round-trip); codec-bound
-  * formats (video containers) keep the deterministic stub
-  * (`FakeDecoder`) behind the same call seam a real demuxer would
-  * fill. Everything around both — the asset schema, binary encoding,
+  * Media DECODE is REAL for all three kinds ([[MediaCodec]] — binary
+  * PPM images, WAV PCM16 audio, and GV1 raw-frame video are pure byte
+  * arithmetic, validated and oracle-gated via q152's encode→decode
+  * round-trip). Compressed container formats would still need an
+  * external demuxer; [[FakeDecoder]] keeps that deterministic stub
+  * seam alive for the q36 structural-plumbing row, and a deployment
+  * swaps it for ffmpeg bindings with identical signatures. Everything
+  * around the codecs — the asset schema, binary encoding,
   * partition-batch shape, feature extraction, resize/frame-sample
   * operators, and the checksum path — is real Spark plumbing and is
   * oracle-/test-covered.
@@ -46,11 +47,11 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** STUB — deterministic fake decode, now ONLY for codec-bound
-    * formats (video containers need a real demuxer this container
-    * lacks). Container-free formats decode for real in [[MediaCodec]];
-    * a deployment swaps this stub for ffmpeg bindings — signature and
-    * call sites stay identical. */
+  /** STUB — deterministic fake decode, kept ONLY as the codec seam for
+    * compressed container formats a deployment would route through
+    * ffmpeg bindings (q36's structural-plumbing row exercises it; the
+    * real-decode path q152 uses [[MediaCodec]] for ALL kinds).
+    * Signature and call sites stay identical under the swap. */
   object FakeDecoder {
     final case class Decoded(width: Int, height: Int, nFrames: Int)
     def decode(kind: String, bytes: Array[Byte]): Decoded = {
@@ -176,6 +177,44 @@ object Multimodal {
       Wav(channels, rate, bits, n, if (n == 0) 0.0 else math.sqrt(s / n))
     }
 
+    final case class Vid(width: Int, height: Int, nFrames: Int,
+        meanLuma: Double)
+
+    /** Container-free uncompressed video — "GV1": ASCII header
+      * `GV1\n<w> <h> <nFrames>\n` followed by nFrames concatenated
+      * w·h RGB24 frames (the P6 body discipline lifted to a frame
+      * axis). A real pipeline demuxes containers to exactly this
+      * raw-frame layout before feature extraction, so the format keeps
+      * the decode plumbing REAL where a codec library isn't available
+      * — same validate-or-throw contract as PPM/WAV. */
+    def encodeVideo(w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && frames.nonEmpty,
+        s"GV1 needs positive dims and >=1 frame (w=$w h=$h nf=${frames.length})")
+      require(frames.forall(_.length == w * h * 3),
+        s"every GV1 frame must be w*h*3 bytes (w=$w h=$h)")
+      val header = s"GV1\n$w $h ${frames.length}\n".getBytes("US-ASCII")
+      header ++ frames.flatten
+    }
+
+    def decodeVideo(bytes: Array[Byte]): Vid = {
+      val nl1 = bytes.indexOf('\n'.toByte)
+      require(nl1 == 3 && bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == '1',
+        "not a GV1 video")
+      val nl2 = bytes.indexOf('\n'.toByte, nl1 + 1)
+      require(nl2 > 0, "truncated GV1 header")
+      val dims = new String(bytes, nl1 + 1, nl2 - nl1 - 1, "US-ASCII").split(" ")
+      require(dims.length == 3, "malformed GV1 dimensions")
+      val (w, h, nf) = (dims(0).toInt, dims(1).toInt, dims(2).toInt)
+      val body = bytes.length - (nl2 + 1)
+      require(w > 0 && h > 0 && nf > 0 && body.toLong == nf.toLong * w * h * 3,
+        s"GV1 body is $body bytes, expected ${nf.toLong * w * h * 3} (w=$w h=$h nf=$nf)")
+      // exact integer sum over all channel bytes; ONE divide at the end
+      var s = 0L
+      var i = nl2 + 1
+      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+      Vid(w, h, nf, s.toDouble / body)
+    }
+
     /** The raw PCM16 sample vector of a validated mono WAV — the
       * decode surface q193's frame-level features consume (decodeWav
       * summarizes; DSP needs the samples). Same validation contract:
@@ -223,7 +262,9 @@ object Multimodal {
 
   /** Decoded structural metadata, long-form across kinds (0 where a
     * field doesn't apply; `decoded_real` = 1 when a REAL decoder
-    * produced the row, 0 for the codec-bound stub). */
+    * produced the row — since round 5 all three kinds decode real, the
+    * column stays as the honesty contract for any future codec-bound
+    * format). */
   final case class MediaInfo(
       asset_id: Long,
       kind: String,
@@ -232,12 +273,13 @@ object Multimodal {
       height: Int,
       sample_rate: Int,
       n_samples: Int,
+      n_frames: Int,
       decoded_real: Int)
 
   /** Synthesize assets with VALID media payloads: images are binary
     * PPM, audio is WAV PCM16 — real bytes a stock `ppmtojpeg`/`aplay`
-    * would accept — with pixel/sample data derived from the document
-    * text; video (container-bound) stays raw bytes for the stub. The
+    * would accept — and video is GV1 raw-frame concatenation, all with
+    * pixel/sample data derived from the document text. The
     * derivations are closed-form in (doc_id, text length) so the
     * DuckDB oracle can predict every structural field WITHOUT a
     * decoder — which is exactly what makes q152 prove the Spark side's
@@ -262,15 +304,20 @@ object Multimodal {
             val rate = 8000 * (1 + (id % 4).toInt)
             MediaCodec.encodeWavPcm16(rate,
               Array.tabulate[Short](tb.length)(i => (((tb(i) & 0xff) - 128) * 256).toShort))
-          case _ => tb
+          case _ =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + tb.length % 16
+            val nf = 1 + (id % 5).toInt
+            MediaCodec.encodeVideo(w, h, Array.tabulate(nf)(f =>
+              Array.tabulate(w * h * 3)(i => tb((f * w * h * 3 + i) % tb.length))))
         }
         Asset(id, kind, source, content)
       }
   }
 
-  /** Partition-batched REAL featurize: PPM/WAV parse + validate per
-    * asset (throwing on corrupt payloads — garbage must surface, not
-    * flow); only video falls back to [[FakeDecoder]]. */
+  /** Partition-batched REAL featurize: PPM/WAV/GV1 parse + validate
+    * per asset (throwing on corrupt payloads — garbage must surface,
+    * not flow). All three kinds decode for real since round 5. */
   def featurizeMedia(assets: Dataset[Asset]): Dataset[MediaInfo] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
@@ -279,15 +326,15 @@ object Multimodal {
           case "image" =>
             val p = MediaCodec.decodePpm(a.content)
             MediaInfo(a.asset_id, a.kind, a.content.length,
-              p.width, p.height, 0, 0, 1)
+              p.width, p.height, 0, 0, 1, 1)
           case "audio" =>
             val wv = MediaCodec.decodeWav(a.content)
             MediaInfo(a.asset_id, a.kind, a.content.length,
-              0, 0, wv.sampleRate, wv.nSamples, 1)
+              0, 0, wv.sampleRate, wv.nSamples, 0, 1)
           case _ =>
-            val d = FakeDecoder.decode(a.kind, a.content)
+            val v = MediaCodec.decodeVideo(a.content)
             MediaInfo(a.asset_id, a.kind, a.content.length,
-              d.width, d.height, 0, 0, 0)
+              v.width, v.height, 0, 0, v.nFrames, 1)
         }
       }
     }
@@ -295,14 +342,14 @@ object Multimodal {
 
   // -------------------------------------------------------------- q152
   /** Real media decode, oracle-gated: the Spark side ENCODES valid
-    * PPM/WAV payloads from the corpus, ships them as binary columns,
-    * and DECODES them back with [[MediaCodec]]'s validating parsers;
-    * the oracle predicts every structural field from the generation's
-    * closed form — a header mis-parse, off-by-one chunk length, or
-    * byte-order slip breaks the hash. Video rows keep the honest stub
-    * (`decoded_real = 0`): containers need a demuxer this environment
-    * lacks, and the seam is the same. Map-side only, like q36 — the
-    * binary column never shuffles. */
+    * PPM/WAV/GV1 payloads from the corpus, ships them as binary
+    * columns, and DECODES them back with [[MediaCodec]]'s validating
+    * parsers; the oracle predicts every structural field from the
+    * generation's closed form — a header mis-parse, off-by-one chunk
+    * length, or byte-order slip breaks the hash. Since round 5 video
+    * decodes for REAL too (GV1 raw-frame concatenation — the layout a
+    * demuxer produces), closing the last `decoded_real = 0` stub.
+    * Map-side only, like q36 — the binary column never shuffles. */
   private def q152(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     featurizeMedia(realAssets(spark, dir)).toDF().orderBy($"asset_id")
@@ -322,19 +369,25 @@ object Multimodal {
       |                              + length(CAST(8 + tlen % 24 AS VARCHAR))
       |                              + (8 + doc_id % 24) * (8 + tlen % 24) * 3
       |            WHEN 'audio' THEN 44 + 2 * tlen
-      |            ELSE tlen END AS INTEGER) AS n_bytes,
+      |            ELSE 7 + length(CAST(8 + doc_id % 16 AS VARCHAR))
+      |                   + length(CAST(8 + tlen % 16 AS VARCHAR))
+      |                   + length(CAST(1 + doc_id % 5 AS VARCHAR))
+      |                   + (1 + doc_id % 5) * (8 + doc_id % 16) * (8 + tlen % 16) * 3
+      |            END AS INTEGER) AS n_bytes,
       |       CAST(CASE kind
       |            WHEN 'image' THEN 8 + doc_id % 24
       |            WHEN 'audio' THEN 0
-      |            ELSE 64 + tlen % 512 END AS INTEGER) AS width,
+      |            ELSE 8 + doc_id % 16 END AS INTEGER) AS width,
       |       CAST(CASE kind
       |            WHEN 'image' THEN 8 + tlen % 24
       |            WHEN 'audio' THEN 0
-      |            ELSE 64 + (tlen // 7) % 512 END AS INTEGER) AS height,
+      |            ELSE 8 + tlen % 16 END AS INTEGER) AS height,
       |       CAST(CASE kind WHEN 'audio' THEN 8000 * (1 + doc_id % 4)
       |            ELSE 0 END AS INTEGER) AS sample_rate,
       |       CAST(CASE kind WHEN 'audio' THEN tlen ELSE 0 END AS INTEGER) AS n_samples,
-      |       CAST(CASE WHEN kind = 'video' THEN 0 ELSE 1 END AS INTEGER) AS decoded_real
+      |       CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+      |            ELSE 1 + doc_id % 5 END AS INTEGER) AS n_frames,
+      |       CAST(1 AS INTEGER) AS decoded_real
       |FROM a
       |ORDER BY asset_id""".stripMargin
 

@@ -230,22 +230,68 @@ object Curation extends DetRounding {
   // --------------------------------------------------------------- q54
   /** Sketch-based quantile profiling: approx_percentile quartiles of
     * lineitem quantity per return flag. Like q39's HLL, the sketch
-    * estimate is engine-specific — no hash oracle is possible; the
-    * error is bounded against exact percentiles in CurationSpec. At
-    * 100 TB this replaces q17's exact per-group sort with a fixed-size
-    * mergeable sketch (the accuracy knob is the second argument). */
+    * estimate is engine-specific — the raw value can never be hashed.
+    * Round-5 oracle upgrade (q39's pattern): the sketch still runs,
+    * and the query verifies IN-QUERY that each estimate's actual RANK
+    * sits within the sketch's guarantee (rank error ≤ n/accuracy, +1
+    * slack for the ≤-vs-< rank convention) — one broadcast of the
+    * 3-values-per-group estimates back over the scan, one counting
+    * aggregate. Emitted: the EXACT quartiles (q17's interpolating
+    * percentile, 4 dp) plus the three in-bound verdicts; the oracle
+    * recomputes the exacts and asserts the verdicts as literal 1, so
+    * an out-of-guarantee sketch breaks the hash. At 100 TB the
+    * production form ships the sketch alone (fixed-size mergeable
+    * state vs q17's per-group sort); the gate proves the machinery. */
   private def q54(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_quantity")
+    val approx = li.groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+        .as("aq"))
+      .select($"l_returnflag", $"aq".getItem(0).as("a1"),
+        $"aq".getItem(1).as("a2"), $"aq".getItem(2).as("a3"))
+    // ties: the returned value occupies the whole rank interval
+    // [count(<v)+1, count(≤v)] — the guarantee holds if that interval
+    // touches [p·n − εn, p·n + εn] (integer quantities are heavily
+    // tied, so a single-rank check would flag legitimate estimates)
+    def inBound(lo: Column, hi: Column, p: Double): Column = {
+      val tol = $"n" / 10000.0 + 1.0
+      (lo <= $"n" * p + tol && hi >= $"n" * p - tol).cast("int")
+    }
+    li.join(broadcast(approx), "l_returnflag")
       .groupBy($"l_returnflag")
       .agg(
-        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("approx_q"))
+        count(lit(1)).cast("double").as("n"),
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"),
+        sum(($"l_quantity" < $"a1").cast("long")).cast("double").as("lo1"),
+        sum(($"l_quantity" < $"a2").cast("long")).cast("double").as("lo2"),
+        sum(($"l_quantity" < $"a3").cast("long")).cast("double").as("lo3"),
+        sum(($"l_quantity" <= $"a1").cast("long")).cast("double").as("hi1"),
+        sum(($"l_quantity" <= $"a2").cast("long")).cast("double").as("hi2"),
+        sum(($"l_quantity" <= $"a3").cast("long")).cast("double").as("hi3"))
       .select($"l_returnflag",
-        $"approx_q".getItem(0).as("q1"),
-        $"approx_q".getItem(1).as("median"),
-        $"approx_q".getItem(2).as("q3"))
+        round($"p25", 4).as("q1"),
+        round($"p50", 4).as("median"),
+        round($"p75", 4).as("q3"),
+        inBound($"lo1", $"hi1", 0.25).as("q1_in_bound"),
+        inBound($"lo2", $"hi2", 0.5).as("median_in_bound"),
+        inBound($"lo3", $"hi3", 0.75).as("q3_in_bound"))
       .orderBy($"l_returnflag")
   }
+
+  private val q54Sql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS median,
+      |       round(quantile_cont(l_quantity, 0.75), 4) AS q3,
+      |       CAST(1 AS INTEGER) AS q1_in_bound,
+      |       CAST(1 AS INTEGER) AS median_in_bound,
+      |       CAST(1 AS INTEGER) AS q3_in_bound
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------- q61
   /** Training-mix accounting: documents and whitespace tokens per
@@ -1178,7 +1224,7 @@ object Curation extends DetRounding {
     Q("q52_tfidf", q52, Some(q52Sql)),
     Q("q53_stratified_sample", q53, Some(q53Sql)),
     Q("q105_weighted_sample", q105, Some(q105Sql)),
-    Q("q54_approx_quantiles", q54, None), // sketch estimate — see CurationSpec bound
+    Q("q54_approx_quantiles", q54, Some(q54Sql)), // exact quartiles + rank-guarantee verdicts hash; raw sketch values stay engine-local
     Q("q61_mix_accounting", q61, Some(q61Sql)),
     Q("q66_curation_funnel", q66, Some(q66Sql)),
     Q("q67_mix_rebalance", q67, Some(q67Sql)),

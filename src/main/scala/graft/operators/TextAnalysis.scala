@@ -937,21 +937,51 @@ object TextAnalysis extends DetRounding {
     * approx_count_distinct answers one query; this materializes the
     * mergeable state a stats catalog keeps.
     *
-    * No DuckDB oracle (sketch internals are engine-specific — q39/q54
-    * precedent): FiltersSpec bounds every estimate against the exact
-    * distinct count and asserts the union estimate ≈ the corpus-wide
-    * distinct, which only holds if the merge is faithful. */
+    * Round-5 oracle upgrade (q39's pattern): sketch internals stay
+    * engine-specific, so the raw estimates never hash — instead the
+    * query checks each estimate IN-QUERY against the exact distinct
+    * count (|est−exact|/exact ≤ 5%, ≈3·rsd at the default lgK=12) and
+    * emits (scope, exact_distinct, in_bound); the oracle recomputes
+    * the exacts and asserts the verdicts as literal 1, so an
+    * out-of-tolerance sketch or an unfaithful union merge breaks the
+    * hash. FiltersSpec still bounds the raw estimates directly. At
+    * 100 TB the production form drops the exact companion and keeps
+    * only the mergeable sketch state. */
   private def q95(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"source", explode(Portable.tokens($"text")).as("token"))
-    val per = toks.groupBy($"source").agg(hll_sketch_agg($"token").as("sk"))
-    val bySource = per.select($"source".as("scope"),
-      hll_sketch_estimate($"sk").as("est_distinct"))
+    val per = toks.groupBy($"source").agg(
+      hll_sketch_agg($"token").as("sk"),
+      countDistinct($"token").as("exact_distinct"))
+    val bySource = per.select($"source".as("scope"), $"exact_distinct",
+      hll_sketch_estimate($"sk").as("est"))
     val union = per.agg(hll_union_agg($"sk").as("u"))
-      .select(lit("__ALL__").as("scope"), hll_sketch_estimate($"u").as("est_distinct"))
-    bySource.unionByName(union).orderBy($"scope")
+      .crossJoin(broadcast(
+        toks.agg(countDistinct($"token").as("exact_distinct"))))
+      .select(lit("__ALL__").as("scope"), $"exact_distinct",
+        hll_sketch_estimate($"u").as("est"))
+    bySource.unionByName(union)
+      .select($"scope", $"exact_distinct",
+        (abs($"est" - $"exact_distinct").cast("double") / $"exact_distinct"
+          <= 0.05).cast("int").as("in_bound"))
+      .orderBy($"scope")
   }
+
+  private val q95Sql: String =
+    """SELECT source AS scope,
+      |       CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct,
+      |       CAST(1 AS INTEGER) AS in_bound
+      |FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT '__ALL__' AS scope,
+      |       CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct,
+      |       CAST(1 AS INTEGER) AS in_bound
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |      FROM documents)
+      |ORDER BY scope""".stripMargin
 
   // --------------------------------------------------------------- q85
   /** BPE first-merge pair statistics: the frequency of every adjacent
@@ -1406,7 +1436,7 @@ object TextAnalysis extends DetRounding {
     Q("q84_bm25_search", q84, Some(q84Sql)),
     Q("q85_bpe_pairs", q85, Some(q85Sql)),
     Q("q94_hybrid_rrf", q94, Some(q94Sql)),
-    Q("q95_sketch_union", q95, None), // mergeable HLL — FiltersSpec bounds vs exact
+    Q("q95_sketch_union", q95, Some(q95Sql)), // exact companions + in-bound verdicts hash; raw HLL estimates stay engine-local
     Q("q153_quality_classifier", q153, Some(q153Sql)),
     Q("q154_bigram_surprisal", q154, Some(q154Sql)),
   )

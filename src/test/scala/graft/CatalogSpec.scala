@@ -21,18 +21,18 @@ class CatalogSpec extends SparkSpecBase {
     }
   }
 
-  test("q39 approx distinct stays within the configured error of exact (A10)") {
+  test("q39 approx distinct: verdicts hold and exact companions reconcile (A10)") {
     import spark.implicits._
-    // a hash oracle is impossible for q39 — the HLL estimate depends on
-    // Spark's sketch implementation, which DuckDB cannot reproduce — so
-    // this bounds the error against the exact counts instead: the rsd
-    // parameter is the sketch's relative standard deviation (default
-    // 0.05; 0.01 for approx_supps), and 4σ makes a false failure
-    // astronomically unlikely while still catching a broken sketch
+    // the raw HLL estimate is engine-local (DuckDB cannot reproduce
+    // it), so since round 5 the query emits exact companions plus
+    // in-bound verdicts (|approx−exact|/exact ≤ 4·rsd, rsd = 0.05 /
+    // 0.01) computed IN-QUERY from the live sketch — this test pins
+    // the verdicts to 1 and the exacts to an independent recount; the
+    // DuckDB oracle hash-gates the same contract
     val dir = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("q39_approx_distinct")(spark, dir)
-      .as[(String, Long, Long)].collect()
-      .map { case (k, p, s) => k -> (p, s) }.toMap
+    val rows = SparkEntry.queries("q39_approx_distinct")(spark, dir)
+      .as[(String, Long, Long, Int, Int)].collect()
+      .map { case (k, p, s, pb, sb) => k -> ((p, s, pb, sb)) }.toMap
     val exact = graft.sources.Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
@@ -40,11 +40,12 @@ class CatalogSpec extends SparkSpecBase {
         org.apache.spark.sql.functions.countDistinct($"l_suppkey").as("s"))
       .as[(String, Long, Long)].collect()
       .map { case (k, p, s) => k -> (p, s) }.toMap
-    approx.keySet shouldBe exact.keySet
+    rows.keySet shouldBe exact.keySet
     exact.foreach { case (flag, (p, s)) =>
-      val (ap, as_) = approx(flag)
-      math.abs(ap - p).toDouble / p should be <= 4 * 0.05
-      math.abs(as_ - s).toDouble / s should be <= 4 * 0.01
+      val (ep, es, pb, sb) = rows(flag)
+      (ep, es) shouldBe ((p, s))
+      pb shouldBe 1
+      sb shouldBe 1
     }
   }
 }

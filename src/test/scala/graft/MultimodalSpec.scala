@@ -80,11 +80,14 @@ class MultimodalSpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q152_media_decode")(spark, sfDir).collect()
     rows.length shouldBe sources.Tables.documents(spark, sfDir).count()
     rows.foreach { r =>
-      val (kind, real) = (r.getAs[String]("kind"), r.getAs[Int]("decoded_real"))
-      real shouldBe (if (kind == "video") 0 else 1)
+      val kind = r.getAs[String]("kind")
+      // every kind decodes for REAL since round 5 (GV1 closed the
+      // video stub)
+      r.getAs[Int]("decoded_real") shouldBe 1
       if (kind == "image") {
         r.getAs[Int]("width") should be >= 8
         r.getAs[Int]("height") should be >= 8
+        r.getAs[Int]("n_frames") shouldBe 1
         // decoded dims reconcile with the payload size: header + w*h*3
         val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
         r.getAs[Int]("n_bytes") shouldBe
@@ -92,8 +95,50 @@ class MultimodalSpec extends SparkSpecBase {
       }
       if (kind == "audio") {
         r.getAs[Int]("sample_rate") % 8000 shouldBe 0
+        r.getAs[Int]("n_frames") shouldBe 0
         r.getAs[Int]("n_bytes") shouldBe 44 + 2 * r.getAs[Int]("n_samples")
       }
+      if (kind == "video") {
+        val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+        val nf = r.getAs[Int]("n_frames")
+        w should be >= 8
+        h should be >= 8
+        nf should (be >= 1 and be <= 5)
+        // decoded dims reconcile with the payload size:
+        // "GV1\n<w> <h> <nf>\n" + nf·w·h·3
+        r.getAs[Int]("n_bytes") shouldBe
+          7 + w.toString.length + h.toString.length + nf.toString.length +
+            nf * w * h * 3
+      }
+    }
+  }
+
+  test("GV1 video round-trips exactly and validates malformed payloads") {
+    import Multimodal.MediaCodec
+    val frames = Array.tabulate(3)(f =>
+      Array.tabulate(5 * 4 * 3)(i => ((i * 31 + f * 7) % 256).toByte))
+    val bytes = MediaCodec.encodeVideo(5, 4, frames)
+    val v = MediaCodec.decodeVideo(bytes)
+    v.width shouldBe 5
+    v.height shouldBe 4
+    v.nFrames shouldBe 3
+    // mean luminance is the exact integer sum over all frame bytes / n
+    v.meanLuma shouldBe
+      frames.flatten.map(b => (b & 0xff).toLong).sum.toDouble / (3 * 5 * 4 * 3)
+    // corrupt magic / truncated body / frame-count mismatch must throw
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodeVideo("XV1\n5 4 3\n".getBytes("US-ASCII") ++ frames.flatten)
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodeVideo(bytes.dropRight(1))
+    an[IllegalArgumentException] should be thrownBy
+      MediaCodec.decodeVideo(MediaCodec.encodeVideo(5, 4, frames).patch(
+        4, "5 4 2\n".getBytes("US-ASCII"), 6)) // header claims 2 frames
+    // dimension sweep incl. 1×1×1 and digit-width changes
+    for (w <- Seq(1, 9, 16); h <- Seq(1, 10); nf <- Seq(1, 5)) {
+      val fs = Array.tabulate(nf)(f =>
+        Array.tabulate(w * h * 3)(i => ((i + f * 13) % 256).toByte))
+      val d = MediaCodec.decodeVideo(MediaCodec.encodeVideo(w, h, fs))
+      (d.width, d.height, d.nFrames) shouldBe ((w, h, nf))
     }
   }
 
