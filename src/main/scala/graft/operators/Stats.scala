@@ -1011,7 +1011,86 @@ object Stats extends DetRounding {
       |CROSS JOIN nt
       |ORDER BY c.event_type, c.decile""".stripMargin
 
+  // -------------------------------------------------------------- q199
+  /** Simpson's-paradox audit: mean order value of fulfilled ('F') vs
+    * open ('O') orders, POOLED and per priority stratum, with a
+    * reversal flag where a stratum's effect sign contradicts the
+    * pooled sign — the confounding detector (Simpson '51; Bickel et
+    * al., Science '75 — the Berkeley admissions structure) every A/B
+    * readout and observational comparison should run before trusting a
+    * pooled difference. Emitted per stratum so the report localizes
+    * WHERE the reversal lives.
+    *
+    * Determinism: means are q40's exact-decimal form — round(Σ, 2)
+    * (construction-exact cents) divided by the exact count, one IEEE
+    * divide per mean; diffs subtract identical doubles; the terminal
+    * 4 dp round absorbs nothing but presentation. Shape: one
+    * partial+final aggregate to the #strata×2 cell frame, a 1-row
+    * pooled broadcast, all-scalar algebra after. */
+  private def q199(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .filter($"o_orderstatus".isin("F", "O"))
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("s"))
+    def side(st: String, c: String) =
+      sum(when($"o_orderstatus" === st, col(c))).as(s"${c}_$st")
+    val strata = cells.groupBy($"o_orderpriority")
+      .agg(side("F", "n"), side("F", "s"), side("O", "n"), side("O", "s"))
+      .withColumn("mean_f", $"s_F" / $"n_F")
+      .withColumn("mean_o", $"s_O" / $"n_O")
+    val pooled = cells.groupBy()
+      .agg(
+        sum(when($"o_orderstatus" === "F", $"n")).as("pn_F"),
+        round(sum(when($"o_orderstatus" === "F", $"s")), 2).as("ps_F"),
+        sum(when($"o_orderstatus" === "O", $"n")).as("pn_O"),
+        round(sum(when($"o_orderstatus" === "O", $"s")), 2).as("ps_O"))
+      .select(($"ps_F" / $"pn_F").as("pmean_F"), ($"ps_O" / $"pn_O").as("pmean_O"))
+    strata.crossJoin(broadcast(pooled))
+      .withColumn("pooled_diff", $"pmean_F" - $"pmean_O")
+      .select($"o_orderpriority",
+        $"n_F", $"n_O",
+        round($"mean_f", 4).as("mean_f"),
+        round($"mean_o", 4).as("mean_o"),
+        round($"mean_f" - $"mean_o", 4).as("diff"),
+        round($"pooled_diff", 4).as("pooled_diff"),
+        (($"mean_f" - $"mean_o" > 0) =!= ($"pooled_diff" > 0))
+          .cast("int").as("reversed"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q199Sql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |         round(sum(o_totalprice), 2) AS s
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+      |  GROUP BY 1, 2
+      |), strata AS (
+      |  SELECT o_orderpriority,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN n END) AS BIGINT) AS n_F,
+      |         sum(CASE WHEN o_orderstatus = 'F' THEN s END) AS s_F,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN n END) AS BIGINT) AS n_O,
+      |         sum(CASE WHEN o_orderstatus = 'O' THEN s END) AS s_O
+      |  FROM cells GROUP BY 1
+      |), pooled AS (
+      |  SELECT sum(CASE WHEN o_orderstatus = 'F' THEN n END) AS pn_F,
+      |         round(sum(CASE WHEN o_orderstatus = 'F' THEN s END), 2) AS ps_F,
+      |         sum(CASE WHEN o_orderstatus = 'O' THEN n END) AS pn_O,
+      |         round(sum(CASE WHEN o_orderstatus = 'O' THEN s END), 2) AS ps_O
+      |  FROM cells
+      |)
+      |SELECT o_orderpriority, n_F, n_O,
+      |       round(s_F / n_F, 4) AS mean_f,
+      |       round(s_O / n_O, 4) AS mean_o,
+      |       round(s_F / n_F - s_O / n_O, 4) AS diff,
+      |       round(ps_F / pn_F - ps_O / pn_O, 4) AS pooled_diff,
+      |       CAST((s_F / n_F - s_O / n_O > 0) <> (ps_F / pn_F - ps_O / pn_O > 0)
+      |            AS INTEGER) AS reversed
+      |FROM strata CROSS JOIN pooled
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q199_simpson_reversal", q199, Some(q199Sql)),
     Q("q191_fd_discovery", q191, Some(q191Sql)),
     Q("q192_mutual_information", q192, Some(q192Sql)),
     Q("q115_bivariate_profile", q115, Some(q115Sql)),

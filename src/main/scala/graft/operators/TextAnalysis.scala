@@ -983,6 +983,139 @@ object TextAnalysis extends DetRounding {
       |      FROM documents)
       |ORDER BY scope""".stripMargin
 
+  // -------------------------------------------------------------- q196
+  /** Pairwise source-vocabulary Jaccard by HLL inclusion–exclusion —
+    * the SKETCH tier of cross-source overlap (q89 counts LSH near-dup
+    * pairs; this measures vocabulary containment): J(A,B) =
+    * |A∩B| / |A∪B| with |A∪B| estimated from the REGISTER-MAX union of
+    * the per-source sketches q95 already maintains and |A∩B| recovered
+    * by inclusion–exclusion. At 100 TB this is the whole point:
+    * per-shard sketches merge pairwise on a #sources²-row frame
+    * WITHOUT re-tokenizing anything.
+    *
+    * Oracle discipline (q39/q54/q95's round-5 pattern): the sketch
+    * union estimate is engine-local, so the query verifies it IN-QUERY
+    * against the exact union (≤5% ≈ 3·rsd at lgK=12) and emits the
+    * exact companions + the verdict; the exact Jaccard is a single
+    * integer divide rounded at 6 dp. The exact pairwise intersection
+    * is a token-keyed equi-join of the DISTINCT (source, token)
+    * dictionary — vocabulary-sized, the gate's companion only. */
+  private def q196(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", explode(Portable.tokens($"text")).as("token"))
+    val per = toks.groupBy($"source").agg(
+      hll_sketch_agg($"token").as("sk"),
+      countDistinct($"token").as("nd"))
+    val dict = toks.distinct()
+    val inter = dict.as("a").join(dict.as("b"),
+        $"a.token" === $"b.token" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val est = per.as("a").join(per.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        $"a.nd".as("exact_a"), $"b.nd".as("exact_b"),
+        hll_sketch_estimate(hll_union($"a.sk", $"b.sk")).as("est_union"))
+    val exUnion = $"exact_a" + $"exact_b" - $"exact_inter"
+    est.join(inter, Seq("source_a", "source_b"), "left_outer")
+      .withColumn("exact_inter", coalesce($"exact_inter", lit(0L)))
+      .select($"source_a", $"source_b", $"exact_a", $"exact_b", $"exact_inter",
+        round($"exact_inter".cast("double") / exUnion, 6).as("jaccard"),
+        (abs($"est_union" - exUnion).cast("double") / exUnion <= 0.05)
+          .cast("int").as("union_in_bound"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val q196Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT source, token FROM (
+      |    SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+      |    FROM documents)
+      |), nd AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS nd FROM toks GROUP BY 1
+      |), iv AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(count(*) AS BIGINT) AS exact_inter
+      |  FROM toks a JOIN toks b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT na.source AS source_a, nb.source AS source_b,
+      |         na.nd AS exact_a, nb.nd AS exact_b,
+      |         CAST(COALESCE(iv.exact_inter, 0) AS BIGINT) AS exact_inter
+      |  FROM nd na JOIN nd nb ON na.source < nb.source
+      |  LEFT JOIN iv ON iv.source_a = na.source AND iv.source_b = nb.source
+      |)
+      |SELECT source_a, source_b, exact_a, exact_b, exact_inter,
+      |       round(CAST(exact_inter AS DOUBLE) /
+      |             (exact_a + exact_b - exact_inter), 6) AS jaccard,
+      |       CAST(1 AS INTEGER) AS union_in_bound
+      |FROM pairs
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // -------------------------------------------------------------- q198
+  /** Zipf rank–frequency fit: OLS of ln(freq) on ln(rank) over the top
+    * 1000 vocabulary terms — slope ≈ −1 is Zipf's law, and deviation
+    * from it is the classic natural-text-vs-boilerplate diagnostic a
+    * corpus monitor tracks per crawl (machine-generated or templated
+    * corpora flatten the head and steepen the tail).
+    *
+    * The top-1000 head is a TakeOrdered (per-partition partial top-k,
+    * driver-side K-row merge — never a global sort of the vocabulary;
+    * an equi-width rank bucketing would be WRONG here: Zipf frequency
+    * is exactly the distribution that collapses equi-width buckets
+    * onto one hot cell), and the rank window then runs over the
+    * 1000-row limited frame (lock-compliant: Window above GlobalLimit).
+    * The fit is q115's raw-sufficient-sum discipline over the head:
+    * identical scalar algebra on identically computed sums, terminal
+    * 6 dp round. */
+  private def q198(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(Portable.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val head = vocab.orderBy($"freq".desc, $"token".asc).limit(1000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"token".asc)))
+      .select(log($"rank".cast("double")).as("x"),
+        log($"freq".cast("double")).as("y"))
+    head.agg(count(lit(1)).cast("double").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"n".cast("long").as("n_terms"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6).as("intercept"),
+        round((($"n" * $"sxy" - $"sx" * $"sy") *
+          ($"n" * $"sxy" - $"sx" * $"sy")) /
+          (($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+  }
+
+  private val q198Sql: String =
+    """WITH vocab AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |    FROM documents)
+      |  GROUP BY 1
+      |), head AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+      |         ln(CAST(freq AS DOUBLE)) AS y
+      |  FROM vocab
+      |  QUALIFY row_number() OVER (ORDER BY freq DESC, token) <= 1000
+      |), s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM head
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |         AS intercept,
+      |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s""".stripMargin
+
   // --------------------------------------------------------------- q85
   /** BPE first-merge pair statistics: the frequency of every adjacent
     * character pair inside corpus tokens, weighted by token occurrence
@@ -1419,6 +1552,8 @@ object TextAnalysis extends DetRounding {
       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q196_hll_jaccard", q196, Some(q196Sql)),
+    Q("q198_zipf_fit", q198, Some(q198Sql)),
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q188_cms_heavy_hitters", q188, Some(q188Sql)),
     Q("q189_pmi_collocations", q189, Some(q189Sql)),

@@ -703,7 +703,125 @@ object Timeseries extends DetRounding {
       |FROM r
       |ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------------- q197
+  /** Largest-Triangle series downsampling of the hourly event-volume
+    * curve per type — Steinarsson's LTTB (2013), the visualization
+    * downsampler every monitoring stack runs before charting: keep the
+    * ~`LttbOut` points per series that preserve the curve's SHAPE
+    * (spikes, knees) rather than uniform strides that alias them. The
+    * PARALLEL anchor variant: buckets are equal-count rank ranges with
+    * the endpoints pinned, and each bucket keeps the point maximizing
+    * the triangle area against the NEIGHBOR BUCKETS' mean points (the
+    * standard distributed spelling — true LTTB anchors on the previous
+    * SELECTED point, a sequential dependency; anchoring on the bucket
+    * mean is the published parallel approximation and is deterministic).
+    *
+    * Exactness engineering: hourly sums quantize to integer CENTS
+    * (sum-order drift absorbed by the 2 dp quantum), hour indexes
+    * re-base per type to small integers, and the argmax area is the
+    * anchor-denominator-cleared ALL-INTEGER cross product
+    * |(XL·nr − XR·nl)(y·nl − YL) − (XL − x·nl)(YR·nl − YL·nr)| — no
+    * float enters the comparison, so the selection is bit-identical
+    * across engines and partitionings (tiebreak x asc). Magnitudes
+    * stay < 2⁶³ by the re-based x ≤ 10³ and cents ≤ 10¹⁰ per bucket.
+    *
+    * Shape: one partial+final hourly aggregate, per-type rank/count
+    * windows (PARTITIONED by type), a #types×#buckets bucket frame
+    * with lag/lead anchors, one broadcast join back, one per-bucket
+    * argmax window. Nothing unpartitioned touches the fact scan. */
+  private val LttbOut = 24
+
+  private def q197(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 3600000000").as("hx"))
+      .agg(floor(sum($"value") * 100 + 0.5).cast("long").as("cents"))
+    val wT = Window.partitionBy($"event_type")
+    val wOrd = wT.orderBy($"hx")
+    val based = pts
+      .withColumn("x", $"hx" - min($"hx").over(wT))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .filter($"n" >= 2)
+      .withColumn("bucket",
+        when($"rn" === 1, lit(0))
+          .when($"rn" === $"n", lit(LttbOut - 1))
+          .otherwise(lit(1) +
+            expr(s"(rn - 2) * ${LttbOut - 2} div (n - 2)")).cast("int"))
+    val bkt = based.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("nb"), sum($"x").as("xb"), sum($"cents").as("yb"))
+    val wB = Window.partitionBy($"event_type").orderBy($"bucket")
+    val anch = bkt
+      .withColumn("nl", lag($"nb", 1).over(wB))
+      .withColumn("xl", lag($"xb", 1).over(wB))
+      .withColumn("yl", lag($"yb", 1).over(wB))
+      .withColumn("nr", lead($"nb", 1).over(wB))
+      .withColumn("xr", lead($"xb", 1).over(wB))
+      .withColumn("yr", lead($"yb", 1).over(wB))
+      .select($"event_type", $"bucket", $"nb",
+        $"nl", $"xl", $"yl", $"nr", $"xr", $"yr")
+    val area = abs(
+      ($"xl" * $"nr" - $"xr" * $"nl") * ($"cents" * $"nl" - $"yl") -
+        ($"xl" - $"x" * $"nl") * ($"yr" * $"nl" - $"yl" * $"nr"))
+    val wSel = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"__area".desc, $"x".asc)
+    based.join(broadcast(anch), Seq("event_type", "bucket"))
+      .withColumn("__area", coalesce(area, lit(0L)))
+      .withColumn("__pick", row_number().over(wSel))
+      .filter($"__pick" === 1)
+      .select($"event_type", $"bucket", $"hx", $"nb".as("n_in_bucket"),
+        ($"cents".cast("double") / 100).as("value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val q197Sql: String =
+    s"""WITH pts AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hx,
+       |         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), based AS (
+       |  SELECT event_type, hx, cents,
+       |         hx - min(hx) OVER (PARTITION BY event_type) AS x,
+       |         count(*) OVER (PARTITION BY event_type) AS n,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+       |  FROM pts
+       |  QUALIFY n >= 2
+       |), bucketed AS (
+       |  SELECT *, CAST(CASE WHEN rn = 1 THEN 0
+       |                      WHEN rn = n THEN ${LttbOut - 1}
+       |                      ELSE 1 + (rn - 2) * ${LttbOut - 2} // (n - 2)
+       |                 END AS INTEGER) AS bucket
+       |  FROM based
+       |), bkt AS (
+       |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS nb,
+       |         CAST(sum(x) AS BIGINT) AS xb, CAST(sum(cents) AS BIGINT) AS yb
+       |  FROM bucketed GROUP BY 1, 2
+       |), anch AS (
+       |  SELECT event_type, bucket, nb,
+       |         lag(nb) OVER w AS nl, lag(xb) OVER w AS xl, lag(yb) OVER w AS yl,
+       |         lead(nb) OVER w AS nr, lead(xb) OVER w AS xr, lead(yb) OVER w AS yr
+       |  FROM bkt
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+       |), scored AS (
+       |  SELECT b.event_type, b.bucket, b.hx, b.x, b.cents, a.nb,
+       |         COALESCE(abs((a.xl * a.nr - a.xr * a.nl) * (b.cents * a.nl - a.yl)
+       |                      - (a.xl - b.x * a.nl) * (a.yr * a.nl - a.yl * a.nr)),
+       |                  0) AS area
+       |  FROM bucketed b JOIN anch a
+       |    ON a.event_type = b.event_type AND a.bucket = b.bucket
+       |)
+       |SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+       |       CAST(hx AS BIGINT) AS hx, nb AS n_in_bucket,
+       |       CAST(cents AS DOUBLE) / 100 AS value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+       |                                   ORDER BY area DESC, x ASC) AS pick
+       |      FROM scored) t
+       |WHERE pick = 1
+       |ORDER BY event_type, bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q197_lttb_downsample", q197, Some(q197Sql)),
     Q("q125_cusum_changepoint", q125, Some(q125Sql)),
     Q("q190_ewma_control", q190, Some(q190Sql)),
     Q("q126_seasonal_decompose", q126, Some(q126Sql)),

@@ -514,4 +514,27 @@ class FiltersSpec extends SparkSpecBase {
     }
   }
 
+
+  test("q196: pairwise Jaccard verdicts hold and exacts reconcile for a probe pair") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q196_hll_jaccard")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Int]("union_in_bound") shouldBe 1
+      val j = r.getAs[Double]("jaccard")
+      j should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("exact_inter") should be <=
+        math.min(r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"))
+    }
+    // independent recount for the lexicographically first pair
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", "\\s+")).as("token")).distinct()
+    val first = rows.map(r => (r.getString(0), r.getString(1))).min
+    val sa = toks.filter($"source" === first._1).select($"token")
+    val sb = toks.filter($"source" === first._2).select($"token")
+    val inter = sa.intersect(sb).count()
+    val row = rows.find(r => (r.getString(0), r.getString(1)) == first).get
+    row.getAs[Long]("exact_inter") shouldBe inter
+    row.getAs[Long]("exact_a") shouldBe sa.distinct().count()
+  }
 }

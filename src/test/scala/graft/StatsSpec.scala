@@ -401,4 +401,27 @@ class StatsSpec extends SparkSpecBase {
     (sizes.max - sizes.min) should be <= 1L
   }
 
+
+  test("q199: reversal flags are consistent and pooled diff is one number") {
+    val rows = SparkEntry.queries("q199_simpson_reversal")(spark, dir).collect()
+    rows should not be empty
+    rows.map(_.getAs[Double]("pooled_diff")).distinct.length shouldBe 1
+    rows.foreach { r =>
+      r.getAs[Long]("n_F") should be > 0L
+      r.getAs[Long]("n_O") should be > 0L
+      val flag = (r.getAs[Double]("diff") > 0) != (r.getAs[Double]("pooled_diff") > 0)
+      // rounded diffs can sit exactly at 0; only assert when the sign
+      // is unambiguous at display precision
+      if (math.abs(r.getAs[Double]("diff")) > 1e-4)
+        r.getAs[Int]("reversed") shouldBe (if (flag) 1 else 0)
+    }
+  }
+
+  test("q198: Zipf fit has negative slope and sane R-squared") {
+    val r = SparkEntry.queries("q198_zipf_fit")(spark, dir).collect().head
+    // the synthetic sf0.001 corpus has a ~31-token vocabulary
+    r.getAs[Long]("n_terms") should be > 10L
+    r.getAs[Double]("slope") should be < 0.0
+    r.getAs[Double]("r2") should (be > 0.0 and be <= 1.0)
+  }
 }

@@ -254,4 +254,29 @@ class TimeseriesSpec extends SparkSpecBase {
       gn shouldBe mae1 +- 1e-3
     }
   }
+
+  test("q197: LTTB keeps endpoints, one point per bucket, full coverage accounting") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q197_lttb_downsample")(spark, dir).collect()
+    val hourly = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_micros(ts) div 3600000000").as("hx"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(min($"hx").as("lo"), max($"hx").as("hi"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val (lo, hi, n) = hourly(tpe)
+      rs.length should be <= 24
+      // endpoints pinned: bucket 0 = first hour, bucket 23 = last hour
+      rs.map(_.getAs[Int]("bucket")).distinct.length shouldBe rs.length
+      rs.find(_.getAs[Int]("bucket") == 0).get.getAs[Long]("hx") shouldBe lo
+      rs.find(_.getAs[Int]("bucket") == 23).get.getAs[Long]("hx") shouldBe hi
+      // bucket membership covers every source point exactly once
+      rs.map(_.getAs[Long]("n_in_bucket")).sum shouldBe n
+      // selected hours strictly increase with bucket id
+      val ordered = rs.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Long]("hx"))
+      ordered.zip(ordered.tail).foreach { case (a, b) => a should be < b }
+    }
+  }
 }
