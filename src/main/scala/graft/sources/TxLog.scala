@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal transaction-log table format — the storage half of the MERGE
+  * story (q139 proves the MERGE algebra batch-side; this makes
+  * arbitrary-key upserts a STORAGE capability, closing the gap against
+  * the reference's Cassandra `UPDATE ... WHERE pk = ?` free-form upsert
+  * surface, lambda-sample analyzer/HistoryWriter.scala:90-98).
+  *
+  * Layout (the Delta/Iceberg copy-on-write discipline, reduced to what
+  * a single-writer engine needs — no external dependency, pure
+  * filesystem + parquet):
+  *
+  * {{{
+  *   <table>/
+  *     _txlog/00000000.json     one JSON doc per committed version:
+  *     _txlog/00000001.json     {"version":N,"adds":[{"path","rows",
+  *        "minKey","maxKey"}],"removes":["path",...]}
+  *     data-<version>-<uuid>/   parquet files, immutable once committed
+  * }}}
+  *
+  * - **Snapshot reads** replay the log in version order: live files =
+  *   Σ adds − Σ removes. Readers never see a half-committed version —
+  *   the log entry is written to a temp file and atomically renamed
+  *   into place, and data files are fully written BEFORE the rename.
+  * - **MERGE (upsert by key)** rewrites ONLY the live files whose
+  *   [minKey, maxKey] range on the FIRST key column intersects the
+  *   updates' range (file-skipping from log statistics — at 100 TB
+  *   this is the difference between rewriting a partition and
+  *   rewriting the table; a point-keyed upsert touches one file).
+  *   Matched rows are replaced, unmatched update rows are appended:
+  *   exactly CQL UPDATE = insert-or-overwrite semantics. Range
+  *   pruning on the first key column alone is CONSERVATIVE for
+  *   composite keys: a file disjoint from the updates on key₁ cannot
+  *   contain any full-key match.
+  * - **Concurrency**: single-writer by contract (the engine's
+  *   streaming sinks are single-query); the atomic version-file rename
+  *   makes a lost race fail loudly (version already exists) instead of
+  *   corrupting the log.
+  *
+  * Metadata operations (log replay, pruning) are driver-side over
+  * #files entries — the same trade every log-structured table format
+  * makes; data operations are full Spark jobs.
+  */
+object TxLog {
+
+  final case class AddFile(path: String, rows: Long, minKey: String, maxKey: String)
+  final case class Commit(version: Long, adds: Seq[AddFile], removes: Seq[String])
+
+  private def logDir(table: String): Path = Paths.get(table, "_txlog")
+
+  // ------------------------------------------------------------ write
+
+  /** Create the table at `table` from `df`, keyed by `keyCols` (first
+    * column drives file-range statistics). Fails if a log already
+    * exists. */
+  def create(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(!Files.exists(logDir(table)), s"table already exists: $table")
+    Files.createDirectories(logDir(table))
+    val adds = writeDataFiles(spark, table, 0L, df, keyCols)
+    commit(table, Commit(0L, adds, Nil))
+  }
+
+  /** MERGE `updates` into the table by `keyCols`: rows matching an
+    * existing key replace it (last-write-wins), the rest append.
+    * Copy-on-write: only key-range-overlapping live files rewrite. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val commits = replay(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    val version = commits.last.version + 1
+    val live = liveFiles(commits)
+    // de-duplicate updates on the key (latest occurrence wins is not
+    // well-defined for an unordered frame — require uniqueness loudly)
+    val upKeyed = updates.cache()
+    val dupKeys = upKeyed.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).count()
+    require(dupKeys == 0,
+      s"updates carry $dupKeys duplicate key(s) — resolve before merging")
+    val bounds = upKeyed.agg(
+      min(col(keyCols.head)).cast("string"),
+      max(col(keyCols.head)).cast("string")).head()
+    if (bounds.isNullAt(0)) { upKeyed.unpersist(); return } // empty updates
+    val (upMin, upMax) = (bounds.getString(0), bounds.getString(1))
+    val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
+    val touched = live.filter(f =>
+      cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
+    val rewritten =
+      if (touched.isEmpty) upKeyed
+      else {
+        val base = spark.read.parquet(touched.map(f => s"$table/${f.path}"): _*)
+        base.join(upKeyed, keyCols, "left_anti").unionByName(upKeyed)
+      }
+    val adds = writeDataFiles(spark, table, version, rewritten, keyCols)
+    upKeyed.unpersist()
+    commit(table, Commit(version, adds, touched.map(_.path)))
+  }
+
+  /** Append-only commit (no key matching — bulk loads). */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val commits = replay(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    val version = commits.last.version + 1
+    commit(table, Commit(version, writeDataFiles(spark, table, version, df, keyCols), Nil))
+  }
+
+  // ------------------------------------------------------------- read
+
+  /** Snapshot read of the latest committed version. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val live = liveFiles(replay(table))
+    require(live.nonEmpty, s"table has no live files: $table")
+    spark.read.parquet(live.map(f => s"$table/${f.path}"): _*)
+  }
+
+  /** Does a transaction log exist at `table`? */
+  def exists(table: String): Boolean = Files.exists(logDir(table))
+
+  /** Create-or-merge convenience for sink loops (first batch creates,
+    * later batches MERGE). */
+  def upsert(spark: SparkSession, table: String, df: DataFrame,
+      keyCols: Seq[String]): Unit =
+    if (!exists(table)) create(spark, table, df, keyCols)
+    else merge(spark, table, df, keyCols)
+
+  /** The committed history — (version, n_adds, n_removes, rows_added). */
+  def history(table: String): Seq[(Long, Int, Int, Long)] =
+    replay(table).map(c => (c.version, c.adds.size, c.removes.size,
+      c.adds.map(_.rows).sum))
+
+  /** Live file statistics — the skip-index a MERGE prunes with. */
+  def files(table: String): Seq[AddFile] = liveFiles(replay(table))
+
+  // -------------------------------------------------------- internals
+
+  private def liveFiles(commits: Seq[Commit]): Seq[AddFile] = {
+    val removed = commits.flatMap(_.removes).toSet
+    commits.flatMap(_.adds).filter(a => !removed.contains(a.path))
+  }
+
+  private def currentSchema(spark: SparkSession, table: String,
+      live: Seq[AddFile]): StructType =
+    spark.read.parquet(s"$table/${live.head.path}").schema
+
+  /** Type-aware comparison of the string-encoded log statistics. */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType | _: DecimalType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b) // strings; timestamps render ISO — ordered
+  }
+
+  /** Write `df` as parquet under a fresh immutable data directory and
+    * return one AddFile per part file with its first-key range stats
+    * (one stats aggregate grouped by input file — a metadata-sized
+    * job). */
+  private def writeDataFiles(spark: SparkSession, table: String,
+      version: Long, df: DataFrame, keyCols: Seq[String]): Seq[AddFile] = {
+    val rel = f"data-$version%08d-${UUID.randomUUID().toString.take(8)}"
+    val out = s"$table/$rel"
+    df.write.parquet(out)
+    spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCols.head)).cast("string").as("mn"),
+        max(col(keyCols.head)).cast("string").as("mx"))
+      .collect()
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        AddFile(s"$rel/$name", r.getLong(1), r.getString(2), r.getString(3))
+      }.toSeq
+  }
+
+  // Log (de)serialization: hand-rolled JSON writing + Jackson reading
+  // (Jackson rides on Spark's classpath) — no new dependencies.
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def commit(table: String, c: Commit): Unit = {
+    val adds = c.adds.map(a =>
+      s"""{"path":${jstr(a.path)},"rows":${a.rows},""" +
+        s""""minKey":${jstr(a.minKey)},"maxKey":${jstr(a.maxKey)}}""")
+      .mkString("[", ",", "]")
+    val removes = c.removes.map(jstr).mkString("[", ",", "]")
+    val doc = s"""{"version":${c.version},"adds":$adds,"removes":$removes}"""
+    val target = logDir(table).resolve(f"${c.version}%08d.json")
+    require(!Files.exists(target),
+      s"concurrent writer detected: version ${c.version} already committed")
+    val tmp = logDir(table).resolve(s".${UUID.randomUUID()}.tmp")
+    Files.write(tmp, doc.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def replay(table: String): Seq[Commit] = {
+    val dir = logDir(table)
+    if (!Files.exists(dir)) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val n = mapper.readTree(Files.readAllBytes(p))
+        Commit(
+          n.get("version").asLong(),
+          n.get("adds").elements().asScala.map(a => AddFile(
+            a.get("path").asText(), a.get("rows").asLong(),
+            a.get("minKey").asText(), a.get("maxKey").asText())).toSeq,
+          n.get("removes").elements().asScala.map(_.asText()).toSeq)
+      }
+  }
+}

@@ -177,6 +177,46 @@ object AnalysisStream {
       .trigger(trigger)
       .start()
   }
+
+  /** [[start]] twin with TRANSACTIONAL storage (round-5: the storage
+    * half of the MERGE story): each micro-batch MERGEs into a
+    * [[graft.sources.TxLog]] table keyed (name, ts) — real
+    * arbitrary-key upserts, the reference's `UPDATE analysis SET ...
+    * WHERE sensor = ?, ts = ?` surface (HistoryWriter.scala:90-98)
+    * as a storage capability rather than append+dedup emulation.
+    * Idempotent under foreachBatch's at-least-once replay: a restarted
+    * batch re-merges identical rows, and MERGE by key is content-
+    * idempotent (TxLogSpec); a re-analysis of the same (sensor, ts)
+    * snapshot is last-write-wins, exactly the CQL semantics. */
+  def startTx(
+      entryStream: Dataset[Entry],
+      analysisTable: String,
+      checkpointDir: String,
+      recentN: Int = 200,
+      scorer: String => Option[Double => Double] = _ => None,
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery = {
+    val spark = entryStream.sparkSession
+    import spark.implicits._
+    entryStream
+      .groupByKey(_.sensor)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update(recentN, scorer))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[SensorMeta], _: Long) =>
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            graft.sources.TxLog.upsert(spark, analysisTable,
+              cached.toDF(), Seq("name", "ts"))
+            SnapshotStore.update(cached.collect().toSeq)
+          }
+        } finally cached.unpersist()
+      }
+      .trigger(trigger)
+      .start()
+  }
 }
 
 /** Streaming deduplication — the T3 alternate mapping (SURVEY §2.8:

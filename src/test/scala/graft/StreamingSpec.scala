@@ -176,6 +176,38 @@ class StreamingSpec extends SparkSpecBase {
     hist.filter($"name" === "b").count() shouldBe 1
   }
 
+  test("transactional analysis sink: TxLog MERGE keyed (name, ts) — S8 storage parity") {
+    implicit val sqlCtx = spark.sqlContext
+    SnapshotStore.clear()
+    val source = MemoryStream[Entry]
+    val table = tmp("graft-txan")
+    val q = AnalysisStream.startTx(source.toDS(), table, tmp("graft-txckpt"),
+      recentN = 3, trigger = Trigger.ProcessingTime(0))
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    source.addData(
+      Entry("a", ts(1), 1.0, 0), Entry("a", ts(2), 2.0, 0),
+      Entry("b", ts(1), 5.0, 0))
+    q.processAllAvailable()
+    // batch 2: sensor a re-analyzed at a NEW head ts → upserts a second
+    // a-row; sensor b unchanged (no input → no emission)
+    source.addData(Entry("a", ts(3), 3.0, 0))
+    q.processAllAvailable()
+    q.stop()
+    val hist = graft.sources.TxLog.read(spark, table)
+    // MERGE semantics: one live row per (name, ts) key — never the
+    // append-log's one-row-per-emission
+    hist.groupBy($"name", $"ts").count().filter($"count" > 1).count() shouldBe 0
+    hist.filter($"name" === "a").count() shouldBe 2 // ts(2) head, then ts(3) head
+    hist.filter($"name" === "b").count() shouldBe 1
+    // the latest a-row carries the recomputed 3-value window score
+    val vals = Seq(3.0, 2.0, 1.0)
+    val expected = Heuristic.score(3.0, vals.sum / 3, Heuristic.stdDevPop(vals))
+    hist.filter($"name" === "a" && $"ts" === ts(3))
+      .select($"fastAnomaly").as[Double].head() shouldBe expected
+    // the log records one commit per non-empty micro-batch
+    graft.sources.TxLog.history(table).size should be >= 2
+  }
+
   test("analysis stream blends a live RF scorer (batch layer inside the stream)") {
     import org.apache.spark.ml.linalg.Vectors
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+
+/** Transaction-log table format: snapshot isolation from log replay,
+  * MERGE upsert semantics (CQL UPDATE parity — the reference upserts
+  * by PK at will), and copy-on-write file skipping from the log's
+  * key-range statistics. */
+class TxLogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("create/read round-trips and history records the commit") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      TxLog.create(spark, t, df.repartition(4), Seq("k"))
+      val back = TxLog.read(spark, t)
+      back.count() shouldBe 100
+      back.orderBy($"k").as[(Long, String)].collect() shouldBe
+        (1L to 100L).map(i => (i, s"v$i"))
+      TxLog.history(t) shouldBe Seq((0L, TxLog.files(t).size, 0, 100L))
+    }
+  }
+
+  test("merge replaces matched keys, appends the rest (upsert parity)") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      TxLog.create(spark, t,
+        (1L to 50L).map(i => (i, s"old$i")).toDF("k", "v"), Seq("k"))
+      // update keys 10..12, insert keys 101..103
+      val up = Seq(10L -> "NEW10", 11L -> "NEW11", 12L -> "NEW12",
+        101L -> "ins101", 102L -> "ins102", 103L -> "ins103").toDF("k", "v")
+      TxLog.merge(spark, t, up, Seq("k"))
+      val back = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+      back.size shouldBe 53
+      back(10L) shouldBe "NEW10"
+      back(12L) shouldBe "NEW12"
+      back(13L) shouldBe "old13"
+      back(101L) shouldBe "ins101"
+      // re-merging the same updates is idempotent on content
+      TxLog.merge(spark, t, up, Seq("k"))
+      TxLog.read(spark, t).as[(Long, String)].collect().toMap shouldBe back
+    }
+  }
+
+  test("copy-on-write skips files disjoint from the update key range") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      // range-clustered files: each of the 5 files owns a key range,
+      // so the log statistics can prove 4 of them disjoint
+      val df = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
+        .repartitionByRange(5, $"k").sortWithinPartitions($"k")
+      TxLog.create(spark, t, df, Seq("k"))
+      val before = TxLog.files(t).map(_.path).toSet
+      before.size shouldBe 5
+      // a point update inside one file's range
+      TxLog.merge(spark, t, Seq(42L -> 9999L).toDF("k", "v"), Seq("k"))
+      val after = TxLog.files(t).map(_.path).toSet
+      // exactly one original file was rewritten; the other four survive
+      (before -- after).size shouldBe 1
+      (before & after).size shouldBe 4
+      val back = TxLog.read(spark, t).as[(Long, Long)].collect().toMap
+      back.size shouldBe 500
+      back(42L) shouldBe 9999L
+      back(41L) shouldBe 82L
+    }
+  }
+
+  test("snapshot reads replay the log across sessions and reject dup-key updates") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      TxLog.create(spark, t, Seq(1L -> "a", 2L -> "b").toDF("k", "v"), Seq("k"))
+      TxLog.merge(spark, t, Seq(2L -> "B", 3L -> "c").toDF("k", "v"), Seq("k"))
+      TxLog.append(spark, t, Seq(10L -> "x").toDF("k", "v"), Seq("k"))
+      // "restart": a reader that only sees the filesystem state
+      TxLog.read(spark, t).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "a", 2L -> "B", 3L -> "c", 10L -> "x")
+      TxLog.history(t).map(_._1) shouldBe Seq(0L, 1L, 2L)
+      // duplicate keys in one update batch must fail loudly, not
+      // nondeterministically pick a winner
+      an[IllegalArgumentException] should be thrownBy
+        TxLog.merge(spark, t,
+          Seq(5L -> "x", 5L -> "y").toDF("k", "v"), Seq("k"))
+    }
+  }
+
+  test("analysis-history parity: upsert SensorMeta by (name, ts) at will (S8)") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/analysis"
+      // the reference's HistoryWriter re-upserts the same (sensor, ts)
+      // snapshot row when an analyzer recomputes — last write wins
+      val v1 = Seq(("s1", 1000L, 0.2), ("s2", 1000L, 0.4)).toDF("name", "ts", "avg")
+      TxLog.create(spark, t, v1, Seq("name", "ts"))
+      val recompute = Seq(("s1", 1000L, 0.7), ("s1", 2000L, 0.3))
+        .toDF("name", "ts", "avg")
+      TxLog.merge(spark, t, recompute, Seq("name", "ts"))
+      val back = TxLog.read(spark, t).as[(String, Long, Double)].collect().toSet
+      back shouldBe Set(("s1", 1000L, 0.7), ("s2", 1000L, 0.4), ("s1", 2000L, 0.3))
+    }
+  }
+
+  test("string and timestamp key statistics prune correctly") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      val df = ('a' to 'z').map(c => (c.toString * 3, c.toInt.toLong)).toDF("k", "v")
+        .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      TxLog.create(spark, t, df, Seq("k"))
+      val before = TxLog.files(t).map(_.path).toSet
+      TxLog.merge(spark, t, Seq(("mmm", 999L)).toDF("k", "v"), Seq("k"))
+      val after = TxLog.files(t).map(_.path).toSet
+      (before -- after).size shouldBe 1 // only the m-range file rewrote
+      TxLog.read(spark, t).as[(String, Long)].collect().toMap.apply("mmm") shouldBe 999L
+    }
+  }
+}
