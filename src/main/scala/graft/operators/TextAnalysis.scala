@@ -1246,6 +1246,89 @@ object TextAnalysis extends DetRounding {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q200
+  /** Calibration audit of the q153 linear quality classifier — the
+    * reliability diagram + expected-calibration-error machinery every
+    * model-based corpus filter needs before its scores gate anything
+    * (Guo et al., ICML'17): bucket the corpus into DECILES of the
+    * predicted probability, and per bin compare the mean prediction
+    * against the observed rate of a reference outcome. The outcome
+    * here is the cheap independent quality signal the catalog already
+    * trusts (q32's discipline): English stopword ratio ≥ 15% —
+    * "does the learned score track the heuristic gate, and WHERE does
+    * it over/under-shoot".
+    *
+    * Scale shapes: the outcome test is EXACT integer arithmetic
+    * (100·n_stop ≥ 15·n_tokens — no float ratio); deciles run through
+    * [[Ranks.withGlobalRank]] + [[Ranks.ntileFromRank]] on the
+    * corpus-sized score frame (the q49/q192 discipline — never a
+    * single-task window; the oracle's naive ntile spelling is the
+    * parity proof); per-bin stats are one partial+final aggregate.
+    * σ(logit) is libm exp — bin means round at 6 dp (q115's
+    * absorbed-ulp argument); the ECE term scales by exact counts. */
+  private def q200(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopEn = typedlit(stop("en"))
+    val scored = qualityClassify(Tables.documents(spark, dir), "doc_id", "text",
+      QcMilliWeights, QcBiasMilli)
+    val labeled = Tables.documents(spark, dir)
+      .withColumn("t", Portable.tokens($"text"))
+      .select($"doc_id",
+        (size(filter($"t", tok => array_contains(stopEn, tok))) * 100 >=
+          size($"t") * 15).cast("long").as("label"))
+    val binned = Ranks.withGlobalRank(
+        scored.join(labeled, "doc_id")
+          .select($"doc_id", $"quality_logit", $"label"),
+        "quality_logit", "doc_id", rn = "__rn", n = "__n")
+      .withColumn("decile", Ranks.ntileFromRank("__rn", "__n", 10))
+    val total = binned.agg(count(lit(1)).as("nn"))
+    binned
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-$"quality_logit")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"p").as("sp"), sum($"label").as("npos"))
+      .crossJoin(broadcast(total))
+      .select($"decile", $"n",
+        round($"sp" / $"n", 6).as("mean_pred"),
+        round($"npos".cast("double") / $"n", 6).as("obs_rate"),
+        round(abs($"sp" / $"n" - $"npos".cast("double") / $"n") *
+          $"n" / $"nn", 6).as("ece_term"))
+      .orderBy($"decile")
+  }
+
+  private val q200Sql: String = {
+    val stopList = stop("en").map(s => s"'$s'").mkString("[", ", ", "]")
+    val wLit = QcMilliWeights.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum([($wLit)[(${Portable.hash32Sql("t")} % $QcBuckets) + 1]
+       |                        for t in toks]) + ($QcBiasMilli) * len(toks) AS BIGINT) AS raw,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(toks, t -> list_contains($stopList, t)))
+       |              AS BIGINT) AS n_stop
+       |  FROM d
+       |), scored AS (
+       |  SELECT doc_id,
+       |         CAST(raw AS DOUBLE) / (1000.0 * n_tokens) AS quality_logit,
+       |         CAST(n_stop * 100 >= n_tokens * 15 AS BIGINT) AS label
+       |  FROM f
+       |), binned AS (
+       |  SELECT *, ntile(10) OVER (ORDER BY quality_logit, doc_id) AS decile,
+       |         count(*) OVER () AS nn
+       |  FROM scored
+       |)
+       |SELECT CAST(decile AS INTEGER) AS decile, CAST(count(*) AS BIGINT) AS n,
+       |       round(sum(1.0 / (1.0 + exp(-quality_logit))) / count(*), 6) AS mean_pred,
+       |       round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS obs_rate,
+       |       round(abs(sum(1.0 / (1.0 + exp(-quality_logit))) / count(*)
+       |                 - CAST(sum(label) AS DOUBLE) / count(*))
+       |             * count(*) / any_value(nn), 6) AS ece_term
+       |FROM binned
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+  }
+
   // -------------------------------------------------------------- q154
   /** Bigram-LM surprisal of the held-out split: an add-1-smoothed
     * CONDITIONAL model `p(w2|w1) = (c(w1 w2)+1)/(c_train(w1)+V)` fit on
@@ -1553,6 +1636,7 @@ object TextAnalysis extends DetRounding {
 
   val all: Seq[Q] = Seq(
     Q("q196_hll_jaccard", q196, Some(q196Sql)),
+    Q("q200_calibration_bins", q200, Some(q200Sql)),
     Q("q198_zipf_fit", q198, Some(q198Sql)),
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q188_cms_heavy_hitters", q188, Some(q188Sql)),

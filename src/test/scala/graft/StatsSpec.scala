@@ -417,6 +417,24 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q200: calibration bins partition the corpus; ECE terms reconcile") {
+    val rows = SparkEntry.queries("q200_calibration_bins")(spark, dir).collect()
+    rows.map(_.getAs[Int]("decile")).sorted.toSeq shouldBe (1 to 10)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    n shouldBe graft.sources.Tables.documents(spark, dir).count()
+    // deciles are equal-mass within 1 (the ntile contract)
+    val sizes = rows.map(_.getAs[Long]("n"))
+    (sizes.max - sizes.min) should be <= 1L
+    rows.foreach { r =>
+      r.getAs[Double]("mean_pred") should (be >= 0.0 and be <= 1.0)
+      r.getAs[Double]("obs_rate") should (be >= 0.0 and be <= 1.0)
+      // |mean_pred − obs_rate|·n/N at display precision
+      r.getAs[Double]("ece_term") shouldBe
+        (math.abs(r.getAs[Double]("mean_pred") - r.getAs[Double]("obs_rate")) *
+          r.getAs[Long]("n") / n) +- 2e-6
+    }
+  }
+
   test("q198: Zipf fit has negative slope and sane R-squared") {
     val r = SparkEntry.queries("q198_zipf_fit")(spark, dir).collect().head
     // the synthetic sf0.001 corpus has a ~31-token vocabulary
