@@ -129,6 +129,45 @@ object TxLog {
   /** Does a transaction log exist at `table`? */
   def exists(table: String): Boolean = Files.exists(logDir(table))
 
+  /** TIME TRAVEL: snapshot read as of a committed `version` — replay
+    * stops at that version, so the read sees exactly the files live
+    * then (data files are immutable; only `compact`'s removes ever
+    * supersede them, and superseded files stay on disk until an
+    * explicit vacuum a production build would add). */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val commits = replay(table).takeWhile(_.version <= version)
+    require(commits.nonEmpty && commits.last.version == version,
+      s"version $version is not committed in $table " +
+        s"(have: ${replay(table).map(_.version).mkString(",")})")
+    val live = liveFiles(commits)
+    require(live.nonEmpty, s"version $version has no live files: $table")
+    spark.read.parquet(live.map(f => s"$table/${f.path}"): _*)
+  }
+
+  /** COMPACTION: rewrite the live file set into `targetFiles`
+    * range-clustered-by-key files in ONE commit (adds + removes
+    * together, so readers flip atomically from the fragmented layout
+    * to the compacted one). This is the executable form of q173's
+    * compaction PLAN: many small MERGE-produced files → few sorted
+    * ones, restoring scan efficiency and tightening the min/max skip
+    * index. Content is untouched — a read before and after compaction
+    * returns the same rows. */
+  def compact(spark: SparkSession, table: String, keyCols: Seq[String],
+      targetFiles: Int = 8): Unit = {
+    require(targetFiles > 0, s"need targetFiles > 0 (got $targetFiles)")
+    val commits = replay(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    val live = liveFiles(commits)
+    require(live.nonEmpty, s"table has no live files: $table")
+    val version = commits.last.version + 1
+    val clustered = spark.read
+      .parquet(live.map(f => s"$table/${f.path}"): _*)
+      .repartitionByRange(targetFiles, col(keyCols.head))
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val adds = writeDataFiles(spark, table, version, clustered, keyCols)
+    commit(table, Commit(version, adds, live.map(_.path)))
+  }
+
   /** Create-or-merge convenience for sink loops (first batch creates,
     * later batches MERGE). */
   def upsert(spark: SparkSession, table: String, df: DataFrame,

@@ -103,6 +103,37 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("time travel reads any committed version; compaction is content-neutral") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      TxLog.create(spark, t, Seq(1L -> "a", 2L -> "b").toDF("k", "v"), Seq("k"))
+      TxLog.merge(spark, t, Seq(2L -> "B", 3L -> "c").toDF("k", "v"), Seq("k"))
+      TxLog.merge(spark, t, Seq(1L -> "A").toDF("k", "v"), Seq("k"))
+      // each version is a consistent snapshot
+      TxLog.readVersion(spark, t, 0L).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "a", 2L -> "b")
+      TxLog.readVersion(spark, t, 1L).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "a", 2L -> "B", 3L -> "c")
+      TxLog.readVersion(spark, t, 2L).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "A", 2L -> "B", 3L -> "c")
+      an[IllegalArgumentException] should be thrownBy
+        TxLog.readVersion(spark, t, 9L)
+      // fragmented by the merges → compact to one file, same content
+      val before = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+      TxLog.files(t).size should be > 1
+      TxLog.compact(spark, t, Seq("k"), targetFiles = 1)
+      TxLog.files(t).size shouldBe 1
+      TxLog.read(spark, t).as[(Long, String)].collect().toMap shouldBe before
+      // compaction is itself a version — the pre-compaction snapshot
+      // still time-travels
+      TxLog.readVersion(spark, t, 2L).as[(Long, String)].collect().toMap shouldBe before
+      // and the compacted file's skip stats cover the full key range
+      val f = TxLog.files(t).head
+      f.minKey shouldBe "1"
+      f.maxKey shouldBe "3"
+    }
+  }
+
   test("string and timestamp key statistics prune correctly") {
     withTempDir("txlog") { dir =>
       val t = s"$dir/t"
