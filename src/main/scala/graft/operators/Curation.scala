@@ -1218,7 +1218,118 @@ object Curation extends DetRounding {
        |LIMIT 100""".stripMargin
   }
 
+  // -------------------------------------------------------------- q201
+  /** Greedy set-cover corpus selection: pick `SetCoverK` sources, one
+    * per round, each maximizing MARGINAL distinct-token coverage of
+    * the corpus vocabulary — the submodular data-selection primitive
+    * (Nemhauser–Wolsey–Fisher '78 gives the greedy a 1−1/e guarantee)
+    * behind "choose the smallest source subset that still covers the
+    * vocabulary/eval surface" curation decisions.
+    *
+    * Scale shape per round: one anti-join of the (source, token)
+    * dictionary against the covered-token set (token-keyed equi-join),
+    * one partial+final gain count to the #sources frame, a
+    * TakeOrdered-1 winner, and a localCheckpoint of the new covered
+    * set (#vocab rows bound — q100's lineage-truncation discipline;
+    * the operator is EAGER like the other fixed-round recurrences).
+    * Winner tiebreak is (gain DESC, source ASC) — deterministic, and
+    * the unrolled DuckDB oracle replays the exact same greedy run. */
+  private val SetCoverK = 5
+
+  private def q201(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Tables.documents(spark, dir)
+      .select($"source", explode(Portable.tokens($"text")).as("token"))
+      .distinct()
+      .localCheckpoint()
+    val nv = dict.select($"token").distinct().count().toDouble
+    var covered = spark.emptyDataset[String].toDF("token").localCheckpoint()
+    var picked = List.empty[String]
+    val out = (1 to SetCoverK).map { r =>
+      // keep gain-0 sources in the race (a fully-covered vocabulary
+      // still picks deterministically — lexicographically first
+      // remaining source), mirrored exactly in the oracle
+      val unpicked =
+        if (picked.isEmpty) lit(true) else !$"source".isin(picked: _*)
+      val marg = dict.filter(unpicked)
+        .join(covered, Seq("token"), "left_anti")
+        .groupBy($"source").agg(count(lit(1)).as("g"))
+      val gains = dict.select($"source").distinct().filter(unpicked)
+        .join(marg, Seq("source"), "left_outer")
+        .select($"source", coalesce($"g", lit(0L)).as("gain"))
+        .orderBy($"gain".desc, $"source".asc).limit(1)
+        .collect()
+      require(gains.nonEmpty, s"set cover ran out of sources at round $r")
+      val (best, gain) = (gains(0).getString(0), gains(0).getLong(1))
+      picked = best :: picked
+      covered = covered
+        .union(dict.filter($"source" === best).select($"token"))
+        .distinct()
+        .localCheckpoint()
+      val coveredN = covered.count()
+      (r, best, gain, coveredN)
+    }
+    out.toDF("round", "source", "gain", "covered_total")
+      .withColumn("coverage_frac",
+        round($"covered_total" / nv, 6))
+      .orderBy($"round")
+  }
+
+  /** Unrolled greedy twin: round r's CTEs condition on rounds 1..r−1's
+    * picks and covered set — the oracle replays the identical greedy
+    * trajectory, so a tiebreak or marginal-gain bug anywhere in the
+    * distributed loop breaks the hash. */
+  private val q201Sql: String = {
+    val rounds = (1 to SetCoverK).map { r =>
+      val notPicked =
+        if (r == 1) ""
+        else (1 until r).map(i => s"t.source <> (SELECT source FROM p$i)")
+          .mkString(" AND ", " AND ", "")
+      val notCovered =
+        if (r == 1) ""
+        else s" AND NOT EXISTS (SELECT 1 FROM c${r - 1} x WHERE x.token = t.token)"
+      val prevCover =
+        if (r == 1) s"SELECT DISTINCT t.token FROM toks t JOIN p1 ON t.source = p1.source"
+        else s"SELECT token FROM c${r - 1} UNION " +
+          s"SELECT t.token FROM toks t JOIN p$r ON t.source = p$r.source"
+      val notPickedS =
+        if (r == 1) ""
+        else (1 until r).map(i => s"s.source <> (SELECT source FROM p$i)")
+          .mkString(" WHERE ", " AND ", "")
+      s"""m$r AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS gain
+         |  FROM toks t WHERE 1=1$notPicked$notCovered
+         |  GROUP BY 1
+         |), g$r AS (
+         |  SELECT s.source, CAST(COALESCE(m.gain, 0) AS BIGINT) AS gain
+         |  FROM (SELECT DISTINCT source FROM toks) s
+         |  LEFT JOIN m$r m ON m.source = s.source$notPickedS
+         |), p$r AS (
+         |  SELECT source, gain FROM g$r ORDER BY gain DESC, source LIMIT 1
+         |), c$r AS (
+         |  $prevCover
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (1 to SetCoverK).map { r =>
+      s"""SELECT $r AS round, source, gain,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered_total,
+         |       round((SELECT count(*) FROM c$r) / (SELECT nv FROM v), 6)
+         |         AS coverage_frac
+         |FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source, token FROM (
+       |    SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+       |    FROM documents)
+       |), v AS (
+       |  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS nv FROM toks
+       |), $rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q201_set_cover", q201, Some(q201Sql)),
     Q("q50_dup_clusters", q50, Some(q50Sql)),
     Q("q51_hash_split", q51, Some(q51Sql)),
     Q("q52_tfidf", q52, Some(q52Sql)),

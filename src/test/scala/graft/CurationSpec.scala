@@ -87,6 +87,33 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("q201: greedy set cover obeys submodular laws and replays by hand") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q201_set_cover")(spark, "/root/testdata/sf0.01")
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    rows.map(_._1).toSeq shouldBe (1 to 5)
+    // marginal gains are non-increasing (submodularity of coverage)
+    rows.map(_._3).sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ =>
+    }
+    // covered totals are the prefix sums of the gains, and coverage <= 1
+    rows.scanLeft(0L)(_ + _._3).tail.zip(rows.map(_._4)).foreach {
+      case (cum, got) => got shouldBe cum
+    }
+    rows.foreach(_._5 should (be >= 0.0 and be <= 1.0))
+    // round 1 picks the source with the largest vocabulary (ties: first)
+    import org.apache.spark.sql.functions.{explode, split}
+    val bySource = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select($"source", explode(split($"text", "\\s+")).as("t"))
+      .distinct().groupBy($"source").count()
+      .as[(String, Long)].collect()
+    val want = bySource.sortBy { case (s2, c) => (-c, s2) }.head
+    (rows.head._2, rows.head._3) shouldBe want
+    // picked sources never repeat
+    rows.map(_._2).distinct.length shouldBe 5
+  }
+
   test("q54: rank-guarantee verdicts hold and exact quartiles reconcile (A8 sketch)") {
     // the raw approx_percentile value is engine-local, so since round 5
     // the query emits EXACT quartiles plus in-bound verdicts computed
