@@ -1304,9 +1304,9 @@ object Curation extends DetRounding {
          |  SELECT s.source, CAST(COALESCE(m.gain, 0) AS BIGINT) AS gain
          |  FROM (SELECT DISTINCT source FROM toks) s
          |  LEFT JOIN m$r m ON m.source = s.source$notPickedS
-         |), p$r AS (
+         |), p$r AS MATERIALIZED (
          |  SELECT source, gain FROM g$r ORDER BY gain DESC, source LIMIT 1
-         |), c$r AS (
+         |), c$r AS MATERIALIZED (
          |  $prevCover
          |)""".stripMargin
     }.mkString(", ")

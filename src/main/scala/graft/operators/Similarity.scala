@@ -1658,7 +1658,122 @@ object Similarity extends DetRounding {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q202
+  /** MMR diversified retrieval (Carbonell & Goldstein, SIGIR'98): from
+    * the query's top-`MmrPool` relevance shortlist, greedily select
+    * `MmrK` results maximizing λ·rel − (1−λ)·max-sim-to-selected — the
+    * diversification pass that keeps a result page (or a RAG context
+    * window) from spending its budget on near-duplicates of the top
+    * hit. The missing rung of the retrieval surface next to q94's rank
+    * fusion (RRF merges CHANNELS; MMR diversifies WITHIN one).
+    *
+    * Scale shape: the heavy stage is the shortlist itself — a
+    * TakeOrdered over the corpus (at scale: q41's IVF probes produce
+    * the same shortlist without a full scan); the greedy loop then
+    * runs on the BOUNDED `MmrPool`-row frame (localCheckpoint per
+    * round, q201's discipline — rounds cost O(k·pool), corpus-
+    * independent). Determinism: every comparison key is a 6-dp-rounded
+    * cosine (q29's ordering discipline — identical IEEE expressions on
+    * both engines, rounding kills last-ulp order flips), ties break on
+    * vec_id; round 1's empty selected-set coalesces max-sim to 0, so
+    * one formula covers all rounds (λ > 0 keeps argmax = pure
+    * relevance). The oracle unrolls the identical greedy trajectory. */
+  private val MmrPool = 30
+  private val MmrK = 8
+  private val MmrLambda = 0.7
+
+  private def q202(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val q0 = e.filter($"vec_id" === 0L)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val rel6 = round(dot("qv", "v") / ($"qnrm" * $"nrm"), 6)
+    val pool = e.crossJoin(broadcast(q0))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", rel6.as("rel"), $"v", $"nrm")
+      .orderBy($"rel".desc, $"vec_id".asc).limit(MmrPool)
+      .localCheckpoint()
+    var selected = List.empty[(Int, Long, Double, Double)] // round, id, rel, score
+    var selEmb = pool.filter(lit(false))
+    for (r <- 1 to MmrK) {
+      val remaining = pool.filter(
+        if (selected.isEmpty) lit(true)
+        else !$"vec_id".isin(selected.map(_._2): _*))
+      val sims = remaining.as("c")
+        .join(broadcast(selEmb.as("s")), lit(true), "left_outer")
+        .select($"c.vec_id", $"c.rel",
+          when($"s.vec_id".isNull, lit(0.0)).otherwise(
+            round(dot("c.v", "s.v") / ($"c.nrm" * $"s.nrm"), 6)).as("sim"))
+        .groupBy($"vec_id", $"rel").agg(max($"sim").as("ms"))
+        .select($"vec_id", $"rel",
+          round(lit(MmrLambda) * $"rel" - lit(1 - MmrLambda) * $"ms", 6)
+            .as("score"))
+        .orderBy($"score".desc, $"vec_id".asc).limit(1)
+        .collect()
+      val w = sims(0)
+      selected ::= ((r, w.getLong(0), w.getDouble(1), w.getDouble(2)))
+      selEmb = pool.filter($"vec_id".isin(selected.map(_._2): _*))
+        .localCheckpoint()
+    }
+    selected.reverse
+      .toDF("round", "vec_id", "rel", "score")
+      .orderBy($"round")
+  }
+
+  private val q202Sql: String = {
+    val lam = MmrLambda
+    val rounds = (1 to MmrK).map { r =>
+      // LEFT JOIN + GROUP BY, not a correlated scalar subquery: DuckDB
+      // cannot bind an outer alias inside a list comprehension nested
+      // in a subquery, but binds both join sides in a plain select
+      val selIds = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      val body =
+        if (r == 1)
+          s"""  SELECT c.vec_id, c.rel,
+             |         round($lam * c.rel - ${1 - lam} * 0.0, 6) AS score
+             |  FROM pool c""".stripMargin
+        else
+          s"""  SELECT c.vec_id, c.rel,
+             |         round($lam * c.rel - ${1 - lam} *
+             |               max(round(${dotSql("c", "s")} / (c.nrm * s.nrm), 6)),
+             |               6) AS score
+             |  FROM pool c JOIN pool s ON s.vec_id IN ($selIds)
+             |  WHERE c.vec_id NOT IN ($selIds)
+             |  GROUP BY c.vec_id, c.rel""".stripMargin
+      // AS MATERIALIZED: DuckDB inlines CTEs by default, and round r
+      // references rounds 1..r−1 several times — inlining re-expands
+      // the whole greedy prefix per reference (exponential); pinning
+      // each round's 1-row pick makes the oracle linear in K
+      s"""g$r AS (
+         |$body
+         |), p$r AS MATERIALIZED (
+         |  SELECT vec_id, rel, score FROM g$r
+         |  ORDER BY score DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (1 to MmrK).map(r =>
+      s"SELECT $r AS round, vec_id, rel, score FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $normsCte, q0 AS (
+       |  SELECT embedding AS qe, nrm AS qnrm FROM norms WHERE vec_id = 0
+       |), pool AS MATERIALIZED (
+       |  SELECT n.vec_id,
+       |         round(list_sum([CAST(n.embedding[i] AS DOUBLE) *
+       |                         CAST(q.qe[i] AS DOUBLE)
+       |                         for i in generate_series(1, $Dim)])
+       |               / (n.nrm * q.qnrm), 6) AS rel,
+       |         n.embedding, n.nrm
+       |  FROM norms n CROSS JOIN q0 q
+       |  WHERE n.vec_id <> 0
+       |  ORDER BY rel DESC, n.vec_id LIMIT $MmrPool
+       |), $rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q202_mmr_retrieval", q202, Some(q202Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

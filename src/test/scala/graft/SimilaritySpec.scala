@@ -310,4 +310,28 @@ class SimilaritySpec extends SparkSpecBase {
   private def Similarity_testPlane(prefix: String): IndexedSeq[Int] =
     operators.Similarity.testSignVector(prefix)
 
+  test("q202: MMR starts at max relevance, never repeats, and diversifies") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q202_mmr_retrieval")(spark, dir).collect()
+    rows.map(_.getAs[Int]("round")).toSeq shouldBe (1 to 8)
+    rows.map(_.getAs[Long]("vec_id")).distinct.length shouldBe 8
+    // round 1 is the pure-relevance argmax (lambda > 0)
+    val rels = rows.map(_.getAs[Double]("rel"))
+    rels.head shouldBe rels.max
+    // score = 0.7*rel - 0.3*maxsim with maxsim in [-1, 1] (cosines can
+    // be negative, so the penalty can ADD) — bound the deviation
+    rows.foreach { r =>
+      math.abs(r.getAs[Double]("score") - 0.7 * r.getAs[Double]("rel")) should
+        be <= 0.3 + 1e-6
+    }
+    // diversification is real on this corpus: the MMR order deviates
+    // from the pure relevance order somewhere in the first 8
+    val byRel = rows.sortBy(r => (-r.getAs[Double]("rel"), r.getAs[Long]("vec_id")))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val byRound = rows.sortBy(_.getAs[Int]("round")).map(_.getAs[Long]("vec_id")).toSeq
+    withClue("MMR should reorder at least one pick vs pure relevance: ") {
+      byRound should not be byRel
+    }
+  }
+
 }
