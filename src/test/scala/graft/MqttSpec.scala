@@ -1,0 +1,112 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.core.MqttEntry
+import graft.sources.broker._
+
+/** The real MQTT 3.1.1 wire path: codec framing against the spec's
+  * examples, broker routing over actual loopback TCP sockets, and the
+  * full network → DSv2 micro-batch → typed-decode pipeline. */
+class MqttSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("remaining-length varint matches the spec's boundary table") {
+    import MqttCodec._
+    // OASIS MQTT 3.1.1 §2.2.3 gives these exact encodings
+    encodeRemainingLength(0).toSeq shouldBe Seq(0x00.toByte)
+    encodeRemainingLength(127).toSeq shouldBe Seq(0x7f.toByte)
+    encodeRemainingLength(128).toSeq shouldBe Seq(0x80.toByte, 0x01.toByte)
+    encodeRemainingLength(16383).toSeq shouldBe Seq(0xff.toByte, 0x7f.toByte)
+    encodeRemainingLength(16384).toSeq shouldBe
+      Seq(0x80.toByte, 0x80.toByte, 0x01.toByte)
+    encodeRemainingLength(268435455).toSeq shouldBe
+      Seq(0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    an[IllegalArgumentException] should be thrownBy encodeRemainingLength(-1)
+    an[IllegalArgumentException] should be thrownBy encodeRemainingLength(268435456)
+  }
+
+  test("packets round-trip the wire framing byte-exactly") {
+    import MqttCodec._
+    def roundTrip(p: Packet): Packet = {
+      val bos = new ByteArrayOutputStream()
+      writePacket(new DataOutputStream(bos), p)
+      readPacket(new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+    }
+    val pub = publish("sensors/power", Array[Byte](1, 2, 3, -1))
+    val back = roundTrip(pub)
+    back.ptype shouldBe PUBLISH
+    readPublish(back)._1 shouldBe "sensors/power"
+    readPublish(back)._2.toSeq shouldBe Seq[Byte](1, 2, 3, -1)
+    // a payload long enough to need a 2-byte remaining length
+    val big = publish("t", Array.fill[Byte](300)(7))
+    readPublish(roundTrip(big))._2.length shouldBe 300
+    val con = roundTrip(connect("client-1"))
+    con.ptype shouldBe CONNECT
+    readUtf8(con.body, 0)._1 shouldBe "MQTT"
+    val sub = roundTrip(subscribe(42, "a/b"))
+    sub.ptype shouldBe SUBSCRIBE
+    sub.flags shouldBe 0x2 // §3.8.1 reserved bits
+    (((sub.body(0) & 0xff) << 8) | (sub.body(1) & 0xff)) shouldBe 42
+  }
+
+  test("broker routes QoS-0 publishes to topic subscribers over real TCP") {
+    val broker = new MiniBroker
+    try {
+      val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[Byte])]()
+      val latch = new CountDownLatch(10)
+      val consumer = new MqttClient("127.0.0.1", broker.port, "consumer")
+      consumer.subscribe("sensors/power") { (t, p) =>
+        received.add(t -> p.toSeq); latch.countDown()
+      }
+      val other = new MqttClient("127.0.0.1", broker.port, "other")
+      other.subscribe("other/topic")((_, _) => fail("wrong-topic delivery"))
+      Thread.sleep(100) // let SUBSCRIBEs land before publishing
+      val producer = new MqttClient("127.0.0.1", broker.port, "producer")
+      val messages = (1 to 10).map(i =>
+        PayloadCodec.encode(MqttEntry(s"s${i % 3}", i * 1.5, i % 2)))
+      messages.foreach(producer.publish("sensors/power", _))
+      producer.publish("unrelated", Array[Byte](9)) // no subscriber: dropped
+      latch.await(5, TimeUnit.SECONDS) shouldBe true
+      import scala.jdk.CollectionConverters._
+      val got = received.asScala.toSeq
+      got.map(_._1).distinct shouldBe Seq("sensors/power")
+      // in-order, byte-exact delivery; decode recovers the records
+      got.map(_._2) shouldBe messages.map(_.toSeq)
+      got.map(p => PayloadCodec.decode(p._2.toArray)) shouldBe
+        (1 to 10).map(i => MqttEntry(s"s${i % 3}", i * 1.5, i % 2))
+      producer.disconnect(); consumer.disconnect(); other.disconnect()
+    } finally broker.close()
+  }
+
+  test("network → bridge → DSv2 micro-batch source → typed decode (S1+S2 end-to-end)") {
+    Broker.clear()
+    val broker = new MiniBroker
+    try {
+      val bridge = MqttBridge.start("127.0.0.1", broker.port, "sensors/power")
+      val producer = new MqttClient("127.0.0.1", broker.port, "producer")
+      val sent = (1 to 20).map(i => MqttEntry(s"sensor${i % 4}", i * 0.25, i % 2))
+      Thread.sleep(100)
+      sent.foreach(e => producer.publish("sensors/power", PayloadCodec.encode(e)))
+      // wait until the bridge has drained the socket into the topic
+      val deadline = System.currentTimeMillis() + 5000
+      while (Broker.size < sent.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      Broker.size shouldBe sent.size
+      // the raw DSv2 source now serves bytes that really crossed TCP
+      val q = spark.readStream
+        .format(classOf[RawBrokerSourceProvider].getName).load()
+      val decoded = PayloadCodec.decodeStage(q)
+      val sq = decoded.writeStream.format("memory")
+        .queryName("mqtt_e2e").outputMode("append").start()
+      try {
+        sq.processAllAvailable()
+        val rows = spark.table("mqtt_e2e").as[MqttEntry].collect().toSeq
+        rows.sortBy(e => (e.sensor, e.value)) shouldBe
+          sent.sortBy(e => (e.sensor, e.value))
+      } finally sq.stop()
+      producer.disconnect(); bridge.disconnect()
+    } finally { broker.close(); Broker.clear() }
+  }
+}
