@@ -1269,16 +1269,23 @@ object TextAnalysis extends DetRounding {
   private def q200(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stopEn = typedlit(stop("en"))
-    val scored = qualityClassify(Tables.documents(spark, dir), "doc_id", "text",
-      QcMilliWeights, QcBiasMilli)
-    val labeled = Tables.documents(spark, dir)
+    val w = typedlit(QcMilliWeights)
+    // classifier score AND outcome label from ONE tokenization pass
+    // (the q153 pooled-milli-sum algebra inlined next to the stopword
+    // count — two array folds over the same `t`, single corpus scan)
+    val pooled = aggregate(
+      transform($"t", tok =>
+        element_at(w, (Portable.hash32(tok) % QcMilliWeights.size).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = Tables.documents(spark, dir)
       .withColumn("t", Portable.tokens($"text"))
+      .select($"doc_id", size($"t").as("nt"),
+        (pooled + lit(QcBiasMilli) * size($"t")).as("raw"),
+        size(filter($"t", tok => array_contains(stopEn, tok))).as("nstop"))
       .select($"doc_id",
-        (size(filter($"t", tok => array_contains(stopEn, tok))) * 100 >=
-          size($"t") * 15).cast("long").as("label"))
-    val binned = Ranks.withGlobalRank(
-        scored.join(labeled, "doc_id")
-          .select($"doc_id", $"quality_logit", $"label"),
+        ($"raw".cast("double") / (lit(1000.0) * $"nt")).as("quality_logit"),
+        ($"nstop" * 100 >= $"nt" * 15).cast("long").as("label"))
+    val binned = Ranks.withGlobalRank(scored,
         "quality_logit", "doc_id", rn = "__rn", n = "__n")
       .withColumn("decile", Ranks.ntileFromRank("__rn", "__n", 10))
     val total = binned.agg(count(lit(1)).as("nn"))
