@@ -482,10 +482,11 @@ object Graph extends DetRounding {
       .orderBy($"community", $"node")
   }
 
-  /** Unrolled twin; row_number spells the same (lw DESC, label ASC)
-    * argmax the struct-max encodes. */
-  private val q147Sql: String = {
-    val rounds = (1 to 4).map { i =>
+  /** Unrolled LPA rounds (shared by the q147 and q203 oracles);
+    * row_number spells the same (lw DESC, label ASC) argmax the
+    * struct-max encodes. */
+  private def lpaRoundsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
       val prev = s"l${i - 1}"
       s"""v$i AS (
          |  SELECT e.dst, l.lbl, sum(e.w) AS lw
@@ -500,15 +501,84 @@ object Graph extends DetRounding {
          |  WHERE rn = 1
          |)""".stripMargin
     }.mkString(", ")
+
+  private val q147Sql: String =
     s"""WITH $edgeCtes,
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-       |$rounds
+       |${lpaRoundsSql(4)}
        |SELECT node,
        |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
        |       lbl AS community
        |FROM l4
        |ORDER BY community, node""".stripMargin
+
+  // -------------------------------------------------------------- q203
+  /** Newman–Girvan modularity of the q147 communities — the EVALUATION
+    * half of community detection (Newman & Girvan '04): per community,
+    * Q-term = w_in/2m − (d_c/2m)², where w_in counts both directions
+    * of intra-community weight and d_c is the community's total
+    * degree; Σ terms is the partition's modularity (≈0 for random
+    * structure, →1 for strong communities). Running the detector
+    * without its quality metric is how degenerate partitions slip into
+    * a curation pass — this closes the loop.
+    *
+    * Shape: the SAME 4-round propagation (one shared core, q147's
+    * scaladoc argmax determinism applies verbatim), then two
+    * label-keyed joins of the cached edge table (src label, dst label
+    * — rounds shuffle the #nodes vector only) and two per-community
+    * aggregates. Edge weights are integer-valued doubles, so every
+    * sum is exact in any order; the two divides + one multiply round
+    * at 6 dp as the single display step. */
+  private def q203(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = orderEdges(spark, dir)
+    val labels = labelPropagation(spark, dir, rounds = 4)
+      .select($"node", $"lbl")
+    val k = edges.groupBy($"src").agg(sum($"w").as("k"))
+    val m2 = edges.agg(sum($"w").as("m2"))
+    val dc = labels.join(k, $"node" === $"src")
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"k").as("d_c"))
+    val win = edges
+      .join(labels.select($"node".as("src"), $"lbl".as("la")).hint("shuffle_hash"),
+        "src")
+      .join(labels.select($"node".as("dst"), $"lbl".as("lb")).hint("shuffle_hash"),
+        "dst")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("community")).agg(sum($"w").as("w_in"))
+    dc.join(win, Seq("community"), "left_outer")
+      .crossJoin(broadcast(m2))
+      .select($"community", $"n_nodes", $"d_c",
+        coalesce($"w_in", lit(0.0)).as("w_in"),
+        round(coalesce($"w_in", lit(0.0)) / $"m2" -
+          ($"d_c" / $"m2") * ($"d_c" / $"m2"), 6).as("q_term"))
+      .orderBy($"community")
   }
+
+  private val q203Sql: String =
+    s"""WITH $edgeCtes,
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${lpaRoundsSql(4)},
+       |k AS (SELECT src, sum(w) AS k FROM edges GROUP BY 1),
+       |m AS (SELECT sum(w) AS m2 FROM edges),
+       |dc AS (
+       |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         sum(k.k) AS d_c
+       |  FROM l4 la JOIN k ON k.src = la.node
+       |  GROUP BY 1
+       |), win AS (
+       |  SELECT la.lbl AS community, sum(e.w) AS w_in
+       |  FROM edges e
+       |  JOIN l4 la ON la.node = e.src
+       |  JOIN l4 lb ON lb.node = e.dst AND lb.lbl = la.lbl
+       |  GROUP BY 1
+       |)
+       |SELECT dc.community, dc.n_nodes, dc.d_c,
+       |       COALESCE(win.w_in, 0.0) AS w_in,
+       |       round(COALESCE(win.w_in, 0.0) / m.m2
+       |             - (dc.d_c / m.m2) * (dc.d_c / m.m2), 6) AS q_term
+       |FROM dc LEFT JOIN win USING (community) CROSS JOIN m
+       |ORDER BY community""".stripMargin
 
   // -------------------------------------------------------------- q156
   /** Adamic–Adar link prediction between suppliers: two suppliers are
@@ -779,6 +849,7 @@ object Graph extends DetRounding {
     Q("q103_hop_distance", q103, Some(q103Sql)),
     Q("q112_triangle_census", q112, Some(q112Sql)),
     Q("q147_label_propagation", q147, Some(q147Sql)),
+    Q("q203_modularity", q203, Some(q203Sql)),
     Q("q156_link_prediction", q156, Some(q156Sql)),
     Q("q171_personalized_pagerank", q171, Some(q171Sql)),
     Q("q172_kcore", q172, Some(q172Sql)),

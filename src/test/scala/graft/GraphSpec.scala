@@ -297,4 +297,24 @@ class GraphSpec extends SparkSpecBase {
     seeds.foreach { s => byNode(s) should be > maxNonSeed }
   }
 
+  test("q203: modularity terms reconcile with the q147 partition and sum sanely") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q203_modularity")(spark, dir).collect()
+    rows should not be empty
+    // communities are exactly q147's label set, node counts included
+    val comm = SparkEntry.queries("q147_label_propagation")(spark, dir)
+      .groupBy("community").count().as[(Long, Long)].collect().toMap
+    rows.map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_nodes")).toMap shouldBe comm
+    // modularity of any partition is in (-1/2, 1); intra-weight is
+    // bounded by the community degree
+    val q = rows.map(_.getAs[Double]("q_term")).sum
+    // the order graph is BIPARTITE: a 2-community partition that
+    // separates the sides has w_in = 0 everywhere and hits exactly
+    // -1/2, the theoretical floor — include it
+    q should (be >= -0.5 and be < 1.0)
+    rows.foreach { r =>
+      r.getAs[Double]("w_in") should be <= r.getAs[Double]("d_c") + 1e-9
+    }
+  }
+
 }
