@@ -1336,6 +1336,104 @@ object TextAnalysis extends DetRounding {
        |ORDER BY decile""".stripMargin
   }
 
+  // -------------------------------------------------------------- q204
+  /** Heaps'-law vocabulary growth: V(n) ≈ K·n^β measured at five
+    * geometric corpus prefixes (doc_id order: 1/16, 1/8, 1/4, 1/2,
+    * all) with the fitted exponent — q198's Zipf twin on the OTHER
+    * axis (Zipf: frequency vs rank at fixed size; Heaps: vocabulary vs
+    * size), and the projection a corpus plan uses to answer "how much
+    * new vocabulary does doubling the crawl buy".
+    *
+    * ONE-PASS shape: V(prefix) needs no per-prefix rescans — a token's
+    * contribution to every prefix is decided by its FIRST-occurrence
+    * doc_id, so one vocabulary aggregate (token → min doc_id) plus
+    * five conditional counts gives all checkpoints; prefix token
+    * masses are five conditional sums over the per-doc token counts.
+    * Both are single partial+final aggregates. The β fit is q115's
+    * sufficient-sum OLS over the five (ln n, ln V) points, rounded
+    * 6 dp; counts are exact integers. */
+  private def q204(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", size(Portable.tokens($"text")).as("ntok"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val firstSeen = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Portable.tokens($"text")).as("token"))
+      .groupBy($"token").agg(min($"doc_id").as("first_doc"))
+    val fracs = Seq(16, 8, 4, 2, 1)
+    def cut(f: Int) = ($"nd" / f).cast("long")
+    val vCols = fracs.map(f =>
+      sum(($"first_doc" < cut(f)).cast("long")).as(s"v$f"))
+    val tCols = fracs.map(f =>
+      sum(when($"doc_id" < cut(f), $"ntok".cast("long")).otherwise(0L)).as(s"t$f"))
+    val vocabAtCuts = firstSeen.crossJoin(broadcast(nDocs))
+      .agg(vCols.head, vCols.tail: _*)
+    val tokensAtCuts = docs.crossJoin(broadcast(nDocs))
+      .agg(tCols.head, tCols.tail: _*)
+    val long = vocabAtCuts.crossJoin(tokensAtCuts).crossJoin(broadcast(nDocs))
+      .select(explode(array(fracs.map(f => struct(
+        lit(fracs.indexOf(f) + 1).as("checkpoint"),
+        cut(f).as("n_docs"),
+        col(s"t$f").as("n_tokens"),
+        col(s"v$f").as("vocab"))): _*)).as("p"))
+      .select($"p.checkpoint", $"p.n_docs", $"p.n_tokens", $"p.vocab")
+    val fit = long
+      .select(log($"n_tokens".cast("double")).as("x"),
+        log($"vocab".cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(round(($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("heaps_beta"))
+    long.crossJoin(broadcast(fit))
+      .orderBy($"checkpoint")
+  }
+
+  private val q204Sql: String = {
+    val fracs = Seq(16, 8, 4, 2, 1)
+    val vCols = fracs.map(f =>
+      s"CAST(sum(CASE WHEN first_doc < nd // $f THEN 1 ELSE 0 END) AS BIGINT) AS v$f")
+      .mkString(",\n         ")
+    val tCols = fracs.map(f =>
+      s"CAST(sum(CASE WHEN doc_id < nd // $f THEN ntok ELSE 0 END) AS BIGINT) AS t$f")
+      .mkString(",\n         ")
+    val rows = fracs.zipWithIndex.map { case (f, i) =>
+      s"SELECT ${i + 1} AS checkpoint, (SELECT nd // $f FROM nd) AS n_docs, " +
+        s"t$f AS n_tokens, v$f AS vocab FROM v CROSS JOIN t"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH nd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+       |), fs AS (
+       |  SELECT token, min(doc_id) AS first_doc FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+       |    FROM documents)
+       |  GROUP BY 1
+       |), dt AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS ntok
+       |  FROM documents
+       |), v AS (
+       |  SELECT $vCols
+       |  FROM fs CROSS JOIN nd
+       |), t AS (
+       |  SELECT $tCols
+       |  FROM dt CROSS JOIN nd
+       |), long AS (
+       |  $rows
+       |), fit AS (
+       |  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta
+       |  FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |               sum(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+       |               sum(ln(CAST(vocab AS DOUBLE))) AS sy,
+       |               sum(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))) AS sxy,
+       |               sum(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE))) AS sxx
+       |        FROM long)
+       |)
+       |SELECT long.checkpoint, CAST(long.n_docs AS BIGINT) AS n_docs,
+       |       long.n_tokens, long.vocab, fit.heaps_beta
+       |FROM long CROSS JOIN fit
+       |ORDER BY checkpoint""".stripMargin
+  }
+
   // -------------------------------------------------------------- q154
   /** Bigram-LM surprisal of the held-out split: an add-1-smoothed
     * CONDITIONAL model `p(w2|w1) = (c(w1 w2)+1)/(c_train(w1)+V)` fit on
@@ -1645,6 +1743,7 @@ object TextAnalysis extends DetRounding {
     Q("q196_hll_jaccard", q196, Some(q196Sql)),
     Q("q200_calibration_bins", q200, Some(q200Sql)),
     Q("q198_zipf_fit", q198, Some(q198Sql)),
+    Q("q204_heaps_growth", q204, Some(q204Sql)),
     Q("q31_lang_id", q31, Some(q31Sql)),
     Q("q188_cms_heavy_hitters", q188, Some(q188Sql)),
     Q("q189_pmi_collocations", q189, Some(q189Sql)),

@@ -435,6 +435,28 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q204: Heaps growth is monotone, last checkpoint is the full corpus") {
+    import org.apache.spark.sql.functions.{countDistinct, explode, split}
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q204_heaps_growth")(spark, dir).collect()
+      .sortBy(_.getAs[Int]("checkpoint"))
+    rows.map(_.getAs[Int]("checkpoint")).toSeq shouldBe (1 to 5)
+    // vocabulary and token mass are monotone in prefix size
+    Seq("n_docs", "n_tokens", "vocab").foreach { c =>
+      val xs = rows.map(_.getAs[Long](c))
+      xs.zip(xs.tail).foreach { case (a, b) => a should be <= b }
+    }
+    // checkpoint 5 = the whole corpus, vocab equals a direct recount
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val fullVocab = docs.select(explode(split($"text", "\\s+")).as("t"))
+      .agg(countDistinct($"t")).as[Long].head()
+    rows.last.getAs[Long]("vocab") shouldBe fullVocab
+    rows.last.getAs[Long]("n_docs") shouldBe docs.count()
+    // one beta for the whole report, and sublinear growth: beta < 1
+    rows.map(_.getAs[Double]("heaps_beta")).distinct.length shouldBe 1
+    rows.head.getAs[Double]("heaps_beta") should be < 1.0
+  }
+
   test("q198: Zipf fit has negative slope and sane R-squared") {
     val r = SparkEntry.queries("q198_zipf_fit")(spark, dir).collect().head
     // the synthetic sf0.001 corpus has a ~31-token vocabulary
