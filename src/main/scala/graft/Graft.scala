@@ -589,4 +589,25 @@ object Graft {
     * the frame width open (q193 fixes 256 samples). */
   def audioFrames(spark: SparkSession, dir: String, frame: Int = 256): DataFrame =
     multimodal.Multimodal.audioFrames(spark, dir, frame)
+
+  /** LTTB shape-preserving series downsampling with the output budget
+    * open (q197 fixes 24 points per type). */
+  def lttb(spark: SparkSession, dir: String, nOut: Int = 24): DataFrame =
+    operators.Timeseries.lttb(spark, dir, nOut)
+
+  /** Greedy set-cover source selection with the budget open (q201
+    * fixes 5 picks). */
+  def setCover(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    operators.Curation.setCover(spark, dir, k)
+
+  /** MMR diversified retrieval with query, shortlist, budget and
+    * relevance/diversity blend open (q202 fixes 0, 30, 8, 0.7). */
+  def mmr(spark: SparkSession, dir: String, queryId: Long = 0L,
+      pool: Int = 30, k: Int = 8, lambda: Double = 0.7): DataFrame =
+    operators.Similarity.mmr(spark, dir, queryId, pool, k, lambda)
+
+  /** Newman-Girvan modularity of the LPA communities with the
+    * propagation depth open (q203 fixes 4 rounds). */
+  def modularity(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame =
+    operators.Graph.modularity(spark, dir, rounds)
 }

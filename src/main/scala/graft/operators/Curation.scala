@@ -1236,7 +1236,14 @@ object Curation extends DetRounding {
     * the unrolled DuckDB oracle replays the exact same greedy run. */
   private val SetCoverK = 5
 
-  private def q201(spark: SparkSession, dir: String): DataFrame = {
+  private def q201(spark: SparkSession, dir: String): DataFrame =
+    setCover(spark, dir, SetCoverK)
+
+  /** Open-knob core of q201, shared with [[graft.Graft.setCover]]:
+    * the selection budget is the knob. */
+  private[graft] def setCover(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
     import spark.implicits._
     val dict = Tables.documents(spark, dir)
       .select($"source", explode(Portable.tokens($"text")).as("token"))
@@ -1245,7 +1252,7 @@ object Curation extends DetRounding {
     val nv = dict.select($"token").distinct().count().toDouble
     var covered = spark.emptyDataset[String].toDF("token").localCheckpoint()
     var picked = List.empty[String]
-    val out = (1 to SetCoverK).map { r =>
+    val out = (1 to k).map { r =>
       // keep gain-0 sources in the race (a fully-covered vocabulary
       // still picks deterministically — lexicographically first
       // remaining source), mirrored exactly in the oracle

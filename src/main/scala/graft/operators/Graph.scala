@@ -529,10 +529,16 @@ object Graph extends DetRounding {
     * aggregates. Edge weights are integer-valued doubles, so every
     * sum is exact in any order; the two divides + one multiply round
     * at 6 dp as the single display step. */
-  private def q203(spark: SparkSession, dir: String): DataFrame = {
+  private def q203(spark: SparkSession, dir: String): DataFrame =
+    modularity(spark, dir, rounds = 4)
+
+  /** Open-knob core of q203, shared with [[graft.Graft.modularity]]:
+    * the propagation depth is the knob. */
+  private[graft] def modularity(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     import spark.implicits._
     val edges = orderEdges(spark, dir)
-    val labels = labelPropagation(spark, dir, rounds = 4)
+    val labels = labelPropagation(spark, dir, rounds)
       .select($"node", $"lbl")
     val k = edges.groupBy($"src").agg(sum($"w").as("k"))
     val m2 = edges.agg(sum($"w").as("m2"))

@@ -1682,21 +1682,31 @@ object Similarity extends DetRounding {
   private val MmrK = 8
   private val MmrLambda = 0.7
 
-  private def q202(spark: SparkSession, dir: String): DataFrame = {
+  private def q202(spark: SparkSession, dir: String): DataFrame =
+    mmr(spark, dir, queryId = 0L, pool = MmrPool, k = MmrK,
+      lambda = MmrLambda)
+
+  /** Open-knob core of q202, shared with [[graft.Graft.mmr]]: query,
+    * shortlist size, result budget, and the relevance/diversity blend
+    * are the knobs. */
+  private[graft] def mmr(spark: SparkSession, dir: String, queryId: Long,
+      pool: Int, k: Int, lambda: Double): DataFrame = {
+    require(pool >= k && k >= 1, s"need pool >= k >= 1 (got pool=$pool k=$k)")
+    require(lambda > 0 && lambda <= 1, s"need 0 < lambda <= 1 (got $lambda)")
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val q0 = e.filter($"vec_id" === 0L)
+    val q0 = e.filter($"vec_id" === queryId)
       .select($"v".as("qv"), $"nrm".as("qnrm"))
     val rel6 = round(dot("qv", "v") / ($"qnrm" * $"nrm"), 6)
-    val pool = e.crossJoin(broadcast(q0))
-      .filter($"vec_id" =!= 0L)
+    val shortlist = e.crossJoin(broadcast(q0))
+      .filter($"vec_id" =!= queryId)
       .select($"vec_id", rel6.as("rel"), $"v", $"nrm")
-      .orderBy($"rel".desc, $"vec_id".asc).limit(MmrPool)
+      .orderBy($"rel".desc, $"vec_id".asc).limit(pool)
       .localCheckpoint()
     var selected = List.empty[(Int, Long, Double, Double)] // round, id, rel, score
-    var selEmb = pool.filter(lit(false))
-    for (r <- 1 to MmrK) {
-      val remaining = pool.filter(
+    var selEmb = shortlist.filter(lit(false))
+    for (r <- 1 to k) {
+      val remaining = shortlist.filter(
         if (selected.isEmpty) lit(true)
         else !$"vec_id".isin(selected.map(_._2): _*))
       val sims = remaining.as("c")
@@ -1706,13 +1716,13 @@ object Similarity extends DetRounding {
             round(dot("c.v", "s.v") / ($"c.nrm" * $"s.nrm"), 6)).as("sim"))
         .groupBy($"vec_id", $"rel").agg(max($"sim").as("ms"))
         .select($"vec_id", $"rel",
-          round(lit(MmrLambda) * $"rel" - lit(1 - MmrLambda) * $"ms", 6)
+          round(lit(lambda) * $"rel" - lit(1 - lambda) * $"ms", 6)
             .as("score"))
         .orderBy($"score".desc, $"vec_id".asc).limit(1)
         .collect()
       val w = sims(0)
       selected ::= ((r, w.getLong(0), w.getDouble(1), w.getDouble(2)))
-      selEmb = pool.filter($"vec_id".isin(selected.map(_._2): _*))
+      selEmb = shortlist.filter($"vec_id".isin(selected.map(_._2): _*))
         .localCheckpoint()
     }
     selected.reverse

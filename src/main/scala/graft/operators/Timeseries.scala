@@ -731,7 +731,14 @@ object Timeseries extends DetRounding {
     * argmax window. Nothing unpartitioned touches the fact scan. */
   private val LttbOut = 24
 
-  private def q197(spark: SparkSession, dir: String): DataFrame = {
+  private def q197(spark: SparkSession, dir: String): DataFrame =
+    lttb(spark, dir, LttbOut)
+
+  /** Open-knob core of q197, shared with [[graft.Graft.lttb]]: the
+    * output budget is the knob (chart width / context budget). */
+  private[graft] def lttb(spark: SparkSession, dir: String,
+      nOut: Int): DataFrame = {
+    require(nOut >= 2, s"need nOut >= 2 (got $nOut)")
     import spark.implicits._
     val pts = Tables.events(spark, dir)
       .groupBy($"event_type",
@@ -746,9 +753,9 @@ object Timeseries extends DetRounding {
       .filter($"n" >= 2)
       .withColumn("bucket",
         when($"rn" === 1, lit(0))
-          .when($"rn" === $"n", lit(LttbOut - 1))
+          .when($"rn" === $"n", lit(nOut - 1))
           .otherwise(lit(1) +
-            expr(s"(rn - 2) * ${LttbOut - 2} div (n - 2)")).cast("int"))
+            expr(s"(rn - 2) * ${nOut - 2} div (n - 2)")).cast("int"))
     val bkt = based.groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("nb"), sum($"x").as("xb"), sum($"cents").as("yb"))
     val wB = Window.partitionBy($"event_type").orderBy($"bucket")

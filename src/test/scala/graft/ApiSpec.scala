@@ -377,4 +377,20 @@ class ApiSpec extends SparkSpecBase {
     rows(Graft.skyline(dom, "id", "x", "y")) shouldBe Seq(Seq(1L, 10L, 10L))
   }
 
+  test("round-5 facade at catalog knobs equals q197/q201/q202/q203") {
+    val dir = "/root/testdata/sf0.001"
+    Graft.lttb(spark, dir, nOut = 24).collect() shouldBe
+      SparkEntry.queries("q197_lttb_downsample")(spark, dir).collect()
+    Graft.setCover(spark, dir, k = 5).collect() shouldBe
+      SparkEntry.queries("q201_set_cover")(spark, dir).collect()
+    Graft.mmr(spark, dir).collect() shouldBe
+      SparkEntry.queries("q202_mmr_retrieval")(spark, dir).collect()
+    Graft.modularity(spark, dir).collect() shouldBe
+      SparkEntry.queries("q203_modularity")(spark, dir).collect()
+    // and an off-catalog knob actually changes the shape
+    Graft.lttb(spark, dir, nOut = 6).collect()
+      .map(_.getAs[Int]("bucket")).max should be <= 5
+    Graft.setCover(spark, dir, k = 2).collect().length shouldBe 2
+  }
+
 }
