@@ -583,6 +583,106 @@ object Similarity extends DetRounding {
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
 
+  // -------------------------------------------------------------- q205
+  /** ANN recall audit: recall@5 of the q41 IVF probe against the q29
+    * exact top-5, per query — the evaluation row of the vector-search
+    * ladder (an ANN index without a measured recall is a liability at
+    * any scale; the spec-locked recall floors get their in-catalog,
+    * oracle-gated twin here). Also reports how many candidates the
+    * probe examined (`n_probed`) — the recall/cost trade in one row.
+    *
+    * Everything is a set intersection of two DETERMINISTIC top-5 lists
+    * (both ranked on 6-dp-rounded cosine with id tiebreaks — the
+    * ladder's shared ordering discipline), so counts are exact
+    * integers and recall is one divide by 5. Shape: the exact side is
+    * q29's broadcast-queries scan; the approx side is q41's
+    * cluster-keyed equi-join; the audit joins two 25-row frames. */
+  private def q205(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val assigned = e.withColumn("cluster", cellFromScores(cellScores))
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    val queries = assigned.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        $"nrm".as("qnrm"), $"cluster")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val w = Window.partitionBy($"query_id").orderBy(round(cos, 6).desc, $"vec_id".asc)
+    val exact5 = e.join(broadcast(
+        queries.select($"query_id", $"qv", $"qnrm")), lit(true))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val approx5 = assigned.join(broadcast(queries), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val probed = assigned.groupBy($"cluster").agg(count(lit(1)).as("csz"))
+    val hits = exact5
+      .join(approx5.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hit"))
+    queries.join(broadcast(probed), Seq("cluster"))
+      .join(hits, Seq("query_id"))
+      .select($"query_id", ($"csz" - 1).as("n_probed"), $"n_hit",
+        ($"n_hit".cast("double") / 5.0).as("recall_at_5"))
+      .orderBy($"query_id")
+  }
+
+  private val q205Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assign a ON n.vec_id = a.vec_id
+       |), exact5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY round(${dotSql("q", "c")} / (q.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rn
+       |    FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id IN (${QueryIds.mkString(", ")})) t
+       |  WHERE rn <= 5
+       |), approx5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY round(${dotSql("q", "c")} / (q.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rn
+       |    FROM nb q JOIN nb c ON c.cluster = q.cluster AND c.vec_id <> q.vec_id
+       |    WHERE q.vec_id IN (${QueryIds.mkString(", ")})) t
+       |  WHERE rn <= 5
+       |), csz AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM nb GROUP BY 1
+       |), hits AS (
+       |  SELECT e.query_id,
+       |         CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |              AS BIGINT) AS n_hit
+       |  FROM exact5 e
+       |  LEFT JOIN approx5 a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT h.query_id, csz.csz - 1 AS n_probed, h.n_hit,
+       |       CAST(h.n_hit AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM hits h
+       |JOIN assign qa ON qa.vec_id = h.query_id
+       |JOIN csz ON csz.cluster = qa.cluster
+       |ORDER BY h.query_id""".stripMargin
+
   // --------------------------------------------------------------- q68
   /** Embedding-space corpus diagnostics: occupancy and cohesion of the
     * IVF cells — the "is my corpus topically balanced / is my ANN index
@@ -1789,6 +1889,7 @@ object Similarity extends DetRounding {
     Q("q29_knn_brute_force", q29, Some(q29Sql)),
     Q("q30_knn_srp_lsh", q30, Some(q30Sql)),
     Q("q41_knn_ivf", q41, Some(q41Sql)),
+    Q("q205_ann_recall", q205, Some(q205Sql)),
     Q("q55_neardup_production", q55, Some(q55Sql)),
     Q("q68_cluster_balance", q68, Some(q68Sql)),
     Q("q72_semantic_prune", q72, Some(q72Sql)),

@@ -334,4 +334,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q205: recall audit reconciles with the q29/q41 lists it measures") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q205_ann_recall")(spark, dir).collect()
+    rows.length shouldBe 5
+    // recompute the intersection from the two catalog queries directly
+    val exact = SparkEntry.queries("q29_knn_brute_force")(spark, dir).collect()
+      .filter(_.getAs[Int]("rn") <= 5)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = SparkEntry.queries("q41_knn_ivf")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val want = exact.count(p => p._1 == q && approx.contains(p))
+      r.getAs[Long]("n_hit") shouldBe want
+      r.getAs[Double]("recall_at_5") shouldBe want / 5.0
+      r.getAs[Long]("n_probed") should be >= r.getAs[Long]("n_hit")
+    }
+  }
+
 }
