@@ -1059,8 +1059,9 @@ object Relational extends DetRounding {
     *
     * Scale: the multi-distinct aggregate plans as ONE pass with Expand
     * (Catalyst's grouping-sets machinery) — #columns × corpus rows map
-    * side, partial+final; min/max/null-count ride the same pass. At
-    * 100 TB swap exact NDV for q39's HLL per column, same shape. */
+    * side, partial+final; min/max/null-count ride the same pass. The
+    * 100 TB form (HLL NDV, verdict-gated) is q206 — the swap is a
+    * catalog row, not a footnote. */
   /** Generic core of q106, shared with [[graft.Graft.columnStats]]:
     * stats over any frame's columns (one type family per call — `lo` /
     * `hi` share a stack slot). Column names reach a `stack()` SQL
@@ -1094,6 +1095,47 @@ object Relational extends DetRounding {
          |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
          |       min($c) AS lo, max($c) AS hi
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // -------------------------------------------------------------- q206
+  /** q106's 100 TB form, WRITTEN (its scaladoc promised "at 100 TB
+    * swap exact NDV for q39's HLL per column, same shape" — the swap
+    * is now a catalog row, not a footnote): the same ANALYZE report
+    * with sketch NDV, carrying the round-5 verdict discipline — the
+    * engine-local HLL estimates verify IN-QUERY against the exact
+    * counts (|approx−exact|/exact ≤ 4·rsd at the default 0.05) and
+    * the hash gates exact companions + verdicts. Per-column sketches
+    * ride the SAME Expand pass as the exact NDV here (gate shape);
+    * the production form drops the exact column and keeps fixed-size
+    * mergeable state per column — incremental ANALYZE without
+    * rescanning history. */
+  private def q206(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val df = Tables.lineitem(spark, dir)
+    val agg = df.select(cols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"nn_$c")) ++
+        cols.map(c => countDistinct(col(c)).as(s"ndv_$c")) ++
+        cols.map(c => approx_count_distinct(col(c)).as(s"andv_$c")): _*)
+    val stacked = cols.map(c =>
+      s"'$c', nn_$c, ndv_$c, andv_$c").mkString(", ")
+    agg.select(col("n"), expr(
+        s"stack(${cols.size}, $stacked) AS (col_name, n_null, ndv, andv)"))
+      .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
+        (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
+          <= lit(4 * 0.05)).cast("int").as("ndv_in_bound"))
+      .orderBy(col("col_name"))
+  }
+
+  private val q206Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |       CAST(1 AS INTEGER) AS ndv_in_bound
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
@@ -1486,6 +1528,7 @@ object Relational extends DetRounding {
     Q("q49_rank_distribution", q49, Some(q49Sql)),
     Q("q99_star_revenue", q99, Some(q99Sql)),
     Q("q106_table_stats", q106, Some(q106Sql)),
+    Q("q206_sketch_stats", q206, Some(q206Sql)),
     Q("q108_string_agg", q108, Some(q108Sql)),
     Q("q109_integrity_audit", q109, Some(q109Sql)),
     Q("q178_selfjoin_estimate", q178, Some(q178Sql)),
