@@ -774,9 +774,12 @@ object Graph extends DetRounding {
     var edges = edgeList
     var prevFrozen: Option[DataFrame] = None
     // try/finally: a round that throws mid-loop (executor loss, OOM)
-    // must not strand the in-flight round's persisted frame for the
-    // session lifetime — `prevFrozen` always holds the one live cache,
-    // and the finally releases it on ANY non-success exit.
+    // must not strand ANY persisted frame for the session lifetime —
+    // `prevFrozen` holds the one settled cache, `inflight` the round
+    // being materialized (persist()-marked before count(), so a failed
+    // count() would otherwise leak its partial cache), and the finally
+    // releases both on ANY non-success exit.
+    var inflight: Option[DataFrame] = None
     var ok = false
     var out: DataFrame = null
     try {
@@ -794,9 +797,11 @@ object Graph extends DetRounding {
         val next = freeze(edges
           .join(broadcast(keep), edges("src") === keep("node"), "left_semi")
           .join(broadcast(keep), edges("dst") === keep("node"), "left_semi"))
+        inflight = Some(next)
         next.count() // materialize BEFORE dropping the predecessor
         prevFrozen.foreach(_.unpersist())
         prevFrozen = Some(next)
+        inflight = None
         edges = next
       }
       // contract the peeled edge list to the small survivor-degree
@@ -810,6 +815,7 @@ object Graph extends DetRounding {
       ok = true
       out
     } finally {
+      inflight.foreach(_.unpersist())
       prevFrozen.foreach(_.unpersist())
       if (!ok && out != null) out.unpersist()
     }

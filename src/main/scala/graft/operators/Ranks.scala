@@ -48,13 +48,18 @@ private[graft] object Ranks {
       rn: String = "rn", n: String = "n", buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2 (got $buckets)")
     val stats = df.agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+    // NULL sort keys get their own concrete bucket BEFORE every numeric
+    // one (matching the window's asc_nulls_first) — a null __bkt would
+    // never match the offsets equi-join and the rows would silently
+    // vanish from the output while still counted in `n`.
     val bucketed = df.crossJoin(broadcast(stats))
       .withColumn("__bkt",
-        when(col("__hi") === col("__lo"), lit(0)).otherwise(
-          least(floor((col(v) - col("__lo")) / (col("__hi") - col("__lo"))
-            * buckets), lit(buckets - 1))).cast("int"))
+        when(col(v).isNull, lit(-1)).otherwise(
+          when(col("__hi") === col("__lo"), lit(0)).otherwise(
+            least(floor((col(v) - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets), lit(buckets - 1)))).cast("int"))
       .drop("__lo", "__hi")
-    rankByBucket(bucketed, Seq(col(v), col(id)), rn, n)
+    rankByBucket(bucketed, Seq("__bkt"), Seq(col(v), col(id)), rn, n)
   }
 
   /** String-keyed variant: exact global `row_number` under
@@ -71,28 +76,36 @@ private[graft] object Ranks {
   def withGlobalRankByPrefix(df: DataFrame, s: String,
       rn: String = "rn", n: String = "n", prefixLen: Int = 2): DataFrame = {
     require(prefixLen >= 1, s"need prefixLen >= 1 (got $prefixLen)")
-    val bucketed = df.withColumn("__bkt", substring(col(s), 1, prefixLen))
-    rankByBucket(bucketed, Seq(col(s)), rn, n)
+    // A null key has no prefix — carry the null-ness in a leading flag
+    // bucket (0 = null, sorts before every non-null prefix = the
+    // window's asc_nulls_first) and coalesce the prefix itself to a
+    // concrete value so the offsets equi-join always matches.
+    val bucketed = df
+      .withColumn("__bktn", when(col(s).isNull, lit(0)).otherwise(lit(1)))
+      .withColumn("__bkt", coalesce(substring(col(s), 1, prefixLen), lit("")))
+    rankByBucket(bucketed, Seq("__bktn", "__bkt"), Seq(col(s)), rn, n)
   }
 
-  /** Shared phase 2+3: `df` carries a `__bkt` column whose ascending
-    * order refines into the global order under `order`. */
-  private def rankByBucket(bucketed: DataFrame, order: Seq[Column],
-      rn: String, n: String): DataFrame = {
+  /** Shared phase 2+3: `df` carries non-null bucket column(s) whose
+    * ascending (lexicographic over `bktNames`) order refines into the
+    * global order under `order`. */
+  private def rankByBucket(bucketed: DataFrame, bktNames: Seq[String],
+      order: Seq[Column], rn: String, n: String): DataFrame = {
+    val bkts = bktNames.map(col)
     // ≤`buckets` rows: the global window here is over a constant-bounded
     // histogram, never the data (q111's phase-2 discipline)
-    val wOff = Window.orderBy(col("__bkt"))
+    val wOff = Window.orderBy(bkts: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    val hist = bucketed.groupBy(bkts: _*).agg(count(lit(1)).as("__cnt"))
     val offsets = hist
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .withColumn(n, sum(col("__cnt")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__bkt"), col("__off"), col(n))
-    val wLoc = Window.partitionBy(col("__bkt")).orderBy(order: _*)
-    bucketed.join(broadcast(offsets), "__bkt")
+      .select(bkts :+ col("__off") :+ col(n): _*)
+    val wLoc = Window.partitionBy(bkts: _*).orderBy(order: _*)
+    bucketed.join(broadcast(offsets), bktNames)
       .withColumn(rn, col("__off") + row_number().over(wLoc).cast("long"))
-      .drop("__bkt", "__off")
+      .drop("__off" +: bktNames: _*)
   }
 
   /** SQL-standard `ntile(k)` from an exact global rank: with n rows,

@@ -639,14 +639,26 @@ object Timeseries extends DetRounding {
       // LOUD degradation guards: Java long shifts wrap mod 64 (silent
       // garbage past ~62 points) and dyadic exactness dies past 2⁵³ —
       // DuckDB's << raises instead, so without these the two engines
-      // would fail DIFFERENTLY. A per-type series longer than the
-      // exact-shift horizon, or a cumulative term past 2⁵³, aborts the
-      // query with the chunk-rescale instruction rather than hashing
-      // garbage.
+      // would fail DIFFERENTLY. Three layers: (1) series longer than 45
+      // points abort; (2) any SINGLE term with cnt·2^(rn−1) > 2⁵³
+      // aborts — this is the guard the horizon check alone misses (a
+      // large count late in the series wraps Long silently and the
+      // cumulative check below can't see the now-negative sum); with
+      // every term ≤ 2⁵³ and ≤ 45 terms the Long sum can't wrap
+      // (45·2⁵³ < 2⁵⁹); (3) the cumulative sum past 2⁵³ aborts
+      // (exactness of the terminal division dies first there). The
+      // threshold shiftright(2⁵³, rn−1) is exact — both operands are
+      // powers-of-two territory and rn ≤ 45 keeps the shift in range.
       .withColumn("term",
         when($"rn" > 45, raise_error(format_string(
           "q190 dyadic EWMA: series length %d exceeds the exact-shift " +
             "horizon (45 points); chunk-rescale the recurrence", $"rn")))
+          .when($"cnt" > expr(
+            "shiftright(CAST(9007199254740992 AS BIGINT), CAST(rn - 1 AS INT))"),
+            raise_error(format_string(
+              "q190 dyadic EWMA: daily count %d at position %d overflows " +
+                "the exact dyadic term (cnt*2^(rn-1) > 2^53); " +
+                "chunk-rescale the recurrence", $"cnt", $"rn")))
           .otherwise(expr("shiftleft(cnt, CAST(rn - 1 AS INT))")))
       .withColumn("csum", sum($"term").over(wRun))
       .withColumn("csum",

@@ -67,8 +67,12 @@ object TxLog {
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(!Files.exists(logDir(table)), s"table already exists: $table")
-    Files.createDirectories(logDir(table))
+    // Data files FIRST, log dir + commit LAST: if the data write throws,
+    // no _txlog exists, so exists() stays false and a retried create (or
+    // an upsert routed to create) works — only an orphan data dir is
+    // left, invisible to readers because it was never committed.
     val adds = writeDataFiles(spark, table, 0L, df, keyCols)
+    Files.createDirectories(logDir(table))
     commit(table, Commit(0L, adds, Nil))
   }
 
@@ -85,27 +89,28 @@ object TxLog {
     // de-duplicate updates on the key (latest occurrence wins is not
     // well-defined for an unordered frame — require uniqueness loudly)
     val upKeyed = updates.cache()
-    val dupKeys = upKeyed.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1).count()
-    require(dupKeys == 0,
-      s"updates carry $dupKeys duplicate key(s) — resolve before merging")
-    val bounds = upKeyed.agg(
-      min(col(keyCols.head)).cast("string"),
-      max(col(keyCols.head)).cast("string")).head()
-    if (bounds.isNullAt(0)) { upKeyed.unpersist(); return } // empty updates
-    val (upMin, upMax) = (bounds.getString(0), bounds.getString(1))
-    val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
-    val touched = live.filter(f =>
-      cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
-    val rewritten =
-      if (touched.isEmpty) upKeyed
-      else {
-        val base = spark.read.parquet(touched.map(f => s"$table/${f.path}"): _*)
-        base.join(upKeyed, keyCols, "left_anti").unionByName(upKeyed)
-      }
-    val adds = writeDataFiles(spark, table, version, rewritten, keyCols)
-    upKeyed.unpersist()
-    commit(table, Commit(version, adds, touched.map(_.path)))
+    try {
+      val dupKeys = upKeyed.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).count()
+      require(dupKeys == 0,
+        s"updates carry $dupKeys duplicate key(s) — resolve before merging")
+      val bounds = upKeyed.agg(
+        min(col(keyCols.head)).cast("string"),
+        max(col(keyCols.head)).cast("string")).head()
+      if (bounds.isNullAt(0)) return // empty updates
+      val (upMin, upMax) = (bounds.getString(0), bounds.getString(1))
+      val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
+      val touched = live.filter(f =>
+        cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
+      val rewritten =
+        if (touched.isEmpty) upKeyed
+        else {
+          val base = spark.read.parquet(touched.map(f => s"$table/${f.path}"): _*)
+          base.join(upKeyed, keyCols, "left_anti").unionByName(upKeyed)
+        }
+      val adds = writeDataFiles(spark, table, version, rewritten, keyCols)
+      commit(table, Commit(version, adds, touched.map(_.path)))
+    } finally upKeyed.unpersist()
   }
 
   /** Append-only commit (no key matching — bulk loads). */
@@ -194,13 +199,21 @@ object TxLog {
       live: Seq[AddFile]): StructType =
     spark.read.parquet(s"$table/${live.head.path}").schema
 
-  /** Type-aware comparison of the string-encoded log statistics. */
+  /** Type-aware comparison of the string-encoded log statistics. The
+    * string branch compares UTF-8 bytes unsigned — the SAME order
+    * Spark's min/max computed the logged stats under (UTF8String is
+    * binary-compared) — NOT String.compareTo, whose UTF-16 code-unit
+    * order disagrees for supplementary characters vs U+E000..U+FFFF
+    * and would let merge wrongly skip a file that contains a matched
+    * key (two live rows for one key — silent corruption). */
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       java.lang.Long.compare(a.toLong, b.toLong)
     case FloatType | DoubleType | _: DecimalType =>
       java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ => a.compareTo(b) // strings; timestamps render ISO — ordered
+    case _ => // strings; timestamps render ISO — ordered either way
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Write `df` as parquet under a fresh immutable data directory and

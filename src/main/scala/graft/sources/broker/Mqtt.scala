@@ -168,7 +168,12 @@ final class MiniBroker {
             val list = subs.get(topic)
             if (list != null) list.synchronized {
               list.asScala.foreach { s =>
-                try writePacket(s, publish(topic, payload))
+                // per-STREAM lock: this routing write races the target
+                // connection's own serve thread (SUBACK/PINGRESP) and
+                // routes from other topics' lists — without one monitor
+                // per stream the packets interleave mid-frame and the
+                // subscriber's framing is corrupted
+                try s.synchronized { writePacket(s, publish(topic, payload)) }
                 catch { case _: IOException => () /* dead sub; dropped on close */ }
               }
             }
@@ -179,8 +184,8 @@ final class MiniBroker {
               _ => java.util.Collections.synchronizedList(
                 new java.util.ArrayList[DataOutputStream]())).add(out)
             mySubs += topic
-            writePacket(out, suback(pid))
-          case PINGREQ => writePacket(out, pingresp)
+            out.synchronized { writePacket(out, suback(pid)) }
+          case PINGREQ => out.synchronized { writePacket(out, pingresp) }
           case DISCONNECT => live = false
           case t => throw new IOException(s"unsupported packet type $t")
         }
@@ -237,20 +242,26 @@ final class MqttClient(host: String, port: Int, clientId: String) {
     } catch { case _: EOFException | _: IOException => () }
   }, s"mqtt-client-$clientId")
   reader.setDaemon(true)
+  // started ONCE here, not lazily in subscribe: a Java Thread cannot be
+  // restarted (start() on a terminated thread throws
+  // IllegalThreadStateException), and a subscribe-after-reconnect-loss
+  // would hit exactly that; a permanently-running reader costs one
+  // blocked daemon thread and dies with the socket
+  reader.start()
 
-  def subscribe(topic: String)(cb: (String, Array[Byte]) => Unit): Unit = {
-    onMessage = cb
-    pid += 1
-    writePacket(out, MqttCodec.subscribe(pid, topic))
-    if (!reader.isAlive) reader.start()
-  }
+  def subscribe(topic: String)(cb: (String, Array[Byte]) => Unit): Unit =
+    synchronized { // same monitor as publish — one writer at a time on `out`
+      onMessage = cb
+      pid += 1
+      writePacket(out, MqttCodec.subscribe(pid, topic))
+    }
 
   def publish(topic: String, payload: Array[Byte]): Unit =
     synchronized { writePacket(out, MqttCodec.publish(topic, payload)) }
 
   def disconnect(): Unit = {
     running.set(false)
-    try { writePacket(out, MqttCodec.disconnect); sock.close() }
+    try { synchronized { writePacket(out, MqttCodec.disconnect) }; sock.close() }
     catch { case _: IOException => () }
   }
 }

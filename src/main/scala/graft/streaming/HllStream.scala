@@ -31,12 +31,16 @@ object HllStream {
       .select(col("source"),
         hll_sketch_estimate(col("sk")).as("est_distinct"))
 
-  /** Corpus-wide estimate from the union of the per-source sketches —
-    * q95's register-max merge as a second streaming aggregate (or a
-    * batch fold over a snapshot). */
+  /** Corpus-wide estimate — q95's register-max union, spelled as ONE
+    * global sketch over the tokens rather than a merge of the
+    * per-source sketches: at equal lgK the two are register-identical
+    * (max over a partition refinement = max over the whole), and the
+    * single-aggregate form is the one Structured Streaming accepts
+    * (chaining groupBy(source) → union would be two streaming
+    * aggregations, which Spark rejects). Run in `complete` mode on a
+    * stream; on a batch frame HllStreamSpec pins it to the exact
+    * distinct within the sketch's error. */
   def union(tokens: DataFrame): DataFrame =
-    tokens.groupBy(col("source"))
-      .agg(hll_sketch_agg(col("w")).as("sk"))
-      .agg(hll_union_agg(col("sk")).as("u"))
+    tokens.agg(hll_sketch_agg(col("w")).as("u"))
       .select(hll_sketch_estimate(col("u")).as("est_distinct"))
 }

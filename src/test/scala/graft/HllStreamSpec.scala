@@ -35,6 +35,25 @@ class HllStreamSpec extends SparkSpecBase {
     streamed shouldBe Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
   }
 
+  test("union runs AS A STREAMING AGGREGATE and tracks the corpus NDV") {
+    // the documented capability — corpus-wide NDV maintained
+    // continuously — must actually pass streaming analysis (a chained
+    // groupBy→union spelling would throw 'multiple streaming
+    // aggregations'); this starts the query and checks the snapshot
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val name = s"hllu${System.nanoTime()}"
+    val q = HllStream.union(source.toDS().toDF("source", "w"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    source.addData(Seq("a" -> "the", "a" -> "quick", "b" -> "fox"))
+    q.processAllAvailable()
+    source.addData(Seq("b" -> "dog", "c" -> "the", "c" -> "quick"))
+    q.processAllAvailable()
+    q.stop()
+    // sparse-mode exactness at tiny cardinality: 4 distinct tokens
+    spark.table(name).as[Long].head() shouldBe 4L
+  }
+
   test("union snapshot tracks the corpus distinct on the real token stream") {
     val toks = sources.Tables.documents(spark, dir)
       .select($"source", explode(split($"text", "\\s+")).as("w"))

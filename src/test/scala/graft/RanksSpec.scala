@@ -42,6 +42,40 @@ class RanksSpec extends SparkSpecBase {
     }
   }
 
+  test("null sort keys rank first (asc_nulls_first) and are never dropped") {
+    // numeric: nulls get the leading bucket, tie-broken by id
+    val data: Seq[(Option[Double], Long)] =
+      Seq((None, 3L), (Some(2.0), 1L), (None, 9L), (Some(-1.0), 2L),
+        (Some(2.0), 7L), (None, 8L))
+    val df = data.toDF("v", "id").repartition(3)
+    val got = Ranks.withGlobalRank(df, "v", "id", "rn", "n", 8)
+    got.count() shouldBe data.size.toLong
+    got.select($"n").distinct().as[Long].collect() shouldBe Array(data.size.toLong)
+    naiveRank(df, "v", "id").join(got, Seq("id"))
+      .filter($"want" =!= $"rn").count() shouldBe 0
+    // all-null column still ranks every row
+    val allNull = Seq((Option.empty[Double], 1L), (None, 2L), (None, 3L))
+      .toDF("v", "id")
+    val gotAll = Ranks.withGlobalRank(allNull, "v", "id", "rn", "n", 4)
+    gotAll.count() shouldBe 3L
+    gotAll.orderBy($"id").select($"rn").as[Long].collect() shouldBe Array(1L, 2L, 3L)
+    // string dictionary with nulls and empty strings
+    val words = Seq(Some("aa"), None, Some(""), Some("ab"), None, Some("b"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+    val sdf = words.toDF("s", "id").repartition(2)
+    val gotS = Ranks.withGlobalRankByPrefix(sdf, "s", "rn", "n", 2)
+    gotS.count() shouldBe words.size.toLong
+    val wantS = sdf.withColumn("want",
+      row_number().over(Window.orderBy($"s", $"id")).cast("long"))
+    // the engine orders by s alone; tie-break nulls/dups via id in both
+    // sides for a deterministic comparison of the s-order CLASSES:
+    // group ranks by s-value and compare the sorted rank sets
+    val gotSets = gotS.groupBy($"s").agg(sort_array(collect_list($"rn")).as("g"))
+    val wantSets = wantS.groupBy($"s").agg(sort_array(collect_list($"want")).as("w"))
+    gotSets.join(wantSets, gotSets("s") <=> wantSets("s"))
+      .filter($"g" =!= $"w").count() shouldBe 0
+  }
+
   test("withGlobalRankByPrefix equals the naive window for string dictionaries") {
     val dicts = Seq(
       "names" -> Seq("almond", "azure", "beige", "bisque", "blush",

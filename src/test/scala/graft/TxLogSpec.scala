@@ -47,6 +47,28 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("string-key file skipping uses UTF-8 order (supplementary chars)") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      // One file spanning [U+FFEE, U+10400]. Under UTF-8/code-point
+      // order (what Spark's min/max computed the stats in) the update
+      // key U+FFEE is INSIDE the range; under Java's UTF-16 code-unit
+      // order the U+10400 max (surrogate 0xD801...) compares BELOW it,
+      // so a String.compareTo-based pruner would skip the file, append
+      // instead of rewrite, and leave two live rows for one key.
+      val hi = new String(Character.toChars(0x10400)) + "x"
+      val k = "\uffee" + "x"
+      val df = Seq((k, "old"), (hi, "keep")).toDF("k", "v").coalesce(1)
+      TxLog.create(spark, t, df, Seq("k"))
+      TxLog.files(t).size shouldBe 1
+      TxLog.merge(spark, t, Seq((k, "NEW")).toDF("k", "v"), Seq("k"))
+      val back = TxLog.read(spark, t).as[(String, String)].collect().toMap
+      back.size shouldBe 2 // one live row per key — no silent duplicate
+      back(k) shouldBe "NEW"
+      back(hi) shouldBe "keep"
+    }
+  }
+
   test("copy-on-write skips files disjoint from the update key range") {
     withTempDir("txlog") { dir =>
       val t = s"$dir/t"
