@@ -610,4 +610,25 @@ object Graft {
     * propagation depth open (q203 fixes 4 rounds). */
   def modularity(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame =
     operators.Graph.modularity(spark, dir, rounds)
+
+  /** Rendezvous (highest-random-weight) shard for any id column, with
+    * the shard count open (q207 audits the 8 → 9 reshard): attaches
+    * `shard` ∈ [0, shards); growing the set moves only docs whose new
+    * argmax IS the new shard. */
+  def rendezvousRoute(df: DataFrame, idCol: String, shards: Int,
+      out: String = "shard"): DataFrame =
+    operators.Skew.rendezvousRoute(df, idCol, shards, out)
+
+  /** Exact weight-cumulative quartiles of `valueCol` under integer
+    * `weightCol` mass (q208 fixes price-by-quantity), histogram
+    * refinement — no full sort. */
+  def weightedQuartiles(df: DataFrame, valueCol: String, weightCol: String,
+      buckets: Int = 1024): DataFrame =
+    operators.Stats.weightedQuartiles(df, valueCol, weightCol, buckets)
+
+  /** Exact-quota 80/10/10 stratified split audit by largest remainder
+    * with the hash salt open (q209 fixes "#graft-quota"); counts per
+    * (source, lang, split) hit the Hamilton quota exactly. */
+  def quotaSplit(docs: DataFrame, salt: String = "#graft-quota"): DataFrame =
+    operators.Curation.quotaSplit(docs, salt)
 }

@@ -1218,6 +1218,103 @@ object Curation extends DetRounding {
        |LIMIT 100""".stripMargin
   }
 
+  // -------------------------------------------------------------- q209
+  /** EXACT-quota stratified train/val/test split (80/10/10) by largest
+    * remainder — the deterministic-apportionment counterpart of q51's
+    * per-row hash split: q51 gives each doc an independent 80/10/10
+    * coin (binomial wobble ~√n per stratum), this one hits the quota
+    * EXACTLY in every (source, lang) stratum — the property an eval
+    * harness needs when "10% of every slice" is a contract, not a
+    * tendency (a 40-doc slice under q51 can land 1 or 7 docs in val;
+    * here it lands exactly 4).
+    *
+    * Quota arithmetic (Hamilton/largest-remainder, ties in split order
+    * train→val→test): with n = stratum size and rv = n mod 10, the
+    * fractional remainders of (8n/10, n/10, n/10) are a function of rv
+    * alone, so the whole apportionment reduces to two lookup sets —
+    * train gets ⌊8n/10⌋ (+1 iff rv ∈ {1,2,3,6}), val gets ⌊n/10⌋
+    * (+1 iff rv ∈ {4,5,6,7,8,9}), test the rest (+1 iff rv ∈ {7,8,9})
+    * — derivable by enumerating rv: R = rv − ⌊8rv/10⌋ extras go to the
+    * splits with the largest fractional parts.
+    *
+    * WHICH docs fill each quota is the deterministic portable-hash
+    * order (q51's discipline — re-runs, backfills, and the oracle
+    * agree), tie-broken by doc_id. The audit emits per
+    * (stratum, split): the doc count (provably = quota) AND the
+    * doc_id sum — so the gate pins the exact MEMBERSHIP, not just the
+    * counts.
+    *
+    * Scale: the per-stratum rank runs as [[Ranks]]' two-phase
+    * decomposition keyed by stratum — hash-top-byte buckets (monotone
+    * in the hash order), a strata×≤256-row offset histogram (window
+    * over the constant-bounded histogram, q111 discipline), and local
+    * ranks partitioned by (stratum, bucket) — so ONE giant stratum
+    * never funnels through one task the way a plain
+    * `partitionBy(stratum)` window would at 100 TB skew. The oracle's
+    * naive per-stratum window spelling is the parity proof. */
+  private[graft] def quotaSplit(docs: DataFrame, salt: String): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("hkey",
+        Portable.hash32(concat(col("doc_id").cast("string"), lit(salt))))
+      .withColumn("bkt", expr("shiftright(hkey, 24)").cast("int"))
+    val hist = keyed.groupBy(col("source"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("source"), col("lang"))))
+      .select(col("source"), col("lang"), col("bkt"), col("off"), col("n"))
+    val wLoc = Window.partitionBy(col("source"), col("lang"), col("bkt"))
+      .orderBy(col("hkey"), col("doc_id"))
+    keyed.join(broadcast(offs), Seq("source", "lang", "bkt"))
+      .withColumn("rn", col("off") + row_number().over(wLoc).cast("long"))
+      .withColumn("q_train", expr("(8 * n) div 10") +
+        when(expr("n % 10").isin(1, 2, 3, 6), 1L).otherwise(0L))
+      .withColumn("q_val", expr("n div 10") +
+        when(expr("n % 10").isin(4, 5, 6, 7, 8, 9), 1L).otherwise(0L))
+      .withColumn("split",
+        when(col("rn") <= col("q_train"), lit("train"))
+          .when(col("rn") <= col("q_train") + col("q_val"), lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("source"), col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("source"), col("lang"), col("split"))
+  }
+
+  private def q209(spark: SparkSession, dir: String): DataFrame =
+    quotaSplit(Tables.documents(spark, dir), QuotaSalt)
+
+  private val QuotaSalt = "#graft-quota"
+
+  private val q209Sql: String = {
+    val h = Portable.hash32Sql(s"CAST(doc_id AS VARCHAR) || '$QuotaSalt'")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, lang,
+       |         row_number() OVER (PARTITION BY source, lang
+       |                            ORDER BY $h, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY source, lang) AS n
+       |  FROM documents
+       |), q AS (
+       |  SELECT *,
+       |         (8 * n) // 10 +
+       |           CASE WHEN n % 10 IN (1, 2, 3, 6) THEN 1 ELSE 0 END AS q_train,
+       |         n // 10 +
+       |           CASE WHEN n % 10 IN (4, 5, 6, 7, 8, 9) THEN 1 ELSE 0 END AS q_val
+       |  FROM ranked
+       |)
+       |SELECT source, lang,
+       |       CASE WHEN rn <= q_train THEN 'train'
+       |            WHEN rn <= q_train + q_val THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM q
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // -------------------------------------------------------------- q201
   /** Greedy set-cover corpus selection: pick `SetCoverK` sources, one
     * per round, each maximizing MARGINAL distinct-token coverage of
@@ -1342,6 +1439,7 @@ object Curation extends DetRounding {
     Q("q52_tfidf", q52, Some(q52Sql)),
     Q("q53_stratified_sample", q53, Some(q53Sql)),
     Q("q105_weighted_sample", q105, Some(q105Sql)),
+    Q("q209_quota_split", q209, Some(q209Sql)),
     Q("q54_approx_quantiles", q54, Some(q54Sql)), // exact quartiles + rank-guarantee verdicts hash; raw sketch values stay engine-local
     Q("q61_mix_accounting", q61, Some(q61Sql)),
     Q("q66_curation_funnel", q66, Some(q66Sql)),

@@ -126,7 +126,96 @@ object Skew extends DetRounding {
       |GROUP BY 1
       |ORDER BY l_suppkey""".stripMargin
 
+  // -------------------------------------------------------------- q207
+  /** Rendezvous (highest-random-weight) shard routing + reshard audit —
+    * the data-PLACEMENT primitive a 100 TB corpus store runs on
+    * (Thaler & Ravishankar '98; the cache/shard router in every large
+    * object store): doc d goes to `argmax_s hash(d, s)` over the shard
+    * set. The HRW property this query PROVES through the oracle gate:
+    * growing the shard set S → S+1 moves ONLY the documents whose new
+    * argmax IS the new shard (expected |D|/(S+1)); every other
+    * assignment is untouched. A mod-`hash(d) % S` layout would move
+    * ~S/(S+1) of the corpus on the same event — at 100 TB that is the
+    * difference between ingesting ~11 TB and rewriting ~89 TB.
+    *
+    * The audit emits, per shard of the GROWN layout: how many docs the
+    * old layout placed there (`n_old`), how many the new one does
+    * (`n_new`), and how many arrived by moving (`moved_in`). The oracle
+    * recomputes routing independently, so a hash-gate pass certifies
+    * `moved_in = 0` for every surviving shard — minimal movement as a
+    * CHECKED property, not a claim.
+    *
+    * Scale: routing is one stateless map (S+1 portable hashes per row —
+    * [[Portable.hash32]], so re-runs and the DuckDB twin agree
+    * bit-for-bit); the audit melts each doc into its two (shard, role)
+    * assignments and aggregates in ONE hash shuffle of ≤2(S+1)-row
+    * partials. The argmax is `array_position(arr, array_max(arr))` —
+    * the catalog's shared first-match tiebreak, portable to DuckDB's
+    * `list_position(l, list_max(l))`. */
+  private val RvShards = 8 // the audit grows RvShards → RvShards + 1
+
+  private def rvHash(s: Int): Column =
+    Portable.hash32(concat(col("doc_id").cast("string"), lit(s"#shard-$s")))
+
+  /** Generic core (the facade's `Graft.rendezvousRoute`): attach the
+    * HRW shard in [0, shards) for `idCol` as column `shard`. */
+  def rendezvousRoute(df: DataFrame, idCol: String, shards: Int,
+      out: String = "shard"): DataFrame = {
+    require(shards >= 1 && shards <= 1024, s"need 1 <= shards <= 1024 (got $shards)")
+    val arr = array((0 until shards).map(s =>
+      Portable.hash32(concat(col(idCol).cast("string"), lit(s"#shard-$s")))): _*)
+    df.withColumn(out, (array_position(arr, array_max(arr)) - 1).cast("int"))
+  }
+
+  private def q207(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val oldA = array((0 until RvShards).map(rvHash): _*)
+    val newA = array((0 to RvShards).map(rvHash): _*)
+    val routed = Tables.documents(spark, dir).select(
+      (array_position(oldA, array_max(oldA)) - 1).cast("int").as("old_shard"),
+      (array_position(newA, array_max(newA)) - 1).cast("int").as("new_shard"))
+    // ONE aggregation pass: melt the two roles of each doc into
+    // (shard, is_new, moved) legs and hash-aggregate — no second scan,
+    // no join of two per-shard aggregates
+    routed.select(explode(array(
+        struct($"old_shard".as("shard"), lit(0).as("is_new"), lit(0L).as("mv")),
+        struct($"new_shard".as("shard"), lit(1).as("is_new"),
+          when($"old_shard" =!= $"new_shard", 1L).otherwise(0L).as("mv"))))
+        .as("e"))
+      .select($"e.*")
+      .groupBy($"shard")
+      .agg(
+        sum(when($"is_new" === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when($"is_new" === 1, 1L).otherwise(0L)).as("n_new"),
+        sum(when($"is_new" === 1, $"mv").otherwise(0L)).as("moved_in"))
+      .orderBy($"shard")
+  }
+
+  private val q207Sql: String = {
+    def h(s: Int) = Portable.hash32Sql(s"CAST(doc_id AS VARCHAR) || '#shard-$s'")
+    val lo = (0 until RvShards).map(h).mkString("[", ", ", "]")
+    val ln = (0 to RvShards).map(h).mkString("[", ", ", "]")
+    s"""WITH routed AS (
+       |  SELECT CAST(list_position(lo, list_max(lo)) - 1 AS INTEGER) AS old_shard,
+       |         CAST(list_position(ln, list_max(ln)) - 1 AS INTEGER) AS new_shard
+       |  FROM (SELECT $lo AS lo, $ln AS ln FROM documents)
+       |), bn AS (
+       |  SELECT new_shard AS shard, CAST(count(*) AS BIGINT) AS n_new,
+       |         CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS moved_in
+       |  FROM routed GROUP BY 1
+       |), bo AS (
+       |  SELECT old_shard AS shard, CAST(count(*) AS BIGINT) AS n_old
+       |  FROM routed GROUP BY 1
+       |)
+       |SELECT bn.shard, CAST(COALESCE(bo.n_old, 0) AS BIGINT) AS n_old,
+       |       bn.n_new, bn.moved_in
+       |FROM bn LEFT JOIN bo ON bn.shard = bo.shard
+       |ORDER BY bn.shard""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q151_salted_agg", q151, Some(q151Sql)),
+    Q("q207_rendezvous_shards", q207, Some(q207Sql)),
   )
 }

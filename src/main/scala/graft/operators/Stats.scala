@@ -771,6 +771,95 @@ object Stats extends DetRounding {
       |GROUP BY 1
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q208
+  /** EXACT weight-cumulative quartiles of a value under a weight column
+    * — "what price level covers 25/50/75% of shipped QUANTITY", the
+    * token-weighted percentile a training-mixture builder asks of
+    * document length/quality distributions (quantiles of tokens, not
+    * of documents — a 1M-token doc moves the curve 1M times more than
+    * a 1-token doc). q176 selects by ROW rank; this selects by weight
+    * mass: quartile k = min value v with cumWeight(≤v) ≥ k·W/4, cum
+    * over DISTINCT values ascending (per-value weights pre-aggregated,
+    * so tie order inside a value can't exist and the definition is
+    * total).
+    *
+    * Exactness across engines is pure integer algebra: weights cast to
+    * BIGINT (guarded — a fractional weight aborts loudly rather than
+    * silently truncating), threshold test `cum·4 ≥ k·W` (never a
+    * fractional q·W), and the emitted value is a RAW input double.
+    *
+    * Scale (q176's histogram-refinement, lifted to weight mass): one
+    * hash aggregate to per-value weights (shuffle keyed by value), one
+    * ≤`buckets`-row weighted histogram + constant-bounded prefix
+    * window to locate each quartile's bucket, then a window over ONLY
+    * the ≤3 target buckets' values (partitioned by quartile — touches
+    * ~#values/buckets rows, recursable the same way). No full-table
+    * sort, no single-task window; the oracle's naive
+    * cumulative-over-all-values spelling is the parity proof. */
+  private[graft] def weightedQuartiles(df: DataFrame, valueCol: String,
+      weightCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2 (got $buckets)")
+    val byVal = df.select(col(valueCol).as("v"),
+        when(col(weightCol) =!= floor(col(weightCol)), raise_error(format_string(
+          "weightedQuartiles: fractional weight %s — integerize upstream",
+          col(weightCol).cast("string"))))
+          .otherwise(col(weightCol)).cast("long").as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).as("wv"))
+    val stats = byVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      sum(col("wv")).as("tw"))
+    val bucketed = byVal.crossJoin(broadcast(stats))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+            * buckets), lit(buckets - 1))).cast("int"))
+      .drop("lo", "hi")
+    val hist = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("wv")).as("bw"), min(col("tw")).as("tw"))
+    // ≤`buckets` rows: constant-bounded global window (q111 discipline)
+    val wcum = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("before", coalesce(sum(col("bw")).over(wcum), lit(0L)))
+      .select(col("bkt"), col("before"), col("tw"),
+        explode(array(lit(1), lit(2), lit(3))).as("quartile"))
+      .filter(col("before") * 4 < col("quartile") * col("tw") &&
+        (col("before") + col("bw")) * 4 >= col("quartile") * col("tw"))
+      .select(col("quartile"), col("bkt"), col("before"), col("tw"))
+    val wsel = Window.partitionBy(col("quartile")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.drop("tw").join(broadcast(target), "bkt")
+      .withColumn("cum", col("before") + sum(col("wv")).over(wsel))
+      .filter(col("cum") * 4 >= col("quartile") * col("tw"))
+      .groupBy(col("quartile"))
+      // cum is monotone in v inside the one target bucket, so min(cum)
+      // belongs to min(v) — no min_by needed
+      .agg(min(col("v")).as("value"), min(col("cum")).as("cum_w"),
+        min(col("tw")).as("total_w"))
+      .orderBy(col("quartile"))
+  }
+
+  private def q208(spark: SparkSession, dir: String): DataFrame =
+    weightedQuartiles(Tables.lineitem(spark, dir),
+      "l_extendedprice", "l_quantity")
+
+  private val q208Sql: String =
+    """WITH byv AS (
+      |  SELECT l_extendedprice AS v,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+      |  FROM lineitem GROUP BY 1
+      |), c AS (
+      |  SELECT v,
+      |         sum(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(wv) OVER () AS tw
+      |  FROM byv
+      |), ks AS (SELECT unnest([1, 2, 3]) AS quartile)
+      |SELECT quartile, min(v) AS value,
+      |       CAST(min(cum) AS BIGINT) AS cum_w,
+      |       CAST(min(tw) AS BIGINT) AS total_w
+      |FROM c JOIN ks ON c.cum * 4 >= ks.quartile * c.tw
+      |GROUP BY quartile
+      |ORDER BY quartile""".stripMargin
+
   // -------------------------------------------------------------- q179
   /** Weight-of-evidence binning of order value against fulfillment —
     * the credit-scoring feature diagnostic (Siddiqi, "Credit Risk
@@ -1096,6 +1185,7 @@ object Stats extends DetRounding {
     Q("q115_bivariate_profile", q115, Some(q115Sql)),
     Q("q174_quantile_normalize", q174, Some(q174Sql)),
     Q("q176_exact_median", q176, Some(q176Sql)),
+    Q("q208_weighted_quartiles", q208, Some(q208Sql)),
     Q("q179_woe_binning", q179, Some(q179Sql)),
     Q("q182_mad_outliers", q182, Some(q182Sql)),
     Q("q169_correlation_matrix", q169, Some(q169Sql)),

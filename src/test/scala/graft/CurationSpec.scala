@@ -394,4 +394,38 @@ class CurationSpec extends SparkSpecBase {
       risk shouldBe (if (gotEmd > 0.2) 1 else 0)
     }
   }
+
+  test("q209 quota split hits the Hamilton quotas EXACTLY in every stratum") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rows = SparkEntry.queries("q209_quota_split")(spark, sfDir).collect()
+    val byStratum = rows.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    val want = docs.groupBy(col("source"), col("lang"))
+      .agg(sum(org.apache.spark.sql.functions.lit(1L)).as("n"),
+        sum(col("doc_id")).as("sid"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Long]("n"), r.getAs[Long]("sid")))
+      .toMap
+    byStratum.keySet shouldBe want.keySet
+    for ((k, grp) <- byStratum) {
+      val (n, sid) = want(k)
+      val m = grp.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      val rv = (n % 10).toInt
+      val qTrain = 8 * n / 10 + (if (Set(1, 2, 3, 6)(rv)) 1 else 0)
+      val qVal = n / 10 + (if (Set(4, 5, 6, 7, 8, 9)(rv)) 1 else 0)
+      withClue(s"stratum $k (n=$n): ") {
+        m.getOrElse("train", 0L) shouldBe qTrain
+        m.getOrElse("val", 0L) shouldBe qVal
+        m.getOrElse("test", 0L) shouldBe n - qTrain - qVal
+        // membership partition: doc_id mass is conserved across splits
+        grp.map(_.getAs[Long]("sum_doc_id")).sum shouldBe sid
+      }
+    }
+    // determinism: the same split regardless of input partitioning
+    val again = graft.Graft.quotaSplit(docs.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_doc_id"))).toMap
+    rows.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_doc_id"))).toMap shouldBe again
+  }
 }

@@ -55,4 +55,43 @@ class SkewSpec extends SparkSpecBase {
     salted shouldBe direct
   }
 
+  test("rendezvous routing moves ONLY to the new shard on grow, and is stable") {
+    val ids = (1L to 5000L).toDF("id").repartition(7)
+    val both = Skew.rendezvousRoute(
+        Skew.rendezvousRoute(ids, "id", 8, out = "s8"), "id", 9, out = "s9")
+      .select($"id", $"s8", $"s9").cache()
+    try {
+      // HRW minimal-movement law: a changed assignment can only land on
+      // the ADDED shard (8) — growing the set never re-routes between
+      // survivors
+      both.filter($"s8" =!= $"s9" && $"s9" =!= 8).count() shouldBe 0
+      // every doc routes inside range on both layouts
+      both.filter($"s8" < 0 || $"s8" > 7 || $"s9" < 0 || $"s9" > 8)
+        .count() shouldBe 0
+      // expected movement |D|/9 ≈ 556; allow generous sampling slack
+      val moved = both.filter($"s8" =!= $"s9").count()
+      moved.toDouble / 5000 should be (1.0 / 9 +- 0.04)
+      // routing is a pure function of the id — independent of layout
+      val re = Skew.rendezvousRoute(ids.repartition(3), "id", 8, out = "s8b")
+      both.join(re, "id").filter($"s8" =!= $"s8b").count() shouldBe 0
+    } finally both.unpersist()
+  }
+
+  test("q207 audit certifies zero moved_in on surviving shards") {
+    val rows = SparkEntry.queries("q207_rendezvous_shards")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows.length shouldBe 9
+    val total = rows.map(_.getAs[Long]("n_new")).sum
+    rows.map(_.getAs[Long]("n_old")).sum shouldBe total
+    rows.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      if (shard < 8) r.getAs[Long]("moved_in") shouldBe 0L
+      else {
+        // the added shard receives exactly its new population
+        r.getAs[Long]("moved_in") shouldBe r.getAs[Long]("n_new")
+        r.getAs[Long]("n_old") shouldBe 0L
+      }
+    }
+  }
+
 }

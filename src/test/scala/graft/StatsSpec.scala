@@ -464,4 +464,42 @@ class StatsSpec extends SparkSpecBase {
     r.getAs[Double]("slope") should be < 0.0
     r.getAs[Double]("r2") should (be > 0.0 and be <= 1.0)
   }
+
+  test("weightedQuartiles equals the naive weighted-cumulative definition") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(17)
+    // duplicates, skewed weights, negative values — and a tiny frame
+    val cases = Seq(
+      "varied" -> (1 to 2000).map(i =>
+        (rnd.nextInt(300).toDouble - 150.0, (rnd.nextInt(9) + 1).toLong)),
+      "heavy duplicates" -> (1 to 500).map(i =>
+        ((i % 7).toDouble, (i % 4 + 1).toLong)),
+      "all equal values" -> (1 to 50).map(_ => (42.0, 3L)),
+      "one row" -> Seq((5.0, 9L)))
+    cases.foreach { case (label, data) =>
+      withClue(s"case: $label — ") {
+        val df = data.toDF("v", "w").repartition(5)
+        val got = Stats.weightedQuartiles(df, "v", "w", buckets = 16)
+          .as[(Int, Double, Long, Long)].collect().sortBy(_._1)
+        // naive: per-distinct-value weights, cumulative ascending,
+        // quartile k = first value with cum*4 >= k*W
+        val byV = data.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        val tw = byV.map(_._2).sum
+        val want = (1 to 3).map { k =>
+          var cum = 0L
+          val (v, c) = byV.iterator.map { case (v, w) =>
+            cum += w; (v, cum)
+          }.find(_._2 * 4 >= k * tw).get
+          (k, v, c, tw)
+        }
+        got.toSeq shouldBe want
+      }
+    }
+    // fractional weights abort loudly instead of silently truncating
+    val bad = Seq((1.0, 1.5), (2.0, 2.0)).toDF("v", "w")
+    intercept[Exception] {
+      graft.Graft.weightedQuartiles(bad, "v", "w").collect()
+    }.getMessage should include("fractional weight")
+  }
 }
