@@ -631,4 +631,11 @@ object Graft {
     * (source, lang, split) hit the Hamilton quota exactly. */
   def quotaSplit(docs: DataFrame, salt: String = "#graft-quota"): DataFrame =
     operators.Curation.quotaSplit(docs, salt)
+
+  /** Hilbert d-index of two [0,64) dimensions as a layout sort key
+    * (q210 compares it against Z-order file spans); branch-free
+    * integer algebra, per-row scalar. */
+  def hilbertIndex(df: DataFrame, xCol: String, yCol: String,
+      out: String = "hd"): DataFrame =
+    operators.Maintenance.withHilbert(df, xCol, yCol, out)
 }

@@ -255,6 +255,143 @@ object Maintenance extends DetRounding {
        |ORDER BY layout, file_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q210
+  /** Hilbert-curve layout vs Z-order — the second-generation CLUSTER BY
+    * (Hilbert 1891; the layout Delta's liquid clustering moved to after
+    * Z-order): both interleave two dimensions into one sort key, but
+    * the Hilbert walk never takes the long diagonal jumps Morton's
+    * bit-interleave does at quadrant seams, so equal-size file cuts get
+    * strictly tighter per-file bounding boxes — smaller footer min/max
+    * spans — and a point/range scan on either dimension prunes MORE
+    * files at the same file count. This query lays the events grid out
+    * BOTH ways (same 64×64 (user-bucket, day) grid as q164, same
+    * 16-file cut) and emits the per-file footer stats side by side; at
+    * 100 TB the layout choice is purely this table — whichever shows
+    * narrower spans skips more of the corpus.
+    *
+    * The Hilbert index is the standard xy2d walk re-expressed
+    * BRANCH-FREE over pure integer arithmetic (rx/ry quadrant bits by
+    * div/mod, the rotate-and-flip as multiply-by-indicator — no CASE,
+    * no bit intrinsics), 6 unrolled levels; Spark's column fold and the
+    * oracle's CTE chain are generated from the SAME level transform,
+    * and the hash gate proves the two spellings identical. The
+    * reflection uses the FULL grid width (63 − x, not s − 1 − x): both
+    * variants trace a valid curve under two's-complement bit tests,
+    * but only the full-width one keeps every intermediate coordinate
+    * non-negative — and div/mod bit extraction (the portable spelling;
+    * engines disagree on nothing here) is only bit-equivalent for
+    * non-negative values. Scale: the
+    * index is per-row scalar algebra; the deterministic 16-file cut
+    * uses the fixture's row_number spelling — a production writer
+    * replaces it with `repartitionByRange(h)` exactly as q164
+    * documents for z. */
+  private val HilbertLevels = Seq(32, 16, 8, 4, 2, 1) // 6 bits/dim = 64×64
+  private val HilbertMax = 63 // full-width reflection bound (grid − 1)
+
+  /** Attach the Hilbert d-index of (`xCol`, `yCol`) ∈ [0,64)² as
+    * `out` (generic core; the facade's `Graft.hilbertIndex`). */
+  private[graft] def withHilbert(df: DataFrame, xCol: String, yCol: String,
+      out: String = "hd"): DataFrame = {
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn(out, lit(0L))
+    for (s <- HilbertLevels) {
+      cur = cur
+        .withColumn("__rx", expr(s"(__hx div $s) % 2"))
+        .withColumn("__ry", expr(s"(__hy div $s) % 2"))
+        .withColumn(out,
+          expr(s"$out + ${s.toLong * s} * (3 * __rx + __ry * (1 - 2 * __rx))"))
+        .withColumn("__fx", expr(s"__rx * ($HilbertMax - __hx) + (1 - __rx) * __hx"))
+        .withColumn("__fy", expr(s"__rx * ($HilbertMax - __hy) + (1 - __rx) * __hy"))
+        .withColumn("__hx", expr("(1 - __ry) * __fy + __ry * __hx"))
+        .withColumn("__hy", expr("(1 - __ry) * __fx + __ry * __hy"))
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__fx", "__fy")
+  }
+
+  private def q210(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", to_date($"ts").as("day"))
+    val d0 = base.agg(min($"day").as("d0"))
+    val feat = withHilbert(
+      base.crossJoin(broadcast(d0))
+        .select($"event_id", ($"user_id" % 64).as("ub"),
+          least(datediff($"day", $"d0"), lit(63)).cast("long").as("di"))
+        .withColumn("z", graft.sources.Layout.zorder($"ub", $"di", ZBits, ZBits)),
+      "ub", "di")
+    val both = feat.select($"event_id", $"ub", $"di",
+        explode(array(
+          struct(lit("hilbert").as("layout"), $"hd".as("s1")),
+          struct(lit("zorder").as("layout"), $"z".as("s1")))).as("l"))
+      .select($"l.layout".as("layout"), $"l.s1".as("s1"),
+        $"event_id", $"ub", $"di")
+    val w = Window.partitionBy($"layout").orderBy($"s1", $"event_id")
+    val wn = Window.partitionBy($"layout")
+    both
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("file_id", expr(s"((rn - 1) * $ZFiles) div n"))
+      .groupBy($"layout", $"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"ub").as("u_lo"), max($"ub").as("u_hi"),
+        min($"di").as("d_lo"), max($"di").as("d_hi"))
+      .orderBy($"layout", $"file_id")
+  }
+
+  private val q210Sql: String = {
+    val zExpr = (0 until ZBits).map(i =>
+      s"((ub // ${1 << i}) % 2) * ${1L << (2 * i + 1)} + ((di // ${1 << i}) % 2) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    // the SAME branch-free level transform as withHilbert, as a chain
+    // of CTEs generated by the same loop structure
+    val levels = HilbertLevels.zipWithIndex.map { case (s, i) =>
+      s"""lvl${i + 1} AS (
+         |  SELECT event_id, ub, di, z,
+         |         (1 - ry) * fy + ry * hx AS hx,
+         |         (1 - ry) * fx + ry * hy AS hy,
+         |         hd + ${s.toLong * s} * (3 * rx + ry * (1 - 2 * rx)) AS hd
+         |  FROM (
+         |    SELECT *, rx * ($HilbertMax - hx) + (1 - rx) * hx AS fx,
+         |              rx * ($HilbertMax - hy) + (1 - rx) * hy AS fy
+         |    FROM (
+         |      SELECT event_id, ub, di, z, hx, hy, hd,
+         |             (hx // $s) % 2 AS rx, (hy // $s) % 2 AS ry
+         |      FROM lvl$i))
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT event_id, user_id % 64 AS ub,
+       |         CAST(least(date_diff('day',
+       |           (SELECT min(CAST(ts AS DATE)) FROM events),
+       |           CAST(ts AS DATE)), 63) AS BIGINT) AS di
+       |  FROM events
+       |), lvl0 AS (
+       |  SELECT event_id, ub, di, $zExpr AS z,
+       |         CAST(ub AS BIGINT) AS hx, di AS hy, CAST(0 AS BIGINT) AS hd
+       |  FROM base
+       |),
+       |$levels,
+       |both_layouts AS (
+       |  SELECT 'hilbert' AS layout, hd AS s1, event_id, ub, di FROM lvl6
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, z AS s1, event_id, ub, di FROM lvl6
+       |), cut AS (
+       |  SELECT layout, ub, di,
+       |         ((row_number() OVER (PARTITION BY layout ORDER BY s1, event_id) - 1)
+       |          * $ZFiles) // (count(*) OVER (PARTITION BY layout)) AS file_id
+       |  FROM both_layouts
+       |)
+       |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(min(ub) AS BIGINT) AS u_lo, CAST(max(ub) AS BIGINT) AS u_hi,
+       |       min(di) AS d_lo, max(di) AS d_hi
+       |FROM cut
+       |GROUP BY layout, file_id
+       |ORDER BY layout, file_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- q173
   /** Small-file compaction plan — the OPTIMIZE sibling of q164's
     * CLUSTER BY: assign every document to a target output file of
@@ -315,6 +452,7 @@ object Maintenance extends DetRounding {
     Q("q118_join_view_maintenance", q118, Some(q118Sql)),
     Q("q139_cdc_apply", q139, Some(q139Sql)),
     Q("q164_zorder_layout", q164, Some(q164Sql)),
+    Q("q210_hilbert_layout", q210, Some(q210Sql)),
     Q("q173_compaction_plan", q173, Some(q173Sql)),
   )
 }

@@ -185,6 +185,37 @@ object TxLog {
     replay(table).map(c => (c.version, c.adds.size, c.removes.size,
       c.adds.map(_.rows).sum))
 
+  /** VACUUM: physically delete data files superseded at or before
+    * `retainVersion` — i.e. files removed by some commit ≤
+    * `retainVersion` (readers of any version > the removing commit
+    * never see them; time travel BELOW the horizon is the capability
+    * being traded away, exactly Delta/Iceberg's expire-snapshots
+    * contract). Files removed by LATER commits stay: versions inside
+    * the retention window must still read. The log itself is never
+    * rewritten — history stays queryable even where the data is gone.
+    * Returns the deleted paths. Metadata-only driver work (#files
+    * entries), like every other log operation here. */
+  def vacuum(table: String, retainVersion: Long): Seq[String] = {
+    val commits = replay(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    require(commits.exists(_.version == retainVersion),
+      s"version $retainVersion is not committed in $table")
+    val expired = commits.filter(_.version <= retainVersion)
+      .flatMap(_.removes).distinct
+    expired.foreach { rel =>
+      val p = Paths.get(table, rel)
+      if (Files.exists(p)) Files.delete(p)
+      // prune now-empty data directories (best-effort)
+      val dir = p.getParent
+      if (dir != null && Files.exists(dir)) {
+        val s = Files.list(dir)
+        val empty = try !s.iterator().hasNext finally s.close()
+        if (empty) Files.delete(dir)
+      }
+    }
+    expired
+  }
+
   /** Live file statistics — the skip-index a MERGE prunes with. */
   def files(table: String): Seq[AddFile] = liveFiles(replay(table))
 
@@ -266,9 +297,12 @@ object TxLog {
     val dir = logDir(table)
     if (!Files.exists(dir)) return Nil
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(dir)
+    val entries =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      finally listing.close()
+    entries.sortBy(_.getFileName.toString)
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
         Commit(

@@ -122,4 +122,33 @@ class LayoutSpec extends SparkSpecBase {
       if (r.length == 2) r(0)._3 should be <= r(1)._2
     }
   }
+
+  test("Hilbert index is the true curve: bijective AND unit-step adjacent") {
+    // full 64×64 grid: the d-index must be a permutation of 0..4095 and
+    // every consecutive pair of cells along the curve must be Manhattan
+    // neighbors — the defining property (Z-order fails it at every
+    // quadrant seam), and the reason q210's file bounding boxes tighten
+    val grid = spark.range(64L * 64)
+      .select(expr("id div 64").as("x"), ($"id" % 64).as("y"))
+    val walk = graft.Graft.hilbertIndex(grid, "x", "y")
+      .select($"hd", $"x", $"y")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    walk.map(_._1).toSeq shouldBe (0L until 4096L)
+    walk.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) shouldBe 1L
+    }
+  }
+
+  test("q210: Hilbert file spans are no looser than Z-order's, both pruned") {
+    val rows = SparkEntry.queries("q210_hilbert_layout")(
+      spark, "/root/testdata/sf0.001").collect()
+    val area = rows.groupBy(_.getAs[String]("layout")).view.mapValues(_.map { r =>
+      (r.getAs[Long]("u_hi") - r.getAs[Long]("u_lo") + 1) *
+        (r.getAs[Long]("d_hi") - r.getAs[Long]("d_lo") + 1)
+    }.sum).toMap
+    // the layout claim, measured: total footer bounding-box area
+    area("hilbert") should be <= area("zorder")
+    // and both beat the 16-files-×-full-grid worst case
+    area("hilbert") should be < 16L * 64 * 64
+  }
 }

@@ -169,4 +169,32 @@ class TxLogSpec extends SparkSpecBase {
       TxLog.read(spark, t).as[(String, Long)].collect().toMap.apply("mmm") shouldBe 999L
     }
   }
+
+  test("vacuum deletes only below-horizon superseded files; window still reads") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      TxLog.create(spark, t, Seq(1L -> "a", 2L -> "b").toDF("k", "v"), Seq("k")) // v0
+      TxLog.merge(spark, t, Seq(2L -> "B").toDF("k", "v"), Seq("k"))            // v1
+      TxLog.merge(spark, t, Seq(1L -> "A").toDF("k", "v"), Seq("k"))            // v2
+      // horizon v1: v0→v1's superseded files go; v1→v2's survive, so
+      // every version IN the retention window (1, 2) still reads
+      val deleted = TxLog.vacuum(t, retainVersion = 1L)
+      deleted should not be empty
+      deleted.foreach(rel => Files.exists(Paths.get(t, rel)) shouldBe false)
+      TxLog.readVersion(spark, t, 1L).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "a", 2L -> "B")
+      TxLog.readVersion(spark, t, 2L).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "A", 2L -> "B")
+      // below-horizon time travel is the capability traded away
+      an[Exception] should be thrownBy
+        TxLog.readVersion(spark, t, 0L).collect()
+      // history metadata survives the physical deletion
+      TxLog.history(t).map(_._1) shouldBe Seq(0L, 1L, 2L)
+      // idempotent: a second vacuum at the same horizon deletes nothing
+      TxLog.vacuum(t, 1L).foreach(rel =>
+        Files.exists(Paths.get(t, rel)) shouldBe false)
+      TxLog.read(spark, t).as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "A", 2L -> "B")
+    }
+  }
 }
