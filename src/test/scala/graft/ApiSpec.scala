@@ -393,4 +393,24 @@ class ApiSpec extends SparkSpecBase {
     Graft.setCover(spark, dir, k = 2).collect().length shouldBe 2
   }
 
+  test("late-round-5 facade at catalog knobs equals q208/q209; knobs open") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    Graft.weightedQuartiles(li, "l_extendedprice", "l_quantity").collect() shouldBe
+      SparkEntry.queries("q208_weighted_quartiles")(spark, dir).collect()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    Graft.quotaSplit(docs).collect() shouldBe
+      SparkEntry.queries("q209_quota_split")(spark, dir).collect()
+    // off-catalog knobs: a different salt re-deals the split membership
+    // (same exact quotas), and a different shard count re-routes
+    val alt = Graft.quotaSplit(docs, salt = "#other").collect()
+    alt.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("n_docs")).toMap shouldBe
+      Graft.quotaSplit(docs).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getAs[Long]("n_docs")).toMap
+    val r4 = Graft.rendezvousRoute(docs.select("doc_id"), "doc_id", 4)
+    r4.select("shard").distinct().count() shouldBe 4L
+  }
+
 }
