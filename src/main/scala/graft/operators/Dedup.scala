@@ -202,23 +202,27 @@ object Dedup extends DetRounding {
   private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     q26(spark, dir)
 
-  private def q26(spark: SparkSession, dir: String): DataFrame = {
+  /** The candidate-doc shingle table — a memoized persisted
+    * intermediate: q26, q211, and their consumers
+    * (Graft.textNearDupPairs, the warm bench pass) verify against ONE
+    * materialization instead of re-shingling candidates per call. */
+  private def candShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // candidates come from the shared persisted table (tiny — LSH prunes
-    // ~all pairs), so the full-corpus shingle explode is not replayed
-    // here; the verification stage re-shingles ONLY candidate documents
-    // for the intersection.
     val cands = lshCandidates(spark, dir)
-    // the candidate-doc shingle table is itself a memoized persisted
-    // intermediate: q26 and its consumers (Graft.textNearDupPairs, the
-    // warm bench pass) verify against ONE materialization instead of
-    // re-shingling candidates per call
-    val sh = memoized(spark, dir, "candsh") {
+    memoized(spark, dir, "candsh") {
       val candDocIds = cands.select($"doc_a".as("doc_id"))
         .union(cands.select($"doc_b".as("doc_id"))).distinct()
       shinglesFrom(Tables.documents(spark, dir)
         .join(broadcast(candDocIds), Seq("doc_id"), "left_semi"))
     }
+  }
+
+  /** (doc_a, doc_b, n_common, u) — exact intersection and union sizes
+    * per LSH candidate pair, the shared integer core of q26 and q211. */
+  private def scoredCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = lshCandidates(spark, dir)
+    val sh = candShingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
@@ -228,9 +232,19 @@ object Dedup extends DetRounding {
     inter
       .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
       .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
-      .select(
-        $"doc_a", $"doc_b", $"n_common",
-        ($"n_common".cast("double") / ($"za.n" + $"zb.n" - $"n_common")).as("jaccard"))
+      .select($"doc_a", $"doc_b", $"n_common",
+        ($"za.n" + $"zb.n" - $"n_common").as("u"))
+  }
+
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // candidates come from the shared persisted table (tiny — LSH prunes
+    // ~all pairs), so the full-corpus shingle explode is not replayed
+    // here; the verification stage re-shingles ONLY candidate documents
+    // for the intersection.
+    scoredCandidates(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_common",
+        ($"n_common".cast("double") / $"u").as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -251,6 +265,88 @@ object Dedup extends DetRounding {
        |JOIN sizes zb ON zb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------------------- q211
+  /** Dedup threshold-sensitivity sweep — the TUNING CURVE a near-dup
+    * rollout is calibrated on before committing to a cutoff at 100 TB:
+    * for each candidate Jaccard threshold, how many verified pairs
+    * survive and how many distinct documents they touch (the upper
+    * bound on removable docs). The wrong threshold silently deletes a
+    * corpus slice or leaves a dup cloud in; this emits the whole curve
+    * in ONE pass over the already-verified candidates instead of five
+    * re-runs of the pipeline.
+    *
+    * Exactness: thresholds are integer percents and every comparison
+    * is the cross-multiplied `n_common·100 ≥ pct·union` — no floating
+    * point anywhere in the query (q168's fp-free compare discipline),
+    * so the curve is bit-identical by construction. The sweep floor
+    * (60%) sits at the LSH banding's calibration target: BELOW the
+    * banding threshold candidate recall decays, so lower cutoffs would
+    * need a different index, and the sweep honestly starts where the
+    * candidate set is trustworthy.
+    *
+    * Scale: reuses the persisted candidate scores (tiny — LSH pruned);
+    * the sweep itself is a 5-row explode over that frame + two hash
+    * aggregates + a broadcast spine join. Nothing rescans the corpus. */
+  private val SweepPcts = Seq(60, 70, 80, 90, 95)
+
+  private def q211(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hit = scoredCandidates(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_common", $"u",
+        explode(array(SweepPcts.map(lit): _*)).as("threshold_pct"))
+      .filter($"n_common" * 100 >= $"threshold_pct" * $"u")
+    val pairsAgg = hit.groupBy($"threshold_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsAgg = hit
+      .select($"threshold_pct", explode(array($"doc_a", $"doc_b")).as("d"))
+      .groupBy($"threshold_pct")
+      .agg(countDistinct($"d").as("n_dup_docs"))
+    // densified spine: a threshold surviving zero pairs still reports
+    val spine = SweepPcts.toDF("threshold_pct")
+    spine
+      .join(pairsAgg, Seq("threshold_pct"), "left_outer")
+      .join(docsAgg, Seq("threshold_pct"), "left_outer")
+      .select($"threshold_pct",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"))
+      .orderBy($"threshold_pct")
+  }
+
+  private val q211Sql =
+    s"""WITH $lshCandidatesCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(sb.s) AS n_common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_common, za.n + zb.n - i.n_common AS u
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |), th AS (SELECT unnest([${SweepPcts.mkString(", ")}]) AS threshold_pct),
+       |hit AS (
+       |  SELECT th.threshold_pct, s.doc_a, s.doc_b
+       |  FROM scored s JOIN th ON s.n_common * 100 >= th.threshold_pct * s.u
+       |), pa AS (
+       |  SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM hit GROUP BY 1
+       |), da AS (
+       |  SELECT threshold_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT threshold_pct, doc_a AS d FROM hit
+       |        UNION ALL SELECT threshold_pct, doc_b FROM hit)
+       |  GROUP BY 1
+       |)
+       |SELECT th.threshold_pct,
+       |       CAST(COALESCE(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(COALESCE(da.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+       |FROM th
+       |LEFT JOIN pa ON pa.threshold_pct = th.threshold_pct
+       |LEFT JOIN da ON da.threshold_pct = th.threshold_pct
+       |ORDER BY th.threshold_pct""".stripMargin
+
   // -------------------------------------------------------------- q168
   /** Shingle-CONTAINMENT audit of the LSH candidates: for each candidate
     * pair, the asymmetric overlap ratios |A∩B|/|A| and |A∩B|/|B| beside
@@ -270,12 +366,7 @@ object Dedup extends DetRounding {
   private def q168(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cands = lshCandidates(spark, dir)
-    val sh = memoized(spark, dir, "candsh") {
-      val candDocIds = cands.select($"doc_a".as("doc_id"))
-        .union(cands.select($"doc_b".as("doc_id"))).distinct()
-      shinglesFrom(Tables.documents(spark, dir)
-        .join(broadcast(candDocIds), Seq("doc_id"), "left_semi"))
-    }
+    val sh = candShingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
@@ -1559,6 +1650,7 @@ object Dedup extends DetRounding {
     Q("q24_minhash_signatures", q24, Some(q24Sql)),
     Q("q25_minhash_lsh_pairs", q25, Some(q25Sql)),
     Q("q26_ngram_jaccard", q26, Some(q26Sql)),
+    Q("q211_dedup_threshold_sweep", q211, Some(q211Sql)),
     Q("q168_containment_audit", q168, Some(q168Sql)),
     Q("q27_simhash", q27, Some(q27Sql)),
     Q("q57_incremental_dedup", q57, Some(q57Sql)),

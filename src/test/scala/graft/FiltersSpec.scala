@@ -537,4 +537,39 @@ class FiltersSpec extends SparkSpecBase {
     row.getAs[Long]("exact_inter") shouldBe inter
     row.getAs[Long]("exact_a") shouldBe sa.distinct().count()
   }
+
+  test("q211 sweep reconciles with q26's verified pairs at every threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = SparkEntry.queries("q211_dedup_threshold_sweep")(spark, dir)
+      .collect().map(r => r.getAs[Int]("threshold_pct") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dup_docs"))).toMap
+    sweep.keySet shouldBe Set(60, 70, 80, 90, 95)
+    // recover the integer union size from q26's (n_common, jaccard):
+    // u = n_common / j is an integer ≤ ~10³, so the double division's
+    // ulp error rounds away exactly — the reconciliation then replays
+    // the sweep's own integer cross-multiple, no float compares
+    val pairs = SparkEntry.queries("q26_ngram_jaccard")(spark, dir).collect()
+      .map { r =>
+        val nc = r.getAs[Long]("n_common")
+        val j = r.getAs[Double]("jaccard")
+        val u = if (nc == 0L) 1L else math.round(nc / j)
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), nc, u)
+      }
+    for (pct <- Seq(60, 70, 80, 90, 95)) {
+      val hit = pairs.filter { case (_, _, nc, u) => nc * 100 >= pct * u }
+      withClue(s"pct=$pct: ") {
+        sweep(pct)._1 shouldBe hit.length.toLong
+        sweep(pct)._2 shouldBe
+          hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      }
+    }
+    // the curve is monotone: tighter thresholds keep fewer pairs/docs
+    val ordered = Seq(60, 70, 80, 90, 95).map(sweep)
+    ordered.zip(ordered.tail).foreach { case ((p1, d1), (p2, d2)) =>
+      p2 should be <= p1; d2 should be <= d1
+    }
+    // the floor threshold covers every verified candidate pair... only
+    // if LSH emitted none below 60% — so bound, don't equate
+    sweep(60)._1 should be <= pairs.length.toLong
+  }
 }
