@@ -638,4 +638,12 @@ object Graft {
   def hilbertIndex(df: DataFrame, xCol: String, yCol: String,
       out: String = "hd"): DataFrame =
     operators.Maintenance.withHilbert(df, xCol, yCol, out)
+
+  /** Point-level DBSCAN over any (id, x, y) frame with ε and minPts
+    * open (q212 fixes 0.05/4 on the embedding projection):
+    * cell-bucketed ε-join, core/border/noise trichotomy, components
+    * on the shared pointer-jumping engine. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double = 0.05, minPts: Long = 4L): DataFrame =
+    operators.Segmentation.dbscan(points, idCol, xCol, yCol, eps, minPts)
 }

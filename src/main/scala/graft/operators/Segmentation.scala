@@ -491,11 +491,154 @@ object Segmentation extends DetRounding {
        |GROUP BY 1
        |ORDER BY cluster_id""".stripMargin
 
+  // -------------------------------------------------------------- q212
+  /** POINT-level DBSCAN (Ester et al. KDD'96) over the projected
+    * embedding plane — the exact-semantics upgrade of q165's cell
+    * approximation: q165 clusters dense CELLS (a point on the sparse
+    * side of a cell boundary is mislabeled), this one computes every
+    * point's true ε-neighborhood, the core/border/noise trichotomy,
+    * and clusters = connected components of the core-core ε-graph with
+    * border points attached to their MINIMUM-labeled core neighbor
+    * (the deterministic tiebreak for DBSCAN's classic border
+    * ambiguity). Emits per-cluster core/border/point counts plus the
+    * noise row (cluster_id −1) — the arbitrary-shape mode/outlier
+    * readout a semantic-curation pass runs on embedding projections.
+    *
+    * Scale: the ε-join is CELL-BUCKETED — grid width = ε, so every
+    * true neighbor pair lies in Chebyshev-adjacent cells and the
+    * candidate join is a 9-fold explode equi-join (never N²; the
+    * oracle's quadratic spelling is the parity proof, viable only at
+    * fixture scale). Degrees are one hash aggregate over candidates;
+    * components run on the core ε-graph through the shared
+    * pointer-jumping engine ([[Components]] — O(log diameter) rounds).
+    * Distance compares are the same IEEE (Δx²+Δy² ≤ ε²) doubles on
+    * both engines — exact parity, no rounding anywhere. */
+  private val DbscanEps = 0.05
+  private val DbscanMinPts = 4L // ε-neighbors INCLUDING the point itself
+
+  /** Generic core, opened via [[graft.Graft.dbscan]]. */
+  private[graft] def dbscan(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double = DbscanEps, minPts: Long = DbscanMinPts,
+      memoKey: Option[(String, String)] = None): DataFrame = {
+    require(eps > 0, s"need eps > 0 (got $eps)")
+    require(minPts >= 1, s"need minPts >= 1 (got $minPts)")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val eps2 = eps * eps
+    def cid(cx: Column, cy: Column): Column = (cx + 100L) * 1000L + (cy + 100L)
+    val pts = points.select(col(idCol).as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", floor($"x" / eps).cast("long"))
+      .withColumn("cy", floor($"y" / eps).cast("long"))
+    val probe = pts.select($"id", $"x", $"y", explode(array(
+      (for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield cid($"cx" + dx, $"cy" + dy)): _*)).as("cell"))
+    val build = pts.select($"id".as("idb"), $"x".as("xb"), $"y".as("yb"),
+      cid($"cx", $"cy").as("cell"))
+    // every true ε-pair shares adjacent cells (cell width = ε) → the
+    // candidate set is exact, the filter just removes corner slack
+    val nb = probe.join(build, "cell")
+      .filter(($"x" - $"xb") * ($"x" - $"xb") +
+        ($"y" - $"yb") * ($"y" - $"yb") <= eps2)
+      .select($"id", $"idb")
+    val core = nb.groupBy($"id").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= minPts).select($"id")
+    val coreEdges = nb
+      .join(core, "id")
+      .join(core.select($"id".as("idb")), "idb")
+      .filter($"id" < $"idb")
+      .select($"id".as("src"), $"idb".as("dst"))
+    def ccLabels() = Components.run(coreEdges).labels
+    val lbl = (memoKey match {
+      case Some((dir, key)) =>
+        graft.core.PersistedMemo.getOrBuild(spark, dir, key)(ccLabels())
+      case None => ccLabels()
+    }).withColumnRenamed("doc_id", "id")
+    val corelbl = core.join(lbl, Seq("id"), "left")
+      .select($"id", coalesce($"lbl", $"id").as("cluster_id"))
+    val border = nb
+      .join(core.select($"id".as("idb")), "idb") // neighbor is core
+      .join(core, Seq("id"), "left_anti") // the point itself is not
+      .join(corelbl.select($"id".as("idb"), $"cluster_id"), "idb")
+      .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
+    val members = corelbl.withColumn("is_core", lit(1L))
+      .unionByName(border.withColumn("is_core", lit(0L)))
+    val noise = pts.select($"id")
+      .join(members.select($"id"), Seq("id"), "left_anti")
+    members.groupBy($"cluster_id")
+      .agg(sum($"is_core").as("n_core"),
+        sum(lit(1L) - $"is_core").as("n_border"),
+        count(lit(1)).as("n_points"))
+      .unionByName(noise.agg(count(lit(1)).as("n_points"))
+        .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+          lit(0L).as("n_border"), $"n_points"))
+      .orderBy($"cluster_id")
+  }
+
+  private def q212(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dbscan(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", element_at($"embedding", 1).as("x"),
+          element_at($"embedding", 2).as("y")),
+      "vec_id", "x", "y", memoKey = Some((dir, "segmentation:dbscan-cc")))
+  }
+
+  private val q212Sql: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+       |         CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings
+       |), nb AS (
+       |  SELECT a.id AS ida, b.id AS idb
+       |  FROM p a JOIN p b
+       |    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |       <= ${DbscanEps * DbscanEps}
+       |), core AS (
+       |  SELECT ida AS id FROM nb GROUP BY 1 HAVING count(*) >= $DbscanMinPts
+       |), e AS (
+       |  SELECT n.ida AS src, n.idb AS dst
+       |  FROM nb n JOIN core ca ON ca.id = n.ida JOIN core cb ON cb.id = n.idb
+       |  WHERE n.ida <> n.idb
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+       |), lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY 1
+       |), corelbl AS (
+       |  SELECT c.id, COALESCE(l.cluster_id, c.id) AS cluster_id
+       |  FROM core c LEFT JOIN lbl l ON l.id = c.id
+       |), border AS (
+       |  SELECT n.ida AS id, min(cl.cluster_id) AS cluster_id
+       |  FROM nb n
+       |  JOIN corelbl cl ON cl.id = n.idb
+       |  LEFT JOIN core isc ON isc.id = n.ida
+       |  WHERE isc.id IS NULL
+       |  GROUP BY 1
+       |), members AS (
+       |  SELECT id, cluster_id, 1 AS is_core FROM corelbl
+       |  UNION ALL
+       |  SELECT id, cluster_id, 0 AS is_core FROM border
+       |)
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       |       CAST(sum(is_core) AS BIGINT) AS n_core,
+       |       CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+       |       CAST(count(*) AS BIGINT) AS n_points
+       |FROM members GROUP BY 1
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |       CAST((SELECT count(*) FROM p
+       |             WHERE id NOT IN (SELECT id FROM members)) AS BIGINT)
+       |ORDER BY cluster_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q137_rfm_segments", q137, Some(q137Sql)),
     Q("q138_ab_test", q138, Some(q138Sql)),
     Q("q141_cuped_adjustment", q141, Some(q141Sql)),
     Q("q161_mann_whitney", q161, Some(q161Sql)),
     Q("q165_grid_density", q165, Some(q165Sql)),
+    Q("q212_dbscan", q212, Some(q212Sql)),
   )
 }

@@ -175,4 +175,66 @@ class SegmentationSpec extends SparkSpecBase {
     tieSum should be > 0L
     row.getInt(row.fieldIndex("is_significant")) shouldBe (if (math.abs(z) > 1.96) 1 else 0)
   }
+
+  test("dbscan recovers two blobs, a bridge-border, and noise by hand") {
+    // blob A: 4 points within eps of each other around (0,0); blob B:
+    // 4 around (1,1); point 9 is within eps of ONE core point of A but
+    // has too few neighbors to be core itself → border of A; point 10
+    // is far from everything → noise. eps=0.15, minPts=3 (incl. self).
+    val pts = Seq(
+      (1L, 0.00, 0.00), (2L, 0.10, 0.00), (3L, 0.00, 0.10), (4L, 0.07, 0.07),
+      (5L, 1.00, 1.00), (6L, 1.10, 1.00), (7L, 1.00, 1.10), (8L, 1.07, 1.07),
+      (9L, 0.24, 0.00), // within 0.15 of point 2 only → border
+      (10L, 5.00, 5.00) // noise
+    ).toDF("id", "x", "y").repartition(3)
+    val got = graft.Graft.dbscan(pts, "id", "x", "y", eps = 0.15, minPts = 3L)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_core"), r.getAs[Long]("n_border"),
+          r.getAs[Long]("n_points"))).toMap
+    // clusters labeled by min member id: A = 1, B = 5, noise row = -1
+    got.keySet shouldBe Set(-1L, 1L, 5L)
+    got(1L) shouldBe ((4L, 1L, 5L))
+    got(5L) shouldBe ((4L, 0L, 4L))
+    got(-1L) shouldBe ((0L, 0L, 1L))
+  }
+
+  test("q212 counts reconcile with a quadratic driver DBSCAN on the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", element_at($"embedding", 1).cast("double").as("x"),
+        element_at($"embedding", 2).cast("double").as("y"))
+      .as[(Long, Double, Double)].collect()
+    val eps2 = 0.05 * 0.05
+    def nbrs(p: (Long, Double, Double)) = emb.filter(q =>
+      (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3) <= eps2)
+    val core = emb.filter(p => nbrs(p).length >= 4).map(_._1).toSet
+    // driver union-find over core-core eps-edges
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(a: Long): Long = { var r = a; while (parent(r) != r) r = parent(r); r }
+    for (p <- emb if core(p._1); q <- nbrs(p) if core(q._1) && q._1 != p._1) {
+      val (ra, rb) = (find(p._1), find(q._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = core.map(c => c -> find(c)).toMap
+    // min-id labels: canonicalize to min member per component
+    val canon = label.groupBy(_._2).flatMap { case (_, m) =>
+      val lo = m.keys.min; m.keys.map(_ -> lo)
+    }
+    val borders = emb.filter(p => !core(p._1))
+      .flatMap { p =>
+        val cs = nbrs(p).filter(q => core(q._1)).map(q => canon(q._1))
+        if (cs.isEmpty) None else Some(p._1 -> cs.min)
+      }.toMap
+    val want = (core.toSeq.map(c => (canon(c), 1)) ++
+      borders.toSeq.map { case (_, c) => (c, 0) })
+      .groupBy(_._1).map { case (c, m) =>
+        c -> (m.count(_._2 == 1).toLong, m.count(_._2 == 0).toLong, m.size.toLong)
+      }
+    val noise = emb.length - core.size - borders.size
+    val got = SparkEntry.queries("q212_dbscan")(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_core"), r.getAs[Long]("n_border"),
+          r.getAs[Long]("n_points"))).toMap
+    got(-1L) shouldBe ((0L, 0L, noise.toLong))
+    (got - (-1L)) shouldBe want
+  }
 }
