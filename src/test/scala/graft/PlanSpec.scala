@@ -859,6 +859,51 @@ class PlanSpec extends SparkSpecBase {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q207: routing is one scan — no join anywhere, one aggregation") {
+    val p = plan("q207_rendezvous_shards")
+    (p should not).include("Join") // melt + aggregate, never two scans joined
+    p should include("partial_sum") // map-side combine on the ≤2(S+1) legs
+    p should include("Generate") // the melt explode
+  }
+
+  test("q208: quartile resolve joins the broadcast target buckets only") {
+    val p = plan("q208_weighted_quartiles")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    // per-value contraction is partial+final before any window
+    p should include("partial_sum")
+  }
+
+  test("q209: stratum ranks ride broadcast offsets, local windows only") {
+    val p = plan("q209_quota_split")
+    p should include("BroadcastHashJoin") // offsets histogram join
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q210: Hilbert index is scalar algebra — no join beyond the 1-row d0") {
+    val p = plan("q210_hilbert_layout")
+    // the only join is the broadcast of the 1-row min-day aggregate
+    (p should not).include("SortMergeJoin")
+    (p should not).include("ShuffledHashJoin")
+    p should include("BroadcastNestedLoopJoin") // 1-row d0 scalar
+  }
+
+  test("q211: the sweep reuses the persisted candidate scores (no re-shingle)") {
+    val p = plan("q211_dedup_threshold_sweep")
+    // candidate shingles come from the shared memoized cache, so the
+    // corpus-shingle Generate appears only under an InMemoryRelation
+    // (built once, session-wide), never as a fresh corpus explode here
+    p should include("InMemoryTableScan")
+  }
+
+  test("q212: the eps-join is a cell equi-join, never a cartesian pair") {
+    val p = plan("q212_dbscan")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    // candidate pairs hash-join on the cell id
+    p.toLowerCase should include("cell")
+  }
+
   test("catalog-wide: no unpartitioned window over an unbounded fact subtree") {
     // THE scale contract (SCALE.md): a Window with an empty partition
     // spec pulls its whole input through ONE task, so it may only ever
