@@ -646,4 +646,11 @@ object Graft {
   def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
       eps: Double = 0.05, minPts: Long = 4L): DataFrame =
     operators.Segmentation.dbscan(points, idCol, xCol, yCol, eps, minPts)
+
+  /** Contrastive (anchor, positive, negative) triplet mining with the
+    * near-dup thresholds open (q213 fixes 80/60): text near-dup
+    * positives, IVF-cell-local embedding hard negatives. */
+  def contrastiveTriplets(spark: SparkSession, dir: String,
+      posPct: Int = 80, exclPct: Int = 60): DataFrame =
+    operators.Similarity.contrastiveTriplets(spark, dir, posPct, exclPct)
 }

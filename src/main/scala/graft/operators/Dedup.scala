@@ -218,8 +218,9 @@ object Dedup extends DetRounding {
   }
 
   /** (doc_a, doc_b, n_common, u) — exact intersection and union sizes
-    * per LSH candidate pair, the shared integer core of q26 and q211. */
-  private def scoredCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * per LSH candidate pair, the shared integer core of q26, q211, and
+    * Similarity's q213 triplet miner. */
+  private[operators] def scoredCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cands = lshCandidates(spark, dir)
     val sh = candShingles(spark, dir)

@@ -1882,8 +1882,126 @@ object Similarity extends DetRounding {
        |ORDER BY round""".stripMargin
   }
 
+  // -------------------------------------------------------------- q213
+  /** Contrastive (anchor, positive, negative) triplet mining — the
+    * cross-modal composition an embedding-model training set is built
+    * from: POSITIVES are the corpus's own verified text near-dup pairs
+    * (Dedup's exact-Jaccard candidates at ≥ 80% — same-content pairs
+    * the model should embed together), HARD NEGATIVES come from the
+    * EMBEDDING space — for each anchor, the most-cosine-similar vector
+    * in the anchor's own IVF cell that is NOT a ≥ 60% near-dup of it
+    * (semantically close, textually distinct — the "hard" in hard
+    * negative; q86 mines hardness across labels, this mines it against
+    * the dedup verdict). Deterministic end to end: the 6-dp-rounded
+    * cosine ordering with id tiebreaks (q29's discipline), first-max
+    * cell assignment, and integer cross-multiplied dedup thresholds.
+    *
+    * Scale: positives and exclusions ride the persisted candidate
+    * scores (tiny); negative mining joins the ≤|anchors| anchor
+    * vectors to ONE IVF cell each (cluster equi-join — never
+    * corpus²) and takes a per-anchor windowed argmax. Anchors whose
+    * cell holds no eligible negative drop (inner join) — deterministic
+    * on both engines. */
+  private val TripletPosPct = 80
+  private val TripletExclPct = 60
+
+  /** Generic core with the thresholds open ([[graft.Graft.contrastiveTriplets]]). */
+  private[graft] def contrastiveTriplets(spark: SparkSession, dir: String,
+      posPct: Int = TripletPosPct, exclPct: Int = TripletExclPct): DataFrame = {
+    require(posPct >= exclPct,
+      s"positives must be a subset of the exclusion set (pos $posPct < excl $exclPct)")
+    import spark.implicits._
+    val sc = Dedup.scoredCandidates(spark, dir)
+    val pos = sc.filter($"n_common" * 100 >= $"u" * posPct)
+      .select($"doc_a".as("anchor"), $"doc_b".as("positive"))
+    val exclHit = sc.filter($"n_common" * 100 >= $"u" * exclPct)
+    val excl = exclHit.select($"doc_a".as("anchor"), $"doc_b".as("vec_id"))
+      .unionByName(exclHit.select($"doc_b".as("anchor"), $"doc_a".as("vec_id")))
+    val nb = embNorm(spark, dir).withColumn("cluster", cellCol)
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    val anchors = pos.select($"anchor").distinct()
+      .join(nb.select($"vec_id".as("anchor"), $"v".as("av"),
+        $"nrm".as("anrm"), $"cluster"), "anchor")
+    val cand = anchors.join(nb, Seq("cluster"))
+      .filter($"vec_id" =!= $"anchor")
+      .join(excl, Seq("anchor", "vec_id"), "left_anti")
+    val cos = dot("av", "v") / ($"anrm" * $"nrm")
+    val wneg = Window.partitionBy($"anchor")
+      .orderBy(round(cos, 6).desc, $"vec_id".asc)
+    val negs = cand.withColumn("rn", row_number().over(wneg))
+      .filter($"rn" === 1)
+      .select($"anchor", $"vec_id".as("negative"),
+        round(cos, 4).as("neg_cosine"))
+    pos.join(negs, Seq("anchor"))
+      .select($"anchor", $"positive", $"negative", $"neg_cosine")
+      .orderBy($"anchor", $"positive")
+  }
+
+  private def q213(spark: SparkSession, dir: String): DataFrame =
+    contrastiveTriplets(spark, dir)
+
+  private val q213Sql: String =
+    s"""WITH ${Dedup.lshCandidatesCte}, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), interx AS (
+       |  SELECT c.doc_a, c.doc_b, count(sb.s) AS n_common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |), scoredc AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_common, za.n + zb.n - i.n_common AS u
+       |  FROM interx i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |), pos AS (
+       |  SELECT doc_a AS anchor, doc_b AS positive
+       |  FROM scoredc WHERE n_common * 100 >= $TripletPosPct * u
+       |), excl AS (
+       |  SELECT doc_a AS anchor, doc_b AS x
+       |  FROM scoredc WHERE n_common * 100 >= $TripletExclPct * u
+       |  UNION ALL
+       |  SELECT doc_b, doc_a
+       |  FROM scoredc WHERE n_common * 100 >= $TripletExclPct * u
+       |), $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), cscored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assignx AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY s DESC, j ASC) AS rnc
+       |        FROM cscored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assignx a ON n.vec_id = a.vec_id
+       |), cand AS (
+       |  SELECT an.anchor, c.vec_id,
+       |         round(${dotSql("a", "c")} / (a.nrm * c.nrm), 6) AS c6,
+       |         round(${dotSql("a", "c")} / (a.nrm * c.nrm), 4) AS c4
+       |  FROM (SELECT DISTINCT anchor FROM pos) an
+       |  JOIN nb a ON a.vec_id = an.anchor
+       |  JOIN nb c ON c.cluster = a.cluster AND c.vec_id <> an.anchor
+       |  LEFT JOIN excl e ON e.anchor = an.anchor AND e.x = c.vec_id
+       |  WHERE e.anchor IS NULL
+       |), negs AS (
+       |  SELECT anchor, vec_id AS negative, c4 AS neg_cosine
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+       |                                     ORDER BY c6 DESC, vec_id ASC) AS rn
+       |        FROM cand) t
+       |  WHERE rn = 1
+       |)
+       |SELECT p.anchor, p.positive, n.negative, n.neg_cosine
+       |FROM pos p JOIN negs n ON n.anchor = p.anchor
+       |ORDER BY p.anchor, p.positive""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_mmr_retrieval", q202, Some(q202Sql)),
+    Q("q213_contrastive_triplets", q213, Some(q213Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

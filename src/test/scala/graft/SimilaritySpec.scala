@@ -353,4 +353,38 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q213 triplets: positives are near-dups, negatives are cell-local non-dups") {
+    val dir = "/root/testdata/sf0.001"
+    val trips = SparkEntry.queries("q213_contrastive_triplets")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("negative"), r.getAs[Double]("neg_cosine")))
+    trips should not be empty
+    // the dedup verdicts the triplets must respect
+    val pairs = SparkEntry.queries("q26_ngram_jaccard")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    def jac(a: Long, b: Long): Double =
+      pairs.getOrElse((math.min(a, b), math.max(a, b)), 0.0)
+    // IVF cells via the shared index-row builder (the one assignment)
+    val cells = graft.operators.Similarity.indexRows(
+        graft.sources.Tables.embeddings(spark, dir))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cosine(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a).map(_.toDouble), emb(b).map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    trips.foreach { case (a, p, n, c4) =>
+      withClue(s"triplet ($a, $p, $n): ") {
+        Set(a, p, n).size shouldBe 3 // all distinct
+        jac(a, p) should be >= 0.80 - 1e-9 // positive IS a near-dup
+        jac(a, n) should be < 0.60 // negative is NOT
+        cells(n) shouldBe cells(a) // hard: same semantic cell
+        c4 shouldBe cosine(a, n) +- 1e-3 // the emitted score is real
+      }
+    }
+  }
+
 }
