@@ -1999,9 +1999,124 @@ object Similarity extends DetRounding {
        |FROM pos p JOIN negs n ON n.anchor = p.anchor
        |ORDER BY p.anchor, p.positive""".stripMargin
 
+  // -------------------------------------------------------------- q214
+  /** IVF probe-count recall curve — the ANN twin of q211's threshold
+    * sweep and THE tuning question an IVF deployment answers before
+    * fixing `probes`: for probes = 1..4, the total exact-top-5 hits
+    * across the query set, the candidate volume paid for them, and
+    * recall@5 — the recall/cost frontier in four oracle-gated rows
+    * (q205 reports the single operating point; this sweeps the knob).
+    *
+    * Scale: each probe tier reuses [[vectorSearch]]'s cell equi-join
+    * path (the probed-cells candidate set, never corpus²); the curve's
+    * own arithmetic — per-query centroid ranks × cell sizes — is
+    * metadata-sized (|Q|·#cells rows). Exact is probes = #cells
+    * (provably brute force). Candidate accounting is pure integers
+    * (Σ probed cell sizes − one self per query); recall is one IEEE
+    * division of exact integers. */
+  private val ProbeSweep = Seq(1, 2, 3, 4)
+
+  private def q214(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val csz = e.withColumn("cluster", cellCol)
+      .groupBy($"cluster").agg(count(lit(1)).as("csz"))
+    val wp = Window.partitionBy($"query_id").orderBy($"s".desc, $"j".asc)
+    val qprobe = e.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), posexplode(cellScores).as(Seq("j", "s")))
+      .withColumn("pr", row_number().over(wp))
+      .select($"query_id", $"j".cast("int").as("cluster"), $"pr")
+    val probes = ProbeSweep.toDF("probes")
+    val exact = vectorSearch(spark, dir, QueryIds, k = 5, probes = NClusters)
+      .select($"query_id", $"neighbor_id")
+    val approx = ProbeSweep.map(p =>
+        vectorSearch(spark, dir, QueryIds, k = 5, probes = p)
+          .select(lit(p).as("probes"), $"query_id", $"neighbor_id"))
+      .reduce(_ unionByName _)
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"probes").agg(count(lit(1)).as("n_hit"))
+    val cand = probes.join(qprobe, $"pr" <= $"probes")
+      .join(csz, "cluster")
+      .groupBy($"probes")
+      .agg((sum($"csz") - lit(QueryIds.size.toLong)).as("n_candidates"))
+    probes
+      .join(hits, Seq("probes"), "left_outer")
+      .join(cand, Seq("probes"), "left_outer")
+      .select($"probes",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        $"n_candidates",
+        (coalesce($"n_hit", lit(0L)).cast("double") /
+          lit(5.0 * QueryIds.size)).as("recall_at_5"))
+      .orderBy($"probes")
+  }
+
+  private val q214Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assign a ON n.vec_id = a.vec_id
+       |), csz AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM nb GROUP BY 1
+       |), qprobe AS (
+       |  SELECT vec_id AS query_id, CAST(j AS INTEGER) AS cluster,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS pr
+       |  FROM scored WHERE vec_id IN (${QueryIds.mkString(", ")})
+       |), probes AS (SELECT unnest([${ProbeSweep.mkString(", ")}]) AS probes),
+       |exact5 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY round(${dotSql("q", "c")} / (q.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rn
+       |    FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id IN (${QueryIds.mkString(", ")})) t
+       |  WHERE rn <= 5
+       |), approxp AS (
+       |  SELECT probes, query_id, neighbor_id FROM (
+       |    SELECT p.probes, qp.query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.probes, qp.query_id
+       |                              ORDER BY round(${dotSql("q", "c")} / (q.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rn
+       |    FROM probes p
+       |    JOIN qprobe qp ON qp.pr <= p.probes
+       |    JOIN nb c ON c.cluster = qp.cluster AND c.vec_id <> qp.query_id
+       |    JOIN norms q ON q.vec_id = qp.query_id) t
+       |  WHERE rn <= 5
+       |), hits AS (
+       |  SELECT a.probes, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM approxp a
+       |  JOIN exact5 e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY 1
+       |), cand AS (
+       |  SELECT p.probes, CAST(sum(c.csz) - ${QueryIds.size} AS BIGINT) AS n_candidates
+       |  FROM probes p
+       |  JOIN qprobe qp ON qp.pr <= p.probes
+       |  JOIN csz c ON c.cluster = qp.cluster
+       |  GROUP BY 1
+       |)
+       |SELECT p.probes, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       cand.n_candidates,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ${5.0 * QueryIds.size} AS recall_at_5
+       |FROM probes p
+       |LEFT JOIN hits h ON h.probes = p.probes
+       |JOIN cand ON cand.probes = p.probes
+       |ORDER BY p.probes""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_mmr_retrieval", q202, Some(q202Sql)),
     Q("q213_contrastive_triplets", q213, Some(q213Sql)),
+    Q("q214_probe_recall_curve", q214, Some(q214Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

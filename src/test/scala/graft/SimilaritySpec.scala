@@ -387,4 +387,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q214 recall curve is monotone and its 1-probe point equals q205") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = SparkEntry.queries("q214_probe_recall_curve")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("probes"))
+    curve.map(_.getAs[Int]("probes")).toSeq shouldBe Seq(1, 2, 3, 4)
+    // more probes never lose hits or candidates (the frontier is monotone)
+    val hs = curve.map(_.getAs[Long]("n_hit"))
+    val cs = curve.map(_.getAs[Long]("n_candidates"))
+    hs.zip(hs.tail).foreach { case (a, b) => a should be <= b }
+    cs.zip(cs.tail).foreach { case (a, b) => a should be < b }
+    curve.foreach { r =>
+      r.getAs[Double]("recall_at_5") shouldBe
+        r.getAs[Long]("n_hit").toDouble / (5.0 * 5)
+    }
+    // the probes=1 point IS q205's audit, summed over its queries
+    val p205 = SparkEntry.queries("q205_ann_recall")(spark, dir).collect()
+    curve.head.getAs[Long]("n_hit") shouldBe p205.map(_.getAs[Long]("n_hit")).sum
+    curve.head.getAs[Long]("n_candidates") shouldBe
+      p205.map(_.getAs[Long]("n_probed")).sum
+  }
+
 }
