@@ -219,23 +219,28 @@ object Dedup extends DetRounding {
 
   /** (doc_a, doc_b, n_common, u) — exact intersection and union sizes
     * per LSH candidate pair, the shared integer core of q26, q211, and
-    * Similarity's q213 triplet miner. */
-  private[operators] def scoredCandidates(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cands = lshCandidates(spark, dir)
-    val sh = candShingles(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.s" === $"sb.s", "left_outer")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count($"sb.s").as("n_common"))
-    inter
-      .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
-      .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
-      .select($"doc_a", $"doc_b", $"n_common",
-        ($"za.n" + $"zb.n" - $"n_common").as("u"))
-  }
+    * Similarity's q213 triplet miner. Memoized + persisted: the frame
+    * is #candidates rows (tiny), but its lineage is the candidate
+    * shingle intersection join — consumers reference it several times
+    * in one plan (q213's positives + both exclusion legs), and without
+    * the cut Spark re-evaluates that join per reference. */
+  private[operators] def scoredCandidates(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuild(spark, dir, "dedup:candscore") {
+      import spark.implicits._
+      val cands = lshCandidates(spark, dir)
+      val sh = candShingles(spark, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.s" === $"sb.s", "left_outer")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count($"sb.s").as("n_common"))
+      inter
+        .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
+        .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
+        .select($"doc_a", $"doc_b", $"n_common",
+          ($"za.n" + $"zb.n" - $"n_common").as("u"))
+    }
 
   private def q26(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
