@@ -256,10 +256,67 @@ object Packing {
        |ORDER BY interleave_key, source, doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q215
+  /** Span-corruption masking plan (the T5/UL2 denoising objective,
+    * Raffel et al. JMLR'20 §3.1.4): select ~15% of each document's
+    * tokens as short spans to mask, emitting one (doc_id, block,
+    * span_start, span_len) row per span — the PLAN a denoising-data
+    * builder materializes next to q63's packed sequences. Selection is
+    * BLOCK-STRIDED: tokens partition into 20-token blocks and each
+    * block contributes exactly one 3-token span at a hash-chosen
+    * offset — corruption rate locked at 3/20 = 15%, spans
+    * NON-OVERLAPPING BY CONSTRUCTION (the sequential no-overlap scan
+    * every naive i.i.d. sampler needs is engineered away), and the
+    * whole plan is a stateless scan-speed map: deterministic portable
+    * hash (q51's discipline — re-runs, backfills, and the oracle pick
+    * the same spans), no shuffle, no state. Docs shorter than one
+    * block carry no span (emitted nowhere) — the standard "too short
+    * to corrupt" rule. */
+  private val SpanBlock = 20
+  private val SpanLen = 3
+
+  private def q215(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(Portable.tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= SpanBlock)
+      .select($"doc_id", $"n_tokens",
+        explode(sequence(lit(0L), expr(s"(n_tokens div $SpanBlock) - 1")))
+          .as("block"))
+      .select($"doc_id", $"block",
+        ($"block" * SpanBlock + pmod(Portable.hash32(concat(
+          $"doc_id".cast("string"), lit("#span-"), $"block".cast("string"))),
+          lit((SpanBlock - SpanLen + 1).toLong))).as("span_start"),
+        lit(SpanLen.toLong).as("span_len"),
+        $"n_tokens")
+      .orderBy($"doc_id", $"block")
+  }
+
+  private val q215Sql: String = {
+    val h = Portable.hash32Sql(
+      "CAST(doc_id AS VARCHAR) || '#span-' || CAST(block AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, n_tokens,
+       |         unnest(generate_series(0, n_tokens // $SpanBlock - 1)) AS block
+       |  FROM t WHERE n_tokens >= $SpanBlock
+       |)
+       |SELECT doc_id, CAST(block AS BIGINT) AS block,
+       |       CAST(block * $SpanBlock + ($h % ${SpanBlock - SpanLen + 1})
+       |            AS BIGINT) AS span_start,
+       |       CAST($SpanLen AS BIGINT) AS span_len, n_tokens
+       |FROM b
+       |ORDER BY doc_id, block""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q63_sequence_packing", q63, Some(q63Sql)),
     Q("q64_corpus_shuffle", q64, Some(q64Sql)),
     Q("q70_source_interleave", q70, Some(q70Sql)),
     Q("q71_doc_chunking", q71, Some(q71Sql)),
+    Q("q215_span_corruption", q215, Some(q215Sql)),
   )
 }

@@ -136,4 +136,40 @@ class PackingSpec extends SparkSpecBase {
     run("q63_sequence_packing") shouldBe run("q63_sequence_packing")
     run("q64_corpus_shuffle") shouldBe run("q64_corpus_shuffle")
   }
+
+  test("q215 span plan: 15% rate, in-block, non-overlapping, covers all long docs") {
+    import org.apache.spark.sql.functions.{size => asize}
+    val rows = SparkEntry.queries("q215_span_corruption")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("block"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len"),
+        r.getAs[Long]("n_tokens")))
+    rows should not be empty
+    // structural law per row: the span sits inside its own 20-token
+    // block (=> spans never overlap) and inside the document
+    rows.foreach { case (d, b, s, l, n) =>
+      withClue(s"doc $d block $b: ") {
+        l shouldBe 3L
+        s should be >= b * 20
+        s + l should be <= (b + 1) * 20
+        s + l should be <= n
+      }
+    }
+    // exactly one span per complete block of every long-enough doc
+    val byDoc = rows.groupBy(_._1)
+    val wants = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", asize(graft.functions.Portable.tokens($"text"))
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect()
+    wants.foreach { case (d, n) =>
+      withClue(s"doc $d (n=$n): ") {
+        byDoc.get(d).map(_.length).getOrElse(0) shouldBe (n / 20).toInt
+      }
+    }
+    // the locked 15% corruption rate: 3 masked of every 20 covered
+    // tokens (one-span-per-block + len 3 above make this an identity,
+    // asserted once on the corpus totals for the report's headline)
+    val masked = rows.map(_._4).sum.toDouble
+    val covered = rows.length * 20.0
+    masked / covered shouldBe 0.15
+  }
 }
