@@ -2113,10 +2113,90 @@ object Similarity extends DetRounding {
        |JOIN cand ON cand.probes = p.probes
        |ORDER BY p.probes""".stripMargin
 
+  // -------------------------------------------------------------- q216
+  /** Adjusted Rand Index of the IVF cell assignment against the
+    * embeddings' ground-truth labels (Hubert–Arabie '85) — the
+    * external clustering-quality audit: "does my index partition agree
+    * with the labels, beyond chance?" ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) /
+    * (½(Σᵢ C(aᵢ,2) + Σⱼ C(bⱼ,2)) − E), E the permutation-model
+    * expectation. Sits beside q205/q214 (recall audits measure the
+    * NEIGHBOR structure; this measures the PARTITION structure) and
+    * q68 (occupancy/cohesion without labels).
+    *
+    * Exactness: the contingency table and all three pair sums are pure
+    * BIGINT (x·(x−1)/2 of exact counts); only the terminal ARI ratio
+    * is floating — one fixed parenthesization, rounded 6 dp. Scale:
+    * one corpus scan contracts to the #cells×#labels contingency
+    * (partial+final aggregate); everything after is arithmetic over
+    * ≤ a few hundred cells. */
+  private def q216(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ct = embNorm(spark, dir)
+      .withColumn("cluster", cellCol)
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("nij"))
+    // exact BIGINT C(x,2): x(x−1) is even, the shift IS the halving —
+    // never the fp `/ 2` (Column `/` is Divide → double)
+    def pairs(c: Column): Column = shiftright(c * (c - 1), 1)
+    val stats = ct.agg(
+      sum(pairs($"nij")).as("sum_ij"),
+      sum($"nij").as("n"),
+      count(lit(1)).as("n_cells_x_labels"))
+    val byC = ct.groupBy($"cluster").agg(sum($"nij").as("a"))
+      .agg(sum(pairs($"a")).as("sum_a"), count(lit(1)).as("n_clusters"))
+    val byL = ct.groupBy($"label").agg(sum($"nij").as("b"))
+      .agg(sum(pairs($"b")).as("sum_b"), count(lit(1)).as("n_labels"))
+    stats.crossJoin(byC).crossJoin(byL)
+      .withColumn("expected",
+        $"sum_a".cast("double") * $"sum_b" / pairs($"n"))
+      .select($"n", $"n_clusters", $"n_labels",
+        $"sum_ij", $"sum_a", $"sum_b",
+        round(($"sum_ij" - $"expected") /
+          (($"sum_a" + $"sum_b") / 2.0 - $"expected"), 6).as("ari"))
+  }
+
+  private val q216Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), cscored AS (
+       |  SELECT e.vec_id, e.label, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assignx AS (
+       |  SELECT vec_id, label, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY s DESC, j ASC) AS rnc
+       |        FROM cscored) t
+       |  WHERE rnc = 1
+       |), ct AS (
+       |  SELECT cluster, label, CAST(count(*) AS BIGINT) AS nij
+       |  FROM assignx GROUP BY 1, 2
+       |), s1 AS (
+       |  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_ij,
+       |         CAST(sum(nij) AS BIGINT) AS n
+       |  FROM ct
+       |), sa AS (
+       |  SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sum_a,
+       |         CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM (SELECT cluster, CAST(sum(nij) AS BIGINT) AS a FROM ct GROUP BY 1)
+       |), sb AS (
+       |  SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sum_b,
+       |         CAST(count(*) AS BIGINT) AS n_labels
+       |  FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM ct GROUP BY 1)
+       |)
+       |SELECT s1.n, sa.n_clusters, sb.n_labels, s1.sum_ij, sa.sum_a, sb.sum_b,
+       |       round((s1.sum_ij - CAST(sa.sum_a AS DOUBLE) * sb.sum_b
+       |                          / (s1.n * (s1.n - 1) // 2)) /
+       |             ((sa.sum_a + sb.sum_b) / 2.0 -
+       |              CAST(sa.sum_a AS DOUBLE) * sb.sum_b
+       |                / (s1.n * (s1.n - 1) // 2)), 6) AS ari
+       |FROM s1 CROSS JOIN sa CROSS JOIN sb""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_mmr_retrieval", q202, Some(q202Sql)),
     Q("q213_contrastive_triplets", q213, Some(q213Sql)),
     Q("q214_probe_recall_curve", q214, Some(q214Sql)),
+    Q("q216_ari_labels", q216, Some(q216Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

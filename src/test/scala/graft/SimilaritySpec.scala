@@ -408,4 +408,32 @@ class SimilaritySpec extends SparkSpecBase {
       p205.map(_.getAs[Long]("n_probed")).sum
   }
 
+  test("q216 ARI reconciles with a driver pair-count from the shared cells") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q216_ari_labels")(spark, dir).collect().head
+    // contingency from the one shared assignment + the label column
+    val asg = graft.operators.Similarity.indexRows(
+        graft.sources.Tables.embeddings(spark, dir))
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val lbl = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val ct = asg.toSeq.groupBy { case (id, c) => (c, lbl(id)) }
+      .view.mapValues(_.size.toLong).toMap
+    def p2(x: Long) = x * (x - 1) / 2
+    val sumIj = ct.values.map(p2).sum
+    val sumA = ct.groupBy(_._1._1).values.map(m => p2(m.values.sum)).sum
+    val sumB = ct.groupBy(_._1._2).values.map(m => p2(m.values.sum)).sum
+    val n = asg.size.toLong
+    r.getAs[Long]("n") shouldBe n
+    r.getAs[Long]("sum_ij") shouldBe sumIj
+    r.getAs[Long]("sum_a") shouldBe sumA
+    r.getAs[Long]("sum_b") shouldBe sumB
+    val e = sumA.toDouble * sumB / p2(n)
+    r.getAs[Double]("ari") shouldBe
+      (sumIj - e) / ((sumA + sumB) / 2.0 - e) +- 1e-6
+    // bounded above by 1; the synthetic labels are NOT the cells, so
+    // agreement is partial — the audit must not report a degenerate 0/1
+    r.getAs[Double]("ari") should be < 1.0
+  }
+
 }
