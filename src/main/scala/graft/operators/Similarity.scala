@@ -2192,11 +2192,129 @@ object Similarity extends DetRounding {
        |                / (s1.n * (s1.n - 1) // 2)), 6) AS ari
        |FROM s1 CROSS JOIN sa CROSS JOIN sb""".stripMargin
 
+  // -------------------------------------------------------------- q217
+  /** Retrieval evaluation with PSEUDO-QRELS — MRR and binary NDCG@10
+    * of dense search, scored against the corpus's own verified near-dup
+    * pairs as the relevance labels (the self-supervised eval every
+    * retrieval stack runs before human judgments exist: a query's
+    * ≥ 80%-Jaccard twins are what a good embedding MUST rank first).
+    * Completes the retrieval story: q84/q94 rank, q205/q214 measure
+    * index fidelity against exact search, this measures SEARCH QUALITY
+    * against ground truth. Queries are the 20 lowest-id near-dup
+    * anchors (deterministic cap — at production scale the qrel sample
+    * is the knob).
+    *
+    * Determinism: rankings use the 6-dp-rounded cosine + id tiebreak
+    * (q29's discipline); DCG sums ≤ 10 terms as a FOLD over the
+    * rank-sorted hit list (`aggregate` ≡ DuckDB `list_sum` over an
+    * ordered list — fixed order, so the float sum is bit-stable), and
+    * rr/ndcg round at 6 dp. Scale: 20 anchor vectors broadcast against
+    * one corpus scan (q29's brute shape; swap in the IVF probe for the
+    * same eval at recall < 1). */
+  private val EvalAnchors = 20
+  private val EvalK = 10
+
+  private def q217(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = Dedup.scoredCandidates(spark, dir)
+    val posPairs = sc.filter($"n_common" * 100 >= $"u" * TripletPosPct)
+    val rel = posPairs.select($"doc_a".as("anchor"), $"doc_b".as("rel_id"))
+      .unionByName(posPairs.select($"doc_b".as("anchor"), $"doc_a".as("rel_id")))
+    val anchors = rel.select($"anchor").distinct()
+      .orderBy($"anchor").limit(EvalAnchors)
+    val e = embNorm(spark, dir)
+    val qv = anchors.join(e.select($"vec_id".as("anchor"),
+      $"v".as("av"), $"nrm".as("anrm")), "anchor")
+    val cos = dot("av", "v") / ($"anrm" * $"nrm")
+    val wr = Window.partitionBy($"anchor")
+      .orderBy(round(cos, 6).desc, $"vec_id".asc)
+    val top = e.select($"vec_id", $"v", $"nrm")
+      .join(broadcast(qv), $"vec_id" =!= $"anchor")
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= EvalK)
+      .select($"anchor", $"vec_id".as("rel_id"), $"rank")
+    val hits = top.join(rel, Seq("anchor", "rel_id"))
+      .groupBy($"anchor")
+      .agg(sort_array(collect_list($"rank")).as("hit_ranks"))
+    val nrel = rel.join(anchors, "anchor")
+      .groupBy($"anchor").agg(count(lit(1)).as("n_rel"))
+    def foldDcg(ranks: Column): Column =
+      aggregate(ranks, lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
+    nrel.join(hits, Seq("anchor"), "left_outer")
+      .withColumn("hit_ranks",
+        coalesce($"hit_ranks", array().cast("array<int>")))
+      .select($"anchor", $"n_rel",
+        size($"hit_ranks").cast("long").as("n_hit10"),
+        when(size($"hit_ranks") === 0, lit(0))
+          .otherwise(element_at($"hit_ranks", 1)).cast("long")
+          .as("first_rank"),
+        round(when(size($"hit_ranks") === 0, 0.0)
+          .otherwise(lit(1.0) / element_at($"hit_ranks", 1)), 6).as("rr"),
+        round(foldDcg($"hit_ranks") /
+          foldDcg(sequence(lit(1), least($"n_rel", lit(EvalK.toLong)).cast("int"))), 6)
+          .as("ndcg10"))
+      .orderBy($"anchor")
+  }
+
+  private val q217Sql: String =
+    s"""WITH ${Dedup.lshCandidatesCte}, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), interx AS (
+       |  SELECT c.doc_a, c.doc_b, count(sb.s) AS n_common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |), scoredc AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_common, za.n + zb.n - i.n_common AS u
+       |  FROM interx i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |), rel AS (
+       |  SELECT doc_a AS anchor, doc_b AS rel_id
+       |  FROM scoredc WHERE n_common * 100 >= $TripletPosPct * u
+       |  UNION ALL
+       |  SELECT doc_b, doc_a
+       |  FROM scoredc WHERE n_common * 100 >= $TripletPosPct * u
+       |), anchors AS (
+       |  SELECT DISTINCT anchor FROM rel ORDER BY anchor LIMIT $EvalAnchors
+       |), $normsCte, top AS (
+       |  SELECT anchor, rel_id, rank FROM (
+       |    SELECT an.anchor, c.vec_id AS rel_id,
+       |           row_number() OVER (PARTITION BY an.anchor
+       |                              ORDER BY round(${dotSql("a", "c")} / (a.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rank
+       |    FROM anchors an
+       |    JOIN norms a ON a.vec_id = an.anchor
+       |    JOIN norms c ON c.vec_id <> an.anchor) t
+       |  WHERE rank <= $EvalK
+       |), hits AS (
+       |  SELECT t.anchor, list(t.rank ORDER BY t.rank) AS hit_ranks
+       |  FROM top t JOIN rel r ON r.anchor = t.anchor AND r.rel_id = t.rel_id
+       |  GROUP BY 1
+       |), nrel AS (
+       |  SELECT r.anchor, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM rel r JOIN anchors an ON an.anchor = r.anchor
+       |  GROUP BY 1
+       |)
+       |SELECT n.anchor, n.n_rel,
+       |       CAST(COALESCE(len(h.hit_ranks), 0) AS BIGINT) AS n_hit10,
+       |       CAST(COALESCE(h.hit_ranks[1], 0) AS BIGINT) AS first_rank,
+       |       round(CASE WHEN h.hit_ranks IS NULL THEN 0.0
+       |                  ELSE 1.0 / h.hit_ranks[1] END, 6) AS rr,
+       |       round(COALESCE(list_sum([1.0 / log2(r + 1) for r in h.hit_ranks]), 0.0) /
+       |             list_sum([1.0 / log2(r + 1)
+       |                       for r in generate_series(1, least(n.n_rel, $EvalK))]), 6)
+       |         AS ndcg10
+       |FROM nrel n LEFT JOIN hits h ON h.anchor = n.anchor
+       |ORDER BY n.anchor""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_mmr_retrieval", q202, Some(q202Sql)),
     Q("q213_contrastive_triplets", q213, Some(q213Sql)),
     Q("q214_probe_recall_curve", q214, Some(q214Sql)),
     Q("q216_ari_labels", q216, Some(q216Sql)),
+    Q("q217_retrieval_eval", q217, Some(q217Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

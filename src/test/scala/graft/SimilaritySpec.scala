@@ -436,4 +436,49 @@ class SimilaritySpec extends SparkSpecBase {
     r.getAs[Double]("ari") should be < 1.0
   }
 
+  test("q217 retrieval eval reconciles with a full driver recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q217_retrieval_eval")(spark, dir).collect()
+    rows.length should be <= 20
+    rows should not be empty
+    // pseudo-qrels: the >=80% near-dup sets from q26's verdicts
+    val rel = SparkEntry.queries("q26_ngram_jaccard")(spark, dir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.80 - 1e-9)
+      .flatMap(r => Seq(
+        r.getAs[Long]("doc_a") -> r.getAs[Long]("doc_b"),
+        r.getAs[Long]("doc_b") -> r.getAs[Long]("doc_a")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a).map(_.toDouble), emb(b).map(_.toDouble))
+      va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor")
+      val want = rel(a)
+      r.getAs[Long]("n_rel") shouldBe want.size.toLong
+      // driver brute ranking with the operator's tiebreak
+      val ranked = emb.keys.filter(_ != a).toSeq
+        .map(id => (BigDecimal(cos(a, id)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP), id))
+        .sortBy { case (c, id) => (-c, id) }.map(_._2).take(10)
+      val hitRanks = ranked.zipWithIndex.collect {
+        case (id, i) if want(id) => i + 1 }
+      withClue(s"anchor $a: ") {
+        r.getAs[Long]("n_hit10") shouldBe hitRanks.length.toLong
+        r.getAs[Long]("first_rank") shouldBe
+          hitRanks.headOption.getOrElse(0).toLong
+        val rr = hitRanks.headOption.map(1.0 / _).getOrElse(0.0)
+        r.getAs[Double]("rr") shouldBe rr +- 1e-6
+        def dcg(rs: Seq[Int]) =
+          rs.map(x => 1.0 / (math.log(x + 1) / math.log(2))).sum
+        val idcg = dcg((1 to math.min(want.size, 10)))
+        r.getAs[Double]("ndcg10") shouldBe dcg(hitRanks) / idcg +- 1e-5
+        r.getAs[Double]("ndcg10") should (be >= 0.0 and be <= 1.0)
+      }
+    }
+  }
+
 }
