@@ -35,10 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // baskets, norms) grew with the 180+-query catalog; at 16g the bench's
   // warm pass showed the same GC-drag inflation the round-3 8g ceiling
   // did (slowest rows ~2x their isolated cost). Overridable per run.
-  // 48g default: 191 queries' shared caches (the q167 shingle table is
-  // the big new row) pushed 28g back into the GC-drag regime — tail
+  // 48g (round 4): 191 queries' shared caches (the q167 shingle table
+  // is the big new row) pushed 28g back into the GC-drag regime — tail
   // queries benched 10-20x their isolated cost (q184 74 s benched vs
   // 4.3 s isolated) and build_sec doubled. At 48g build halves and the
-  // pathological tail disappears; the box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pathological tail disappears. 64g (round 5): 217 queries' caches
+  // (candidate scores, DBSCAN labels, triplet state joined the set)
+  // showed the early symptom again — run-to-run tail swing on
+  // q167/q112 of ~1.5-2x with no code change; the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )
