@@ -2309,12 +2309,89 @@ object Similarity extends DetRounding {
        |FROM nrel n LEFT JOIN hits h ON h.anchor = n.anchor
        |ORDER BY n.anchor""".stripMargin
 
+  // -------------------------------------------------------------- q218
+  /** Hubness audit — the k-occurrence distribution N₅(x): for every
+    * vector, how many OTHER vectors list it in their cell-local top-5
+    * (Radovanović et al. JMLR'10): in high dimension the distribution
+    * skews — a few "hub" points appear in everyone's neighbor lists
+    * while "antihubs" (k = 0) appear in none — and a skewed N_k quietly
+    * corrupts kNN-based dedup/retrieval (hubs over-match, antihubs
+    * never match). The audit emits the full histogram (k_occurrence →
+    * n_vectors, antihubs at k = 0) — read before trusting q28/q213's
+    * neighbor-derived products.
+    *
+    * Exactness: occurrence counts and the histogram are PURE INTEGERS
+    * (the rank ordering is the 6-dp-rounded cosine + id tiebreak —
+    * q29's discipline). Scale: neighbor lists are CELL-LOCAL (the same
+    * per-cell window the IVF probe path pays — Σ cellsize², never
+    * corpus²), contraction to the histogram is two hash aggregates,
+    * and the k = 0 bucket densifies via one anti-join. */
+  private def q218(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nb = embNorm(spark, dir).withColumn("cluster", cellCol)
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val wr = Window.partitionBy($"src")
+      .orderBy(round(cos, 6).desc, $"vec_id".asc)
+    val top5 = nb.select($"cluster", $"vec_id".as("src"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+      .join(nb, Seq("cluster"))
+      .filter($"vec_id" =!= $"src")
+      .withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= 5)
+      .select($"vec_id")
+    val occ = top5.groupBy($"vec_id").agg(count(lit(1)).as("k_occurrence"))
+    val withZeros = nb.select($"vec_id")
+      .join(occ, Seq("vec_id"), "left_outer")
+      .select(coalesce($"k_occurrence", lit(0L)).as("k_occurrence"))
+    withZeros.groupBy($"k_occurrence")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy($"k_occurrence")
+  }
+
+  private val q218Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), cscored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assignx AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY s DESC, j ASC) AS rnc
+       |        FROM cscored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assignx a ON n.vec_id = a.vec_id
+       |), top5 AS (
+       |  SELECT vec_id FROM (
+       |    SELECT q.vec_id AS src, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY round(${dotSql("q", "c")} / (q.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rn
+       |    FROM nb q JOIN nb c ON c.cluster = q.cluster AND c.vec_id <> q.vec_id) t
+       |  WHERE rn <= 5
+       |), occ AS (
+       |  SELECT n.vec_id,
+       |         CAST(COALESCE(o.k, 0) AS BIGINT) AS k_occurrence
+       |  FROM nb n LEFT JOIN (
+       |    SELECT vec_id, count(*) AS k FROM top5 GROUP BY 1) o
+       |    ON o.vec_id = n.vec_id
+       |)
+       |SELECT k_occurrence, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM occ GROUP BY 1
+       |ORDER BY k_occurrence""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_mmr_retrieval", q202, Some(q202Sql)),
     Q("q213_contrastive_triplets", q213, Some(q213Sql)),
     Q("q214_probe_recall_curve", q214, Some(q214Sql)),
     Q("q216_ari_labels", q216, Some(q216Sql)),
     Q("q217_retrieval_eval", q217, Some(q217Sql)),
+    Q("q218_hubness_audit", q218, Some(q218Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

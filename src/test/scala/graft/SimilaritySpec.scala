@@ -481,4 +481,22 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q218 hubness histogram conserves mass and list slots") {
+    val dir = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("q218_hubness_audit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("k_occurrence") -> r.getAs[Long]("n_vectors"))
+    val cells = graft.operators.Similarity.indexRows(
+        graft.sources.Tables.embeddings(spark, dir))
+      .select($"cluster").as[Int].collect()
+    val n = cells.length.toLong
+    // every vector lands in exactly one histogram bucket
+    hist.map(_._2).sum shouldBe n
+    // total occurrences = total top-5 slots = Σ_vec min(5, cellsize−1)
+    val cellSizes = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val slots = cells.map(c => math.min(5, cellSizes(c) - 1).toLong).sum
+    hist.map { case (k, cnt) => k * cnt }.sum shouldBe slots
+    // the audit is non-degenerate on the corpus: occupancy varies
+    hist.length should be > 1
+  }
+
 }
