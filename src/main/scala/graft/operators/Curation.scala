@@ -1268,7 +1268,16 @@ object Curation extends DetRounding {
       .select(col("source"), col("lang"), col("bkt"), col("off"), col("n"))
     val wLoc = Window.partitionBy(col("source"), col("lang"), col("bkt"))
       .orderBy(col("hkey"), col("doc_id"))
-    keyed.join(broadcast(offs), Seq("source", "lang", "bkt"))
+    // NULL-SAFE stratum join: a null source/lang is a legitimate
+    // stratum (the oracle's window treats NULL as a group; groupBy
+    // keeps it) — a plain equi-join would silently drop those rows,
+    // the exact null-bucket vanishing bug Ranks fixed this round.
+    val offsR = offs.select(col("source").as("__s2"), col("lang").as("__l2"),
+      col("bkt").as("__b2"), col("off"), col("n"))
+    keyed.join(broadcast(offsR),
+        col("source") <=> col("__s2") && col("lang") <=> col("__l2") &&
+          col("bkt") === col("__b2"))
+      .drop("__s2", "__l2", "__b2")
       .withColumn("rn", col("off") + row_number().over(wLoc).cast("long"))
       .withColumn("q_train", expr("(8 * n) div 10") +
         when(expr("n % 10").isin(1, 2, 3, 6), 1L).otherwise(0L))

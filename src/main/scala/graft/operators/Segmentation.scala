@@ -525,19 +525,22 @@ object Segmentation extends DetRounding {
     val spark = points.sparkSession
     import spark.implicits._
     val eps2 = eps * eps
-    def cid(cx: Column, cy: Column): Column = (cx + 100L) * 1000L + (cy + 100L)
     val pts = points.select(col(idCol).as("id"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .withColumn("cx", floor($"x" / eps).cast("long"))
       .withColumn("cy", floor($"y" / eps).cast("long"))
+    // join on the RAW (cx, cy) pair — an encoded scalar cell id would
+    // collide on grids wider than its stride (a tiny ε over a wide
+    // range), silently inflating the candidate join toward quadratic
     val probe = pts.select($"id", $"x", $"y", explode(array(
       (for { dx <- -1 to 1; dy <- -1 to 1 }
-        yield cid($"cx" + dx, $"cy" + dy)): _*)).as("cell"))
+        yield struct(($"cx" + dx).as("jx"), ($"cy" + dy).as("jy"))): _*)).as("c"))
+      .select($"id", $"x", $"y", $"c.jx".as("jx"), $"c.jy".as("jy"))
     val build = pts.select($"id".as("idb"), $"x".as("xb"), $"y".as("yb"),
-      cid($"cx", $"cy").as("cell"))
+      $"cx".as("jx"), $"cy".as("jy"))
     // every true ε-pair shares adjacent cells (cell width = ε) → the
     // candidate set is exact, the filter just removes corner slack
-    val nb = probe.join(build, "cell")
+    val nb = probe.join(build, Seq("jx", "jy"))
       .filter(($"x" - $"xb") * ($"x" - $"xb") +
         ($"y" - $"yb") * ($"y" - $"yb") <= eps2)
       .select($"id", $"idb")
@@ -552,7 +555,17 @@ object Segmentation extends DetRounding {
     val lbl = (memoKey match {
       case Some((dir, key)) =>
         graft.core.PersistedMemo.getOrBuild(spark, dir, key)(ccLabels())
-      case None => ccLabels()
+      case None =>
+        // facade path (no memo): Components.run hands back a PERSISTED
+        // frame whose lifecycle the caller owns — snapshot it into a
+        // checkpoint (blocks released by the ContextCleaner when the
+        // frame is collected) and release the persist immediately, so
+        // repeated facade calls (eps/minPts sweeps) don't accumulate
+        // session-lifetime caches
+        val l = ccLabels()
+        val snap = l.localCheckpoint(true)
+        l.unpersist()
+        snap
     }).withColumnRenamed("doc_id", "id")
     val corelbl = core.join(lbl, Seq("id"), "left")
       .select($"id", coalesce($"lbl", $"id").as("cluster_id"))

@@ -2139,8 +2139,7 @@ object Similarity extends DetRounding {
     def pairs(c: Column): Column = shiftright(c * (c - 1), 1)
     val stats = ct.agg(
       sum(pairs($"nij")).as("sum_ij"),
-      sum($"nij").as("n"),
-      count(lit(1)).as("n_cells_x_labels"))
+      sum($"nij").as("n"))
     val byC = ct.groupBy($"cluster").agg(sum($"nij").as("a"))
       .agg(sum(pairs($"a")).as("sum_a"), count(lit(1)).as("n_clusters"))
     val byL = ct.groupBy($"label").agg(sum($"nij").as("b"))

@@ -208,10 +208,12 @@ object Skew extends DetRounding {
        |  SELECT old_shard AS shard, CAST(count(*) AS BIGINT) AS n_old
        |  FROM routed GROUP BY 1
        |)
-       |SELECT bn.shard, CAST(COALESCE(bo.n_old, 0) AS BIGINT) AS n_old,
-       |       bn.n_new, bn.moved_in
-       |FROM bn LEFT JOIN bo ON bn.shard = bo.shard
-       |ORDER BY bn.shard""".stripMargin
+       |SELECT COALESCE(bn.shard, bo.shard) AS shard,
+       |       CAST(COALESCE(bo.n_old, 0) AS BIGINT) AS n_old,
+       |       CAST(COALESCE(bn.n_new, 0) AS BIGINT) AS n_new,
+       |       CAST(COALESCE(bn.moved_in, 0) AS BIGINT) AS moved_in
+       |FROM bn FULL JOIN bo ON bn.shard = bo.shard
+       |ORDER BY shard""".stripMargin
   }
 
   val all: Seq[Q] = Seq(

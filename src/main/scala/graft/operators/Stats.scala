@@ -799,7 +799,12 @@ object Stats extends DetRounding {
   private[graft] def weightedQuartiles(df: DataFrame, valueCol: String,
       weightCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2 (got $buckets)")
-    val byVal = df.select(col(valueCol).as("v"),
+    // null values carry no weight mass: a quantile over NULL is
+    // undefined, and engines disagree on where nulls cumulate (Spark
+    // windows sort them first, DuckDB's naive cumulative last) — so
+    // they are excluded by definition, not by accident of engine order
+    val byVal = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"),
         when(col(weightCol) =!= floor(col(weightCol)), raise_error(format_string(
           "weightedQuartiles: fractional weight %s — integerize upstream",
           col(weightCol).cast("string"))))

@@ -202,18 +202,24 @@ object TxLog {
       s"version $retainVersion is not committed in $table")
     val expired = commits.filter(_.version <= retainVersion)
       .flatMap(_.removes).distinct
-    expired.foreach { rel =>
+    // return ONLY the paths actually deleted by THIS call — a repeated
+    // vacuum at the same horizon reclaims nothing and must say so (a
+    // caller auditing reclaimed bytes would otherwise double-count)
+    expired.filter { rel =>
       val p = Paths.get(table, rel)
-      if (Files.exists(p)) Files.delete(p)
-      // prune now-empty data directories (best-effort)
-      val dir = p.getParent
-      if (dir != null && Files.exists(dir)) {
-        val s = Files.list(dir)
-        val empty = try !s.iterator().hasNext finally s.close()
-        if (empty) Files.delete(dir)
+      val existed = Files.exists(p)
+      if (existed) {
+        Files.delete(p)
+        // prune now-empty data directories (best-effort)
+        val dir = p.getParent
+        if (dir != null && Files.exists(dir)) {
+          val s = Files.list(dir)
+          val empty = try !s.iterator().hasNext finally s.close()
+          if (empty) Files.delete(dir)
+        }
       }
+      existed
     }
-    expired
   }
 
   /** Live file statistics — the skip-index a MERGE prunes with. */

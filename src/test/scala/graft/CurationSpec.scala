@@ -427,5 +427,18 @@ class CurationSpec extends SparkSpecBase {
         (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_doc_id"))).toMap
     rows.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
       (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_doc_id"))).toMap shouldBe again
+    // NULL strata are legitimate groups, never dropped (the null-safe
+    // stratum join): 30 docs with a null lang still split 24/3/3
+    val withNull = Seq.tabulate(30)(i =>
+      (1000L + i, "webz", Option.empty[String])) ++
+      Seq.tabulate(10)(i => (2000L + i, "webz", Option("en")))
+    val nd = withNull.toDF("doc_id", "source", "lang")
+    val ns = graft.Graft.quotaSplit(nd).collect()
+      .map(r => (Option(r.getString(1)), r.getString(2)) -> r.getAs[Long]("n_docs"))
+      .toMap
+    ns((None, "train")) shouldBe 24L
+    ns((None, "val")) shouldBe 3L
+    ns((None, "test")) shouldBe 3L
+    ns((Some("en"), "train")) shouldBe 8L
   }
 }

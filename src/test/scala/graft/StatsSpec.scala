@@ -501,5 +501,12 @@ class StatsSpec extends SparkSpecBase {
     intercept[Exception] {
       graft.Graft.weightedQuartiles(bad, "v", "w").collect()
     }.getMessage should include("fractional weight")
+    // null values carry no mass (documented semantics): the quartiles
+    // equal those of the non-null subset, not an engine's null order
+    val withNulls = (Seq((Option.empty[Double], 100L)) ++
+      (1 to 9).map(i => (Some(i.toDouble), 1L))).toDF("v", "w")
+    graft.Graft.weightedQuartiles(withNulls, "v", "w")
+      .as[(Int, Double, Long, Long)].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1, 3.0, 3L, 9L), (2, 5.0, 5L, 9L), (3, 7.0, 7L, 9L))
   }
 }

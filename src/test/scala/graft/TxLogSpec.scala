@@ -190,9 +190,9 @@ class TxLogSpec extends SparkSpecBase {
         TxLog.readVersion(spark, t, 0L).collect()
       // history metadata survives the physical deletion
       TxLog.history(t).map(_._1) shouldBe Seq(0L, 1L, 2L)
-      // idempotent: a second vacuum at the same horizon deletes nothing
-      TxLog.vacuum(t, 1L).foreach(rel =>
-        Files.exists(Paths.get(t, rel)) shouldBe false)
+      // idempotent AND honest: a second vacuum at the same horizon
+      // deletes nothing and REPORTS nothing (no double-counted audit)
+      TxLog.vacuum(t, 1L) shouldBe empty
       TxLog.read(spark, t).as[(Long, String)].collect().toMap shouldBe
         Map(1L -> "A", 2L -> "B")
     }
