@@ -900,8 +900,9 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q212_dbscan")
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
-    // candidate pairs hash-join on the cell id
-    p.toLowerCase should include("cell")
+    // candidate pairs hash-join on the raw (jx, jy) cell coordinates
+    p should include("jx")
+    p should include("jy")
   }
 
   test("catalog-wide: no unpartitioned window over an unbounded fact subtree") {
