@@ -2384,6 +2384,90 @@ object Similarity extends DetRounding {
        |FROM occ GROUP BY 1
        |ORDER BY k_occurrence""".stripMargin
 
+  // -------------------------------------------------------------- q219
+  /** Per-source embedding drift — the SEMANTIC counterpart of q74's
+    * token-distribution drift: each source's centroid direction
+    * compared (cosine) against the corpus centroid, with its vector
+    * share. A source whose centroid swings away from the corpus is
+    * contributing semantically off-distribution mass — the
+    * embedding-space early warning a crawl monitor reads next to the
+    * token-level KL.
+    *
+    * Determinism (the q153 exact-integer-units discipline): embedding
+    * components quantize to BIGINT micro-units, so the per-source and
+    * corpus per-dimension sums are EXACT integers in any distribution
+    * or order; the three quadratic forms then fold over the
+    * dim-sorted arrays (`aggregate` ≡ DuckDB `list_sum` — one fixed
+    * order, bit-stable) and cosine is scale-invariant so the /n
+    * centroid division cancels entirely. Scale: one scan explodes to
+    * (source, dim) cells — #sources×64 rows — via a partial+final
+    * aggregate; everything after is metadata-sized. */
+  private def q219(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .select($"doc_id".as("vec_id"), $"source")
+    val qv = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim",
+        floor($"x".cast("double") * 1e6 + 0.5).cast("long").as("xi"))
+    val sdim = qv.join(src, "vec_id")
+      .groupBy($"source", $"dim").agg(sum($"xi").as("s"))
+    val cdim = sdim.groupBy($"dim").agg(sum($"s").as("c"))
+    val vecs = sdim.join(cdim, "dim")
+      .groupBy($"source")
+      .agg(sort_array(collect_list(struct($"dim",
+        $"s".cast("double").as("sd"), $"c".cast("double").as("cd")))).as("a"))
+      .select($"source",
+        transform($"a", e => e("sd")).as("sv"),
+        transform($"a", e => e("cd")).as("cv"))
+    def fold(z: Column): Column = aggregate(z, lit(0.0), (acc, t) => acc + t)
+    val nsrc = src.join(Tables.embeddings(spark, dir).select($"vec_id"), "vec_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy()
+    nsrc.join(vecs, "source")
+      .withColumn("share",
+        $"n_vecs".cast("double") / sum($"n_vecs").over(w))
+      .select($"source", $"n_vecs", round($"share", 6).as("share"),
+        round(fold(zip_with($"sv", $"cv", (a, b) => a * b)) /
+          sqrt(fold(zip_with($"sv", $"sv", (a, b) => a * b)) *
+            fold(zip_with($"cv", $"cv", (a, b) => a * b))), 6)
+          .as("cos_corpus"))
+      .orderBy($"source")
+  }
+
+  private val q219Sql: String =
+    s"""WITH q AS (
+       |  SELECT d.source, e.vec_id, g.i,
+       |         CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+       |              AS BIGINT) AS xi
+       |  FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) g
+       |), sdim AS (
+       |  SELECT source, i, CAST(sum(xi) AS BIGINT) AS s FROM q GROUP BY 1, 2
+       |), cdim AS (
+       |  SELECT i, CAST(sum(s) AS BIGINT) AS c FROM sdim GROUP BY 1
+       |), vecs AS (
+       |  SELECT sd.source,
+       |         list(CAST(sd.s AS DOUBLE) ORDER BY sd.i) AS sv,
+       |         list(CAST(cd.c AS DOUBLE) ORDER BY sd.i) AS cv
+       |  FROM sdim sd JOIN cdim cd ON cd.i = sd.i
+       |  GROUP BY 1
+       |), nsrc AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |  GROUP BY 1
+       |), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM nsrc)
+       |SELECT n.source, n.n_vecs,
+       |       round(CAST(n.n_vecs AS DOUBLE) / tot.t, 6) AS share,
+       |       round(list_sum([sv[i] * cv[i] for i in generate_series(1, $Dim)]) /
+       |             sqrt(list_sum([sv[i] * sv[i] for i in generate_series(1, $Dim)]) *
+       |                  list_sum([cv[i] * cv[i] for i in generate_series(1, $Dim)])), 6)
+       |         AS cos_corpus
+       |FROM nsrc n CROSS JOIN tot
+       |JOIN vecs v ON v.source = n.source
+       |ORDER BY n.source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q202_mmr_retrieval", q202, Some(q202Sql)),
     Q("q213_contrastive_triplets", q213, Some(q213Sql)),
@@ -2391,6 +2475,7 @@ object Similarity extends DetRounding {
     Q("q216_ari_labels", q216, Some(q216Sql)),
     Q("q217_retrieval_eval", q217, Some(q217Sql)),
     Q("q218_hubness_audit", q218, Some(q218Sql)),
+    Q("q219_source_drift", q219, Some(q219Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),
     Q("q29_knn_brute_force", q29, Some(q29Sql)),

@@ -499,4 +499,29 @@ class SimilaritySpec extends SparkSpecBase {
     hist.length should be > 1
   }
 
+  test("q219 drift cosines equal a driver centroid recompute; shares sum to 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q219_source_drift")(spark, dir).collect()
+    rows.map(_.getAs[Double]("share")).sum shouldBe 1.0 +- 1e-4
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // exact micro-unit sums, like the engine
+    def quant(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val bySrc = emb.groupBy { case (id, _) => docs(id) }
+      .view.mapValues { vs =>
+        (0 until 64).map(d => vs.map(v => quant(v._2(d))).sum).toArray
+      }.toMap
+    val corpus = (0 until 64).map(d => bySrc.values.map(_(d)).sum).toArray
+    rows.foreach { r =>
+      val s = bySrc(r.getAs[String]("source")).map(_.toDouble)
+      val c = corpus.map(_.toDouble)
+      val cos = s.zip(c).map { case (a, b) => a * b }.sum /
+        math.sqrt(s.map(a => a * a).sum * c.map(b => b * b).sum)
+      r.getAs[Double]("cos_corpus") shouldBe cos +- 1e-5
+      r.getAs[Double]("cos_corpus") should (be > -1.0 and be <= 1.0)
+    }
+  }
+
 }
