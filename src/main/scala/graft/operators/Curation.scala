@@ -256,7 +256,9 @@ object Curation extends DetRounding {
     // tied, so a single-rank check would flag legitimate estimates)
     def inBound(lo: Column, hi: Column, p: Double): Column = {
       val tol = $"n" / 10000.0 + 1.0
-      (lo <= $"n" * p + tol && hi >= $"n" * p - tol).cast("int")
+      // `lo` aggregates count(<v); the interval's lower END is lo+1 —
+      // the +1 keeps the test faithful to the stated rank interval
+      (lo + 1.0 <= $"n" * p + tol && hi >= $"n" * p - tol).cast("int")
     }
     li.join(broadcast(approx), "l_returnflag")
       .groupBy($"l_returnflag")

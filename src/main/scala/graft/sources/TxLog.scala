@@ -94,14 +94,29 @@ object TxLog {
         .count().filter(col("count") > 1).count()
       require(dupKeys == 0,
         s"updates carry $dupKeys duplicate key(s) — resolve before merging")
-      val bounds = upKeyed.agg(
+      // An empty batch is detected by ROW COUNT, not by a null min(key):
+      // NULL keys can never match the equi-join below (repeated upserts
+      // of the same null-keyed row would silently accumulate), so they
+      // are rejected loudly instead of being mistaken for emptiness.
+      val stats = upKeyed.agg(
+        count(lit(1)).as("n"),
+        count(when(keyCols.map(col(_).isNull).reduce(_ || _), 1)).as("nullKeys"),
         min(col(keyCols.head)).cast("string"),
         max(col(keyCols.head)).cast("string")).head()
-      if (bounds.isNullAt(0)) return // empty updates
-      val (upMin, upMax) = (bounds.getString(0), bounds.getString(1))
-      val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
-      val touched = live.filter(f =>
-        cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
+      if (stats.getLong(0) == 0L) return // empty updates
+      require(stats.getLong(1) == 0L,
+        s"updates carry ${stats.getLong(1)} row(s) with a NULL key column — " +
+          "NULL keys cannot participate in MERGE matching; filter or fill them first")
+      val (upMin, upMax) = (stats.getString(2), stats.getString(3))
+      // A table created from an empty frame has no live files (and no
+      // schema to read) — the merge degenerates to an add-only commit.
+      val touched =
+        if (live.isEmpty) Nil
+        else {
+          val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
+          live.filter(f =>
+            cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
+        }
       val rewritten =
         if (touched.isEmpty) upKeyed
         else {
@@ -246,8 +261,13 @@ object TxLog {
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       java.lang.Long.compare(a.toLong, b.toLong)
-    case FloatType | DoubleType | _: DecimalType =>
+    case FloatType | DoubleType =>
       java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType =>
+      // exact comparison — a Double round-trip loses digits past ~15-16
+      // significant figures and could wrongly SKIP a file holding a
+      // matched key (two live rows for one key — silent corruption)
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => // strings; timestamps render ISO — ordered either way
       java.util.Arrays.compareUnsigned(
         a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))

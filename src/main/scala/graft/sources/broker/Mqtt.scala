@@ -87,9 +87,16 @@ object MqttCodec {
     Array[Byte]((b.length >> 8).toByte, (b.length & 0xff).toByte) ++ b
   }
 
-  /** (string, bytes consumed) at offset `o`. */
+  /** (string, bytes consumed) at offset `o`. Truncated input throws
+    * IOException — the framing-failure class `serve`'s handler closes
+    * cleanly on — never ArrayIndexOutOfBounds (which would escape it
+    * and kill the connection thread as an unclassified error). */
   def readUtf8(b: Array[Byte], o: Int): (String, Int) = {
+    if (o < 0 || o + 2 > b.length)
+      throw new IOException("malformed packet: truncated string length")
     val len = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    if (o + 2 + len > b.length)
+      throw new IOException("malformed packet: truncated string body")
     (new String(b, o + 2, len, StandardCharsets.UTF_8), 2 + len)
   }
 
@@ -156,6 +163,8 @@ final class MiniBroker {
       val first = readPacket(in)
       require(first.ptype == CONNECT, s"expected CONNECT, got ${first.ptype}")
       val (proto, used) = readUtf8(first.body, 0)
+      if (used >= first.body.length)
+        throw new IOException("malformed packet: truncated CONNECT")
       require(proto == "MQTT" && first.body(used) == 4,
         "unsupported protocol/version")
       writePacket(out, connack)
@@ -178,6 +187,8 @@ final class MiniBroker {
               }
             }
           case SUBSCRIBE =>
+            if (p.body.length < 2)
+              throw new IOException("malformed packet: truncated SUBSCRIBE")
             val pid = ((p.body(0) & 0xff) << 8) | (p.body(1) & 0xff)
             val (topic, _) = readUtf8(p.body, 2)
             subs.computeIfAbsent(topic,
