@@ -1358,7 +1358,16 @@ object Curation extends DetRounding {
       .distinct()
       .localCheckpoint()
     val nv = dict.select($"token").distinct().count().toDouble
-    var covered = spark.emptyDataset[String].toDF("token").localCheckpoint()
+    // `covered` is a lazy UNION of per-round checkpointed DELTAS: each
+    // round materializes ONLY the winner's new tokens (anti-joined
+    // against the prior cover, so the deltas are pairwise disjoint and
+    // the union is a set with no re-distinct). The old form re-ran
+    // union ∪ distinct ∪ localCheckpoint over the WHOLE covered set
+    // every round — a vocabulary-scale materialization × K; now the
+    // per-round write is the marginal gain only, and the running total
+    // is the sum of delta counts instead of a full recount.
+    var covered = spark.emptyDataset[String].toDF("token")
+    var coveredN = 0L
     var picked = List.empty[String]
     val out = (1 to k).map { r =>
       // keep gain-0 sources in the race (a fully-covered vocabulary
@@ -1377,11 +1386,11 @@ object Curation extends DetRounding {
       require(gains.nonEmpty, s"set cover ran out of sources at round $r")
       val (best, gain) = (gains(0).getString(0), gains(0).getLong(1))
       picked = best :: picked
-      covered = covered
-        .union(dict.filter($"source" === best).select($"token"))
-        .distinct()
+      val delta = dict.filter($"source" === best).select($"token")
+        .join(covered, Seq("token"), "left_anti")
         .localCheckpoint()
-      val coveredN = covered.count()
+      coveredN += delta.count()
+      covered = covered.union(delta)
       (r, best, gain, coveredN)
     }
     out.toDF("round", "source", "gain", "covered_total")

@@ -95,12 +95,28 @@ object SetSimilarity {
     // p(X) = n − ceil(t·n) + 1 leading tokens in rarity order
     val pfx = ranked
       .filter($"r" <= $"n" - ceil(lit(t) * $"n") + 1)
-      .select($"doc_id", $"tk", $"n")
+      .select($"doc_id", $"tk", $"n", $"r")
+    // POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu WWW'08 §3.2): a
+    // joined row matches token w at rank r_x in x and r_y in y; the
+    // intersection can contain at most w plus the shorter remaining
+    // suffix, ub = 1 + min(n_x − r_x, n_y − r_y). J ≥ t needs
+    // |x∩y| ≥ t·(n_x+n_y)/(1+t), so rows with ub below that can never
+    // witness a qualifying pair. SAFE under the trailing `distinct`
+    // (exists-semantics): for a true pair the FIRST common token in the
+    // global order sits inside both prefixes (else either side misses
+    // its whole prefix from the intersection, contradicting J ≥ t) and
+    // everything before it on both sides is disjoint, so THAT row's ub
+    // genuinely bounds the intersection and passes. The 1e-9 slack
+    // keeps the bound conservative under fp rounding of t/(1+t) for
+    // arbitrary facade thresholds — infinitesimally fewer pruned rows,
+    // never a lost pair.
+    val needed = lit(t / (1.0 + t)) * ($"x.n" + $"y.n") - lit(1e-9)
     pfx.as("x")
       .join(pfx.as("y"),
         $"x.tk" === $"y.tk" && $"x.doc_id" < $"y.doc_id" &&
           // length filter: J ≥ t forces t ≤ min/max of the two sizes
-          $"x.n" <= $"y.n" / t && $"y.n" <= $"x.n" / t)
+          $"x.n" <= $"y.n" / t && $"y.n" <= $"x.n" / t &&
+          (lit(1) + least($"x.n" - $"x.r", $"y.n" - $"y.r")).cast("double") >= needed)
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
   }
