@@ -39,9 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // is the big new row) pushed 28g back into the GC-drag regime — tail
   // queries benched 10-20x their isolated cost (q184 74 s benched vs
   // 4.3 s isolated) and build_sec doubled. At 48g build halves and the
-  // pathological tail disappears. 64g (round 5): 217 queries' caches
-  // (candidate scores, DBSCAN labels, triplet state joined the set)
-  // showed the early symptom again — run-to-run tail swing on
-  // q167/q112 of ~1.5-2x with no code change; the box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // pathological tail disappears. Round 5 went to 64g on a run-to-run
+  // tail-swing hypothesis; round 6 MEASURED it (Bench now prints the
+  // per-memo-entry byte report): the whole memo set is ~180 MB at
+  // sf0.1 and the storage layer holds ~0.1 GB — the swing was
+  // cross-run machine contention, not cache growth. A clean 48g run
+  // benches 148.2 s for 220 queries (vs 150.3 s at 64g), so 48g is
+  // the default again; SCALE.md §heap has the numbers.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

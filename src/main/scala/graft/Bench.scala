@@ -91,6 +91,15 @@ object Bench {
     // ~6 KB and would push the line out of the harness's ~2000-char
     // stdout tail (round 3 parsed as null); 12 entries + headline is
     // ~600 chars and always sits intact inside it.
+    // memory telemetry → STDERR (stdout's tail is harness-parsed): per-
+    // memo-entry materialized bytes + the storage layer's own totals,
+    // the inputs the memo byte-budget (GRAFT_MEMO_BUDGET) was sized from
+    System.err.println("[memo] key bytes (materialized stats):")
+    core.PersistedMemo.report().foreach { case (_, k, b) =>
+      System.err.println(f"[memo]   $k%-40s ${b / 1e6}%12.1f MB") }
+    val rs = spark.sparkContext.getRDDStorageInfo
+    System.err.println(f"[memo] storage: ${rs.length} RDDs, " +
+      f"mem ${rs.map(_.memSize).sum / 1e9}%.2f GB, disk ${rs.map(_.diskSize).sum / 1e9}%.2f GB")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"build_sec":${fmt(buildSec)},"failed":$failedJson,"queries":${qsJson(slowest)},"detail_file":"BENCH_DETAIL.json"}""")
     core.PersistedMemo.clearAll()

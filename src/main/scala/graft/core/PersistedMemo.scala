@@ -117,4 +117,20 @@ object PersistedMemo {
 
   /** Test / telemetry hook: live entry count. */
   private[graft] def size: Int = memo.size()
+
+  /** Telemetry: (dir, key, sizeInBytes) per live entry, largest first.
+    * Size comes from the entry's own optimized plan statistics — once
+    * the cache is materialized the plan is the InMemoryRelation and its
+    * stats are the ACTUAL accumulated batch bytes; before that it is
+    * the optimizer's estimate (tagged by caller-side judgement, not
+    * here — telemetry only, never a correctness input). */
+  private[graft] def report(): Seq[(String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    memo.asScala.toSeq.map { case ((_, dir, key), df) =>
+      val bytes =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+        catch { case _: Throwable => -1L }
+      (dir, key, bytes)
+    }.sortBy(-_._3)
+  }
 }
