@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
 object MqttCodec {
 
   /** Packet types (spec §2.2.1). */
-  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3
+  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
   val SUBSCRIBE = 8; val SUBACK = 9
   val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
 
@@ -108,41 +108,128 @@ object MqttCodec {
 
   val connack: Packet = Packet(CONNACK, 0, Array[Byte](0, 0))
 
+  private def pid2(packetId: Int): Array[Byte] =
+    Array[Byte](((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte)
+
   def subscribe(packetId: Int, topic: String): Packet =
     Packet(SUBSCRIBE, 0x2, // spec §3.8.1: reserved flags MUST be 0010
-      Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte) ++
-        utf8(topic) :+ 0.toByte) // requested QoS 0
+      pid2(packetId) ++
+        // requested QoS 1 — the reference's Paho consumer subscribes at
+        // the client default, QoS 1 (lambda-sample mqtt/Consumer.scala:32)
+        utf8(topic) :+ 1.toByte)
 
   def suback(packetId: Int): Packet =
-    Packet(SUBACK, 0,
-      Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte, 0))
+    Packet(SUBACK, 0, pid2(packetId) :+ 1.toByte) // granted QoS 1
 
   def publish(topic: String, payload: Array[Byte]): Packet =
     Packet(PUBLISH, 0, utf8(topic) ++ payload) // QoS 0: no packet id
 
-  /** PUBLISH body → (topic, payload) — QoS 0 layout. */
-  def readPublish(p: Packet): (String, Array[Byte]) = {
+  /** QoS-1 PUBLISH (spec §3.3): flags carry QoS in bits 2-1 and the DUP
+    * retransmission marker in bit 3; the variable header gains a
+    * big-endian packet id between topic and payload. */
+  def publishQos1(topic: String, packetId: Int, payload: Array[Byte],
+      dup: Boolean = false): Packet =
+    Packet(PUBLISH, (if (dup) 0x08 else 0x00) | 0x02,
+      utf8(topic) ++ pid2(packetId) ++ payload)
+
+  /** PUBACK (spec §3.4) — the QoS-1 receiver's acknowledgement. */
+  def puback(packetId: Int): Packet = Packet(PUBACK, 0, pid2(packetId))
+
+  def readPid(b: Array[Byte], o: Int): Int = {
+    if (o < 0 || o + 2 > b.length)
+      throw new IOException("malformed packet: truncated packet id")
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  }
+
+  /** Fully-parsed PUBLISH: payload plus the delivery metadata QoS 1
+    * adds (packet id, DUP flag). `packetId` is 0 for QoS 0. */
+  final case class PublishMsg(topic: String, payload: Array[Byte],
+      qos: Int, packetId: Int, dup: Boolean)
+
+  def readPublishMsg(p: Packet): PublishMsg = {
     require(p.ptype == PUBLISH, s"not a PUBLISH: type ${p.ptype}")
+    val qos = (p.flags >> 1) & 0x3
+    if (qos > 1) throw new IOException(s"unsupported QoS $qos")
+    val dup = (p.flags & 0x08) != 0
     val (topic, used) = readUtf8(p.body, 0)
-    (topic, p.body.drop(used))
+    if (qos == 0) PublishMsg(topic, p.body.drop(used), 0, 0, dup)
+    else PublishMsg(topic, p.body.drop(used + 2), 1, readPid(p.body, used), dup)
+  }
+
+  /** PUBLISH body → (topic, payload) — qos-agnostic convenience. */
+  def readPublish(p: Packet): (String, Array[Byte]) = {
+    val m = readPublishMsg(p)
+    (m.topic, m.payload)
   }
 
   val pingresp: Packet = Packet(PINGRESP, 0, Array.emptyByteArray)
   val disconnect: Packet = Packet(DISCONNECT, 0, Array.emptyByteArray)
 }
 
-/** Loopback TCP MQTT broker: CONNECT handshake, topic-keyed QoS-0
-  * routing, one reader thread per connection. `port()` is the bound
-  * ephemeral port. */
-final class MiniBroker {
+/** Loopback TCP MQTT broker: CONNECT handshake, topic-keyed routing at
+  * QoS 0 and QoS 1, one reader thread per connection. `port()` is the
+  * bound ephemeral port.
+  *
+  * QoS-1 delivery (spec §4.3.2, at-least-once): an inbound QoS-1
+  * PUBLISH is PUBACKed to the publisher; each subscriber delivery at
+  * QoS 1 mints a per-connection packet id and is held UNACKED until
+  * that subscriber's PUBACK arrives. A sweeper thread retransmits
+  * unacked deliveries older than `redeliverAfterMs` with DUP=1 —
+  * a lost ack therefore surfaces downstream as a duplicate delivery,
+  * exactly the failure mode the ingest edge must absorb. Effective
+  * QoS per delivery = min(publish QoS, granted subscription QoS),
+  * the spec's downgrade rule. */
+final class MiniBroker(redeliverAfterMs: Long = 400) {
   import MqttCodec._
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(true)
-  // topic → live subscriber output streams
-  private val subs = new ConcurrentHashMap[String, java.util.List[DataOutputStream]]()
+
+  /** Per-connection subscriber state: the socket's write half plus the
+    * QoS-1 outbound bookkeeping (pid counter, unacked deliveries). */
+  private final class SubSession(val out: DataOutputStream) {
+    val grantedQos = new ConcurrentHashMap[String, Integer]()
+    private var nextPid = 0
+    // pid → (topic, payload, lastSentNanos)
+    val unacked = new ConcurrentHashMap[Int, (String, Array[Byte], Long)]()
+    def mintPid(): Int = synchronized {
+      // 1..65535, never one still in flight (spec §2.3.1: non-zero, and
+      // a pid may not be reused while unacknowledged)
+      var p = 0
+      do { nextPid = nextPid % 65535 + 1; p = nextPid }
+      while (unacked.containsKey(p))
+      p
+    }
+  }
+
+  // topic → live subscriber sessions
+  private val subs = new ConcurrentHashMap[String, java.util.List[SubSession]]()
+  // every live session, for the redelivery sweep
+  private val sessions = ConcurrentHashMap.newKeySet[SubSession]()
 
   def port: Int = server.getLocalPort
+
+  private val sweeper = new Thread(() => {
+    while (running.get()) {
+      try Thread.sleep(math.max(redeliverAfterMs / 4, 25))
+      catch { case _: InterruptedException => () }
+      val now = System.nanoTime()
+      sessions.asScala.foreach { sess =>
+        sess.unacked.asScala.foreach { case (pid, (topic, payload, sent)) =>
+          if ((now - sent) / 1000000L >= redeliverAfterMs) {
+            // re-stamp BEFORE the write so a dead slow socket cannot
+            // hot-loop the sweep; the ack path removes the entry
+            sess.unacked.replace(pid, (topic, payload, now))
+            try sess.out.synchronized {
+              writePacket(sess.out, publishQos1(topic, pid, payload, dup = true))
+            } catch { case _: IOException => () /* dead sub; dropped on close */ }
+          }
+        }
+      }
+    }
+  }, "minibroker-redelivery")
+  sweeper.setDaemon(true)
+  sweeper.start()
 
   private val acceptor = new Thread(() => {
     while (running.get()) {
@@ -158,6 +245,7 @@ final class MiniBroker {
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    val session = new SubSession(out)
     val mySubs = ArrayBuffer[String]()
     try {
       val first = readPacket(in)
@@ -173,8 +261,12 @@ final class MiniBroker {
         val p = readPacket(in)
         p.ptype match {
           case PUBLISH =>
-            val (topic, payload) = readPublish(p)
-            val list = subs.get(topic)
+            val msg = readPublishMsg(p)
+            // QoS-1 inbound: ack the publisher (its retransmit loop
+            // stops on this)
+            if (msg.qos == 1)
+              out.synchronized { writePacket(out, puback(msg.packetId)) }
+            val list = subs.get(msg.topic)
             if (list != null) list.synchronized {
               list.asScala.foreach { s =>
                 // per-STREAM lock: this routing write races the target
@@ -182,18 +274,35 @@ final class MiniBroker {
                 // routes from other topics' lists — without one monitor
                 // per stream the packets interleave mid-frame and the
                 // subscriber's framing is corrupted
-                try s.synchronized { writePacket(s, publish(topic, payload)) }
-                catch { case _: IOException => () /* dead sub; dropped on close */ }
+                val q = math.min(msg.qos,
+                  Option(s.grantedQos.get(msg.topic)).fold(0)(_.intValue()))
+                try {
+                  if (q == 0)
+                    s.out.synchronized {
+                      writePacket(s.out, publish(msg.topic, msg.payload)) }
+                  else {
+                    val pid = s.mintPid()
+                    // record BEFORE the send: a crash between send and
+                    // record would lose the redelivery obligation
+                    s.unacked.put(pid, (msg.topic, msg.payload, System.nanoTime()))
+                    s.out.synchronized {
+                      writePacket(s.out, publishQos1(msg.topic, pid, msg.payload)) }
+                  }
+                } catch { case _: IOException => () /* dead sub; dropped on close */ }
               }
             }
+          case PUBACK =>
+            session.unacked.remove(readPid(p.body, 0))
           case SUBSCRIBE =>
-            if (p.body.length < 2)
-              throw new IOException("malformed packet: truncated SUBSCRIBE")
-            val pid = ((p.body(0) & 0xff) << 8) | (p.body(1) & 0xff)
-            val (topic, _) = readUtf8(p.body, 2)
+            val pid = readPid(p.body, 0)
+            val (topic, used) = readUtf8(p.body, 2)
+            val reqQos =
+              if (2 + used < p.body.length) p.body(2 + used) & 0x3 else 0
+            session.grantedQos.put(topic, reqQos)
             subs.computeIfAbsent(topic,
               _ => java.util.Collections.synchronizedList(
-                new java.util.ArrayList[DataOutputStream]())).add(out)
+                new java.util.ArrayList[SubSession]())).add(session)
+            sessions.add(session)
             mySubs += topic
             out.synchronized { writePacket(out, suback(pid)) }
           case PINGREQ => out.synchronized { writePacket(out, pingresp) }
@@ -206,8 +315,9 @@ final class MiniBroker {
     } finally {
       mySubs.foreach { t =>
         val list = subs.get(t)
-        if (list != null) list.remove(out)
+        if (list != null) list.remove(session)
       }
+      sessions.remove(session)
       try sock.close() catch { case _: IOException => () }
     }
   }
@@ -218,9 +328,22 @@ final class MiniBroker {
   }
 }
 
-/** Minimal MQTT 3.1.1 client: blocking CONNECT handshake, QoS-0
-  * publish, callback-driven subscribe (one reader thread — the same
-  * shape as the reference's Paho callback, mqtt/Consumer.scala:34-36). */
+/** Minimal MQTT 3.1.1 client: blocking CONNECT handshake, QoS-0 and
+  * QoS-1 publish, callback-driven subscribe (one reader thread — the
+  * same shape as the reference's Paho callback,
+  * mqtt/Consumer.scala:34-36).
+  *
+  * QoS-1 contract (at-least-once, spec §4.3.2):
+  *  - [[publishQos1]] blocks until the broker's PUBACK, retransmitting
+  *    with DUP=1 on timeout — a bounded number of attempts, then
+  *    IOException (Paho's blocking-publish shape);
+  *  - inbound QoS-1 deliveries are PUBACKed automatically and handed
+  *    to the callback EVERY time, DUP included — the spec requires the
+  *    receiver to treat a DUP redelivery as a new delivery; dedup is
+  *    the ingest edge's job, not the transport's;
+  *  - [[dropNextPubacks]] is the fault hook: suppressing an ack makes
+  *    the broker redeliver, which is how the tests force the duplicate
+  *    path end-to-end. */
 final class MqttClient(host: String, port: Int, clientId: String) {
   import MqttCodec._
 
@@ -228,8 +351,18 @@ final class MqttClient(host: String, port: Int, clientId: String) {
   private val in = new DataInputStream(sock.getInputStream)
   private val out = new DataOutputStream(sock.getOutputStream)
   private val running = new AtomicBoolean(true)
-  @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
+  @volatile private var onMessage: PublishMsg => Unit = _ => ()
   private var pid = 0
+  // outbound QoS-1 in flight: pid → latch released by its PUBACK
+  private val awaitingAck =
+    new ConcurrentHashMap[Int, java.util.concurrent.CountDownLatch]()
+  private val suppressPubacks = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Telemetry: PUBLISH deliveries handed to the callback, DUP
+    * redeliveries included — the at-least-once evidence the tests
+    * assert against. */
+  def deliveryCount: Int = delivered.get()
 
   writePacket(out, connect(clientId))
   locally {
@@ -244,9 +377,18 @@ final class MqttClient(host: String, port: Int, clientId: String) {
         val p = readPacket(in)
         p.ptype match {
           case PUBLISH =>
-            val (topic, payload) = readPublish(p)
-            onMessage(topic, payload)
-          case SUBACK | PINGRESP => () // acks are fire-and-forget at QoS 0
+            val msg = readPublishMsg(p)
+            if (msg.qos == 1) {
+              // fault hook: a "lost" ack — broker redelivers with DUP
+              if (suppressPubacks.getAndUpdate(n => math.max(n - 1, 0)) == 0)
+                synchronized { writePacket(out, puback(msg.packetId)) }
+            }
+            delivered.incrementAndGet()
+            onMessage(msg)
+          case PUBACK =>
+            val l = awaitingAck.remove(readPid(p.body, 0))
+            if (l != null) l.countDown()
+          case SUBACK | PINGRESP => ()
           case _ => ()
         }
       }
@@ -260,15 +402,48 @@ final class MqttClient(host: String, port: Int, clientId: String) {
   // blocked daemon thread and dies with the socket
   reader.start()
 
-  def subscribe(topic: String)(cb: (String, Array[Byte]) => Unit): Unit =
+  /** Subscribe with full delivery metadata (qos, packet id, DUP). */
+  def subscribeMeta(topic: String)(cb: PublishMsg => Unit): Unit =
     synchronized { // same monitor as publish — one writer at a time on `out`
       onMessage = cb
       pid += 1
       writePacket(out, MqttCodec.subscribe(pid, topic))
     }
 
+  def subscribe(topic: String)(cb: (String, Array[Byte]) => Unit): Unit =
+    subscribeMeta(topic)(m => cb(m.topic, m.payload))
+
   def publish(topic: String, payload: Array[Byte]): Unit =
     synchronized { writePacket(out, MqttCodec.publish(topic, payload)) }
+
+  /** At-least-once publish: blocks until PUBACK, retransmits with
+    * DUP=1 on `ackTimeoutMs` silence, throws after `attempts`. */
+  def publishQos1(topic: String, payload: Array[Byte],
+      ackTimeoutMs: Long = 1000, attempts: Int = 5): Unit = {
+    val myPid = synchronized { pid += 1; if (pid > 65535) pid = 1; pid }
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    awaitingAck.put(myPid, latch)
+    try {
+      var attempt = 0
+      var acked = false
+      while (!acked && attempt < attempts) {
+        synchronized {
+          writePacket(out, MqttCodec.publishQos1(topic, myPid, payload,
+            dup = attempt > 0))
+        }
+        attempt += 1
+        acked = latch.await(ackTimeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+      }
+      if (!acked)
+        throw new IOException(
+          s"no PUBACK for pid $myPid after $attempts attempts")
+    } finally awaitingAck.remove(myPid)
+  }
+
+  /** Fault injection: silently drop the next `n` outgoing PUBACKs (the
+    * delivery still reaches the callback — only the ack is "lost"). */
+  def dropNextPubacks(n: Int): Unit = suppressPubacks.addAndGet(n)
 
   def disconnect(): Unit = {
     running.set(false)
@@ -281,12 +456,41 @@ final class MqttClient(host: String, port: Int, clientId: String) {
   * topic buffer — after `start`, every message the producer publishes
   * over TCP lands in [[Broker]] and flows through the micro-batch
   * source exactly as before (the swap the round-4 verdict asked for:
-  * the seam is `BrokerSource`; only the transport changed). */
+  * the seam is `BrokerSource`; only the transport changed).
+  *
+  * At-least-once → effectively-once: the subscription is QoS 1, so a
+  * lost PUBACK makes the broker REDELIVER with DUP=1 (at-least-once,
+  * the transport's contract). The bridge is the ingest edge, and the
+  * edge is where duplicate deliveries are absorbed: it remembers the
+  * packet ids it has already forwarded (bounded ring — pids live in
+  * 1..65535, so a 4096-entry window far outlasts any redelivery
+  * horizon) and a DUP redelivery of a forwarded pid is re-ACKed (the
+  * client does that automatically) but NOT re-published into the
+  * topic. Distinct messages always carry distinct in-flight pids, so
+  * legitimate same-byte publishes are never collapsed — this is
+  * delivery-identity dedup, not content dedup. Downstream,
+  * [[graft.streaming.IngestStream]]'s checkpointed (sensor, ts)
+  * deduplication remains the restart-level guard; the two layers
+  * together are the "exactly-once preserved over an at-least-once
+  * transport" story a 100 TB ingest runs. */
 object MqttBridge {
   def start(host: String, port: Int, topic: String,
       clientId: String = "graft-bridge"): MqttClient = {
     val c = new MqttClient(host, port, clientId)
-    c.subscribe(topic)((_, payload) => Broker.publish(PayloadCodec.decode(payload)))
+    val seen = new java.util.LinkedHashMap[Integer, java.lang.Boolean]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Integer, java.lang.Boolean]): Boolean =
+        size() > 4096
+    }
+    c.subscribeMeta(topic) { m =>
+      val fresh = seen.synchronized {
+        if (m.qos == 1) {
+          if (m.dup && seen.containsKey(m.packetId)) false
+          else { seen.put(m.packetId, java.lang.Boolean.TRUE); true }
+        } else true
+      }
+      if (fresh) Broker.publish(PayloadCodec.decode(m.payload))
+    }
     c
   }
 }
