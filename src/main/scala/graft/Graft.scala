@@ -437,8 +437,11 @@ object Graft {
       threshold: Double = 0.5, sets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"need 0 < threshold <= 1 (got $threshold)")
-    val toks = sets.getOrElse(operators.SetSimilarity.tokenSets(spark, dir))
-    operators.SetSimilarity.prefixJoin(toks, threshold)
+    sets match {
+      case Some(toks) => operators.SetSimilarity.prefixJoin(toks, threshold)
+      case None => // default shingle sets: memoized prefix table
+        operators.SetSimilarity.prefixJoinDefault(spark, dir, threshold)
+    }
   }
 
   /** Asymmetric containment audit of the LSH near-dup candidates (q168
