@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -42,10 +42,21 @@ import org.apache.spark.sql.types._
   *   pruning on the first key column alone is CONSERVATIVE for
   *   composite keys: a file disjoint from the updates on key₁ cannot
   *   contain any full-key match.
-  * - **Concurrency**: single-writer by contract (the engine's
-  *   streaming sinks are single-query); the atomic version-file rename
-  *   makes a lost race fail loudly (version already exists) instead of
-  *   corrupting the log.
+  * - **Concurrency**: OPTIMISTIC, the Delta/Iceberg discipline and the
+  *   topology the reference actually runs (Consumer and HistoryWriter
+  *   upsert the same Cassandra tables concurrently,
+  *   lambda-sample mqtt/Consumer.scala:59-66 +
+  *   analyzer/HistoryWriter.scala:90-98). A commit claims its version
+  *   file via an atomic hard link (`link(2)` fails EEXIST atomically —
+  *   unlike a rename, which on POSIX silently REPLACES an existing
+  *   target); the loser of a race gets [[CommitConflictException]],
+  *   re-reads the log, recomputes its MERGE against the winner's
+  *   snapshot, and retries with fresh data files (bounded attempts).
+  *   Losers' uncommitted data dirs are orphans — invisible to every
+  *   reader, reclaimable by any GC that deletes data dirs absent from
+  *   the log. The retry loop serializes writers: the final state is
+  *   identical to SOME sequential order of the same merges, which is
+  *   exactly the guarantee key-based last-write-wins upserts need.
   *
   * Metadata operations (log replay, pruning) are driver-side over
   * #files entries — the same trade every log-structured table format
@@ -56,7 +67,35 @@ object TxLog {
   final case class AddFile(path: String, rows: Long, minKey: String, maxKey: String)
   final case class Commit(version: Long, adds: Seq[AddFile], removes: Seq[String])
 
+  /** A concurrent writer committed our target version first. Retryable:
+    * re-read the log and recompute against the new snapshot. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** How many optimistic-commit races a writer absorbs before giving
+    * up — each retry recomputes from the fresh snapshot, so exhaustion
+    * means a pathologically hot table, which should fail loudly. */
+  private val MaxCommitAttempts = 8
+
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
+
+  /** Run `body` (which must recompute its snapshot from the log on
+    * every invocation), retrying on commit conflicts with a short
+    * jittered backoff so lock-stepped writers de-phase. */
+  private def withRetry[A](what: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= MaxCommitAttempts)
+            throw new IllegalStateException(
+              s"$what lost $MaxCommitAttempts optimistic-commit races; giving up", e)
+          Thread.sleep(5L + scala.util.Random.nextInt(45))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   // ------------------------------------------------------------ write
 
@@ -78,8 +117,15 @@ object TxLog {
 
   /** MERGE `updates` into the table by `keyCols`: rows matching an
     * existing key replace it (last-write-wins), the rest append.
-    * Copy-on-write: only key-range-overlapping live files rewrite. */
+    * Copy-on-write: only key-range-overlapping live files rewrite.
+    * Concurrent merges serialize via optimistic retry (header §
+    * Concurrency): a lost race re-reads the log and re-merges against
+    * the winner's snapshot. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String]): Unit =
+    withRetry(s"merge into $table")(mergeOnce(spark, table, updates, keyCols))
+
+  private def mergeOnce(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     val commits = replay(table)
@@ -128,13 +174,19 @@ object TxLog {
     } finally upKeyed.unpersist()
   }
 
-  /** Append-only commit (no key matching — bulk loads). */
+  /** Append-only commit (no key matching — bulk loads). Adds are
+    * independent of the snapshot, so a lost race just re-claims the
+    * next version (the data files are reused; the version prefix in
+    * their directory name is cosmetic — the log entry is the truth). */
   def append(spark: SparkSession, table: String, df: DataFrame,
       keyCols: Seq[String]): Unit = {
     val commits = replay(table)
     require(commits.nonEmpty, s"no such table: $table")
     val version = commits.last.version + 1
-    commit(table, Commit(version, writeDataFiles(spark, table, version, df, keyCols), Nil))
+    val adds = writeDataFiles(spark, table, version, df, keyCols)
+    withRetry(s"append to $table") {
+      commit(table, Commit(replay(table).last.version + 1, adds, Nil))
+    }
   }
 
   // ------------------------------------------------------------- read
@@ -173,7 +225,7 @@ object TxLog {
     * index. Content is untouched — a read before and after compaction
     * returns the same rows. */
   def compact(spark: SparkSession, table: String, keyCols: Seq[String],
-      targetFiles: Int = 8): Unit = {
+      targetFiles: Int = 8): Unit = withRetry(s"compact $table") {
     require(targetFiles > 0, s"need targetFiles > 0 (got $targetFiles)")
     val commits = replay(table)
     require(commits.nonEmpty, s"no such table: $table")
@@ -189,11 +241,22 @@ object TxLog {
   }
 
   /** Create-or-merge convenience for sink loops (first batch creates,
-    * later batches MERGE). */
+    * later batches MERGE). Two writers racing to create: the link
+    * winner's create lands, the loser's conflict routes it to a MERGE
+    * against the winner's snapshot — upsert-of-upsert semantics. */
   def upsert(spark: SparkSession, table: String, df: DataFrame,
       keyCols: Seq[String]): Unit =
-    if (!exists(table)) create(spark, table, df, keyCols)
-    else merge(spark, table, df, keyCols)
+    if (!exists(table)) {
+      try create(spark, table, df, keyCols)
+      catch {
+        // lost the version-0 link race mid-create
+        case _: CommitConflictException => merge(spark, table, df, keyCols)
+        // or the winner finished create before ours even started: the
+        // entry precondition fired — same race, observed earlier
+        case e: IllegalArgumentException if exists(table) =>
+          merge(spark, table, df, keyCols)
+      }
+    } else merge(spark, table, df, keyCols)
 
   /** The committed history — (version, n_adds, n_removes, rows_added). */
   def history(table: String): Seq[(Long, Int, Int, Long)] =
@@ -312,11 +375,20 @@ object TxLog {
     val removes = c.removes.map(jstr).mkString("[", ",", "]")
     val doc = s"""{"version":${c.version},"adds":$adds,"removes":$removes}"""
     val target = logDir(table).resolve(f"${c.version}%08d.json")
-    require(!Files.exists(target),
-      s"concurrent writer detected: version ${c.version} already committed")
+    // Claim the version via hard link, NOT rename: link(2) fails EEXIST
+    // atomically when the target exists, whereas an atomic rename would
+    // silently REPLACE a concurrent winner's entry (the old
+    // check-then-move had exactly that window). The tmp file is fully
+    // written first, so the linked entry is complete the instant it
+    // becomes visible.
     val tmp = logDir(table).resolve(s".${UUID.randomUUID()}.tmp")
     Files.write(tmp, doc.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"version ${c.version} of $table was committed by a concurrent writer")
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def replay(table: String): Seq[Commit] = {

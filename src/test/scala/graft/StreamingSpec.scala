@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{Entry, Heuristic, MqttEntry}
@@ -206,6 +207,53 @@ class StreamingSpec extends SparkSpecBase {
       .select($"fastAnomaly").as[Double].head() shouldBe expected
     // the log records one commit per non-empty micro-batch
     graft.sources.TxLog.history(table).size should be >= 2
+  }
+
+  test("startTx crash recovery: half-written data without its log entry is invisible; restart re-merges idempotently (S8)") {
+    implicit val sqlCtx = spark.sqlContext
+    SnapshotStore.clear()
+    val source = MemoryStream[Entry]
+    val table = tmp("graft-txcrash")
+    val ckpt = tmp("graft-txcrash-ckpt")
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val q1 = AnalysisStream.startTx(source.toDS(), table, ckpt,
+      recentN = 3, trigger = Trigger.ProcessingTime(0))
+    source.addData(Entry("a", ts(1), 1.0, 0), Entry("b", ts(1), 5.0, 0))
+    q1.processAllAvailable()
+    q1.stop()
+    val committedRows = graft.sources.TxLog.read(spark, table)
+      .collect().toSet
+    val committedVersions = graft.sources.TxLog.history(table).map(_._1)
+
+    // CRASH SIMULATION: TxLog writes data files fully BEFORE the log
+    // link (TxLog.create/merge ordering), so a batch that dies between
+    // the two leaves exactly this state — a complete data dir with no
+    // log entry. Fabricate it from real rows so the schema matches.
+    val ghost = graft.sources.TxLog.read(spark, table)
+      .withColumn("name", lit("ghost-sensor"))
+    ghost.write.parquet(s"$table/data-00000099-crashed0")
+
+    // invisible to every reader: snapshot content and history unchanged
+    graft.sources.TxLog.read(spark, table).collect().toSet shouldBe committedRows
+    graft.sources.TxLog.history(table).map(_._1) shouldBe committedVersions
+    graft.sources.TxLog.files(table).map(_.path)
+      .exists(_.contains("crashed0")) shouldBe false
+
+    // RESTART from the same checkpoint; the producer redelivers sensor
+    // a's reading (at-least-once) plus a new one — the re-merge must
+    // collapse onto the same (name, ts) keys, never duplicate them
+    source.addData(Entry("a", ts(1), 1.0, 0), Entry("a", ts(2), 2.0, 0))
+    val q2 = AnalysisStream.startTx(source.toDS(), table, ckpt,
+      recentN = 3, trigger = Trigger.ProcessingTime(0))
+    q2.processAllAvailable()
+    q2.stop()
+    val hist = graft.sources.TxLog.read(spark, table)
+    hist.groupBy($"name", $"ts").count().filter($"count" > 1).count() shouldBe 0
+    hist.filter($"name" === "ghost-sensor").count() shouldBe 0 // still invisible
+    hist.filter($"name" === "b").count() shouldBe 1
+    // sensor a: one live row per emitted head ts (1 and 2), not an
+    // append trail of the redelivery
+    hist.filter($"name" === "a").count() shouldBe 2
   }
 
   test("analysis stream blends a live RF scorer (batch layer inside the stream)") {

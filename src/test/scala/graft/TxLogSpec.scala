@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.TxLog
@@ -167,6 +169,68 @@ class TxLogSpec extends SparkSpecBase {
       val after = TxLog.files(t).map(_.path).toSet
       (before -- after).size shouldBe 1 // only the m-range file rewrote
       TxLog.read(spark, t).as[(String, Long)].collect().toMap.apply("mmm") shouldBe 999L
+    }
+  }
+
+  test("two concurrent merges both land via optimistic retry (Consumer + HistoryWriter topology)") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      TxLog.create(spark, t,
+        (1L to 40L).map(i => (i, s"old$i")).toDF("k", "v"), Seq("k"))
+      // Barrier-synchronized writers: both replay the log at version 0,
+      // both target version 1 — exactly one link wins, the other MUST
+      // take the conflict→recompute→retry path. Writer A updates keys
+      // 1..5 and inserts 101..105; writer B updates 6..10 / inserts
+      // 201..205 (disjoint keys, so the serialized result is unique and
+      // order-independent).
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(lo: Long, ins: Long): Thread = {
+        val up = ((lo to lo + 4).map(i => (i, s"NEW$i")) ++
+          (ins to ins + 4).map(i => (i, s"ins$i"))).toDF("k", "v")
+        val th = new Thread(() => {
+          try { barrier.await(); TxLog.merge(spark, t, up, Seq("k")) }
+          catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      val (a, b) = (writer(1L, 101L), writer(6L, 201L))
+      a.join(120000); b.join(120000)
+      errs.asScala.toSeq shouldBe empty
+      // both commits landed as distinct versions
+      TxLog.history(t).map(_._1) shouldBe Seq(0L, 1L, 2L)
+      // and the snapshot is the unique serialized result of both merges
+      val back = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+      back.size shouldBe 50
+      (1L to 10L).foreach(i => back(i) shouldBe s"NEW$i")
+      (11L to 40L).foreach(i => back(i) shouldBe s"old$i")
+      (101L to 105L).foreach(i => back(i) shouldBe s"ins$i")
+      (201L to 205L).foreach(i => back(i) shouldBe s"ins$i")
+    }
+  }
+
+  test("two concurrent upserts racing to CREATE: loser re-routes to merge") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(rows: Seq[(Long, String)]): Thread = {
+        val df = rows.toDF("k", "v")
+        val th = new Thread(() => {
+          try { barrier.await(); TxLog.upsert(spark, t, df, Seq("k")) }
+          catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      val a = writer(Seq(1L -> "a", 2L -> "shared"))
+      val b = writer(Seq(2L -> "shared", 3L -> "c"))
+      a.join(120000); b.join(120000)
+      errs.asScala.toSeq shouldBe empty
+      val back = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+      back.keySet shouldBe Set(1L, 2L, 3L)
+      back(1L) shouldBe "a"
+      back(2L) shouldBe "shared" // both wrote the same value — any order wins
+      back(3L) shouldBe "c"
     }
   }
 
