@@ -57,14 +57,29 @@ object Bench {
     val buildSec = (System.nanoTime() - t0) / 1e9
     // pass 2 — warm, timed. A failed query reports -1 (never a
     // success-shaped elapsed time) and is listed in "failed" so
-    // regressions can't masquerade as runs.
+    // regressions can't masquerade as runs. Per-query JVM GC time is
+    // captured alongside wall time (stderr + detail file): a query
+    // whose wall inflates WITH gc is paying session heap pressure; one
+    // that inflates WITHOUT gc is doing real work — the sf1 rehearsal
+    // needed exactly this split to tell plan regressions from
+    // shared-session artifacts.
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toSeq
+    }
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
     val runs = names.map { case (name, fn) =>
       val t1 = System.nanoTime()
+      val g1 = gcMs
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t1) / 1e9 else -1.0, ok)
+      val wall = (System.nanoTime() - t1) / 1e9
+      val gc = (gcMs - g1) / 1e3
+      System.err.println(f"[bench] $name%-40s ${wall}%8.2f s  gc ${gc}%6.2f s")
+      (name, if (ok) wall else -1.0, gc, ok)
     }
-    val results = runs.map { case (n, t, _) => n -> t }
-    val failed = runs.collect { case (n, _, false) => "\"" + n + "\"" }
+    val results = runs.map { case (n, t, _, _) => n -> t }
+    val gcSecs = runs.map { case (n, _, g, _) => n -> g }
+    val failed = runs.collect { case (n, _, _, false) => "\"" + n + "\"" }
     // Locale.ROOT: the default-locale formatter writes a comma decimal
     // separator under e.g. de_DE, which is invalid JSON
     def fmt(v: Double): String =
@@ -81,7 +96,7 @@ object Bench {
     // a compact, complete JSON object (headline + the slowest queries)
     // guaranteed to sit intact inside the tail window.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"gc_sec":${qsJson(gcSecs)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -430,15 +430,17 @@ object Graft {
     * threshold knob open): every pair of `sets` rows (doc_id, tk) whose
     * set Jaccard ≥ `threshold` — zero false negatives, candidates
     * bounded by rare-element frequency instead of N²/2. Pass any
-    * (doc_id, tk) frame; `None` uses the documents table's 3-word
-    * shingle sets (raw tokens are not discriminative on a
-    * common-vocabulary corpus). */
+    * (doc_id, tk) frame — SET semantics: duplicate (doc_id, tk) rows
+    * are collapsed here (they would otherwise distort set sizes, prefix
+    * ranks, and the packed-array intersection); `None` uses the
+    * documents table's 3-word shingle sets (raw tokens are not
+    * discriminative on a common-vocabulary corpus). */
   def setSimilarityJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.5, sets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"need 0 < threshold <= 1 (got $threshold)")
     sets match {
-      case Some(toks) => operators.SetSimilarity.prefixJoin(toks, threshold)
+      case Some(toks) => operators.SetSimilarity.prefixJoin(toks.distinct(), threshold)
       case None => // default shingle sets: memoized prefix table
         operators.SetSimilarity.prefixJoinDefault(spark, dir, threshold)
     }

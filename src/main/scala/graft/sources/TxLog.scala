@@ -122,18 +122,13 @@ object TxLog {
     * Concurrency): a lost race re-reads the log and re-merges against
     * the winner's snapshot. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      keyCols: Seq[String]): Unit =
-    withRetry(s"merge into $table")(mergeOnce(spark, table, updates, keyCols))
-
-  private def mergeOnce(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val commits = replay(table)
-    require(commits.nonEmpty, s"no such table: $table")
-    val version = commits.last.version + 1
-    val live = liveFiles(commits)
     // de-duplicate updates on the key (latest occurrence wins is not
-    // well-defined for an unordered frame — require uniqueness loudly)
+    // well-defined for an unordered frame — require uniqueness loudly).
+    // Validation is snapshot-INDEPENDENT, so it runs once, OUTSIDE the
+    // retry loop — a merge that loses commit races must not re-pay the
+    // duplicate-key and stats jobs per attempt.
     val upKeyed = updates.cache()
     try {
       val dupKeys = upKeyed.groupBy(keyCols.map(col): _*)
@@ -154,24 +149,37 @@ object TxLog {
         s"updates carry ${stats.getLong(1)} row(s) with a NULL key column — " +
           "NULL keys cannot participate in MERGE matching; filter or fill them first")
       val (upMin, upMax) = (stats.getString(2), stats.getString(3))
-      // A table created from an empty frame has no live files (and no
-      // schema to read) — the merge degenerates to an add-only commit.
-      val touched =
-        if (live.isEmpty) Nil
-        else {
-          val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
-          live.filter(f =>
-            cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
-        }
-      val rewritten =
-        if (touched.isEmpty) upKeyed
-        else {
-          val base = spark.read.parquet(touched.map(f => s"$table/${f.path}"): _*)
-          base.join(upKeyed, keyCols, "left_anti").unionByName(upKeyed)
-        }
-      val adds = writeDataFiles(spark, table, version, rewritten, keyCols)
-      commit(table, Commit(version, adds, touched.map(_.path)))
+      withRetry(s"merge into $table")(
+        mergeSnapshot(spark, table, upKeyed, keyCols, upMin, upMax))
     } finally upKeyed.unpersist()
+  }
+
+  /** One optimistic merge attempt against the current snapshot —
+    * everything here recomputes per retry. */
+  private def mergeSnapshot(spark: SparkSession, table: String,
+      upKeyed: DataFrame, keyCols: Seq[String],
+      upMin: String, upMax: String): Unit = {
+    val commits = replay(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    val version = commits.last.version + 1
+    val live = liveFiles(commits)
+    // A table created from an empty frame has no live files (and no
+    // schema to read) — the merge degenerates to an add-only commit.
+    val touched =
+      if (live.isEmpty) Nil
+      else {
+        val keyType = currentSchema(spark, table, live)(keyCols.head).dataType
+        live.filter(f =>
+          cmp(keyType, f.minKey, upMax) <= 0 && cmp(keyType, f.maxKey, upMin) >= 0)
+      }
+    val rewritten =
+      if (touched.isEmpty) upKeyed
+      else {
+        val base = spark.read.parquet(touched.map(f => s"$table/${f.path}"): _*)
+        base.join(upKeyed, keyCols, "left_anti").unionByName(upKeyed)
+      }
+    val adds = writeDataFiles(spark, table, version, rewritten, keyCols)
+    commit(table, Commit(version, adds, touched.map(_.path)))
   }
 
   /** Append-only commit (no key matching — bulk loads). Adds are
@@ -394,6 +402,37 @@ object TxLog {
   private def replay(table: String): Seq[Commit] = {
     val dir = logDir(table)
     if (!Files.exists(dir)) return Nil
+    // Two anomalies a raw listing can show, both resolved here so every
+    // caller sees a CONSISTENT snapshot:
+    //  - empty dir: a concurrent create made _txlog but has not linked
+    //    version 0 yet — retryable (the conflict exception routes the
+    //    caller's withRetry into a short wait, after which v0 exists);
+    //  - version gap (v7 listed, v6 missing): commits land strictly in
+    //    order (a writer must replay vN to claim vN+1), so a gap can
+    //    only be a readdir racing a concurrent link — entries created
+    //    mid-iteration may or may not appear depending on directory
+    //    slot. A merge built on the gapped view would skip v6's file
+    //    rewrites and silently duplicate keys; re-list until contiguous.
+    var attempt = 0
+    while (true) {
+      val commits = listCommits(dir)
+      if (commits.isEmpty)
+        throw new CommitConflictException(
+          s"$table: _txlog exists but holds no committed version yet " +
+            "(concurrent create in progress)")
+      val contiguous = commits.zipWithIndex.forall { case (c, i) => c.version == i }
+      if (contiguous) return commits
+      attempt += 1
+      if (attempt >= 5)
+        throw new IllegalStateException(
+          s"$table: version gap persists after $attempt listings " +
+            s"(have: ${commits.map(_.version).mkString(",")}) — log corrupted?")
+      Thread.sleep(10L)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def listCommits(dir: Path): Seq[Commit] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val listing = Files.list(dir)
     val entries =

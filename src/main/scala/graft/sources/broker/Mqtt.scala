@@ -178,7 +178,11 @@ object MqttCodec {
   * a lost ack therefore surfaces downstream as a duplicate delivery,
   * exactly the failure mode the ingest edge must absorb. Effective
   * QoS per delivery = min(publish QoS, granted subscription QoS),
-  * the spec's downgrade rule. */
+  * the spec's downgrade rule. On the PUBLISHER leg, a DUP
+  * retransmission of a pid this broker already PUBACKed re-acks
+  * without re-routing (per-connection acked-pid window) — otherwise a
+  * late ack would fan a second copy to every subscriber under fresh
+  * delivery pids, invisible to their delivery-identity dedup. */
 final class MiniBroker(redeliverAfterMs: Long = 400) {
   import MqttCodec._
 
@@ -247,6 +251,19 @@ final class MiniBroker(redeliverAfterMs: Long = 400) {
     val out = new DataOutputStream(sock.getOutputStream)
     val session = new SubSession(out)
     val mySubs = ArrayBuffer[String]()
+    // Inbound QoS-1 dedup (per publisher connection): pids this broker
+    // has already PUBACKed AND routed. A retransmission (DUP=1) of such
+    // a pid means our PUBACK was lost/late — re-ack, do NOT route again,
+    // or every subscriber sees the message twice with a freshly minted
+    // delivery pid that defeats downstream delivery-identity dedup. A
+    // DUP=0 publish on a reused pid is a NEW message by spec (pids free
+    // on ack) and always routes. Bounded window, same sizing as the
+    // bridge's (pid space is 16-bit; 4096 in-flight is far beyond any
+    // real client).
+    val ackedInbound = new java.util.LinkedHashMap[Int, Boolean](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, Boolean]): Boolean = size() > 4096
+    }
     try {
       val first = readPacket(in)
       require(first.ptype == CONNECT, s"expected CONNECT, got ${first.ptype}")
@@ -264,9 +281,13 @@ final class MiniBroker(redeliverAfterMs: Long = 400) {
             val msg = readPublishMsg(p)
             // QoS-1 inbound: ack the publisher (its retransmit loop
             // stops on this)
-            if (msg.qos == 1)
+            val alreadyRouted =
+              msg.qos == 1 && msg.dup && ackedInbound.containsKey(msg.packetId)
+            if (msg.qos == 1) {
               out.synchronized { writePacket(out, puback(msg.packetId)) }
-            val list = subs.get(msg.topic)
+              ackedInbound.put(msg.packetId, true)
+            }
+            val list = if (alreadyRouted) null else subs.get(msg.topic)
             if (list != null) list.synchronized {
               list.asScala.foreach { s =>
                 // per-STREAM lock: this routing write races the target

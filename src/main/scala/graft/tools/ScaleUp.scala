@@ -116,8 +116,18 @@ object ScaleUp {
     write(offset(replicate(Tables.events(spark, src)), "event_id", "user_id"),
       "events", 8)
 
-    // documents: injective per-replica token rename (see header)
-    val docs = offset(replicate(Tables.documents(spark, src)), "doc_id")
+    // documents: injective per-replica token rename (see header). The
+    // rename is injective ONLY if the separator never occurs in source
+    // tokens — a verbatim replica-0 token "x~1" would collide with
+    // replica 1's renamed "x", reintroducing exactly the cross-replica
+    // shingle sharing the scheme exists to prevent. Assert, don't hope.
+    val srcDocs = Tables.documents(spark, src)
+    val tainted = srcDocs.filter(col("text").contains("~")).count()
+    require(tainted == 0,
+      s"salt separator '~' occurs in $tainted source document(s) — the " +
+        "per-replica token rename would not be injective; use a separator " +
+        "absent from the corpus")
+    val docs = offset(replicate(srcDocs), "doc_id")
       .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
         array_join(transform(
           filter(split(col("text"), "\\s+"), t => t =!= ""),

@@ -140,6 +140,41 @@ class MqttSpec extends SparkSpecBase {
     } finally broker.close()
   }
 
+  test("publisher DUP retransmission after a late PUBACK re-acks without re-routing") {
+    import MqttCodec._
+    val broker = new MiniBroker
+    try {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[PublishMsg]()
+      val latch = new CountDownLatch(2) // message 1 + reused-pid message 2
+      val consumer = new MqttClient("127.0.0.1", broker.port, "c-pubdedup")
+      consumer.subscribeMeta("sensors/power") { m => got.add(m); latch.countDown() }
+      Thread.sleep(100)
+      // raw publisher socket — full control of pid and DUP flag
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      writePacket(out, connect("raw-pub"))
+      readPacket(in).ptype shouldBe CONNACK
+      writePacket(out, publishQos1("sensors/power", 7, Array[Byte](1)))
+      readPacket(in).ptype shouldBe PUBACK
+      // the producer's view: that PUBACK was late, so it retransmits
+      // pid 7 with DUP=1 — the broker must re-ack (retransmit loop
+      // stops) but NOT route a second copy to subscribers
+      writePacket(out, publishQos1("sensors/power", 7, Array[Byte](1), dup = true))
+      readPacket(in).ptype shouldBe PUBACK
+      // pid 7 is freed by the ack — a NEW message legitimately reuses
+      // it (DUP=0) and MUST route
+      writePacket(out, publishQos1("sensors/power", 7, Array[Byte](2)))
+      readPacket(in).ptype shouldBe PUBACK
+      latch.await(5, TimeUnit.SECONDS) shouldBe true
+      Thread.sleep(300) // window in which a wrongly-routed dup would land
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.map(_.payload.toSeq) shouldBe
+        Seq(Seq[Byte](1), Seq[Byte](2))
+      sock.close(); consumer.disconnect()
+    } finally broker.close()
+  }
+
   test("QoS-1 redelivery → bridge → DSv2 → IngestStream: at-least-once wire, exactly-once table") {
     Broker.clear()
     val broker = new MiniBroker(redeliverAfterMs = 150)

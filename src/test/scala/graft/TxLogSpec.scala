@@ -234,6 +234,27 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("replay anomalies: creation-in-progress is retryable; a persistent gap fails loudly") {
+    withTempDir("txlog") { dir =>
+      // _txlog exists but no version 0 yet — the mid-create window.
+      // Un-retried readers surface the typed conflict; a retried merge
+      // keeps waiting for the creator and gives up loudly if none lands.
+      val t = s"$dir/t"
+      Files.createDirectories(Paths.get(t, "_txlog"))
+      a[TxLog.CommitConflictException] should be thrownBy TxLog.read(spark, t)
+      val e = the[IllegalStateException] thrownBy
+        TxLog.merge(spark, t, Seq(1L -> "a").toDF("k", "v"), Seq("k"))
+      e.getCause shouldBe a[TxLog.CommitConflictException]
+      // a version gap that persists across re-listings is corruption,
+      // not a race — loud failure, never a silent partial snapshot
+      val t2 = s"$dir/t2"
+      TxLog.create(spark, t2, Seq(1L -> "a").toDF("k", "v"), Seq("k"))
+      Files.copy(Paths.get(t2, "_txlog", "00000000.json"),
+        Paths.get(t2, "_txlog", "00000002.json"))
+      an[IllegalStateException] should be thrownBy TxLog.read(spark, t2)
+    }
+  }
+
   test("vacuum deletes only below-horizon superseded files; window still reads") {
     withTempDir("txlog") { dir =>
       val t = s"$dir/t"
