@@ -55,6 +55,27 @@ object Bench {
       scala.concurrent.Future.sequence(warm), scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     val buildSec = (System.nanoTime() - t0) / 1e9
+    // Quiesce between passes. The warmup leaves two backlogs that would
+    // otherwise be charged to whichever queries run FIRST in the timed
+    // pass (at sf1 the first ~10 rows measured 5-50x their isolated
+    // cost with ZERO GC time — not heap pressure):
+    //  - ContextCleaner work: weak-ref-driven shuffle/broadcast cleanup
+    //    only proceeds after a driver GC notices the dead references;
+    //    System.gc() kicks the whole backlog through now.
+    //  - OS writeback: warmup writes the session's shuffle volume to
+    //    page cache; the kernel throttles subsequent writers until the
+    //    dirty pool drains. `sync` (best-effort) forces it to drain
+    //    here instead of during the first timed queries.
+    // A production serving session amortizes both continuously (Spark's
+    // own periodicGC defaults to 30 min); the bench pays them at a
+    // pass boundary so per-query figures mean "steady-state cost".
+    System.gc()
+    try {
+      val p = new ProcessBuilder("sync").inheritIO().start()
+      p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+    } catch { case _: Exception => () } // non-POSIX: skip
+    Thread.sleep(3000)
+    System.gc()
     // pass 2 — warm, timed. A failed query reports -1 (never a
     // success-shaped elapsed time) and is listed in "failed" so
     // regressions can't masquerade as runs. Per-query JVM GC time is
