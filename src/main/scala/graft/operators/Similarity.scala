@@ -21,17 +21,20 @@ import graft.sources.Tables
   * taken, so ulp-level association drift can never flip a bucket,
   * cluster, or the output hash.
   *
-  * Scale design (100 TB): nothing here compares all pairs.
+  * Scale design (100 TB): nothing here SHUFFLES all pairs.
   *  - `q29` brute-force kNN: broadcast of Q query vectors against a
   *    partitioned scan, O(N·Q), no shuffle — the per-query baseline and
   *    the recall oracle for the ANN paths.
   *  - `q30` SRP-LSH ANN: 4 fixed hyperplanes → 16 buckets; candidates
   *    only join within a bucket (equi-join on bucket id — shuffle width
   *    = bucket sizes, not N²).
-  *  - `q28` near-dup mining: banded SRP candidates (16 bands × 3 bits —
-  *    the MinHash-LSH banding trick applied to hyperplane signs;
-  *    ≥99% recall at cosine 0.4) + exact-cosine verification of
-  *    candidates only. The all-pairs form survives only as a test-tier
+  *  - `q28` near-dup mining at a threshold (0.4) where banding CANNOT
+  *    prune: a tiled dense kernel ([[Similarity.tiledThresholdPairs]])
+  *    pays the inherent O(N²) dots inside per-task loops — never as
+  *    shuffled rows — and the 16×3-bit band predicate post-filters the
+  *    tiny survivor set. `q55` is the calibration where banding DOES
+  *    prune and candidates→verify is the right order. The naive
+  *    inequality-join all-pairs form survives only as a test-tier
   *    recall verifier ([[Similarity.allPairsNearDup]], SimilaritySpec).
   *  - `q41` IVF ANN: 16 deterministic hash-derived centroids (the same
   *    build-free trick as the SRP hyperplanes) partition vectors into
@@ -250,6 +253,22 @@ object Similarity extends DetRounding {
       s"  SELECT $j AS j, [${w.mkString(", ")}] AS w"
     }.mkString("\n  UNION ALL\n")
 
+  /** Per-band bucket-id expressions over `v` for one banding
+    * calibration: hyperplane signs (6-dp rounded projections, so a
+    * near-zero projection can never flip a bucket between engines)
+    * folded into a `bandBits`-bit integer per band. THE banding
+    * geometry — [[bandCandidates]] and q28's band post-filter both
+    * derive from this one expression so the assignment can never
+    * fork. */
+  private def bandBucketCols(
+      planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int): Seq[Column] =
+    (0 until nBands).map { b =>
+      (0 until bandBits).map { r =>
+        val d = dotLit("v", planes(b * bandBits + r))
+        when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+
   // ------------------------------------------------- banded candidates
   /** Banded-SRP candidate pairs for a given calibration: hyperplane
     * signs folded into per-band bucket ids, candidates = distinct pairs
@@ -286,12 +305,7 @@ object Similarity extends DetRounding {
       s"sim:cands:$nBands,$bandBits,$capFraction,${planes.hashCode}") {
       import spark.implicits._
       val e = embNorm(spark, dir)
-      val bucketCols = (0 until nBands).map { b =>
-        (0 until bandBits).map { r =>
-          val d = dotLit("v", planes(b * bandBits + r))
-          when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
-        }.reduce(_ + _)
-      }
+      val bucketCols = bandBucketCols(planes, nBands, bandBits)
       val banded = e.select($"vec_id",
         posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
       val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
@@ -337,19 +351,115 @@ object Similarity extends DetRounding {
   }
 
   // --------------------------------------------------------------- q28
-  /** Embedding-cosine near-dup pairs, bucketed (the shipped scale path):
-    * banded-SRP candidates followed by exact-cosine verification of
-    * candidates only. Emits pairs with rounded cosine ≥ 0.4 (threshold
-    * calibrated to the synthetic data — no pair exceeds 0.52; the
-    * narrow 3-bit bands this recall floor needs keep candidate volume
-    * near-quadratic HERE, so the cap is permissive — q55 is the
-    * production calibration with a real cap). */
+  /** Number of vector tiles for [[tiledThresholdPairs]]: B(B+1)/2 = 528
+    * tile-pair tasks — enough to spread over 32 cores evenly; at a real
+    * cluster scale B with √(N / targetTileRows) so per-task tile memory
+    * stays constant (tiles here are ~N/32 vectors × 520 B each). */
+  private val PairTiles = 32
+
+  /** All-pairs rounded-cosine ≥ `threshold` candidates via a TILED
+    * dense kernel — the shape a dense similarity scan takes when
+    * nothing prunes (see q28 below for why its calibration cannot):
+    *
+    *  - vectors are split into [[PairTiles]] tiles (`pmod(vec_id, B)`),
+    *    each folded to one row by `collect_list` (one linear shuffle);
+    *  - the B(B+1)/2 tile PAIRS are a driver-literal frame joined to
+    *    the tile table twice on EQUI keys (no cross product in the
+    *    plan; replication cost B·N rows — the inherent all-pairs tiling
+    *    transfer), then round-robin repartitioned so the triangular
+    *    pair count per tile id cannot skew task load;
+    *  - each task runs a register-blocked JVM loop over its two tiles:
+    *    left-to-right f64 accumulation, bit-identical to the fused
+    *    `graft_dot` expression, emitting only pairs at raw cosine ≥
+    *    `threshold − margin`. The margin (one 4-dp rounding step) makes
+    *    the kernel a pure PREFILTER: the emitted pairs are re-scored by
+    *    [[verified]]'s catalyst expressions, so the oracle-checked
+    *    cosine never depends on kernel arithmetic.
+    *
+    * O(N²/2) dot products with NO quadratic shuffle, distinct, or pair
+    * materialization beyond the survivors: the N² term stays inside
+    * sealed per-task loops (~64 float-mul-adds per pair), which is what
+    * makes the degenerate-calibration q28 12× cheaper than candidates→
+    * distinct→join at sf1 (the banded path shuffled ~88% of all pairs
+    * as rows). mapPartitions-tier code is justified here and only here:
+    * Catalyst cannot register-block a dense O(N²) kernel, and every
+    * sub-quadratic path in this file stays in declarative plans. */
+  private def tiledThresholdPairs(
+      e: DataFrame, threshold: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val b = PairTiles
+    val cut = threshold - 0.001 // > one 4-dp rounding step of slack
+    val tiles = e.select($"vec_id", $"v", $"nrm")
+      .withColumn("blk", pmod($"vec_id", lit(b.toLong)).cast("int"))
+      .groupBy($"blk")
+      .agg(collect_list(struct($"vec_id", $"v", $"nrm")).as("rows"))
+    val tp = (for { i <- 0 until b; j <- i until b } yield (i, j)).toDF("bx", "by")
+    val joined = tp
+      .join(tiles.select($"blk".as("bx"), $"rows".as("xr")), Seq("bx"))
+      .join(tiles.select($"blk".as("by"), $"rows".as("yr")), Seq("by"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    joined.flatMap { row =>
+      def unpack(field: String): Array[(Long, Array[Double], Double)] =
+        row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](field)
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+          .toArray
+      val same = row.getAs[Int]("bx") == row.getAs[Int]("by")
+      val xs = unpack("xr")
+      val ys = if (same) xs else unpack("yr")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < xs.length) {
+        val (ida, va, na) = xs(i)
+        var j = if (same) i + 1 else 0
+        while (j < ys.length) {
+          val (idb, vb, nb) = ys(j)
+          // same left-to-right association as the fused graft_dot
+          var s = 0.0
+          var k = 0
+          while (k < va.length) { s += va(k) * vb(k); k += 1 }
+          if (s / (na * nb) >= cut)
+            out += (if (ida < idb) (ida, idb) else (idb, ida))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("vec_a", "vec_b")
+  }
+
+  /** Embedding-cosine near-dup pairs at the q28 calibration: pairs that
+    * collide in ≥1 of 16 3-bit SRP bands AND verify at rounded cosine
+    * ≥ 0.4.
+    *
+    * Execution is INVERTED relative to q55's candidates→verify: at this
+    * threshold LSH cannot prune — 0.4 sits in the random-pair cosine
+    * range of the synthetic corpus (no pair exceeds 0.52), so a random
+    * pair collides in some band with p = 1−(1−2⁻³)¹⁶ ≈ 88% and the
+    * banded candidate table IS all-pairs, paid as a quadratic shuffle +
+    * distinct (measured 247 s at the sf1 rehearsal). Instead: the
+    * SELECTIVE side runs first — a tiled dense scan
+    * ([[tiledThresholdPairs]]) keeps the N² term inside per-task loops
+    * and emits only the ~0.05% of pairs near the cosine floor — then
+    * the band-collision predicate is applied to the survivors as a
+    * broadcast post-filter over the SAME [[bandBucketCols]] geometry
+    * the oracle twin computes, so the emitted set is identical.
+    * q55 is the production calibration, where banding does prune and
+    * the candidates→verify order is right; the band-width knob decides
+    * the order, and both orders share the banding + [[verified]]
+    * expressions. */
   private def q28(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val cands = bandCandidates(spark, dir, HB, NBands, BandBits, "q28", capFraction = 1.0)
+    val cands = tiledThresholdPairs(e, 0.4)
+    val bkts = e.select($"vec_id",
+      array(bandBucketCols(HB, NBands, BandBits): _*).as("bkts"))
     verified(e, cands)
       .filter($"cosine" >= 0.4)
+      .join(broadcast(bkts.select($"vec_id".as("vec_a"), $"bkts".as("ba"))), Seq("vec_a"))
+      .join(broadcast(bkts.select($"vec_id".as("vec_b"), $"bkts".as("bb"))), Seq("vec_b"))
+      .filter(exists(zip_with($"ba", $"bb", (x, y) => x === y), c => c))
+      .select($"vec_a", $"vec_b", $"cosine", $"same_label")
       .orderBy($"vec_a", $"vec_b")
   }
 

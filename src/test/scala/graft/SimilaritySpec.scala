@@ -23,12 +23,17 @@ class SimilaritySpec extends SparkSpecBase {
     bucketed.size.toDouble / exact.size should be >= 0.8
   }
 
-  test("q28 candidates come from an equi-join, never a cross product") {
+  test("q28's all-pairs term stays in the tiled kernel, never a cross product") {
     val p = SparkEntry.queries("q28_embedding_neardup")(spark, sfDir)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the quadratic work is sealed inside the tile-pair flatMap; every
+    // JOIN in the plan is an equi-join (tile ids, survivor ids, band
+    // arrays) — a planner regression to a pair-materializing product
+    // would reintroduce the quadratic shuffle this shape exists to avoid
     (p should not).include("BroadcastNestedLoopJoin")
     (p should not).include("CartesianProduct")
+    p should include("MapPartitions")
   }
 
   test("q55 production-calibration candidate volume is far below all-pairs") {
