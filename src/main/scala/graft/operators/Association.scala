@@ -102,9 +102,14 @@ object Association extends DetRounding {
 
   // -------------------------------------------------------------- q128
   /** Exact frequent items: every item whose occurrence count exceeds
-    * φ·n (φ = 0.8%), with its volume share. One partial+final count
-    * aggregate (shuffle width = #distinct items) + a broadcast 1-row
-    * total. This is the exact form; [[graft.functions.MisraGries]] is
+    * φ·n (φ = 0.8%), with its volume share. ONE scan: a partial+final
+    * count aggregate (shuffle width = #distinct items), with the grand
+    * total n recovered as Σcnt over the GROUPED frame — an empty-frame
+    * window over the bounded item domain (contracted, the PlanSpec-
+    * legal shape), so the JSON extraction over the fact table is paid
+    * once instead of twice (the former broadcast-total form re-scanned
+    * and re-parsed events for the 1-row total; at sf1 the parse IS the
+    * query). This is the exact form; [[graft.functions.MisraGries]] is
     * the k-counters sketch that replaces it when the item domain
     * itself is shuffle-hostile (IDs, n-grams), with the PODS'12
     * mergeable bound — AssociationSpec proves sketch ⊇ {items >
@@ -114,9 +119,8 @@ object Association extends DetRounding {
     import spark.implicits._
     val occ = Tables.events(spark, dir)
       .select(get_json_object($"props", "$.k").cast("int").as("item"))
-    val total = occ.agg(count(lit(1)).cast("double").as("n"))
     occ.groupBy($"item").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()).cast("double"))
       .filter($"cnt" > lit(0.008) * $"n")
       .select($"item", $"cnt", round($"cnt" / $"n", 6).as("share"))
       .orderBy($"item")
