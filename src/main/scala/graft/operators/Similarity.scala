@@ -2418,6 +2418,174 @@ object Similarity extends DetRounding {
        |FROM nrel n LEFT JOIN hits h ON h.anchor = n.anchor
        |ORDER BY n.anchor""".stripMargin
 
+  // -------------------------------------------------------------- q220
+  /** q217's documented scale swap, EXECUTED as a catalog row: the same
+    * MRR/NDCG@10 pseudo-qrel evaluation with each anchor scanning only
+    * its top-[[EvalProbes]] IVF cells (q41/q88's probed-cell equi-join)
+    * instead of the full corpus. q217 stays the ground-truth form — 20
+    * anchors × corpus is affordable once per corpus — and this row is
+    * what the eval costs when the anchor set grows past a constant:
+    * per anchor the candidate volume is Σ probed cell sizes (reported
+    * as n_cand, q214's accounting), never corpus-sized. Metrics rank
+    * probed candidates only — and that CUTS BOTH WAYS, the standard
+    * candidate-filtering measurement caveat: a relevant twin outside
+    * the probed cells becomes unreachable (true recall only drops),
+    * but a reachable twin can RISE in rank because non-relevant
+    * vectors that outranked it under brute scoring were filtered with
+    * the cells (at sf0.001, anchor 12's rr goes 0.33 brute → 1.0
+    * probed). Read q220 against q217 as cost-vs-ground-truth, never
+    * as "the same number cheaper"; q214's recall curve prices the
+    * probe budget on the neighbor structure itself.
+    *
+    * Determinism: identical ranking discipline to q217 (6-dp cosine +
+    * id tiebreak); the probe ranking is q214's (6-dp centroid dot
+    * DESC, centroid id ASC), whose pr = 1 cell is exactly the vector's
+    * own [[cellCol]] assignment (same first-max/lowest-id tie), so the
+    * anchor always probes its own cell and n_cand = Σ csz − 1.
+    * Scale: anchors join cells by equality (broadcastable |anchors| ×
+    * probes probe table); the per-anchor window rides WindowGroupLimit
+    * like every top-k in the catalog. No driver-side anchor list — the
+    * anchor set stays a DataFrame end to end, unlike [[vectorSearch]]
+    * whose query ids are caller literals. */
+  private val EvalProbes = 2
+
+  private def q220(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = Dedup.scoredCandidates(spark, dir)
+    val posPairs = sc.filter($"n_common" * 100 >= $"u" * TripletPosPct)
+    val rel = posPairs.select($"doc_a".as("anchor"), $"doc_b".as("rel_id"))
+      .unionByName(posPairs.select($"doc_b".as("anchor"), $"doc_a".as("rel_id")))
+    val anchors = rel.select($"anchor").distinct()
+      .orderBy($"anchor").limit(EvalAnchors)
+    val e = embNorm(spark, dir)
+    val assigned = e.withColumn("cluster", cellCol)
+    val csz = assigned.groupBy($"cluster").agg(count(lit(1)).as("csz"))
+    val wp = Window.partitionBy($"anchor").orderBy($"s".desc, $"j".asc)
+    val qprobe = e.join(anchors.withColumnRenamed("anchor", "vec_id"), "vec_id")
+      .select($"vec_id".as("anchor"), $"v".as("av"), $"nrm".as("anrm"),
+        posexplode(cellScores).as(Seq("j", "s")))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= EvalProbes)
+      .select($"anchor", $"av", $"anrm", $"j".cast("int").as("cluster"))
+    val ncand = qprobe.join(csz, "cluster")
+      .groupBy($"anchor").agg((sum($"csz") - lit(1L)).as("n_cand"))
+    val cos = dot("av", "v") / ($"anrm" * $"nrm")
+    val wr = Window.partitionBy($"anchor")
+      .orderBy(round(cos, 6).desc, $"vec_id".asc)
+    val top = assigned.select($"vec_id", $"v", $"nrm", $"cluster")
+      .join(broadcast(qprobe), Seq("cluster"))
+      .filter($"vec_id" =!= $"anchor")
+      .withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= EvalK)
+      .select($"anchor", $"vec_id".as("rel_id"), $"rank")
+    val hits = top.join(rel, Seq("anchor", "rel_id"))
+      .groupBy($"anchor")
+      .agg(sort_array(collect_list($"rank")).as("hit_ranks"))
+    val nrel = rel.join(anchors, "anchor")
+      .groupBy($"anchor").agg(count(lit(1)).as("n_rel"))
+    def foldDcg(ranks: Column): Column =
+      aggregate(ranks, lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
+    nrel.join(ncand, Seq("anchor"))
+      .join(hits, Seq("anchor"), "left_outer")
+      .withColumn("hit_ranks",
+        coalesce($"hit_ranks", array().cast("array<int>")))
+      .select($"anchor", $"n_rel", $"n_cand",
+        size($"hit_ranks").cast("long").as("n_hit10"),
+        when(size($"hit_ranks") === 0, lit(0))
+          .otherwise(element_at($"hit_ranks", 1)).cast("long")
+          .as("first_rank"),
+        round(when(size($"hit_ranks") === 0, 0.0)
+          .otherwise(lit(1.0) / element_at($"hit_ranks", 1)), 6).as("rr"),
+        round(foldDcg($"hit_ranks") /
+          foldDcg(sequence(lit(1), least($"n_rel", lit(EvalK.toLong)).cast("int"))), 6)
+          .as("ndcg10"))
+      .orderBy($"anchor")
+  }
+
+  private val q220Sql: String =
+    s"""WITH ${Dedup.lshCandidatesCte}, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), interx AS (
+       |  SELECT c.doc_a, c.doc_b, count(sb.s) AS n_common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |), scoredc AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_common, za.n + zb.n - i.n_common AS u
+       |  FROM interx i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |), rel AS (
+       |  SELECT doc_a AS anchor, doc_b AS rel_id
+       |  FROM scoredc WHERE n_common * 100 >= $TripletPosPct * u
+       |  UNION ALL
+       |  SELECT doc_b, doc_a
+       |  FROM scoredc WHERE n_common * 100 >= $TripletPosPct * u
+       |), anchors AS (
+       |  SELECT DISTINCT anchor FROM rel ORDER BY anchor LIMIT $EvalAnchors
+       |), $normsCte, cents AS (
+       |${signTableSql(Cent)}
+       |), cscored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assignx AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY s DESC, j ASC) AS rnc
+       |        FROM cscored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assignx a ON n.vec_id = a.vec_id
+       |), csz AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM nb GROUP BY 1
+       |), qprobe AS (
+       |  SELECT anchor, cluster FROM (
+       |    SELECT an.anchor, CAST(s.j AS INTEGER) AS cluster,
+       |           row_number() OVER (PARTITION BY an.anchor
+       |                              ORDER BY s.s DESC, s.j ASC) AS pr
+       |    FROM anchors an JOIN cscored s ON s.vec_id = an.anchor) t
+       |  WHERE pr <= $EvalProbes
+       |), ncand AS (
+       |  SELECT q.anchor, CAST(sum(c.csz) - 1 AS BIGINT) AS n_cand
+       |  FROM qprobe q JOIN csz c ON c.cluster = q.cluster
+       |  GROUP BY 1
+       |), top AS (
+       |  SELECT anchor, rel_id, rank FROM (
+       |    SELECT qp.anchor, c.vec_id AS rel_id,
+       |           row_number() OVER (PARTITION BY qp.anchor
+       |                              ORDER BY round(${dotSql("a", "c")} / (a.nrm * c.nrm), 6) DESC,
+       |                                       c.vec_id ASC) AS rank
+       |    FROM qprobe qp
+       |    JOIN norms a ON a.vec_id = qp.anchor
+       |    JOIN nb c ON c.cluster = qp.cluster AND c.vec_id <> qp.anchor) t
+       |  WHERE rank <= $EvalK
+       |), hits AS (
+       |  SELECT t.anchor, list(t.rank ORDER BY t.rank) AS hit_ranks
+       |  FROM top t JOIN rel r ON r.anchor = t.anchor AND r.rel_id = t.rel_id
+       |  GROUP BY 1
+       |), nrel AS (
+       |  SELECT r.anchor, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM rel r JOIN anchors an ON an.anchor = r.anchor
+       |  GROUP BY 1
+       |)
+       |SELECT n.anchor, n.n_rel, nc.n_cand,
+       |       CAST(COALESCE(len(h.hit_ranks), 0) AS BIGINT) AS n_hit10,
+       |       CAST(COALESCE(h.hit_ranks[1], 0) AS BIGINT) AS first_rank,
+       |       round(CASE WHEN h.hit_ranks IS NULL THEN 0.0
+       |                  ELSE 1.0 / h.hit_ranks[1] END, 6) AS rr,
+       |       round(COALESCE(list_sum([1.0 / log2(r + 1) for r in h.hit_ranks]), 0.0) /
+       |             list_sum([1.0 / log2(r + 1)
+       |                       for r in generate_series(1, least(n.n_rel, $EvalK))]), 6)
+       |         AS ndcg10
+       |FROM nrel n
+       |JOIN ncand nc ON nc.anchor = n.anchor
+       |LEFT JOIN hits h ON h.anchor = n.anchor
+       |ORDER BY n.anchor""".stripMargin
+
   // -------------------------------------------------------------- q218
   /** Hubness audit — the k-occurrence distribution N₅(x): for every
     * vector, how many OTHER vectors list it in their cell-local top-5
@@ -2584,6 +2752,7 @@ object Similarity extends DetRounding {
     Q("q214_probe_recall_curve", q214, Some(q214Sql)),
     Q("q216_ari_labels", q216, Some(q216Sql)),
     Q("q217_retrieval_eval", q217, Some(q217Sql)),
+    Q("q220_retrieval_eval_ivf", q220, Some(q220Sql)),
     Q("q218_hubness_audit", q218, Some(q218Sql)),
     Q("q219_source_drift", q219, Some(q219Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
