@@ -43,6 +43,17 @@ object Graft {
       k: Int = 5, probes: Int = 1, quantizedScoring: Boolean = false): DataFrame =
     operators.Similarity.vectorSearch(spark, dir, queryIds, k, probes, quantizedScoring)
 
+  /** IVF cell assignment for any (vec_id, embedding) frame with the
+    * cell count open — the nlist ∝ √N scale rule as a call, not a
+    * comment: the catalog pins nlist = 16 (its oracle SQL carries the
+    * centroids as literal rows), and `ivfAssign(df, 16)` reproduces
+    * that assignment bit-for-bit; at a corpus where 16 cells would
+    * make within-cell quadratics (hubness, argmax mining) the
+    * bottleneck, pass nlist ≈ √N and Σ cell² falls from N²/16 to
+    * ~N^1.5. Deterministic prefix-seeded ±1 centroids at every nlist. */
+  def ivfAssign(df: org.apache.spark.sql.DataFrame, nlist: Int): org.apache.spark.sql.DataFrame =
+    operators.Similarity.assignCells(df, nlist)
+
   /** MinHash-LSH candidate pairs verified by exact n-gram Jaccard,
     * filtered to `minJaccard` — q25→q26's candidates→verify chain. */
   def textNearDupPairs(spark: SparkSession, dir: String,

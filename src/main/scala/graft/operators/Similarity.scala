@@ -107,10 +107,18 @@ object Similarity extends DetRounding {
     (0 until ProdBands * ProdBandBits).map(p => signVector(s"p$p"))
 
   /** IVF centroids for q41: 16 ±1 vertices; all share norm √64 so
-    * argmax dot ≡ argmax cosine. */
+    * argmax dot ≡ argmax cosine. The CATALOG pins nlist = 16 because
+    * the oracle SQL holds the same centroids as literal rows; the
+    * geometry itself is a runtime knob via [[centroidsFor]] — the
+    * nlist ∝ √N scale rule (SCALE.md "Second scaling point") needs
+    * the cell count to grow with the corpus, and
+    * [[assignCells]]/`Graft.ivfAssign` open it. `centroidsFor(16)`
+    * IS `Cent` (same prefix-seeded sign vectors), so a 16-cell
+    * facade call reproduces every catalog assignment bit-for-bit. */
   private val NClusters = 16
-  private val Cent: IndexedSeq[IndexedSeq[Int]] =
-    (0 until NClusters).map(j => signVector(s"c$j"))
+  private[graft] def centroidsFor(nlist: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until nlist).map(j => signVector(s"c$j"))
+  private val Cent: IndexedSeq[IndexedSeq[Int]] = centroidsFor(NClusters)
 
   /** Add f64 `v` + L2 `nrm` to any frame carrying an `embedding`
     * column — the scan-speed normalization every vector stage shares.
@@ -149,6 +157,23 @@ object Similarity extends DetRounding {
 
   /** IVF cell id over `v` (argmax rounded centroid dot, lowest-id tie). */
   private def cellCol: Column = cellFromScores(cellScores)
+
+  /** Cell assignment for ANY frame carrying (vec_id, embedding) at ANY
+    * nlist — the executable form of the nlist ∝ √N rule: at a corpus
+    * 100× the catalog's, call this with nlist ≈ √N instead of the
+    * catalog's literal 16 and every within-cell quadratic (hubness,
+    * argmax mining, occupancy audits) drops from N²/16 to ~N^1.5.
+    * Same assignment discipline as [[cellCol]] (6-dp rounded centroid
+    * dots, first-max/lowest-id tie), and `assignCells(df, 16)` is
+    * bit-identical to the catalog's assignment — SimilaritySpec proves
+    * both, plus the Σ cell² economics the bigger nlist buys. */
+  private[graft] def assignCells(df: DataFrame, nlist: Int): DataFrame = {
+    require(nlist > 0, s"need nlist > 0 (got $nlist)")
+    val cents = centroidsFor(nlist)
+    val scores = array((0 until nlist).map(j => round(dotLit("v", cents(j)), 6)): _*)
+    withNorm(df).withColumn("cluster", cellFromScores(scores))
+      .select(col("vec_id"), col("cluster"))
+  }
 
   /** Scan-speed index rows for a batch of (vec_id, embedding) vectors:
     * IVF cell + packed SQ8 codes + norms — the INCREMENTAL maintenance

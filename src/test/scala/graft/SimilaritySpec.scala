@@ -392,6 +392,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("assignCells: nlist=16 reproduces the catalog assignment; bigger nlist buys the promised sum-of-cell-squares drop") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    // the open-knob assignment at the catalog's pinned nlist IS the
+    // catalog assignment — same centroids, same 6-dp/lowest-id tie
+    val catalog = graft.operators.Similarity.indexRows(emb)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val knob16 = graft.operators.Similarity.assignCells(emb, 16)
+      .as[(Long, Int)].collect().toMap
+    knob16 shouldBe catalog
+    // nlist ∝ √N economics: Σ cell² (the within-cell quadratic work
+    // every hubness/argmax/occupancy op pays) must fall when cells
+    // quadruple — balanced cells predict ~4×; assert the direction
+    // with slack for the synthetic geometry's imbalance
+    def sumSq(nlist: Int): Double = {
+      val sizes = graft.operators.Similarity.assignCells(emb, nlist)
+        .groupBy($"cluster").count().as[(Int, Long)].collect()
+      sizes.foreach { case (c, _) => c should (be >= 0 and be < nlist) }
+      sizes.map { case (_, n) => n.toDouble * n }.sum
+    }
+    val (s16, s64) = (sumSq(16), sumSq(64))
+    s64 should be < 0.5 * s16
+  }
+
   test("q214 recall curve is monotone and its 1-probe point equals q205") {
     val dir = "/root/testdata/sf0.001"
     val curve = SparkEntry.queries("q214_probe_recall_curve")(spark, dir)
