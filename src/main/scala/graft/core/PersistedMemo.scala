@@ -41,9 +41,13 @@ object PersistedMemo {
   // accumulate persisted frames without bound. Recency is tracked per
   // key (monotonic counter, touched on every hit) and the
   // least-recently-used entry is evicted once a session×dir exceeds
-  // [[MaxEntriesPerDataset]] — the catalog's own working set (~8 shared
-  // intermediates) never comes close.
-  private[graft] val MaxEntriesPerDataset = 32
+  // [[MaxEntriesPerDataset]]. The cap protects INTERACTIVE sessions
+  // minting per-parameterization entries, not the catalog: the full
+  // 221-query bench session holds 32 entries totalling ~180 MB at
+  // sf0.1 (per-entry byte report on every Bench run), so the cap sits
+  // 2× above the catalog's measured working set — churn-free for the
+  // bench, still bounded for a pathological facade loop.
+  private[graft] val MaxEntriesPerDataset = 64
   private val tick = new java.util.concurrent.atomic.AtomicLong()
   private val lastUsed = new ConcurrentHashMap[(SparkSession, String, String), Long]()
 
@@ -71,6 +75,42 @@ object PersistedMemo {
     }
   }
 
+  /** Like [[getOrBuild]], but materializes the entry as a STAGE
+    * OUTPUT: the frame is written once through a reliable checkpoint
+    * (files under the session's checkpoint dir, set lazily to a
+    * per-application temp dir when unset) so the returned frame's
+    * logical plan is a LEAF, not the build lineage.
+    *
+    * When to prefer this over the lineage-keeping default: entries
+    * that downstream queries reference from SEVERAL aggregates. With
+    * lineage kept, every reference re-pays analysis and — worse —
+    * AQE re-optimization of the full build tree at EVERY stage
+    * boundary, all driver-side and single-threaded: PlanCost measured
+    * q220 at 9 stages × ~1 s of re-planning around 1 s of actual
+    * executor CPU, the same mechanism as round 5's q100 PageRank
+    * regression. A reliable checkpoint is also the honest production
+    * semantics — a pipeline stage output persisted to shared storage,
+    * recoverable after executor loss (which `localCheckpoint`, the
+    * cheaper truncation, is not). The storage write is paid once per
+    * (session, dataset); keep it for frames that are small relative
+    * to their build (qrels, probe tables, calibrated thresholds). */
+  def getOrBuildStage(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    getOrBuild(spark, dir, key) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val d = s"${sys.props("java.io.tmpdir")}/graft-ckpt-${spark.sparkContext.applicationId}"
+        spark.sparkContext.setCheckpointDir(d)
+        ownedCkptDirs.put(spark, d)
+      }
+      build.checkpoint()
+    }
+
+  // checkpoint dirs THIS registry created (lazily, above) — deleted on
+  // application end by the same listener that evicts the session's
+  // entries, so repeated local runs don't accumulate files in tmp. A
+  // caller-configured checkpoint dir is never touched.
+  private val ownedCkptDirs = new ConcurrentHashMap[SparkSession, String]()
+
   /** Under buildLock: keep the (session, dir) working set bounded by
     * evicting least-recently-used entries beyond the cap. */
   private def evictLruLocked(spark: SparkSession, dir: String): Unit = {
@@ -96,6 +136,18 @@ object PersistedMemo {
   private def evictSession(spark: SparkSession): Unit = {
     drop { case (s, _, _) => s eq spark }
     hooked.remove(spark)
+    val d = ownedCkptDirs.remove(spark)
+    if (d != null) {
+      try {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(d)
+        if (Files.exists(root)) {
+          Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => () } // cleanup is best-effort
+    }
   }
 
   /** Unpersist + drop everything (Bench / Verify teardown). */

@@ -225,7 +225,13 @@ object Dedup extends DetRounding {
     * in one plan (q213's positives + both exclusion legs), and without
     * the cut Spark re-evaluates that join per reference. */
   private[operators] def scoredCandidates(spark: SparkSession, dir: String): DataFrame =
-    graft.core.PersistedMemo.getOrBuild(spark, dir, "dedup:candscore") {
+    // stage-materialized (not lineage-kept): this is the single most
+    // re-referenced frame in the catalog (q26/q55/q57/q211/q213/q217/
+    // q220 all read it, several from multiple aggregates), and every
+    // lineage-kept reference re-pays driver-side analysis + per-stage
+    // AQE re-optimization of the whole signature→bands→intersect tree
+    // (see PersistedMemo.getOrBuildStage)
+    graft.core.PersistedMemo.getOrBuildStage(spark, dir, "dedup:candscore") {
       import spark.implicits._
       val cands = lshCandidates(spark, dir)
       val sh = candShingles(spark, dir)

@@ -2348,12 +2348,25 @@ object Similarity extends DetRounding {
   private val EvalAnchors = 20
   private val EvalK = 10
 
+  /** The (anchor, rel_id) pseudo-qrel table q217/q220 both score
+    * against, memoized per (session, dir): the eval reads it from four
+    * separate aggregates (anchors, hits, nrel, probes), and without
+    * the memo each use re-inlines the whole candidate-scoring subtree
+    * above it — at sf0.1 the duplicated plan (≈190 joins) cost more in
+    * task scheduling than the eval's actual work. Tiny frame
+    * (2 × verified near-dup pairs). */
+  private def qrels(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuildStage(spark, dir, "sim:qrels") {
+      import spark.implicits._
+      val posPairs = Dedup.scoredCandidates(spark, dir)
+        .filter($"n_common" * 100 >= $"u" * TripletPosPct)
+      posPairs.select($"doc_a".as("anchor"), $"doc_b".as("rel_id"))
+        .unionByName(posPairs.select($"doc_b".as("anchor"), $"doc_a".as("rel_id")))
+    }
+
   private def q217(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sc = Dedup.scoredCandidates(spark, dir)
-    val posPairs = sc.filter($"n_common" * 100 >= $"u" * TripletPosPct)
-    val rel = posPairs.select($"doc_a".as("anchor"), $"doc_b".as("rel_id"))
-      .unionByName(posPairs.select($"doc_b".as("anchor"), $"doc_a".as("rel_id")))
+    val rel = qrels(spark, dir)
     val anchors = rel.select($"anchor").distinct()
       .orderBy($"anchor").limit(EvalAnchors)
     val e = embNorm(spark, dir)
@@ -2474,24 +2487,34 @@ object Similarity extends DetRounding {
     * whose query ids are caller literals. */
   private val EvalProbes = 2
 
+  /** q220's per-anchor probe table (anchor, av, anrm, cluster),
+    * memoized for the same reason as [[qrels]]: read by both the
+    * candidate ranking and the n_cand accounting, and its lineage
+    * (qrels → anchors → embNorm join → probe window) would otherwise
+    * inline twice. |anchors| × EvalProbes rows. */
+  private def anchorProbes(spark: SparkSession, dir: String): DataFrame =
+    graft.core.PersistedMemo.getOrBuildStage(spark, dir, "sim:anchor-probes") {
+      import spark.implicits._
+      val anchors = qrels(spark, dir).select($"anchor").distinct()
+        .orderBy($"anchor").limit(EvalAnchors)
+      val wp = Window.partitionBy($"anchor").orderBy($"s".desc, $"j".asc)
+      embNorm(spark, dir)
+        .join(anchors.withColumnRenamed("anchor", "vec_id"), "vec_id")
+        .select($"vec_id".as("anchor"), $"v".as("av"), $"nrm".as("anrm"),
+          posexplode(cellScores).as(Seq("j", "s")))
+        .withColumn("pr", row_number().over(wp))
+        .filter($"pr" <= EvalProbes)
+        .select($"anchor", $"av", $"anrm", $"j".cast("int").as("cluster"))
+    }
+
   private def q220(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sc = Dedup.scoredCandidates(spark, dir)
-    val posPairs = sc.filter($"n_common" * 100 >= $"u" * TripletPosPct)
-    val rel = posPairs.select($"doc_a".as("anchor"), $"doc_b".as("rel_id"))
-      .unionByName(posPairs.select($"doc_b".as("anchor"), $"doc_a".as("rel_id")))
+    val rel = qrels(spark, dir)
     val anchors = rel.select($"anchor").distinct()
       .orderBy($"anchor").limit(EvalAnchors)
-    val e = embNorm(spark, dir)
-    val assigned = e.withColumn("cluster", cellCol)
+    val assigned = embNorm(spark, dir).withColumn("cluster", cellCol)
     val csz = assigned.groupBy($"cluster").agg(count(lit(1)).as("csz"))
-    val wp = Window.partitionBy($"anchor").orderBy($"s".desc, $"j".asc)
-    val qprobe = e.join(anchors.withColumnRenamed("anchor", "vec_id"), "vec_id")
-      .select($"vec_id".as("anchor"), $"v".as("av"), $"nrm".as("anrm"),
-        posexplode(cellScores).as(Seq("j", "s")))
-      .withColumn("pr", row_number().over(wp))
-      .filter($"pr" <= EvalProbes)
-      .select($"anchor", $"av", $"anrm", $"j".cast("int").as("cluster"))
+    val qprobe = anchorProbes(spark, dir)
     val ncand = qprobe.join(csz, "cluster")
       .groupBy($"anchor").agg((sum($"csz") - lit(1L)).as("n_cand"))
     val cos = dot("av", "v") / ($"anrm" * $"nrm")

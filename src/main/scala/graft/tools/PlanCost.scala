@@ -1,0 +1,51 @@
+// Scratch: split a catalog query's cost into PLANNING (analyze +
+// optimize + physical-plan, driver-side, single-threaded) vs EXECUTION
+// — the discriminator for "the lazy tree is compounding optimizer
+// cost" regressions (the round-5 q100 mechanism).
+// Usage: sbt "runMain graft.tools.PlanCost <sfDir> <query...>"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object PlanCost {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.atomic.AtomicLong()
+    val tasks = new java.util.concurrent.atomic.AtomicLong()
+    val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks)
+        taskTime.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, sfDir).count() // warm: memos built, codegen cached
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // force analyze+optimize+plan
+        val t1 = System.nanoTime()
+        val (s0, k0, m0) = (stages.get, tasks.get, taskTime.get)
+        df.count()
+        val t2 = System.nanoTime()
+        println(f"PLANCOST $n run$i plan=${(t1 - t0) / 1e9}%.2f s " +
+          f"exec=${(t2 - t1) / 1e9}%.2f s stages=${stages.get - s0} " +
+          f"tasks=${tasks.get - k0} cpu=${(taskTime.get - m0) / 1e3}%.1f s")
+      }
+    }
+    spark.stop()
+  }
+}
