@@ -47,6 +47,28 @@ class MemoSpec extends SparkSpecBase {
     b.storageLevel shouldBe StorageLevel.NONE
   }
 
+  test("getOrBuildStage: leaf plan, identical values, release semantics") {
+    import spark.implicits._
+    val sdir = "/tmp/memospec-stage"
+    val build = spark.range(1000).toDF("id")
+      .groupBy(($"id" % 7).as("k")).count()
+    val staged = PersistedMemo.getOrBuildStage(spark, sdir, "memospec:stage")(build)
+    // values: the checkpoint is a pass-through
+    staged.orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      build.orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // THE point of the API: the logical plan is a leaf (no aggregate
+    // lineage for the analyzer/AQE to re-chew per reference)
+    staged.queryExecution.optimizedPlan.collectLeaves() should have size 1
+    (staged.queryExecution.optimizedPlan.toString should not).include("Aggregate")
+    // memoized like any entry: second call returns the same frame
+    val again = PersistedMemo.getOrBuildStage(spark, sdir, "memospec:stage")(
+      fail("stage memo must not rebuild a live entry"))
+    (again eq staged) shouldBe true
+    // and release drops it like any entry
+    PersistedMemo.release(spark, sdir)
+    staged.storageLevel shouldBe StorageLevel.NONE
+  }
+
   test("nested builds (candidates <- signatures pattern) are safe") {
     // a build that re-enters the memo: the reentrant build lock makes
     // this safe where nested ConcurrentHashMap.computeIfAbsent threw
