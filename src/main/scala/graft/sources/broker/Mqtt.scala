@@ -239,6 +239,12 @@ final class MiniBroker(redeliverAfterMs: Long = 400) {
     while (running.get()) {
       try {
         val sock = server.accept()
+        // TCP_NODELAY: MQTT control packets are tiny (a PUBACK is 4
+        // bytes); with Nagle on, the ack rides the delayed-ACK timer
+        // (~40 ms) and a blocking QoS-1 publisher measures ~45 msg/s
+        // on LOOPBACK (IngestBench caught it) instead of the
+        // RTT-bound thousands
+        sock.setTcpNoDelay(true)
         new Thread(() => serve(sock), s"minibroker-conn").start()
       } catch { case _: IOException => () /* closed */ }
     }
@@ -369,6 +375,7 @@ final class MqttClient(host: String, port: Int, clientId: String) {
   import MqttCodec._
 
   private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true) // tiny control packets; see MiniBroker.accept
   private val in = new DataInputStream(sock.getInputStream)
   private val out = new DataOutputStream(sock.getOutputStream)
   private val running = new AtomicBoolean(true)
