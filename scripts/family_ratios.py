@@ -19,7 +19,7 @@ FAMILIES = {
     "joins": ["q3", "q4", "q5", "q6", "q7", "q19", "q20", "q40", "q56",
               "q99", "q166", "q183"],
     "windows/ranks": ["q2", "q9", "q22", "q49", "q107", "q170", "q174",
-                      "q179", "q184", "q192", "q195", "q197", "q200"],
+                      "q179", "q184", "q192", "q197", "q200"],
     "set ops": ["q8", "q42"],
     "dedup/similarity": ["q24", "q25", "q26", "q27", "q28", "q50", "q55", "q175",
                          "q57", "q58", "q60", "q65", "q90", "q98", "q101",
@@ -27,7 +27,7 @@ FAMILIES = {
     "vector search": ["q29", "q30", "q41", "q81", "q83", "q88", "q96",
                       "q140", "q149", "q157", "q187", "q205", "q212",
                       "q213", "q214", "q216", "q218", "q219"],
-    "retrieval/ranking": ["q84", "q94", "q202", "q217"],
+    "retrieval/ranking": ["q84", "q94", "q202", "q217", "q220"],
     "text analysis": ["q31", "q32", "q33", "q34", "q52", "q59", "q74",
                       "q75", "q78", "q85", "q154", "q189", "q194", "q198",
                       "q204", "q215"],

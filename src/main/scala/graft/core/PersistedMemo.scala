@@ -96,20 +96,64 @@ object PersistedMemo {
     * to their build (qrels, probe tables, calibrated thresholds). */
   def getOrBuildStage(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    getOrBuild(spark, dir, key) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty) {
-        val d = s"${sys.props("java.io.tmpdir")}/graft-ckpt-${spark.sparkContext.applicationId}"
-        spark.sparkContext.setCheckpointDir(d)
+    getOrBuild(spark, dir, key) { // runs under buildLock — the dir diff below is race-free
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val d = s"${sys.props("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"
+        sc.setCheckpointDir(d)
         ownedCkptDirs.put(spark, d)
       }
-      build.checkpoint()
+      // persist-before-checkpoint: checkpoint(eager) runs TWO jobs (the
+      // eager count, then ReliableCheckpointRDD's file write) and the
+      // second would recompute every partition from lineage — the
+      // documented RDD.checkpoint caveat. Caching first makes the write
+      // read from memory; the temp cache is dropped once the files are
+      // down (the checkpointed leaf is what getOrBuild persists).
+      val tmp = build.persist()
+      val before = listCkptDirs(sc)
+      val staged = tmp.checkpoint()
+      tmp.unpersist(false)
+      // track THIS entry's checkpoint files so release()/clearAll()/LRU
+      // eviction can reclaim the disk, not just the cache (without this
+      // a long-lived session cycling datasets leaks tmp monotonically —
+      // ContextCleaner does not remove reliable checkpoint files)
+      stagedFiles.put((spark, dir, key), (listCkptDirs(sc) -- before).toSeq)
+      staged
     }
 
   // checkpoint dirs THIS registry created (lazily, above) — deleted on
   // application end by the same listener that evicts the session's
   // entries, so repeated local runs don't accumulate files in tmp. A
-  // caller-configured checkpoint dir is never touched.
+  // caller-configured checkpoint dir is never touched (but staged
+  // entries' own rdd-* subdirs are still reclaimed via stagedFiles).
   private val ownedCkptDirs = new ConcurrentHashMap[SparkSession, String]()
+  // (session, dataset, key) → the rdd-* checkpoint dirs that entry wrote
+  private val stagedFiles =
+    new ConcurrentHashMap[(SparkSession, String, String), Seq[String]]()
+
+  /** The `rdd-<id>` checkpoint dirs currently under the session's
+    * checkpoint root (layout: root/<context-uuid>/rdd-<id>/part-*;
+    * scan depth 2 so a caller-configured root works too). */
+  private def listCkptDirs(sc: org.apache.spark.SparkContext): Set[String] =
+    sc.getCheckpointDir.toSet.flatMap { (root: String) =>
+      def kids(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten
+      val top = kids(new java.io.File(root))
+      (top ++ top.filter(_.isDirectory).flatMap(kids))
+        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+        .map(_.getAbsolutePath).toSet
+    }
+
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => () } // reclamation is best-effort
 
   /** Under buildLock: keep the (session, dir) working set bounded by
     * evicting least-recently-used entries beyond the cap. */
@@ -123,6 +167,7 @@ object PersistedMemo {
         .foreach { k =>
           val df = memo.remove(k)
           lastUsed.remove(k)
+          Option(stagedFiles.remove(k)).foreach(_.foreach(deleteRecursively))
           if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
         }
     }
@@ -137,17 +182,7 @@ object PersistedMemo {
     drop { case (s, _, _) => s eq spark }
     hooked.remove(spark)
     val d = ownedCkptDirs.remove(spark)
-    if (d != null) {
-      try {
-        import java.nio.file.{Files, Paths}
-        import scala.jdk.CollectionConverters._
-        val root = Paths.get(d)
-        if (Files.exists(root)) {
-          Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
-      } catch { case _: Throwable => () } // cleanup is best-effort
-    }
+    if (d != null) deleteRecursively(d)
   }
 
   /** Unpersist + drop everything (Bench / Verify teardown). */
@@ -162,6 +197,11 @@ object PersistedMemo {
       memo.keySet.asScala.filter(p).toSeq.foreach { k =>
         val df = memo.remove(k)
         lastUsed.remove(k)
+        // a dropped STAGED entry also reclaims its checkpoint files —
+        // like unpersist, this assumes the dataset's consumers are done
+        // (a still-running query over the dropped leaf would fail on
+        // the next read either way)
+        Option(stagedFiles.remove(k)).foreach(_.foreach(deleteRecursively))
         // blocking=false: eviction is bookkeeping, not a barrier
         if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
       }

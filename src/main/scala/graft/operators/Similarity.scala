@@ -2364,11 +2364,57 @@ object Similarity extends DetRounding {
         .unionByName(posPairs.select($"doc_b".as("anchor"), $"doc_a".as("rel_id")))
     }
 
+  /** The eval anchor set: the [[EvalAnchors]] lowest-id qrel anchors.
+    * Cheap to re-derive anywhere (distinct + limit over the staged
+    * [[qrels]] leaf) — the single definition q217/q220/[[anchorProbes]]
+    * all share so the anchor discipline can never fork. */
+  private def evalAnchors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qrels(spark, dir).select($"anchor").distinct()
+      .orderBy($"anchor").limit(EvalAnchors)
+  }
+
+  /** Shared metric assembly for the retrieval evals (q217 brute /
+    * q220 probed): MRR + binary NDCG@10 per anchor from an
+    * (anchor, rel_id, rank ≤ [[EvalK]]) top list. One definition so
+    * the two evals — which are read AGAINST each other — can never
+    * diverge in ranking/rounding discipline. `extra` (q220's n_cand
+    * accounting) joins on anchor and sits between n_rel and n_hit10,
+    * preserving each oracle's column order. */
+  private def qrelMetrics(top: DataFrame, rel: DataFrame,
+      anchors: DataFrame, extra: Option[DataFrame]): DataFrame = {
+    val spark = top.sparkSession
+    import spark.implicits._
+    val hits = top.join(rel, Seq("anchor", "rel_id"))
+      .groupBy($"anchor")
+      .agg(sort_array(collect_list($"rank")).as("hit_ranks"))
+    val nrel = rel.join(anchors, "anchor")
+      .groupBy($"anchor").agg(count(lit(1)).as("n_rel"))
+    def foldDcg(ranks: Column): Column =
+      aggregate(ranks, lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
+    val base = extra.fold(nrel)(e => nrel.join(e, Seq("anchor")))
+    val extraCols = extra.toSeq
+      .flatMap(_.columns.filterNot(_ == "anchor")).map(col)
+    base.join(hits, Seq("anchor"), "left_outer")
+      .withColumn("hit_ranks",
+        coalesce($"hit_ranks", array().cast("array<int>")))
+      .select((Seq($"anchor", $"n_rel") ++ extraCols ++ Seq(
+        size($"hit_ranks").cast("long").as("n_hit10"),
+        when(size($"hit_ranks") === 0, lit(0))
+          .otherwise(element_at($"hit_ranks", 1)).cast("long")
+          .as("first_rank"),
+        round(when(size($"hit_ranks") === 0, 0.0)
+          .otherwise(lit(1.0) / element_at($"hit_ranks", 1)), 6).as("rr"),
+        round(foldDcg($"hit_ranks") /
+          foldDcg(sequence(lit(1), least($"n_rel", lit(EvalK.toLong)).cast("int"))), 6)
+          .as("ndcg10"))): _*)
+      .orderBy($"anchor")
+  }
+
   private def q217(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rel = qrels(spark, dir)
-    val anchors = rel.select($"anchor").distinct()
-      .orderBy($"anchor").limit(EvalAnchors)
+    val anchors = evalAnchors(spark, dir)
     val e = embNorm(spark, dir)
     val qv = anchors.join(e.select($"vec_id".as("anchor"),
       $"v".as("av"), $"nrm".as("anrm")), "anchor")
@@ -2380,27 +2426,7 @@ object Similarity extends DetRounding {
       .withColumn("rank", row_number().over(wr))
       .filter($"rank" <= EvalK)
       .select($"anchor", $"vec_id".as("rel_id"), $"rank")
-    val hits = top.join(rel, Seq("anchor", "rel_id"))
-      .groupBy($"anchor")
-      .agg(sort_array(collect_list($"rank")).as("hit_ranks"))
-    val nrel = rel.join(anchors, "anchor")
-      .groupBy($"anchor").agg(count(lit(1)).as("n_rel"))
-    def foldDcg(ranks: Column): Column =
-      aggregate(ranks, lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
-    nrel.join(hits, Seq("anchor"), "left_outer")
-      .withColumn("hit_ranks",
-        coalesce($"hit_ranks", array().cast("array<int>")))
-      .select($"anchor", $"n_rel",
-        size($"hit_ranks").cast("long").as("n_hit10"),
-        when(size($"hit_ranks") === 0, lit(0))
-          .otherwise(element_at($"hit_ranks", 1)).cast("long")
-          .as("first_rank"),
-        round(when(size($"hit_ranks") === 0, 0.0)
-          .otherwise(lit(1.0) / element_at($"hit_ranks", 1)), 6).as("rr"),
-        round(foldDcg($"hit_ranks") /
-          foldDcg(sequence(lit(1), least($"n_rel", lit(EvalK.toLong)).cast("int"))), 6)
-          .as("ndcg10"))
-      .orderBy($"anchor")
+    qrelMetrics(top, rel, anchors, None)
   }
 
   private val q217Sql: String =
@@ -2495,11 +2521,9 @@ object Similarity extends DetRounding {
   private def anchorProbes(spark: SparkSession, dir: String): DataFrame =
     graft.core.PersistedMemo.getOrBuildStage(spark, dir, "sim:anchor-probes") {
       import spark.implicits._
-      val anchors = qrels(spark, dir).select($"anchor").distinct()
-        .orderBy($"anchor").limit(EvalAnchors)
       val wp = Window.partitionBy($"anchor").orderBy($"s".desc, $"j".asc)
       embNorm(spark, dir)
-        .join(anchors.withColumnRenamed("anchor", "vec_id"), "vec_id")
+        .join(evalAnchors(spark, dir).withColumnRenamed("anchor", "vec_id"), "vec_id")
         .select($"vec_id".as("anchor"), $"v".as("av"), $"nrm".as("anrm"),
           posexplode(cellScores).as(Seq("j", "s")))
         .withColumn("pr", row_number().over(wp))
@@ -2510,8 +2534,7 @@ object Similarity extends DetRounding {
   private def q220(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rel = qrels(spark, dir)
-    val anchors = rel.select($"anchor").distinct()
-      .orderBy($"anchor").limit(EvalAnchors)
+    val anchors = evalAnchors(spark, dir)
     val assigned = embNorm(spark, dir).withColumn("cluster", cellCol)
     val csz = assigned.groupBy($"cluster").agg(count(lit(1)).as("csz"))
     val qprobe = anchorProbes(spark, dir)
@@ -2526,28 +2549,7 @@ object Similarity extends DetRounding {
       .withColumn("rank", row_number().over(wr))
       .filter($"rank" <= EvalK)
       .select($"anchor", $"vec_id".as("rel_id"), $"rank")
-    val hits = top.join(rel, Seq("anchor", "rel_id"))
-      .groupBy($"anchor")
-      .agg(sort_array(collect_list($"rank")).as("hit_ranks"))
-    val nrel = rel.join(anchors, "anchor")
-      .groupBy($"anchor").agg(count(lit(1)).as("n_rel"))
-    def foldDcg(ranks: Column): Column =
-      aggregate(ranks, lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
-    nrel.join(ncand, Seq("anchor"))
-      .join(hits, Seq("anchor"), "left_outer")
-      .withColumn("hit_ranks",
-        coalesce($"hit_ranks", array().cast("array<int>")))
-      .select($"anchor", $"n_rel", $"n_cand",
-        size($"hit_ranks").cast("long").as("n_hit10"),
-        when(size($"hit_ranks") === 0, lit(0))
-          .otherwise(element_at($"hit_ranks", 1)).cast("long")
-          .as("first_rank"),
-        round(when(size($"hit_ranks") === 0, 0.0)
-          .otherwise(lit(1.0) / element_at($"hit_ranks", 1)), 6).as("rr"),
-        round(foldDcg($"hit_ranks") /
-          foldDcg(sequence(lit(1), least($"n_rel", lit(EvalK.toLong)).cast("int"))), 6)
-          .as("ndcg10"))
-      .orderBy($"anchor")
+    qrelMetrics(top, rel, anchors, Some(ncand))
   }
 
   private val q220Sql: String =

@@ -1,7 +1,16 @@
-// Scratch: split a catalog query's cost into PLANNING (analyze +
-// optimize + physical-plan, driver-side, single-threaded) vs EXECUTION
-// — the discriminator for "the lazy tree is compounding optimizer
-// cost" regressions (the round-5 q100 mechanism).
+// Scratch: split a catalog query's cost into PLANNING (initial
+// analyze + optimize + physical-plan, driver-side, single-threaded)
+// vs EXECUTION, with stage/task/executor-CPU accounting.
+//
+// Reading the output: AQE re-optimization happens LAZILY during
+// execution (AdaptiveSparkPlanExec re-plans at each stage boundary
+// inside the action), so a per-stage re-planning tax lands in the
+// `exec` column, NOT `plan` — the discriminator for that regression
+// class (the round-5 q100 / round-6 q220 mechanism) is exec wall
+// far above `cpu` with a small task count: executors idle while the
+// driver re-plans. `plan` catches the other half (the cost of
+// ANALYZING a huge lazy tree once, plus any eager work a query does
+// at construction, e.g. q100's per-round localCheckpoint loop).
 // Usage: sbt "runMain graft.tools.PlanCost <sfDir> <query...>"
 package graft.tools
 
