@@ -54,6 +54,19 @@ object Graft {
   def ivfAssign(df: org.apache.spark.sql.DataFrame, nlist: Int): org.apache.spark.sql.DataFrame =
     operators.Similarity.assignCells(df, nlist)
 
+  /** Retrieval evaluation (MRR + binary NDCG@10 against the corpus's
+    * own near-dup pseudo-qrels) with the candidate scope open:
+    * `probes = 0` ranks the full corpus per anchor (q217's
+    * ground-truth brute form); `probes ≥ 1` ranks only each anchor's
+    * top-`probes` IVF cells (q220 at probes = 2) and adds the n_cand
+    * cost accounting column. Read probed against brute as
+    * cost-vs-ground-truth — candidate filtering makes out-of-cell
+    * twins unreachable but can RAISE per-anchor rank metrics by
+    * removing distractors (q220's scaladoc has the caveat in full). */
+  def retrievalEval(spark: SparkSession, dir: String, probes: Int = 0): DataFrame =
+    if (probes == 0) operators.Similarity.bruteRetrievalEval(spark, dir)
+    else operators.Similarity.probedRetrievalEval(spark, dir, probes)
+
   /** MinHash-LSH candidate pairs verified by exact n-gram Jaccard,
     * filtered to `minJaccard` — q25→q26's candidates→verify chain. */
   def textNearDupPairs(spark: SparkSession, dir: String,

@@ -2518,8 +2518,9 @@ object Similarity extends DetRounding {
     * candidate ranking and the n_cand accounting, and its lineage
     * (qrels → anchors → embNorm join → probe window) would otherwise
     * inline twice. |anchors| × EvalProbes rows. */
-  private def anchorProbes(spark: SparkSession, dir: String): DataFrame =
-    graft.core.PersistedMemo.getOrBuildStage(spark, dir, "sim:anchor-probes") {
+  private def anchorProbes(spark: SparkSession, dir: String,
+      probes: Int = EvalProbes): DataFrame =
+    graft.core.PersistedMemo.getOrBuildStage(spark, dir, s"sim:anchor-probes:$probes") {
       import spark.implicits._
       val wp = Window.partitionBy($"anchor").orderBy($"s".desc, $"j".asc)
       embNorm(spark, dir)
@@ -2527,17 +2528,25 @@ object Similarity extends DetRounding {
         .select($"vec_id".as("anchor"), $"v".as("av"), $"nrm".as("anrm"),
           posexplode(cellScores).as(Seq("j", "s")))
         .withColumn("pr", row_number().over(wp))
-        .filter($"pr" <= EvalProbes)
+        .filter($"pr" <= probes)
         .select($"anchor", $"av", $"anrm", $"j".cast("int").as("cluster"))
     }
 
-  private def q220(spark: SparkSession, dir: String): DataFrame = {
+  private def q220(spark: SparkSession, dir: String): DataFrame =
+    probedRetrievalEval(spark, dir, EvalProbes)
+
+  /** q220's body with the probe budget open — [[graft.Graft.retrievalEval]]'s
+    * probed path. */
+  private[graft] def probedRetrievalEval(spark: SparkSession, dir: String,
+      probes: Int): DataFrame = {
     import spark.implicits._
+    require(probes > 0 && probes <= NClusters,
+      s"need 0 < probes <= $NClusters (got $probes)")
     val rel = qrels(spark, dir)
     val anchors = evalAnchors(spark, dir)
     val assigned = embNorm(spark, dir).withColumn("cluster", cellCol)
     val csz = assigned.groupBy($"cluster").agg(count(lit(1)).as("csz"))
-    val qprobe = anchorProbes(spark, dir)
+    val qprobe = anchorProbes(spark, dir, probes)
     val ncand = qprobe.join(csz, "cluster")
       .groupBy($"anchor").agg((sum($"csz") - lit(1L)).as("n_cand"))
     val cos = dot("av", "v") / ($"anrm" * $"nrm")
@@ -2551,6 +2560,10 @@ object Similarity extends DetRounding {
       .select($"anchor", $"vec_id".as("rel_id"), $"rank")
     qrelMetrics(top, rel, anchors, Some(ncand))
   }
+
+  /** q217's brute eval, exposed for the facade's probes = 0 tier. */
+  private[graft] def bruteRetrievalEval(spark: SparkSession, dir: String): DataFrame =
+    q217(spark, dir)
 
   private val q220Sql: String =
     s"""WITH ${Dedup.lshCandidatesCte}, sizes AS (

@@ -26,6 +26,18 @@ class ApiSpec extends SparkSpecBase {
     adhoc.head.getAs[Double]("score") should be > 0.0
   }
 
+  test("retrievalEval(probes=0) equals q217; probes=2 equals q220; probes=16 closes the gap to brute") {
+    rows(Graft.retrievalEval(spark, dir, probes = 0)) shouldBe
+      rows(SparkEntry.queries("q217_retrieval_eval")(spark, dir))
+    rows(Graft.retrievalEval(spark, dir, probes = 2)) shouldBe
+      rows(SparkEntry.queries("q220_retrieval_eval_ivf")(spark, dir))
+    // probing every cell ranks the full corpus: identical metrics to
+    // brute (n_cand drops away — it's the probed form's extra column)
+    val metricCols = Seq($"anchor", $"n_rel", $"n_hit10", $"first_rank", $"rr", $"ndcg10")
+    rows(Graft.retrievalEval(spark, dir, probes = 16).select(metricCols: _*)) shouldBe
+      rows(Graft.retrievalEval(spark, dir, probes = 0).select(metricCols: _*))
+  }
+
   test("vectorSearch(probes=1) equals q41; probes=2 equals q88; quantized equals q96") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     rows(Graft.vectorSearch(spark, dir, ids, k = 5, probes = 1)) shouldBe
