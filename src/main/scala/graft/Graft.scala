@@ -36,12 +36,18 @@ object Graft {
   }
 
   /** The vector-search ladder with the knobs open: `probes` cells per
-    * query (1 = q41, 2 = q88, `16` = exhaustive), optional SQ8
-    * quantized scoring with exact rerank (q96's path). Top-`k` by
-    * exact cosine either way. */
+    * query (1 = q41, 2 = q88, `probes = nlist` = exhaustive), optional
+    * SQ8 quantized scoring with exact rerank (q96's path), and `nlist`
+    * — the cell count itself (default 16, the catalog's pinned
+    * geometry; at a corpus where 16 cells make within-cell scans the
+    * bottleneck, pass nlist ≈ √N — same centroid discipline at every
+    * nlist, and exhaustive probing recovers brute results at any of
+    * them). Top-`k` by exact cosine either way. */
   def vectorSearch(spark: SparkSession, dir: String, queryIds: Seq[Long],
-      k: Int = 5, probes: Int = 1, quantizedScoring: Boolean = false): DataFrame =
-    operators.Similarity.vectorSearch(spark, dir, queryIds, k, probes, quantizedScoring)
+      k: Int = 5, probes: Int = 1, quantizedScoring: Boolean = false,
+      nlist: Int = 16): DataFrame =
+    operators.Similarity.vectorSearch(spark, dir, queryIds, k, probes,
+      quantizedScoring, nlist)
 
   /** IVF cell assignment for any (vec_id, embedding) frame with the
     * cell count open — the nlist ∝ √N scale rule as a call, not a

@@ -145,11 +145,18 @@ object Similarity extends DetRounding {
       .withColumn("r", transform(col("code"), c => col("vmin") + c * col("span") / 255.0))
       .withColumn("rnrm", sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
 
+  /** The rounded centroid-dot scores over `v` at an arbitrary cell
+    * count — the open-nlist twin of [[cellScores]], same geometry
+    * ([[centroidsFor]] prefix-seeded signs, 6-dp rounding). */
+  private def cellScoresFor(nlist: Int): Column = {
+    val cents = centroidsFor(nlist)
+    array((0 until nlist).map(j => round(dotLit("v", cents(j)), 6)): _*)
+  }
+
   /** The 16 rounded centroid-dot scores over `v` — THE cell-assignment
     * geometry; every consumer (q41/q82/q88/q96, indexRows) derives from
     * this one expression so the assignment can never fork. */
-  private def cellScores: Column =
-    array((0 until NClusters).map(j => round(dotLit("v", Cent(j)), 6)): _*)
+  private def cellScores: Column = cellScoresFor(NClusters)
 
   /** Cell id from a score array (argmax, lowest-id tie via first-max). */
   private def cellFromScores(arr: Column): Column =
@@ -169,9 +176,7 @@ object Similarity extends DetRounding {
     * both, plus the Σ cell² economics the bigger nlist buys. */
   private[graft] def assignCells(df: DataFrame, nlist: Int): DataFrame = {
     require(nlist > 0, s"need nlist > 0 (got $nlist)")
-    val cents = centroidsFor(nlist)
-    val scores = array((0 until nlist).map(j => round(dotLit("v", cents(j)), 6)): _*)
-    withNorm(df).withColumn("cluster", cellFromScores(scores))
+    withNorm(df).withColumn("cluster", cellFromScores(cellScoresFor(nlist)))
       .select(col("vec_id"), col("cluster"))
   }
 
@@ -202,24 +207,29 @@ object Similarity extends DetRounding {
 
   /** Parameterized vector search — the library entry point generalizing
     * the catalog's fixed-shape queries ([[Graft.vectorSearch]]):
-    * `probes = NClusters` degenerates to brute force over all cells,
-    * `probes = 1/2` is q41/q88, `quantizedScoring = true` is the q96
-    * path (ADC over the packed index, exact rerank of a 2k shortlist).
-    * Same determinism contract as the catalog: rounded rankings, id
-    * tiebreaks, first-max cell ties. */
+    * `probes = nlist` degenerates to brute force over all cells,
+    * `probes = 1/2` (at the default nlist = 16) is q41/q88,
+    * `quantizedScoring = true` is the q96 path (ADC over the packed
+    * index, exact rerank of a 2k shortlist). `nlist` opens the cell
+    * count — the nlist ∝ √N scale rule end to end (assignment AND
+    * search; [[assignCells]] is the assignment half): at any nlist the
+    * same prefix-seeded centroid geometry applies and exhaustive
+    * probing provably recovers brute results (ApiSpec locks it at 16
+    * and 64). Same determinism contract as the catalog: rounded
+    * rankings, id tiebreaks, first-max cell ties. */
   private[graft] def vectorSearch(spark: SparkSession, dir: String,
       queryIds: Seq[Long], k: Int = 5, probes: Int = 1,
-      quantizedScoring: Boolean = false): DataFrame = {
+      quantizedScoring: Boolean = false, nlist: Int = NClusters): DataFrame = {
     import spark.implicits._
-    require(k > 0 && probes > 0 && probes <= NClusters,
-      s"need 0 < k and 0 < probes <= $NClusters")
+    require(k > 0 && probes > 0 && probes <= nlist && nlist > 0,
+      s"need 0 < k and 0 < probes <= nlist (got k=$k probes=$probes nlist=$nlist)")
     val e = embNorm(spark, dir)
-    val assigned = e.withColumn("cluster", cellCol)
+    val assigned = e.withColumn("cluster", cellFromScores(cellScoresFor(nlist)))
     val wp = Window.partitionBy($"query_id").orderBy($"s".desc, $"j".asc)
     val queries = e.filter($"vec_id".isin(queryIds: _*))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         aggregate($"v", lit(0.0), (acc, x) => acc + x).as("qsum"),
-        posexplode(cellScores).as(Seq("j", "s")))
+        posexplode(cellScoresFor(nlist)).as(Seq("j", "s")))
       .withColumn("pr", row_number().over(wp))
       .filter($"pr" <= probes)
       .select($"query_id", $"qv", $"qnrm", $"qsum", $"j".cast("int").as("cluster"))

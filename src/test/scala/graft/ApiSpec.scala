@@ -52,6 +52,13 @@ class ApiSpec extends SparkSpecBase {
     val brute = SparkEntry.queries("q29_knn_brute_force")(spark, dir)
       .filter($"rn" <= 5).select($"query_id", $"neighbor_id", $"cosine", $"rn")
     rows(exhaustive) shouldBe rows(brute)
+    // ...and at an OPEN cell count (the nlist ~ sqrt(N) rule end to
+    // end): a 64-cell index partitions differently but exhaustive
+    // probing still recovers the same brute top-5
+    val exhaustive64 = Graft.vectorSearch(spark, dir, ids, k = 5,
+        probes = 64, nlist = 64)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rn")
+    rows(exhaustive64) shouldBe rows(brute)
   }
 
   test("embeddingNearDupPairs at the production calibration equals q55's passing set") {
