@@ -61,7 +61,10 @@ def load(p):
 
 
 def fam_of(q):
-    stem = re.match(r"(q\d+)_", q).group(1)
+    m = re.match(r"(q\d+)_", q)
+    if not m:
+        return "other"
+    stem = m.group(1)
     for f, stems in FAMILIES.items():
         if stem in stems:
             return f
@@ -84,11 +87,13 @@ def main(base_p, scaled_p):
     print(f"|---|---|---|---|---|---|")
     for f, (b, s, n, worst) in sorted(agg.items(), key=lambda kv: -kv[1][1]):
         w = f"{worst[0]} {worst[1]:.1f}x" if worst[0] else "-"
-        print(f"| {f} | {n} | {b:.1f} | {s:.1f} | {s/b:.1f}x | {w} |")
+        ratio = f"{s/b:.1f}x" if b > 0 else "-"
+        print(f"| {f} | {n} | {b:.1f} | {s:.1f} | {ratio} | {w} |")
     tb = sum(v[0] for v in agg.values())
     ts = sum(v[1] for v in agg.values())
+    tr = f"{ts/tb:.1f}x" if tb > 0 else "-"
     print(f"| **total** | {sum(v[2] for v in agg.values())} | {tb:.1f} | "
-          f"{ts:.1f} | {ts/tb:.1f}x | |")
+          f"{ts:.1f} | {tr} | |")
 
 
 if __name__ == "__main__":

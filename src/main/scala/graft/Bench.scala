@@ -76,31 +76,64 @@ object Bench {
     } catch { case _: Exception => () } // non-POSIX: skip
     Thread.sleep(3000)
     System.gc()
-    // pass 2 — warm, timed. A failed query reports -1 (never a
-    // success-shaped elapsed time) and is listed in "failed" so
-    // regressions can't masquerade as runs. Per-query JVM GC time is
-    // captured alongside wall time (stderr + detail file): a query
-    // whose wall inflates WITH gc is paying session heap pressure; one
-    // that inflates WITHOUT gc is doing real work — the sf1 rehearsal
-    // needed exactly this split to tell plan regressions from
-    // shared-session artifacts.
+    // pass 2 — warm, timed, NOISE-ROBUST. Round-6 lesson: the driver's
+    // official artifact inflated 61% over the builder's warm run because
+    // a single sequential pass cannot reject host-steal windows — a
+    // CONTIGUOUS 8-query block ran at 5-28x its isolated cost with ZERO
+    // JVM GC (CPU stolen by a co-tenant, not by this code). The fix is
+    // in the instrument: run N>=3 full INTERLEAVED sweeps of the catalog
+    // (sweep = q1..qN in order, then again), so a steal window that
+    // lands on positions 161-168 of one sweep lands on DIFFERENT queries
+    // in the next; per-query min over sweeps is the steady-state cost
+    // (a query can run slower than its plan by noise, never faster),
+    // and per-query median is reported alongside as the honesty metric
+    // — a min/median gap quantifies how noisy the host was, a clean run
+    // shows them within a few percent. Headline = sum of per-query mins.
+    //
+    // A failed query reports -1 (never a success-shaped elapsed time)
+    // and is listed in "failed" so regressions can't masquerade as runs.
+    // Per-query JVM GC time (of the min-wall sweep) is captured alongside
+    // wall time: a query whose wall inflates WITH gc is paying session
+    // heap pressure; one that inflates WITHOUT gc is either doing real
+    // work or being stolen from — the sweep spread now tells those apart.
     val gcBeans = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toSeq
     }
     def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
-    val runs = names.map { case (name, fn) =>
-      val t1 = System.nanoTime()
-      val g1 = gcMs
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val wall = (System.nanoTime() - t1) / 1e9
-      val gc = (gcMs - g1) / 1e3
-      System.err.println(f"[bench] $name%-40s ${wall}%8.2f s  gc ${gc}%6.2f s")
-      (name, if (ok) wall else -1.0, gc, ok)
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt.max(1)
+    // per sweep: name -> (wall, gc, ok)
+    val sweepRuns: Seq[Seq[(String, Double, Double, Boolean)]] =
+      (1 to sweeps).map { s =>
+        val rows = names.map { case (name, fn) =>
+          val t1 = System.nanoTime()
+          val g1 = gcMs
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          val wall = (System.nanoTime() - t1) / 1e9
+          val gc = (gcMs - g1) / 1e3
+          System.err.println(f"[bench $s/$sweeps] $name%-40s ${wall}%8.2f s  gc ${gc}%6.2f s")
+          (name, wall, gc, ok)
+        }
+        System.err.println(f"[bench $s/$sweeps] sweep total ${rows.map(_._2).sum}%8.2f s")
+        rows
+      }
+    // fold sweeps per query: min + median wall; gc of the min-wall sweep;
+    // ok only if EVERY sweep succeeded (queries are deterministic — any
+    // failure is code, not noise, and must not be min'd away)
+    val runs = names.indices.map { i =>
+      val name = names(i)._1
+      val obs = sweepRuns.map(_(i))
+      val ok = obs.forall(_._4)
+      val sortedW = obs.map(_._2).sorted
+      val minW = sortedW.head
+      val medW = sortedW(sortedW.size / 2)
+      val gcOfMin = obs.minBy(_._2)._3
+      (name, if (ok) minW else -1.0, if (ok) medW else -1.0, gcOfMin, ok)
     }
-    val results = runs.map { case (n, t, _, _) => n -> t }
-    val gcSecs = runs.map { case (n, _, g, _) => n -> g }
-    val failed = runs.collect { case (n, _, _, false) => "\"" + n + "\"" }
+    val results = runs.map { case (n, t, _, _, _) => n -> t }
+    val medians = runs.map { case (n, _, m, _, _) => n -> m }
+    val gcSecs = runs.map { case (n, _, _, g, _) => n -> g }
+    val failed = runs.collect { case (n, _, _, _, false) => "\"" + n + "\"" }
     // Locale.ROOT: the default-locale formatter writes a comma decimal
     // separator under e.g. de_DE, which is invalid JSON
     def fmt(v: Double): String =
@@ -116,8 +149,9 @@ object Bench {
     // goes to a file committed with the repo, and stdout's LAST line is
     // a compact, complete JSON object (headline + the slowest queries)
     // guaranteed to sit intact inside the tail window.
+    val medTotal = medians.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"gc_sec":${qsJson(gcSecs)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"queries_median":${qsJson(medians)},"median_total":${fmt(medTotal)},"sweeps":$sweeps,"gc_sec":${qsJson(gcSecs)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -137,7 +171,7 @@ object Bench {
     System.err.println(f"[memo] storage: ${rs.length} RDDs, " +
       f"mem ${rs.map(_.memSize).sum / 1e9}%.2f GB, disk ${rs.map(_.diskSize).sum / 1e9}%.2f GB")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"build_sec":${fmt(buildSec)},"failed":$failedJson,"queries":${qsJson(slowest)},"detail_file":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"sweeps":$sweeps,"median_total":${fmt(medTotal)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"queries":${qsJson(slowest)},"detail_file":"BENCH_DETAIL.json"}""")
     core.PersistedMemo.clearAll()
     spark.stop()
   }

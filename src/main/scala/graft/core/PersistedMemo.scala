@@ -96,7 +96,7 @@ object PersistedMemo {
     * to their build (qrels, probe tables, calibrated thresholds). */
   def getOrBuildStage(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    getOrBuild(spark, dir, key) { // runs under buildLock — the dir diff below is race-free
+    getOrBuild(spark, dir, key) {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
         val d = s"${sys.props("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"
@@ -110,14 +110,24 @@ object PersistedMemo {
       // read from memory; the temp cache is dropped once the files are
       // down (the checkpointed leaf is what getOrBuild persists).
       val tmp = build.persist()
-      val before = listCkptDirs(sc)
       val staged = tmp.checkpoint()
       tmp.unpersist(false)
-      // track THIS entry's checkpoint files so release()/clearAll()/LRU
-      // eviction can reclaim the disk, not just the cache (without this
-      // a long-lived session cycling datasets leaks tmp monotonically —
-      // ContextCleaner does not remove reliable checkpoint files)
-      stagedFiles.put((spark, dir, key), (listCkptDirs(sc) -- before).toSeq)
+      // track THIS entry's checkpoint files so release()/clearAll() can
+      // reclaim the disk, not just the cache (without this a long-lived
+      // session cycling datasets leaks tmp monotonically —
+      // ContextCleaner does not remove reliable checkpoint files).
+      // Attribution is POSITIVE: the checkpointed RDD sits under the
+      // returned frame's LogicalRDD leaf and names its own file via
+      // getCheckpointFile — a before/after directory diff (the round-6
+      // shape) would also claim checkpoints written CONCURRENTLY by
+      // user code or a sibling session sharing the checkpoint root, and
+      // deleting those on eviction destroys data a live unrelated frame
+      // still needs. If the leaf can't be located, record nothing: a
+      // leaked checkpoint is recoverable, a stolen one is not.
+      val ckptFile = staged.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+      ckptFile.foreach(f => stagedFiles.put((spark, dir, key), Seq(f)))
       staged
     }
 
@@ -127,36 +137,37 @@ object PersistedMemo {
   // caller-configured checkpoint dir is never touched (but staged
   // entries' own rdd-* subdirs are still reclaimed via stagedFiles).
   private val ownedCkptDirs = new ConcurrentHashMap[SparkSession, String]()
-  // (session, dataset, key) → the rdd-* checkpoint dirs that entry wrote
+  // (session, dataset, key) → the rdd-* checkpoint dir that entry wrote
   private val stagedFiles =
     new ConcurrentHashMap[(SparkSession, String, String), Seq[String]]()
+  // checkpoint dirs of staged entries LRU-EVICTED while their dataset is
+  // still live: unlike unpersist (lineage recomputes transparently), a
+  // staged leaf's files are its ONLY source — deleting them under a
+  // still-held frame fails it permanently on the next action. Eviction
+  // therefore drops the memo entry but DEFERS file reclamation to the
+  // explicit end-of-dataset calls (release / evictSession / clearAll),
+  // keyed by (session, dir) so release reclaims exactly its scope.
+  private val deferredFiles =
+    new ConcurrentHashMap[(SparkSession, String), Seq[String]]()
 
-  /** The `rdd-<id>` checkpoint dirs currently under the session's
-    * checkpoint root (layout: root/<context-uuid>/rdd-<id>/part-*;
-    * scan depth 2 so a caller-configured root works too). */
-  private def listCkptDirs(sc: org.apache.spark.SparkContext): Set[String] =
-    sc.getCheckpointDir.toSet.flatMap { (root: String) =>
-      def kids(f: java.io.File): Seq[java.io.File] =
-        Option(f.listFiles()).toSeq.flatten
-      val top = kids(new java.io.File(root))
-      (top ++ top.filter(_.isDirectory).flatMap(kids))
-        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
-        .map(_.getAbsolutePath).toSet
-    }
-
+  /** Delete a checkpoint path through the Hadoop FileSystem API so
+    * reclamation works for any configured checkpoint filesystem —
+    * `getCheckpointFile` returns a URI (`file:/…`, `hdfs://…`), which
+    * java.nio would silently fail to resolve and leak. Best-effort. */
   private def deleteRecursively(path: String): Unit =
     try {
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val root = Paths.get(path)
-      if (Files.exists(root)) {
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      val p = new org.apache.hadoop.fs.Path(path)
+      val conf = SparkSession.getDefaultSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      p.getFileSystem(conf).delete(p, true)
+      ()
     } catch { case _: Throwable => () } // reclamation is best-effort
 
   /** Under buildLock: keep the (session, dir) working set bounded by
-    * evicting least-recently-used entries beyond the cap. */
+    * evicting least-recently-used entries beyond the cap. Staged
+    * entries' checkpoint files are NOT deleted here (see
+    * [[deferredFiles]]) — only the memo slot and the cache go. */
   private def evictLruLocked(spark: SparkSession, dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val ks = memo.keySet.asScala
@@ -167,7 +178,9 @@ object PersistedMemo {
         .foreach { k =>
           val df = memo.remove(k)
           lastUsed.remove(k)
-          Option(stagedFiles.remove(k)).foreach(_.foreach(deleteRecursively))
+          Option(stagedFiles.remove(k)).foreach { fs =>
+            deferredFiles.merge((k._1, k._2), fs, (a, b) => a ++ b)
+          }
           if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
         }
     }
@@ -175,35 +188,40 @@ object PersistedMemo {
 
   /** Unpersist + drop every entry for one (session, dataset dir). */
   def release(spark: SparkSession, dir: String): Unit =
-    drop { case (s, d, _) => (s eq spark) && d == dir }
+    drop((s, d) => (s eq spark) && d == dir)
 
   /** Unpersist + drop every entry for a session (application end). */
   private def evictSession(spark: SparkSession): Unit = {
-    drop { case (s, _, _) => s eq spark }
+    drop((s, _) => s eq spark)
     hooked.remove(spark)
     val d = ownedCkptDirs.remove(spark)
     if (d != null) deleteRecursively(d)
   }
 
   /** Unpersist + drop everything (Bench / Verify teardown). */
-  def clearAll(): Unit = drop(_ => true)
+  def clearAll(): Unit = drop((_, _) => true)
 
-  private def drop(p: ((SparkSession, String, String)) => Boolean): Unit =
+  // scoped by (session, dir) — the explicit end-of-dataset boundary; no
+  // caller has key-granular lifecycle, and deferred checkpoint files
+  // (LRU-evicted staged entries) are only reclaimable at this boundary
+  private def drop(p: (SparkSession, String) => Boolean): Unit =
     // under buildLock: a release racing an in-flight getOrBuild must not
     // interleave with its put — otherwise the build completes after the
     // drop and re-pins a persisted frame for a released dataset
     buildLock.synchronized {
       import scala.jdk.CollectionConverters._
-      memo.keySet.asScala.filter(p).toSeq.foreach { k =>
+      memo.keySet.asScala.filter(k => p(k._1, k._2)).toSeq.foreach { k =>
         val df = memo.remove(k)
         lastUsed.remove(k)
         // a dropped STAGED entry also reclaims its checkpoint files —
-        // like unpersist, this assumes the dataset's consumers are done
-        // (a still-running query over the dropped leaf would fail on
-        // the next read either way)
+        // "end of dataset" means its consumers are done by contract
         Option(stagedFiles.remove(k)).foreach(_.foreach(deleteRecursively))
         // blocking=false: eviction is bookkeeping, not a barrier
         if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
+      }
+      // deferred reclamation from earlier LRU evictions in this scope
+      deferredFiles.keySet.asScala.filter(k => p(k._1, k._2)).toSeq.foreach { k =>
+        Option(deferredFiles.remove(k)).foreach(_.foreach(deleteRecursively))
       }
     }
 

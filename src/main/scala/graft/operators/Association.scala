@@ -104,23 +104,29 @@ object Association extends DetRounding {
   /** Exact frequent items: every item whose occurrence count exceeds
     * φ·n (φ = 0.8%), with its volume share. ONE scan: a partial+final
     * count aggregate (shuffle width = #distinct items), with the grand
-    * total n recovered as Σcnt over the GROUPED frame — an empty-frame
-    * window over the bounded item domain (contracted, the PlanSpec-
-    * legal shape), so the JSON extraction over the fact table is paid
-    * once instead of twice (the former broadcast-total form re-scanned
-    * and re-parsed events for the 1-row total; at sf1 the parse IS the
-    * query). This is the exact form; [[graft.functions.MisraGries]] is
-    * the k-counters sketch that replaces it when the item domain
-    * itself is shuffle-hostile (IDs, n-grams), with the PODS'12
-    * mergeable bound — AssociationSpec proves sketch ⊇ {items >
-    * n/(k+1)} and per-item error ≤ n/(k+1) under arbitrary
-    * repartitioning, the q17→q54 exact↔sketch swap for frequencies. */
+    * total n recovered as Σcnt over the GROUPED frame via a BROADCAST
+    * cross-join of the grouped frame's own 1-row sum — both branches
+    * hang off the identical hash-partition Exchange, so Catalyst's
+    * ReuseExchange pays the JSON extraction over the fact table once
+    * (the naive two-query form re-scanned and re-parsed events for the
+    * 1-row total; at sf1 the parse IS the query), and unlike the empty
+    * `Window.partitionBy()` form this round replaces, no stage funnels
+    * the whole grouped frame through ONE task — if the item domain
+    * grows past "bounded dimension", the total is still a tree-reduced
+    * 2-stage aggregate, not a single-partition sort. This is the exact
+    * form; [[graft.functions.MisraGries]] is the k-counters sketch that
+    * replaces it when the item domain itself is shuffle-hostile (IDs,
+    * n-grams), with the PODS'12 mergeable bound — AssociationSpec
+    * proves sketch ⊇ {items > n/(k+1)} and per-item error ≤ n/(k+1)
+    * under arbitrary repartitioning, the q17→q54 exact↔sketch swap for
+    * frequencies. */
   private def q128(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val occ = Tables.events(spark, dir)
       .select(get_json_object($"props", "$.k").cast("int").as("item"))
-    occ.groupBy($"item").agg(count(lit(1)).as("cnt"))
-      .withColumn("n", sum($"cnt").over(Window.partitionBy()).cast("double"))
+    val grouped = occ.groupBy($"item").agg(count(lit(1)).as("cnt"))
+    grouped
+      .crossJoin(broadcast(grouped.agg(sum($"cnt").cast("double").as("n"))))
       .filter($"cnt" > lit(0.008) * $"n")
       .select($"item", $"cnt", round($"cnt" / $"n", 6).as("share"))
       .orderBy($"item")

@@ -386,17 +386,58 @@ object Similarity extends DetRounding {
   }
 
   // --------------------------------------------------------------- q28
-  /** Number of vector tiles for [[tiledThresholdPairs]]: B(B+1)/2 = 528
-    * tile-pair tasks — enough to spread over 32 cores evenly; at a real
-    * cluster scale B with √(N / targetTileRows) so per-task tile memory
-    * stays constant (tiles here are ~N/32 vectors × 520 B each). */
-  private val PairTiles = 32
+  /** √-rule denominator for [[pairTiles]]: B = ⌈√(N / TargetTileRows)⌉
+    * balances tile-pair task count (B²/2, the scheduling overhead) against
+    * per-tile rows (N/B = √(N·TargetTileRows), the per-task memory). */
+  private val TargetTileRows = 4096L
+  /** Hard per-tile byte bound: each tile is ONE `collect_list` row, and a
+    * single array value must stay under the JVM's 2 GB array limit (with
+    * headroom for the row's serialized form). */
+  private val MaxTileBytes = 1.5e9
+  /** Bytes per packed tile entry at the 64-dim f64 corpus geometry
+    * (8·64 vector + id + norm + struct overhead). */
+  private val TileRowBytes = 520L
+
+  /** Number of vector tiles for [[tiledThresholdPairs]], COMPUTED from
+    * the corpus size (round-6 lesson, in code not comments: a pinned
+    * B = 32 meant one tile row of ~N/32 × 520 B — at ~100 M vectors a
+    * single collect_list row passes the 2 GB array limit and the job
+    * dies at runtime with an unattributable OOM/negative-size error).
+    *
+    *  - floor of 32 keeps B(B+1)/2 ≥ 528 tasks — even spread on 32
+    *    cores, and the sf0.1/sf1 geometry unchanged (B = 32 for any
+    *    N ≤ 4.2 M, so the committed bench/oracle runs are untouched);
+    *  - the √ rule grows B so per-task work (N/B)² stays near
+    *    TargetTileRows·N — task count and task size scale together;
+    *  - if √-rule tiles would still overflow [[MaxTileBytes]], B is
+    *    raised to the memory bound, and if THAT pushes the tile-pair
+    *    task count past 8 M the job refuses loudly — at that N the
+    *    all-pairs dense scan is the wrong operator, and the error says
+    *    which knobs (threshold prune via q55's banded path, or
+    *    TargetTileRows/MaxTileBytes) to reach for instead of dying
+    *    mid-shuffle. */
+  private[graft] def pairTiles(n: Long, rowBytes: Long = TileRowBytes): Int = {
+    val sqrtRule = math.ceil(math.sqrt(n.toDouble / TargetTileRows)).toInt
+    val b0 = math.max(32, sqrtRule)
+    if (n.toDouble / b0 * rowBytes <= MaxTileBytes) b0
+    else {
+      val b1 = math.ceil(n.toDouble * rowBytes / MaxTileBytes).toInt
+      val tasks = b1.toLong * (b1 + 1) / 2
+      require(tasks <= 8_000_000L,
+        s"tiledThresholdPairs: N=$n vectors needs B=$b1 tiles to keep one " +
+          s"collect_list tile row under MaxTileBytes=${MaxTileBytes.toLong}, " +
+          s"which is $tasks tile-pair tasks — the dense all-pairs scan is " +
+          "not viable at this scale; prune candidates first (banded LSH, " +
+          "q55 path) or raise TargetTileRows/MaxTileBytes deliberately.")
+      b1
+    }
+  }
 
   /** All-pairs rounded-cosine ≥ `threshold` candidates via a TILED
     * dense kernel — the shape a dense similarity scan takes when
     * nothing prunes (see q28 below for why its calibration cannot):
     *
-    *  - vectors are split into [[PairTiles]] tiles (`pmod(vec_id, B)`),
+    *  - vectors are split into [[pairTiles]](N) tiles (`pmod(vec_id, B)`),
     *    each folded to one row by `collect_list` (one linear shuffle);
     *  - the B(B+1)/2 tile PAIRS are a driver-literal frame joined to
     *    the tile table twice on EQUI keys (no cross product in the
@@ -423,7 +464,9 @@ object Similarity extends DetRounding {
       e: DataFrame, threshold: Double): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val b = PairTiles
+    // cheap count: e is the memoized (persisted) normalized-embedding
+    // table, so this reads cached batch stats, not the parquet
+    val b = pairTiles(e.count())
     val cut = threshold - 0.001 // > one 4-dp rounding step of slack
     val tiles = e.select($"vec_id", $"v", $"nrm")
       .withColumn("blk", pmod($"vec_id", lit(b.toLong)).cast("int"))

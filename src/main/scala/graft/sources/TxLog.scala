@@ -53,8 +53,9 @@ import org.apache.spark.sql.types._
   *   re-reads the log, recomputes its MERGE against the winner's
   *   snapshot, and retries with fresh data files (bounded attempts).
   *   Losers' uncommitted data dirs are orphans — invisible to every
-  *   reader, reclaimable by any GC that deletes data dirs absent from
-  *   the log. The retry loop serializes writers: the final state is
+  *   reader, reclaimed by [[vacuum]]'s orphan GC (data dirs absent
+  *   from every log entry, aged past the in-flight safety horizon).
+  *   The retry loop serializes writers: the final state is
   *   identical to SOME sequential order of the same merges, which is
   *   exactly the guarantee key-based last-write-wins upserts need.
   *
@@ -271,6 +272,14 @@ object TxLog {
     replay(table).map(c => (c.version, c.adds.size, c.removes.size,
       c.adds.map(_.rows).sum))
 
+  /** Age an uncommitted data dir must reach before [[vacuum]] treats it
+    * as an abandoned orphan rather than an IN-FLIGHT write (data files
+    * land on disk BEFORE their commit claims a version — a GC with no
+    * horizon would delete the files out from under a writer that is
+    * about to link its log entry). 24 h is far beyond any commit's
+    * write-to-link window; tests pass 0 to force reclamation. */
+  val DefaultOrphanHorizonMs: Long = 24L * 3600 * 1000
+
   /** VACUUM: physically delete data files superseded at or before
     * `retainVersion` — i.e. files removed by some commit ≤
     * `retainVersion` (readers of any version > the removing commit
@@ -279,9 +288,22 @@ object TxLog {
     * contract). Files removed by LATER commits stay: versions inside
     * the retention window must still read. The log itself is never
     * rewritten — history stays queryable even where the data is gone.
+    *
+    * Also reclaims ORPHAN data dirs: directories no log entry ever
+    * referenced, left by optimistic-commit losers (their data files
+    * are fully written before the version-claim link fails — header §
+    * Concurrency) and by writes that died before committing. Without
+    * this, a table under writer contention leaks a full rewritten copy
+    * per lost race — the untracked-file half of Delta/Iceberg's vacuum
+    * contract. A dir is an orphan iff NO file in it appears in ANY
+    * commit's adds or removes, and its newest mtime is older than
+    * `orphanOlderThanMs` (so an in-flight writer's just-written dir,
+    * which may commit in the next instant, is never stolen).
+    *
     * Returns the deleted paths. Metadata-only driver work (#files
     * entries), like every other log operation here. */
-  def vacuum(table: String, retainVersion: Long): Seq[String] = {
+  def vacuum(table: String, retainVersion: Long,
+      orphanOlderThanMs: Long = DefaultOrphanHorizonMs): Seq[String] = {
     val commits = replay(table)
     require(commits.nonEmpty, s"no such table: $table")
     require(commits.exists(_.version == retainVersion),
@@ -291,7 +313,7 @@ object TxLog {
     // return ONLY the paths actually deleted by THIS call — a repeated
     // vacuum at the same horizon reclaims nothing and must say so (a
     // caller auditing reclaimed bytes would otherwise double-count)
-    expired.filter { rel =>
+    val expiredDeleted = expired.filter { rel =>
       val p = Paths.get(table, rel)
       val existed = Files.exists(p)
       if (existed) {
@@ -306,6 +328,35 @@ object TxLog {
       }
       existed
     }
+    // orphan GC: data-* dirs absent from EVERY log entry (adds of any
+    // version keep live + time-travel data; removes keep what the
+    // expiry branch above owns), aged past the in-flight horizon
+    val referenced = commits
+      .flatMap(c => c.adds.map(_.path) ++ c.removes)
+      .map(_.split('/').head).toSet
+    val cutoff = System.currentTimeMillis() - orphanOlderThanMs
+    val listing = Files.list(Paths.get(table))
+    val dataDirs =
+      try listing.iterator().asScala.filter(d =>
+        Files.isDirectory(d) && d.getFileName.toString.startsWith("data-")).toSeq
+      finally listing.close()
+    val orphanDeleted = dataDirs
+      .filter(d => !referenced.contains(d.getFileName.toString))
+      .filter { d =>
+        val walk = Files.walk(d)
+        val newest =
+          try walk.iterator().asScala
+            .map(Files.getLastModifiedTime(_).toMillis).max
+          finally walk.close()
+        newest < cutoff
+      }
+      .flatMap { d =>
+        val walk = Files.walk(d)
+        val victims = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        victims.foreach(Files.deleteIfExists(_))
+        Seq(d.getFileName.toString)
+      }
+    expiredDeleted ++ orphanDeleted
   }
 
   /** Live file statistics — the skip-index a MERGE prunes with. */

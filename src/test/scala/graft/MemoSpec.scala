@@ -82,6 +82,53 @@ class MemoSpec extends SparkSpecBase {
     PersistedMemo.release(spark, "/tmp/memospec-n")
   }
 
+  test("LRU eviction of a staged entry defers file deletion to release") {
+    // round-6 advisory: eviction used to delete the staged leaf's
+    // checkpoint files — but unlike unpersist (lineage recomputes), a
+    // leaf's files are its only source, so a still-held frame died
+    // permanently. Eviction must drop the SLOT, not the FILES; the
+    // files go at the explicit end-of-dataset boundary (release).
+    val d = "/tmp/memospec-stagelru"
+    val cap = PersistedMemo.MaxEntriesPerDataset
+    val staged = PersistedMemo.getOrBuildStage(spark, d, "s0")(
+      spark.range(50).toDF("id"))
+    val ckpt = staged.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(_.getCheckpointFile)
+    ckpt.isDefined shouldBe true
+    val path = new org.apache.hadoop.fs.Path(ckpt.get)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) shouldBe true
+    // overflow the cap so s0 is LRU-evicted
+    (1 to cap).foreach(i =>
+      PersistedMemo.getOrBuild(spark, d, s"k$i")(spark.range(10).toDF("id")))
+    var rebuilt = false
+    PersistedMemo.getOrBuildStage(spark, d, "s0") {
+      rebuilt = true; spark.range(50).toDF("id")
+    }
+    rebuilt shouldBe true // the slot was evicted...
+    fs.exists(path) shouldBe true // ...but the files survived, so
+    staged.count() shouldBe 50 // the held frame still reads
+    PersistedMemo.release(spark, d) // end-of-dataset reclaims deferred files
+    fs.exists(path) shouldBe false
+  }
+
+  test("release reclaims only positively-owned checkpoint files") {
+    // round-6 advisory: attribution by before/after directory diff also
+    // claimed checkpoints written concurrently by USER code during the
+    // build — and destroyed them on release. Attribution is positive
+    // now (the staged leaf's own RDD names its file); a user checkpoint
+    // written mid-build must survive the dataset's release.
+    val d = "/tmp/memospec-attr"
+    var outside: org.apache.spark.sql.DataFrame = null
+    PersistedMemo.getOrBuildStage(spark, d, "s") {
+      outside = spark.range(25).toDF("id").checkpoint()
+      spark.range(9).toDF("id")
+    }.count() shouldBe 9
+    PersistedMemo.release(spark, d)
+    outside.count() shouldBe 25 // the unrelated checkpoint was not deleted
+  }
+
   test("the per-dataset working set is LRU-bounded (parameterized facade calls)") {
     val d = "/tmp/memospec-lru"
     val cap = PersistedMemo.MaxEntriesPerDataset

@@ -36,6 +36,36 @@ class SimilaritySpec extends SparkSpecBase {
     p should include("MapPartitions")
   }
 
+  test("pairTiles scales with N under the √ rule and guards the 2 GB tile row") {
+    import graft.operators.Similarity.pairTiles
+    // floor: every committed geometry (sf0.001 .. sf1, N ≤ 4.2M) keeps
+    // B = 32, so the bench/oracle tiling this round is unchanged
+    pairTiles(500L) shouldBe 32
+    pairTiles(5_000L) shouldBe 32
+    pairTiles(50_000L) shouldBe 32
+    pairTiles(4_000_000L) shouldBe 32
+    // √ rule above the floor: B = ceil(sqrt(N / 4096)), monotone in N
+    pairTiles(100_000_000L) shouldBe math.ceil(math.sqrt(1e8 / 4096)).toInt
+    val bs = Seq(1e7, 1e8, 1e9, 4e9).map(n => pairTiles(n.toLong))
+    bs shouldBe bs.sorted
+    // per-tile rows × 520 B stays under the collect_list 2 GB array
+    // limit for every √-rule B (the round-6 pinned B=32 violated this
+    // from N ≈ 4M up — the guard is now code, not a comment)
+    for (n <- Seq(1e6, 1e7, 1e8, 1e9, 1e10).map(_.toLong)) {
+      val b = pairTiles(n)
+      (n.toDouble / b * 520L) should be <= 1.5e9
+    }
+    // past the memory bound the √ rule is overridden upward...
+    val wide = pairTiles(1e9.toLong, rowBytes = 4096L)
+    wide should be > pairTiles(1e9.toLong)
+    (1e9 / wide * 4096L) should be <= 1.5e9
+    // ...and an N that would need a quadratic-insane task count refuses
+    // loudly, naming the escape hatches
+    val ex = intercept[IllegalArgumentException](pairTiles(2e12.toLong))
+    ex.getMessage should include("banded LSH")
+    ex.getMessage should include("TargetTileRows")
+  }
+
   test("q55 production-calibration candidate volume is far below all-pairs") {
     val dir = "/root/testdata/sf0.01" // 500 docs — enough pairs to measure
     val docs = graft.sources.Tables.embeddings(spark, dir).count()

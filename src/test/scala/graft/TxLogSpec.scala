@@ -255,6 +255,57 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuum reclaims aged orphan dirs from lost commit races; live and fresh stay") {
+    withTempDir("txlog") { dir =>
+      val t = s"$dir/t"
+      TxLog.create(spark, t,
+        (1L to 40L).map(i => (i, s"old$i")).toDF("k", "v"), Seq("k"))
+      def dataDirs: Set[String] = {
+        val s = Files.list(Paths.get(t))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("data-")).toSet
+        finally s.close()
+      }
+      // Barrier-race writer pairs until some loser's first attempt has
+      // left an orphan (its data files land BEFORE the version-claim
+      // link fails; the retry writes fresh ones). One commit = one data
+      // dir here, so orphans = dirs − commits. Usually round 1 races;
+      // bounded so a scheduler that serializes the pair can't hang us.
+      var round = 0
+      while (dataDirs.size == TxLog.history(t).size && round < 10) {
+        round += 1
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def writer(lo: Long): Thread = {
+          val up = (lo to lo + 4).map(i => (i, s"r$round-$i")).toDF("k", "v")
+          val th = new Thread(() => {
+            try { barrier.await(); TxLog.merge(spark, t, up, Seq("k")) }
+            catch { case e: Throwable => errs.add(e) }
+          })
+          th.start(); th
+        }
+        val (a, b) = (writer(1L), writer(21L))
+        a.join(120000); b.join(120000)
+        errs.asScala.toSeq shouldBe empty
+      }
+      val commits = TxLog.history(t).size
+      val orphans = dataDirs.size - commits
+      orphans should be >= 1
+      val snapshot = TxLog.read(spark, t).as[(Long, String)].collect().toMap
+      // FRESH orphans are protected by the in-flight horizon: a writer
+      // between write-data and link-commit must not have its files stolen
+      TxLog.vacuum(t, retainVersion = 0L) shouldBe empty
+      (dataDirs.size - commits) shouldBe orphans
+      // aged past the horizon they reclaim — and ONLY they
+      val deleted = TxLog.vacuum(t, 0L, orphanOlderThanMs = -60000L)
+      deleted.size shouldBe orphans
+      dataDirs.size shouldBe commits
+      TxLog.read(spark, t).as[(Long, String)].collect().toMap shouldBe snapshot
+      // idempotent and honest on repeat
+      TxLog.vacuum(t, 0L, orphanOlderThanMs = -60000L) shouldBe empty
+    }
+  }
+
   test("vacuum deletes only below-horizon superseded files; window still reads") {
     withTempDir("txlog") { dir =>
       val t = s"$dir/t"
