@@ -28,6 +28,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round-7 root cause of the "graph-family drift": Spark's
+      // generated-class cache holds 100 entries by default, the 221-query
+      // catalog mints thousands of codegen units, so every sweep evicted
+      // the iteration-loop queries' ~50 classes and their next run paid
+      // ~50 janino recompiles — driver-side, single-threaded, zero GC
+      // (SessionDrag measured q147 at 4.8 s + 49 compiles in a filled
+      // session vs 2.3 s + 0 compiles cache-warm; SCALE.md §codegen).
+      // 8192 entries fits the whole catalog's units with room.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

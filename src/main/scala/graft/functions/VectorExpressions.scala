@@ -195,6 +195,78 @@ case class DotProductBytes(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
 }
 
+/** |A ∩ B| of two SORTED string arrays by linear merge — the verify
+  * kernel of the prefix-filter set-similarity join (q167).
+  *
+  * `size(array_intersect(a, b))` is codegen'd but pays, per candidate
+  * row, an OpenHashSet build over one side, a probe per element of the
+  * other, AND materialization of the intersection array that `size`
+  * immediately discards. With both sides sorted (one `sort_array` per
+  * DOCUMENT at build time, amortized over every candidate the doc
+  * appears in), the count is a single allocation-free merge scan:
+  * O(|A|+|B|) UTF8String compares, nothing materialized.
+  *
+  * CONTRACT: both arrays ascending in UTF8String binary order (what
+  * `sort_array` produces for strings) with no null elements — the
+  * caller owns it; unsorted input returns an undercount, never an
+  * error. Duplicate elements advance both cursors together, so on the
+  * distinct sets the caller passes the result is exact set overlap. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> arguments, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $cnt = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectCountSorted =
+    copy(left = l, right = r)
+}
+
 /** SQL registration so call sites can use `expr("graft_dot(a, b)")` —
   * portable across the Column-API refactors of Spark 4. Idempotent. */
 object GraftFunctions {
@@ -210,6 +282,9 @@ object GraftFunctions {
       "graft_dot_u8", exprs => DotProductBytes(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_jaro_winkler", exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_intersect_count_sorted",
+      exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_record_stamp", {
         case Seq(base) => RecordStamp(base)

@@ -1606,6 +1606,57 @@ object Similarity extends DetRounding {
        |WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin
 
+  // -------------------------------------------------------------- q221
+  /** Multi-probe IVF ANN at an OPEN cell count: the q88 search run at
+    * nlist = 64 / probes = 4 through the same parameterized facade
+    * path ([[vectorSearch]]) a user applies the nlist ∝ √N scale rule
+    * with. Round-6 gap: every oracle-HASHED IVF row ran the pinned
+    * nlist = 16 geometry (the open knob was spec-asserted only); this
+    * row hash-locks a non-16 assignment end to end — 64 prefix-seeded
+    * centroids generated into the DuckDB literal table by the same
+    * [[signTableSql]] machinery, 4 probed cells per query ranked by
+    * the shared rounded-score / lowest-id discipline — so a regression
+    * anywhere in the open-nlist path (assignment, probe ranking,
+    * within-cell search) breaks a correctness gate, not just a spec.
+    * SimilaritySpec additionally pins that the output's cluster ids
+    * leave the 0..15 catalog range. */
+  private def q221(spark: SparkSession, dir: String): DataFrame =
+    vectorSearch(spark, dir, QueryIds, k = 5, probes = 4, nlist = 64)
+
+  private val q221Sql: String =
+    s"""WITH $normsCte, cents AS (
+       |${signTableSql(centroidsFor(64))}
+       |), scored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), ranked AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster, rnc
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rnc
+       |        FROM scored) t
+       |), assign AS (
+       |  SELECT vec_id, cluster FROM ranked WHERE rnc = 1
+       |), probes AS (
+       |  SELECT vec_id, cluster FROM ranked WHERE rnc <= 4
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assign a ON n.vec_id = a.vec_id
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, p.cluster, c.vec_id AS neighbor_id,
+       |         ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cos
+       |  FROM norms q
+       |  JOIN probes p ON p.vec_id = q.vec_id
+       |  JOIN nb c ON c.cluster = p.cluster AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |)
+       |SELECT query_id, cluster, neighbor_id, round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
+       |      FROM pairs) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
+
   // --------------------------------------------------------------- q96
   /** The composed production ANN path — the whole ladder in ONE query:
     * IVF cell assignment (q41) restricts the search to the query's
@@ -2886,6 +2937,7 @@ object Similarity extends DetRounding {
     Q("q83_quantized_knn", q83, Some(q83Sql)),
     Q("q86_hard_negatives", q86, Some(q86Sql)),
     Q("q88_multiprobe_ivf", q88, Some(q88Sql)),
+    Q("q221_multiprobe_nlist64", q221, Some(q221Sql)),
     Q("q96_quantized_ivf", q96, Some(q96Sql)),
     Q("q157_pq_adc_knn", q157, Some(q157Sql)),
     Q("q149_lloyd_refinement", q149, Some(q149Sql)),

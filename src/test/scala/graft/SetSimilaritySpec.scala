@@ -21,6 +21,27 @@ class SetSimilaritySpec extends SparkSpecBase {
     pruned shouldBe exact
   }
 
+  test("graft_intersect_count_sorted equals array_intersect size on random sets") {
+    // the merge kernel's exactness, independent of q167: random sorted
+    // string sets (with overlap by construction) through BOTH the
+    // interpreted eval and codegen paths vs the built-in
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(40)}").distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(40)}").distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.selectExpr("i", "graft_intersect_count_sorted(a, b) AS m",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS r")
+    got.filter($"m" =!= $"r").count() shouldBe 0
+    // empty sides
+    Seq((Seq.empty[String], Seq("x"))).toDF("a", "b")
+      .selectExpr("graft_intersect_count_sorted(a, b)")
+      .collect().head.getLong(0) shouldBe 0L
+  }
+
   test("q167 prefix candidates are far below all-pairs") {
     val docs = graft.sources.Tables.documents(spark, sfDir).count()
     val allPairs = docs * (docs - 1) / 2

@@ -66,6 +66,20 @@ class SimilaritySpec extends SparkSpecBase {
     ex.getMessage should include("TargetTileRows")
   }
 
+  test("q221 really runs the 64-cell geometry (clusters leave the catalog's 0..15)") {
+    val rows = SparkEntry.queries("q221_multiprobe_nlist64")(spark, sfDir).collect()
+    rows should not be empty
+    // at nlist = 64 the assignment spreads over 0..63; if the open-nlist
+    // path silently fell back to the catalog's 16 cells, every cluster
+    // id would sit in 0..15 (P < 1e-14 for honest 64-cell output here)
+    rows.map(_.getAs[Int]("cluster")).max should be > 15
+    // and the per-query lists obey the k = 5 contract
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      g.length should be <= 5
+      g.map(_.getAs[Int]("rn")).sorted shouldBe (1 to g.length).toArray
+    }
+  }
+
   test("q55 production-calibration candidate volume is far below all-pairs") {
     val dir = "/root/testdata/sf0.01" // 500 docs — enough pairs to measure
     val docs = graft.sources.Tables.embeddings(spark, dir).count()

@@ -17,6 +17,7 @@ trait SparkSpecBase extends AnyFunSuite with Matchers {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events TIMESTAMP(NANOS)
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.codegen.cache.maxEntries", "8192")
     .getOrCreate()
 
   /** Reference fixture tolerance (EntriesFixture.scala:10). */
