@@ -1,15 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark. Two passes over the catalog:
+/** Per-round benchmark. An untimed warmup pass plus N timed sweeps:
   *
   *  1. an UNTIMED warmup pass that runs every query once — this
   *     materializes the shared persisted intermediates (dedup signature/
   *     candidate tables, normalized embeddings) and pays all codegen /
   *     plan-compile cost, exactly like a production pipeline that
   *     persists stage outputs before serving queries over them;
-  *  2. a timed WARM pass whose per-query figures are the steady-state
-  *     query cost.
+  *  2. N ≥ 3 timed WARM sweeps of the whole catalog, interleaved (each
+  *     sweep runs q0..qN in order); per query the MIN over sweeps is the
+  *     steady-state cost and the MEDIAN is the variance-honesty figure.
   *
   * Round-2 finding: single-pass timing charged the whole chain build to
   * whichever consumer ran first alphabetically (q24 reported 8.55 s for
@@ -18,6 +19,13 @@ import org.apache.spark.sql.SparkSession
   * still reported — `build_sec` (shared-intermediate build + first-run
   * compile, the once-per-session cost) — instead of being smeared over
   * the per-query map.
+  *
+  * Round-6 finding: ONE timed pass cannot defend itself against host-
+  * steal windows (the official r6 artifact inflated 61% — a contiguous
+  * 8-query block at 5-28× with zero JVM GC). Interleaving whole-catalog
+  * sweeps decorrelates the steal window from any particular query, and
+  * min-over-sweeps rejects it; a wide min/median gap in the detail file
+  * is the printed evidence of how noisy the host was.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
