@@ -267,6 +267,70 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Byte-histogram entropy terms of a binary value in ONE pass:
+  * `[n_distinct_bytes, Σ c·ln c]` over the 256-bin byte histogram —
+  * the per-document reduction of q194's Shannon entropy
+  * H = ln(n) − (Σ c·ln c)/n.
+  *
+  * Replaces the explode-to-byte-rows shape, whose row volume was the
+  * CORPUS BYTE COUNT (each byte materialized as a row via hex substring
+  * + string conv, then two aggregates over the per-(doc, byte) grid).
+  * Here the histogram lives in one int[256] inside the projection, so
+  * the operator's row volume is the DOCUMENT count and the entropy is
+  * scan-speed column algebra — at 100 TB that is the difference between
+  * shuffling the corpus and not. Σ c·ln c accumulates in ascending byte
+  * order (deterministic); the exploded form summed in partial-agg order,
+  * so both live under the same 6-dp rounding contract vs the oracle. */
+case class ByteEntropyStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+    var nd = 0.0
+    var slnc = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) { nd += 1; slnc += c * math.log(c.toDouble) }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nd, slnc))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bin => {
+      val hist = ctx.freshName("hist")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("c")
+      val nd = ctx.freshName("nd")
+      val slnc = ctx.freshName("slnc")
+      s"""
+         |long[] $hist = new long[256];
+         |for (int $i = 0; $i < $bin.length; $i++) { $hist[$bin[$i] & 0xff]++; }
+         |double $nd = 0.0, $slnc = 0.0;
+         |for (int $b = 0; $b < 256; $b++) {
+         |  long $c = $hist[$b];
+         |  if ($c > 0) { $nd += 1.0; $slnc += $c * java.lang.Math.log((double) $c); }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new double[]{$nd, $slnc});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ByteEntropyStats =
+    copy(child = c)
+}
+
 /** SQL registration so call sites can use `expr("graft_dot(a, b)")` —
   * portable across the Column-API refactors of Spark 4. Idempotent. */
 object GraftFunctions {
@@ -285,6 +349,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_intersect_count_sorted",
       exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_byte_entropy", exprs => ByteEntropyStats(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_record_stamp", {
         case Seq(base) => RecordStamp(base)

@@ -47,20 +47,28 @@ object AnomalyForest {
       entries: DataFrame,
       fullWindow: Int = 20000,
       seed: Long = 42L): Map[String, RandomForestClassificationModel] = {
+    // cached for the duration of the fit loop: every per-sensor filter
+    // and single-class check below re-reads this frame — uncached, each
+    // of the ~2·#sensors jobs re-scanned the entry log and re-ran the
+    // window (round-7 ServeSoak measured a 20-sensor refit at ~2 min on
+    // a loaded box for exactly this reason; cached it is seconds)
     val windowed = Anomaly.recentWindow(entries, fullWindow)
       .select(col("sensor"), col("value"), col("anomaly").cast("double").as("anomaly"))
-    val sensors = windowed.select("sensor").distinct()
-      .collect().map(_.getString(0)).sorted // config dimension, ≤ handful
-    sensors.flatMap { s =>
-      val ds = windowed.filter(col("sensor") === s)
-      Try {
-        require(ds.select("anomaly").distinct().count() >= 2, s"single-class data for $s")
-        classifier(seed).fit(assembler.transform(ds))
-      } match {
-        case Success(m) => Some(s -> m)
-        case Failure(_) => None // Trainer.scala:43-49 — log-and-skip
-      }
-    }.toMap
+      .persist()
+    try {
+      val sensors = windowed.select("sensor").distinct()
+        .collect().map(_.getString(0)).sorted // config dimension, ≤ handful
+      sensors.flatMap { s =>
+        val ds = windowed.filter(col("sensor") === s)
+        Try {
+          require(ds.select("anomaly").distinct().count() >= 2, s"single-class data for $s")
+          classifier(seed).fit(assembler.transform(ds))
+        } match {
+          case Success(m) => Some(s -> m)
+          case Failure(_) => None // Trainer.scala:43-49 — log-and-skip
+        }
+      }.toMap
+    } finally windowed.unpersist()
   }
 
   /** Posterior P(anomaly) per input row (reference Analyzer.scala:72-83:

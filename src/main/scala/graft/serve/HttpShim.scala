@@ -25,14 +25,18 @@ import graft.streaming.{ProducerSim, Serving}
   *
   * Analysis/history come in as functions so the shim stays a pure
   * transport layer: the Spark pipelines behind them are tested on their
-  * own; swap in anything. Single-threaded executor is deliberate — the
-  * serving path is the snapshot map, and the reference's own answer to
-  * serving load is stress mode, not server tuning.
-  */
+  * own; swap in anything. The executor is a SMALL BOUNDED pool (the
+  * reference endpoint is an actor system — concurrent by construction):
+  * round-7's ServeSoak showed a single-threaded dispatcher serializing
+  * sub-millisecond `/stress` snapshot reads behind multi-second `/`
+  * full recomputes (stress p99 13.3 s vs its own 0.9 ms p50), which
+  * inverts the whole point of stress mode — the cached route must stay
+  * fast precisely when the recompute route is busy. */
 final class HttpShim(
     fullAnalyze: () => Seq[SensorMeta],
     history: Int => Seq[SensorMeta],
-    port: Int = 0) {
+    port: Int = 0,
+    serverThreads: Int = 8) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -94,11 +98,13 @@ final class HttpShim(
         respond(ex, 400, s"""{"error":"${Serving.esc(e.getMessage)}"}""")
     })
 
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(serverThreads)
+
   def start(): Int = {
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

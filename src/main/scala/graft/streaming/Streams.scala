@@ -157,22 +157,27 @@ object AnalysisStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[SensorMeta], batchId: Long) =>
-        // the analysis table write is DISTRIBUTED — executors write the
-        // partition directly; the driver never funnels the rows. Only
-        // the serving-snapshot refresh collects, and that set is bounded
-        // by ≤ one row per sensor per micro-batch (sensor count is a
-        // config dimension, not a data dimension).
+        // ONE collect, then local writes: the batch is bounded by ≤ one
+        // row per sensor per micro-batch (sensor count is a config
+        // dimension, not a data dimension), so funneling it through the
+        // driver is O(#sensors) — and it keeps Dataset.persist/unpersist
+        // OUT of the 200 ms hot path. The earlier persist-based form
+        // took the session-global CacheManager lock every micro-batch;
+        // uncacheByCondition walks EVERY cache entry under that lock, so
+        // a concurrent cache user (the T5 refit loop persisting its
+        // training window) convoyed the stream for the whole refit —
+        // round-7 ServeSoak caught the stream execution thread BLOCKED
+        // in CacheManager.uncacheByCondition for 16-22 s per refit.
         // Idempotent under foreachBatch's at-least-once replay: each
         // micro-batch owns a partition directory keyed by batchId, so a
         // restarted batch OVERWRITES its own output instead of appending
         // duplicates; SnapshotStore.update is last-write-wins.
-        val cached = batch.persist()
-        try {
-          if (!cached.isEmpty) {
-            cached.write.mode("overwrite").parquet(s"$analysisDir/batch=$batchId")
-            SnapshotStore.update(cached.collect().toSeq)
-          }
-        } finally cached.unpersist()
+        val metas = batch.collect().toSeq
+        if (metas.nonEmpty) {
+          spark.createDataset(metas)
+            .write.mode("overwrite").parquet(s"$analysisDir/batch=$batchId")
+          SnapshotStore.update(metas)
+        }
       }
       .trigger(trigger)
       .start()
@@ -205,14 +210,14 @@ object AnalysisStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[SensorMeta], _: Long) =>
-        val cached = batch.persist()
-        try {
-          if (!cached.isEmpty) {
-            graft.sources.TxLog.upsert(spark, analysisTable,
-              cached.toDF(), Seq("name", "ts"))
-            SnapshotStore.update(cached.collect().toSeq)
-          }
-        } finally cached.unpersist()
+        // one bounded collect; no per-batch CacheManager traffic (the
+        // lock-convoy rationale in [[start]]'s foreachBatch applies)
+        val metas = batch.collect().toSeq
+        if (metas.nonEmpty) {
+          graft.sources.TxLog.upsert(spark, analysisTable,
+            spark.createDataset(metas).toDF(), Seq("name", "ts"))
+          SnapshotStore.update(metas)
+        }
       }
       .trigger(trigger)
       .start()
