@@ -26,7 +26,7 @@ FAMILIES = {
                          "q155", "q159", "q160", "q167", "q168", "q211"],
     "vector search": ["q29", "q30", "q41", "q81", "q83", "q88", "q96",
                       "q140", "q149", "q157", "q187", "q205", "q212",
-                      "q213", "q214", "q216", "q218", "q219"],
+                      "q213", "q214", "q216", "q218", "q219", "q221"],
     "retrieval/ranking": ["q84", "q94", "q202", "q217", "q220"],
     "text analysis": ["q31", "q32", "q33", "q34", "q52", "q59", "q74",
                       "q75", "q78", "q85", "q154", "q189", "q194", "q198",
