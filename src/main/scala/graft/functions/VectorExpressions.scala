@@ -195,8 +195,10 @@ case class DotProductBytes(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
 }
 
-/** |A ∩ B| of two SORTED string arrays by linear merge — the verify
-  * kernel of the prefix-filter set-similarity join (q167).
+/** |A ∩ B| of two SORTED arrays (string, bigint, or int — same type on
+  * both sides) by linear merge — the verify kernel of the prefix-filter
+  * set-similarity join (q167, string shingles) and the closure kernel
+  * of the triangle census (q112, long-id sorted adjacency lists).
   *
   * `size(array_intersect(a, b))` is codegen'd but pays, per candidate
   * row, an OpenHashSet build over one side, a probe per element of the
@@ -214,14 +216,20 @@ case class DotProductBytes(left: Expression, right: Expression) extends BinaryEx
 case class IntersectCountSorted(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case _ => org.apache.spark.sql.types.NullType
+  }
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(org.apache.spark.sql.types.StringType, _),
-            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      case (ArrayType(lt, _), ArrayType(rt, _)) if lt == rt &&
+          (lt == org.apache.spark.sql.types.StringType ||
+            lt == org.apache.spark.sql.types.LongType ||
+            lt == org.apache.spark.sql.types.IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two array<string> arguments, got " +
-          s"${l.simpleString}, ${r.simpleString}")
+        s"$prettyName expects two array<string|bigint|int> arguments of " +
+          s"the same type, got ${l.simpleString}, ${r.simpleString}")
     }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -231,8 +239,13 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var cnt = 0L
+    val isStr = elemType == org.apache.spark.sql.types.StringType
+    val isInt = elemType == org.apache.spark.sql.types.IntegerType
     while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val c =
+        if (isStr) a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        else if (isInt) java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+        else java.lang.Long.compare(a.getLong(i), b.getLong(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -248,12 +261,20 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt")
       val c = ctx.freshName("c")
+      val cmp = elemType match {
+        case org.apache.spark.sql.types.StringType =>
+          s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        case org.apache.spark.sql.types.IntegerType =>
+          s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
+        case _ =>
+          s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      }
       s"""
          |int $na = $a.numElements(), $nb = $b.numElements();
          |int $i = 0, $j = 0;
          |long $cnt = 0L;
          |while ($i < $na && $j < $nb) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $c = $cmp;
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) $i++;
          |  else $j++;

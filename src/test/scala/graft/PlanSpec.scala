@@ -448,7 +448,7 @@ class PlanSpec extends SparkSpecBase {
     p should include("windowspecdefinition(day_idx")
   }
 
-  test("q112: wedge closure broadcasts the edge set; census is all equi-joins") {
+  test("q112: sorted-adjacency merge-intersect closure; census is all equi-joins") {
     val p = plan("q112_triangle_census")
     (p should not).include("CartesianProduct")
     p should include("BroadcastHashJoin")
