@@ -288,6 +288,83 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All-centroid rounded dot scores in ONE fused pass:
+  * `graft_cell_scores(v, flatCentroids)` → array<double> of
+  * round(Σₖ v[k]·C[j][k], 6) for j in 0..nlist−1, where the centroid
+  * MATRIX arrives row-major as one foldable literal array
+  * (nlist = |flat| / |v|).
+  *
+  * Replaces the column-algebra form `array(round(graft_dot(v, lit₀),6),
+  * …, round(graft_dot(v, lit₆₃),6))`: at nlist = 64 that is 64 separate
+  * expressions each carrying a 64-element literal array — the generated
+  * projection blows past whole-stage-codegen method limits and falls
+  * back to interpreted eval (PlanCost measured q221's assignment at
+  * ~65 µs/vector, ~30 s of executor CPU at sf1 for what is 4096 fma).
+  * Here the matrix is ONE literal and the scores are one register-
+  * blocked loop. Rounding replicates Spark's `round(_, 6)` exactly —
+  * java BigDecimal.valueOf (shortest-decimal) → setScale(6, HALF_UP) —
+  * so scores, argmax cells, and every oracle hash downstream are
+  * bit-identical to the algebraic form. */
+case class CellScores(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, array<double>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val flat = r.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val nlist = if (dim == 0) 0 else flat.numElements() / dim
+    val out = new Array[Double](nlist)
+    var j = 0
+    while (j < nlist) {
+      var s = 0.0
+      val base = j * dim
+      var k = 0
+      while (k < dim) { s += v.getDouble(k) * flat.getDouble(base + k); k += 1 }
+      out(j) = java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, flat) => {
+      val dim = ctx.freshName("dim")
+      val nlist = ctx.freshName("nlist")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |int $dim = $v.numElements();
+         |int $nlist = $dim == 0 ? 0 : $flat.numElements() / $dim;
+         |double[] $out = new double[$nlist];
+         |for (int $j = 0; $j < $nlist; $j++) {
+         |  double $s = 0.0;
+         |  int $base = $j * $dim;
+         |  for (int $k = 0; $k < $dim; $k++) {
+         |    $s += $v.getDouble($k) * $flat.getDouble($base + $k);
+         |  }
+         |  $out[$j] = java.math.BigDecimal.valueOf($s)
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CellScores = copy(left = l, right = r)
+}
+
 /** Byte-histogram entropy terms of a binary value in ONE pass:
   * `[n_distinct_bytes, Σ c·ln c]` over the 256-bin byte histogram —
   * the per-document reduction of q194's Shannon entropy
@@ -372,6 +449,8 @@ object GraftFunctions {
       exprs => IntersectCountSorted(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_byte_entropy", exprs => ByteEntropyStats(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_cell_scores", exprs => CellScores(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_record_stamp", {
         case Seq(base) => RecordStamp(base)

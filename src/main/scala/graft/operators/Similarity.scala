@@ -147,10 +147,17 @@ object Similarity extends DetRounding {
 
   /** The rounded centroid-dot scores over `v` at an arbitrary cell
     * count — the open-nlist twin of [[cellScores]], same geometry
-    * ([[centroidsFor]] prefix-seeded signs, 6-dp rounding). */
+    * ([[centroidsFor]] prefix-seeded signs, 6-dp rounding). One fused
+    * [[graft.functions.CellScores]] call with the centroid matrix as a
+    * single row-major literal: the previous nlist-separate
+    * `round(graft_dot(v, lit_j), 6)` expressions overwhelmed codegen at
+    * nlist = 64 and fell back to interpreted eval (~30 s of executor
+    * CPU at sf1 for q221's assignment); scores are bit-identical (the
+    * expression replicates round()'s BigDecimal HALF_UP exactly —
+    * every IVF oracle hash downstream is unchanged). */
   private def cellScoresFor(nlist: Int): Column = {
-    val cents = centroidsFor(nlist)
-    array((0 until nlist).map(j => round(dotLit("v", cents(j)), 6)): _*)
+    val flat = centroidsFor(nlist).flatten
+    expr(s"graft_cell_scores(v, array(${flat.map(x => s"${x}.0D").mkString(",")}))")
   }
 
   /** The 16 rounded centroid-dot scores over `v` — THE cell-assignment
