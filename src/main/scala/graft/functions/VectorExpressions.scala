@@ -365,6 +365,101 @@ case class CellScores(left: Expression, right: Expression) extends BinaryExpress
       l: Expression, r: Expression): CellScores = copy(left = l, right = r)
 }
 
+/** All band bucket-ids in ONE fused pass:
+  * `graft_band_buckets(v, flatPlanes, bandBits)` → array<int> where
+  * bucket b folds its `bandBits` hyperplane signs
+  * (round(Σₖ v[k]·P[b·bits+r][k], 6) > 0 → bit r) into an integer —
+  * the banded-SRP geometry of the near-dup candidate stage. The plane
+  * MATRIX arrives row-major as one foldable literal
+  * (nBands = |flat| / (|v|·bandBits)).
+  *
+  * Same rationale as [[CellScores]]: the column-algebra form built
+  * nBands×bandBits separate dot expressions each with a dim-element
+  * literal array (128 at the q55 production calibration), risking the
+  * codegen-fallback cliff and paying per-expression overhead either
+  * way. The sign test replicates `round(_, 6) > 0` exactly — BigDecimal
+  * shortest-decimal, setScale(6, HALF_UP), signum — so every bucket
+  * id, candidate set, and oracle hash is unchanged. */
+case class BandBuckets(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, array<double>, int), got " +
+          s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, m: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val flat = m.asInstanceOf[ArrayData]
+    val bits = r.asInstanceOf[Int]
+    val dim = v.numElements()
+    val nBands = if (dim == 0 || bits == 0) 0 else flat.numElements() / (dim * bits)
+    val out = new Array[Int](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0
+      var p = 0
+      while (p < bits) {
+        var s = 0.0
+        val base = (b * bits + p) * dim
+        var k = 0
+        while (k < dim) { s += v.getDouble(k) * flat.getDouble(base + k); k += 1 }
+        if (java.math.BigDecimal.valueOf(s)
+            .setScale(6, java.math.RoundingMode.HALF_UP).signum() > 0)
+          bucket |= 1 << p
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, flat, bits) => {
+      val dim = ctx.freshName("dim")
+      val nBands = ctx.freshName("nBands")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $dim = $v.numElements();
+         |int $nBands = ($dim == 0 || $bits == 0) ? 0 : $flat.numElements() / ($dim * $bits);
+         |int[] $out = new int[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    double $s = 0.0;
+         |    int $base = ($b * $bits + $p) * $dim;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      $s += $v.getDouble($k) * $flat.getDouble($base + $k);
+         |    }
+         |    if (java.math.BigDecimal.valueOf($s)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).signum() > 0) {
+         |      $bucket |= 1 << $p;
+         |    }
+         |  }
+         |  $out[$b] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BandBuckets =
+    copy(first = f, second = s, third = t)
+}
+
 /** Byte-histogram entropy terms of a binary value in ONE pass:
   * `[n_distinct_bytes, Σ c·ln c]` over the 256-bin byte histogram —
   * the per-document reduction of q194's Shannon entropy
@@ -451,6 +546,9 @@ object GraftFunctions {
       "graft_byte_entropy", exprs => ByteEntropyStats(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_cell_scores", exprs => CellScores(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_band_buckets",
+      exprs => BandBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_record_stamp", {
         case Seq(base) => RecordStamp(base)

@@ -295,21 +295,22 @@ object Similarity extends DetRounding {
       s"  SELECT $j AS j, [${w.mkString(", ")}] AS w"
     }.mkString("\n  UNION ALL\n")
 
-  /** Per-band bucket-id expressions over `v` for one banding
-    * calibration: hyperplane signs (6-dp rounded projections, so a
-    * near-zero projection can never flip a bucket between engines)
-    * folded into a `bandBits`-bit integer per band. THE banding
-    * geometry — [[bandCandidates]] and q28's band post-filter both
-    * derive from this one expression so the assignment can never
-    * fork. */
-  private def bandBucketCols(
-      planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int): Seq[Column] =
-    (0 until nBands).map { b =>
-      (0 until bandBits).map { r =>
-        val d = dotLit("v", planes(b * bandBits + r))
-        when(round(d, 6) > 0, lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
+  /** Band bucket-id ARRAY over `v` for one banding calibration:
+    * hyperplane signs (6-dp rounded projections, so a near-zero
+    * projection can never flip a bucket between engines) folded into a
+    * `bandBits`-bit integer per band — one fused
+    * [[graft.functions.BandBuckets]] call with the plane matrix as a
+    * single row-major literal (the per-plane `when(round(graft_dot(v,
+    * lit), 6) > 0, …)` column algebra built 128 expressions at the
+    * production calibration — the CellScores codegen-budget lesson).
+    * THE banding geometry — [[bandCandidates]] and q28's band
+    * post-filter both derive from this one expression so the
+    * assignment can never fork. */
+  private def bandBucketsCol(
+      planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int): Column = {
+    val flat = planes.take(nBands * bandBits).flatten
+    expr(s"graft_band_buckets(v, array(${flat.map(x => s"${x}.0D").mkString(",")}), $bandBits)")
+  }
 
   // ------------------------------------------------- banded candidates
   /** Banded-SRP candidate pairs for a given calibration: hyperplane
@@ -347,9 +348,8 @@ object Similarity extends DetRounding {
       s"sim:cands:$nBands,$bandBits,$capFraction,${planes.hashCode}") {
       import spark.implicits._
       val e = embNorm(spark, dir)
-      val bucketCols = bandBucketCols(planes, nBands, bandBits)
       val banded = e.select($"vec_id",
-        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+        posexplode(bandBucketsCol(planes, nBands, bandBits)).as(Seq("band", "bucket")))
       val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
         .where($"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
@@ -527,7 +527,7 @@ object Similarity extends DetRounding {
     * ([[tiledThresholdPairs]]) keeps the N² term inside per-task loops
     * and emits only the ~0.05% of pairs near the cosine floor — then
     * the band-collision predicate is applied to the survivors as a
-    * broadcast post-filter over the SAME [[bandBucketCols]] geometry
+    * broadcast post-filter over the SAME [[bandBucketsCol]] geometry
     * the oracle twin computes, so the emitted set is identical.
     * q55 is the production calibration, where banding does prune and
     * the candidates→verify order is right; the band-width knob decides
@@ -538,7 +538,7 @@ object Similarity extends DetRounding {
     val e = embNorm(spark, dir)
     val cands = tiledThresholdPairs(e, 0.4)
     val bkts = e.select($"vec_id",
-      array(bandBucketCols(HB, NBands, BandBits): _*).as("bkts"))
+      bandBucketsCol(HB, NBands, BandBits).as("bkts"))
     verified(e, cands)
       .filter($"cosine" >= 0.4)
       .join(broadcast(bkts.select($"vec_id".as("vec_a"), $"bkts".as("ba"))), Seq("vec_a"))
