@@ -15,6 +15,25 @@ class PlanSpec extends SparkSpecBase {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("round-7 fused kernels own their plans (no silent fallback to column algebra)") {
+    // each kernel replaced a shape that exploded rows or overwhelmed the
+    // codegen budget (SCALE.md "fused-kernel discipline"); a refactor
+    // that silently reverts to the algebraic form must fail here, not
+    // resurface as a scale regression two rounds later
+    def owns(q: String, kernel: String): Unit = {
+      val p = plan(q).toLowerCase
+      assert(p.contains(kernel) || p.contains(s"graft_$kernel"),
+        s"$q plan lost its fused kernel $kernel")
+    }
+    owns("q112_triangle_census", "intersectcountsorted")
+    owns("q167_set_join_prefix", "intersectcountsorted")
+    owns("q194_byte_entropy", "byteentropystats")
+    owns("q221_multiprobe_nlist64", "cellscores")
+    owns("q41_knn_ivf", "cellscores")
+    owns("q88_multiprobe_ivf", "cellscores")
+    owns("q28_embedding_neardup", "bandbuckets")
+  }
+
   test("q0: predicates and projection reach the parquet scan") {
     val p = plan("q0_filter_project")
     p should include("PushedFilters: [IsNotNull(l_returnflag)")
