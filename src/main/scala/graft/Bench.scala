@@ -143,7 +143,12 @@ object Bench {
       val ok = obs.forall(_._4)
       val sortedW = obs.map(_._2).sorted
       val minW = sortedW.head
-      val medW = sortedW(sortedW.size / 2)
+      // true median: average the two middle elements on even sweep
+      // counts (SPARK_GRAFT_BENCH_SWEEPS is user-settable) — the upper
+      // element alone would inflate the honesty metric on even N
+      val medW =
+        if (sortedW.size % 2 == 1) sortedW(sortedW.size / 2)
+        else (sortedW(sortedW.size / 2 - 1) + sortedW(sortedW.size / 2)) / 2.0
       val gcOfMin = obs.minBy(_._2)._3
       (name, if (ok) minW else -1.0, if (ok) medW else -1.0, gcOfMin, ok)
     }

@@ -144,11 +144,19 @@ object PersistedMemo {
   // still live: unlike unpersist (lineage recomputes transparently), a
   // staged leaf's files are its ONLY source — deleting them under a
   // still-held frame fails it permanently on the next action. Eviction
-  // therefore drops the memo entry but DEFERS file reclamation to the
-  // explicit end-of-dataset calls (release / evictSession / clearAll),
-  // keyed by (session, dir) so release reclaims exactly its scope.
-  private val deferredFiles =
-    new ConcurrentHashMap[(SparkSession, String), Seq[String]]()
+  // therefore drops the memo entry but DEFERS file reclamation, keyed by
+  // (session, dir) so release reclaims exactly its scope. Deferral is
+  // NOT unbounded (round-7 advisory: a session cycling staged keys
+  // without ever calling release would otherwise accumulate rdd-* dirs
+  // monotonically): each deferred entry carries a WeakReference to the
+  // evicted frame, and [[sweepDeferredLocked]] — run on every locked
+  // build and every drop — deletes the files of entries whose frame has
+  // become weakly unreachable (no caller can run it again, so its files
+  // are dead). Files stay only while some caller still strongly holds
+  // the evicted frame, which is exactly when deletion would corrupt it.
+  private val deferredFiles = new ConcurrentHashMap[
+    (SparkSession, String),
+    Vector[(java.lang.ref.WeakReference[DataFrame], Seq[String])]]()
 
   /** Delete a checkpoint path through the Hadoop FileSystem API so
     * reclamation works for any configured checkpoint filesystem —
@@ -179,11 +187,39 @@ object PersistedMemo {
           val df = memo.remove(k)
           lastUsed.remove(k)
           Option(stagedFiles.remove(k)).foreach { fs =>
-            deferredFiles.merge((k._1, k._2), fs, (a, b) => a ++ b)
+            val entry = Vector((new java.lang.ref.WeakReference(df), fs))
+            deferredFiles.merge((k._1, k._2), entry, (a, b) => a ++ b)
           }
           if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
         }
     }
+    sweepDeferredLocked()
+  }
+
+  /** Under buildLock: reclaim the checkpoint files of LRU-evicted staged
+    * entries whose frames have become weakly unreachable. Run on every
+    * locked build and every drop, so a churning session's deferred set
+    * shrinks as fast as the collector clears its dead frames instead of
+    * growing until release(). */
+  private def sweepDeferredLocked(): Unit = {
+    import scala.jdk.CollectionConverters._
+    deferredFiles.keySet.asScala.toSeq.foreach { scope =>
+      val entries = deferredFiles.get(scope)
+      if (entries != null) {
+        val (dead, live) = entries.partition(_._1.get() == null)
+        dead.foreach(_._2.foreach(deleteRecursively))
+        if (live.isEmpty) deferredFiles.remove(scope, entries)
+        else if (dead.nonEmpty) deferredFiles.replace(scope, entries, live)
+      }
+    }
+  }
+
+  /** Telemetry: count of deferred (LRU-evicted, still-reachable) staged
+    * checkpoint dirs per (dir) scope — a churning session can watch this
+    * to see deferred growth instead of discovering it as a tmp leak. */
+  private[graft] def deferredCount(): Int = {
+    import scala.jdk.CollectionConverters._
+    deferredFiles.values.asScala.map(_.size).sum
   }
 
   /** Unpersist + drop every entry for one (session, dataset dir). */
@@ -219,10 +255,13 @@ object PersistedMemo {
         // blocking=false: eviction is bookkeeping, not a barrier
         if (df != null) try df.unpersist(false) catch { case _: Throwable => () }
       }
-      // deferred reclamation from earlier LRU evictions in this scope
+      // deferred reclamation from earlier LRU evictions in this scope —
+      // at the end-of-dataset boundary the frames are dead by contract,
+      // so reachability no longer gates deletion
       deferredFiles.keySet.asScala.filter(k => p(k._1, k._2)).toSeq.foreach { k =>
-        Option(deferredFiles.remove(k)).foreach(_.foreach(deleteRecursively))
+        Option(deferredFiles.remove(k)).foreach(_.foreach(_._2.foreach(deleteRecursively)))
       }
+      sweepDeferredLocked()
     }
 
   /** Test / telemetry hook: live entry count. */

@@ -209,9 +209,12 @@ case class DotProductBytes(left: Expression, right: Expression) extends BinaryEx
   * O(|A|+|B|) UTF8String compares, nothing materialized.
   *
   * CONTRACT: both arrays ascending in UTF8String binary order (what
-  * `sort_array` produces for strings) with no null elements — the
-  * caller owns it; unsorted input returns an undercount, never an
-  * error. Duplicate elements advance both cursors together, so on the
+  * `sort_array` produces for strings) — the caller owns it; unsorted
+  * input returns an undercount, never an error. Null ELEMENTS are
+  * skipped (never counted, never dereferenced): the expression is
+  * registered as a general SQL function callable on arbitrary user
+  * arrays, so a null element must degrade to "not a member", not NPE.
+  * Duplicate elements advance both cursors together, so on the
   * distinct sets the caller passes the result is exact set overlap. */
 case class IntersectCountSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -242,13 +245,17 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     val isStr = elemType == org.apache.spark.sql.types.StringType
     val isInt = elemType == org.apache.spark.sql.types.IntegerType
     while (i < na && j < nb) {
-      val c =
-        if (isStr) a.getUTF8String(i).compareTo(b.getUTF8String(j))
-        else if (isInt) java.lang.Integer.compare(a.getInt(i), b.getInt(j))
-        else java.lang.Long.compare(a.getLong(i), b.getLong(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val c =
+          if (isStr) a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          else if (isInt) java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+          else java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -274,10 +281,14 @@ case class IntersectCountSorted(left: Expression, right: Expression)
          |int $i = 0, $j = 0;
          |long $cnt = 0L;
          |while ($i < $na && $j < $nb) {
-         |  int $c = $cmp;
-         |  if ($c == 0) { $cnt++; $i++; $j++; }
-         |  else if ($c < 0) $i++;
-         |  else $j++;
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $c = $cmp;
+         |    if ($c == 0) { $cnt++; $i++; $j++; }
+         |    else if ($c < 0) $i++;
+         |    else $j++;
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin
@@ -302,9 +313,12 @@ case class IntersectCountSorted(left: Expression, right: Expression)
   * ~65 µs/vector, ~30 s of executor CPU at sf1 for what is 4096 fma).
   * Here the matrix is ONE literal and the scores are one register-
   * blocked loop. Rounding replicates Spark's `round(_, 6)` exactly —
-  * java BigDecimal.valueOf (shortest-decimal) → setScale(6, HALF_UP) —
-  * so scores, argmax cells, and every oracle hash downstream are
-  * bit-identical to the algebraic form. */
+  * java BigDecimal.valueOf (shortest-decimal) → setScale(6, HALF_UP),
+  * and, as RoundBase does, NaN/Infinity pass through unrounded
+  * (BigDecimal.valueOf throws on non-finite input, so a single bad
+  * embedding value must not crash the scan) — so scores, argmax cells,
+  * and every oracle hash downstream are bit-identical to the algebraic
+  * form. */
 case class CellScores(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -328,8 +342,10 @@ case class CellScores(left: Expression, right: Expression) extends BinaryExpress
       val base = j * dim
       var k = 0
       while (k < dim) { s += v.getDouble(k) * flat.getDouble(base + k); k += 1 }
-      out(j) = java.math.BigDecimal.valueOf(s)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(j) =
+        if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -354,8 +370,9 @@ case class CellScores(left: Expression, right: Expression) extends BinaryExpress
          |  for (int $k = 0; $k < $dim; $k++) {
          |    $s += $v.getDouble($k) * $flat.getDouble($base + $k);
          |  }
-         |  $out[$j] = java.math.BigDecimal.valueOf($s)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  $out[$j] = (Double.isNaN($s) || Double.isInfinite($s)) ? $s
+         |    : java.math.BigDecimal.valueOf($s)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -378,8 +395,11 @@ case class CellScores(left: Expression, right: Expression) extends BinaryExpress
   * literal array (128 at the q55 production calibration), risking the
   * codegen-fallback cliff and paying per-expression overhead either
   * way. The sign test replicates `round(_, 6) > 0` exactly — BigDecimal
-  * shortest-decimal, setScale(6, HALF_UP), signum — so every bucket
-  * id, candidate set, and oracle hash is unchanged. */
+  * shortest-decimal, setScale(6, HALF_UP), signum; non-finite dots
+  * bypass BigDecimal (which throws on NaN/Infinity) and follow Spark's
+  * own comparison semantics, where NaN and +Infinity compare greater
+  * than 0 — so every bucket id, candidate set, and oracle hash is
+  * unchanged. */
 case class BandBuckets(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def dataType: DataType =
@@ -410,9 +430,12 @@ case class BandBuckets(first: Expression, second: Expression, third: Expression)
         val base = (b * bits + p) * dim
         var k = 0
         while (k < dim) { s += v.getDouble(k) * flat.getDouble(base + k); k += 1 }
-        if (java.math.BigDecimal.valueOf(s)
-            .setScale(6, java.math.RoundingMode.HALF_UP).signum() > 0)
-          bucket |= 1 << p
+        val positive =
+          if (java.lang.Double.isNaN(s)) true // Spark: NaN > 0
+          else if (java.lang.Double.isInfinite(s)) s > 0
+          else java.math.BigDecimal.valueOf(s)
+            .setScale(6, java.math.RoundingMode.HALF_UP).signum() > 0
+        if (positive) bucket |= 1 << p
         p += 1
       }
       out(b) = bucket
@@ -444,8 +467,11 @@ case class BandBuckets(first: Expression, second: Expression, third: Expression)
          |    for (int $k = 0; $k < $dim; $k++) {
          |      $s += $v.getDouble($k) * $flat.getDouble($base + $k);
          |    }
-         |    if (java.math.BigDecimal.valueOf($s)
-         |        .setScale(6, java.math.RoundingMode.HALF_UP).signum() > 0) {
+         |    boolean ${s}_pos = Double.isNaN($s) ? true /* Spark: NaN > 0 */
+         |      : Double.isInfinite($s) ? $s > 0
+         |      : java.math.BigDecimal.valueOf($s)
+         |          .setScale(6, java.math.RoundingMode.HALF_UP).signum() > 0;
+         |    if (${s}_pos) {
          |      $bucket |= 1 << $p;
          |    }
          |  }

@@ -351,10 +351,23 @@ object TxLog {
         newest < cutoff
       }
       .flatMap { d =>
-        val walk = Files.walk(d)
-        val victims = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        victims.foreach(Files.deleteIfExists(_))
-        Seq(d.getFileName.toString)
+        // re-replay immediately before deleting (cheap, metadata-only):
+        // the mtime horizon alone can't protect a writer stalled longer
+        // than orphanOlderThanMs between writing its data files and
+        // linking its commit (GC pause, suspended VM, clock skew on a
+        // shared FS) — if its commit landed AFTER the initial replay
+        // above, deleting the dir would gut a committed version. A dir
+        // referenced by ANY commit visible now is spared.
+        val nowReferenced = replay(table)
+          .flatMap(c => c.adds.map(_.path) ++ c.removes)
+          .map(_.split('/').head).toSet
+        if (nowReferenced.contains(d.getFileName.toString)) Seq.empty
+        else {
+          val walk = Files.walk(d)
+          val victims = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          victims.foreach(Files.deleteIfExists(_))
+          Seq(d.getFileName.toString)
+        }
       }
     expiredDeleted ++ orphanDeleted
   }

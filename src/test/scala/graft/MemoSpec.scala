@@ -113,6 +113,47 @@ class MemoSpec extends SparkSpecBase {
     fs.exists(path) shouldBe false
   }
 
+  test("deferred files of an unreachable evicted frame are swept without release") {
+    // round-7 advisory: deferral alone was unbounded — a session cycling
+    // staged keys without ever calling release accumulated rdd-* dirs
+    // forever. Now each deferred entry is WeakReference-gated: once no
+    // caller can run the evicted frame again, the next locked build
+    // sweeps its files; while a caller still holds it (previous test),
+    // the files stay, because deleting them would corrupt a live frame.
+    val d = "/tmp/memospec-defersweep"
+    val cap = PersistedMemo.MaxEntriesPerDataset
+    // build in a SEPARATE method frame: a local slot in this test's own
+    // frame can stay GC-reachable until the method returns, which would
+    // pin the weak ref for the whole test
+    def stageAndDrop(): Option[String] = {
+      val staged = PersistedMemo.getOrBuildStage(spark, d, "s0")(
+        spark.range(40).toDF("id"))
+      staged.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    }
+    val ckpt = stageAndDrop()
+    ckpt.isDefined shouldBe true
+    val path = new org.apache.hadoop.fs.Path(ckpt.get)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) shouldBe true
+    // overflow the cap so s0 is LRU-evicted (defers its files)
+    (1 to cap).foreach(i =>
+      PersistedMemo.getOrBuild(spark, d, s"dk$i")(spark.range(10).toDF("id")))
+    // GC clears the weak ref; a subsequent locked build runs the sweep
+    var swept = false
+    var tries = 0
+    while (!swept && tries < 20) {
+      System.gc()
+      Thread.sleep(50)
+      PersistedMemo.getOrBuild(spark, d, s"sweep$tries")(spark.range(5).toDF("id"))
+      swept = !fs.exists(path)
+      tries += 1
+    }
+    swept shouldBe true // files reclaimed with NO release() call
+    PersistedMemo.release(spark, d)
+  }
+
   test("release reclaims only positively-owned checkpoint files") {
     // round-6 advisory: attribution by before/after directory diff also
     // claimed checkpoints written concurrently by USER code during the

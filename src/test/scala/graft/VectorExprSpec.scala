@@ -107,4 +107,82 @@ class VectorExprSpec extends SparkSpecBase {
       .select(expr("graft_jaro_winkler(a, b)")).as[Option[Double]].collect()
     n(0) shouldBe None
   }
+
+  test("graft_cell_scores passes NaN/Infinity through unrounded (RoundBase parity)") {
+    GraftFunctions.register(spark)
+    // a NaN component poisons every cell's dot (NaN·x = NaN); an +Inf
+    // component yields +Inf against a same-sign plane and NaN against a
+    // zero one (Inf·0 = NaN) — IEEE754, and exactly what round(_, 6)
+    // would pass through. BigDecimal.valueOf would THROW on these; the
+    // guard must not.
+    val rows = Seq((Seq(Double.NaN, 1.0), Seq(1.0, 0.0, 0.0, 1.0)),
+      (Seq(Double.PositiveInfinity, 2.0), Seq(1.0, 0.0, 0.0, 1.0)))
+      .toDF("v", "c")
+      .selectExpr("graft_cell_scores(v, c) AS s").as[Seq[Double]].collect()
+    assert(rows(0)(0).isNaN); assert(rows(0)(1).isNaN)
+    rows(1)(0) shouldBe Double.PositiveInfinity; assert(rows(1)(1).isNaN)
+    // interpreted path agrees (no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit = (xs: Seq[Double]) =>
+      Literal(new GenericArrayData(xs.toArray), ArrayType(DoubleType))
+    val got = functions.CellScores(
+      lit(Seq(Double.PositiveInfinity, 2.0)), lit(Seq(1.0, 0.0, 0.0, 1.0)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    got.getDouble(0) shouldBe Double.PositiveInfinity
+    assert(got.getDouble(1).isNaN)
+  }
+
+  test("graft_band_buckets on non-finite dots follows Spark comparison semantics") {
+    GraftFunctions.register(spark)
+    // Spark: NaN > 0 and +Inf > 0 are true, -Inf > 0 false — the fused
+    // sign test must match `round(dot, 6) > 0` under those semantics
+    // instead of crashing in BigDecimal.valueOf.
+    // 1 band × 3 bits over dim-1 vectors: planes [1], [-1], [1];
+    // v=[NaN] → dots NaN, NaN, NaN (NaN*-1 is NaN) → all bits set = 7
+    val rows = Seq(
+      (Seq(Double.NaN), Seq(1.0, -1.0, 1.0)),
+      (Seq(Double.PositiveInfinity), Seq(1.0, -1.0, 1.0)), // +Inf,-Inf,+Inf → 0b101
+      (Seq(1.0), Seq(1.0, -1.0, 1.0)))                     // 1,-1,1 → 0b101
+      .toDF("v", "p")
+      .selectExpr("graft_band_buckets(v, p, 3) AS b").as[Seq[Int]].collect()
+    rows(0) shouldBe Seq(7)
+    rows(1) shouldBe Seq(5)
+    rows(2) shouldBe Seq(5)
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val lit = (xs: Seq[Double]) =>
+      Literal(new GenericArrayData(xs.toArray), ArrayType(DoubleType))
+    val got = functions.BandBuckets(lit(Seq(Double.NaN)),
+      lit(Seq(1.0, -1.0, 1.0)), Literal(3, IntegerType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    got.getInt(0) shouldBe 7
+  }
+
+  test("graft_intersect_count_sorted skips null elements instead of NPEing") {
+    GraftFunctions.register(spark)
+    // registered as a general SQL function: arbitrary user arrays may
+    // carry nulls (sort_array puts them FIRST ascending) — a null
+    // element is "not a member", never a crash, on both eval paths
+    val out = spark.sql(
+      """SELECT graft_intersect_count_sorted(
+        |  array(CAST(NULL AS STRING), 'a', 'b'),
+        |  array(CAST(NULL AS STRING), 'b', 'c')) AS m""".stripMargin)
+      .as[Long].collect()
+    out(0) shouldBe 1L
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val lit = (xs: Seq[String]) => Literal(
+      new GenericArrayData(xs.map(s =>
+        if (s == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(s)).toArray),
+      ArrayType(StringType, containsNull = true))
+    functions.IntersectCountSorted(
+      lit(Seq(null, "a", "b")), lit(Seq(null, "b", "c"))).eval(null) shouldBe 1L
+  }
 }
