@@ -172,8 +172,13 @@ object Bench {
     // a compact, complete JSON object (headline + the slowest queries)
     // guaranteed to sit intact inside the tail window.
     val medTotal = medians.map(_._2).filter(_ >= 0).sum
+    // per-memo-entry build seconds (closure + eager materialization,
+    // slowest first) — the decomposition of build_sec's memo share, so
+    // a regression in ONE shared build (q55's banded calibration is the
+    // largest) reads from the artifact instead of hiding in the total
+    val buildMap = core.PersistedMemo.buildReport()
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"queries_median":${qsJson(medians)},"median_total":${fmt(medTotal)},"sweeps":$sweeps,"gc_sec":${qsJson(gcSecs)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"queries_median":${qsJson(medians)},"median_total":${fmt(medTotal)},"sweeps":$sweeps,"gc_sec":${qsJson(gcSecs)},"build_sec":${fmt(buildSec)},"build":${qsJson(buildMap)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -189,6 +194,9 @@ object Bench {
     System.err.println("[memo] key bytes (materialized stats):")
     core.PersistedMemo.report().foreach { case (_, k, b) =>
       System.err.println(f"[memo]   $k%-40s ${b / 1e6}%12.1f MB") }
+    System.err.println("[memo] build seconds (closure + materialization):")
+    buildMap.foreach { case (k, s) =>
+      System.err.println(f"[memo]   $k%-40s ${s}%8.2f s") }
     val rs = spark.sparkContext.getRDDStorageInfo
     System.err.println(f"[memo] storage: ${rs.length} RDDs, " +
       f"mem ${rs.map(_.memSize).sum / 1e9}%.2f GB, disk ${rs.map(_.diskSize).sum / 1e9}%.2f GB")

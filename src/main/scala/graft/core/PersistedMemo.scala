@@ -56,23 +56,65 @@ object PersistedMemo {
     val k = (spark, dir, key)
     val hit = memo.get(k)
     if (hit != null) { lastUsed.put(k, tick.incrementAndGet()); hit }
-    else buildLock.synchronized {
-      val again = memo.get(k)
-      if (again != null) { lastUsed.put(k, tick.incrementAndGet()); again }
-      else {
-        if (hooked.add(spark)) {
-          spark.sparkContext.addSparkListener(new SparkListener {
-            override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
-              evictSession(spark)
-          })
+    else {
+      // (frame, closure seconds if THIS call built it)
+      val (df, builtSec) = buildLock.synchronized {
+        val again = memo.get(k)
+        if (again != null) { lastUsed.put(k, tick.incrementAndGet()); (again, None) }
+        else {
+          if (hooked.add(spark)) {
+            spark.sparkContext.addSparkListener(new SparkListener {
+              override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+                evictSession(spark)
+            })
+          }
+          val t0 = System.nanoTime()
+          buildDepth.set(buildDepth.get + 1)
+          val built =
+            try build.persist()
+            finally buildDepth.set(buildDepth.get - 1)
+          memo.put(k, built)
+          lastUsed.put(k, tick.incrementAndGet())
+          evictLruLocked(spark, dir)
+          (built, Some((System.nanoTime() - t0) / 1e9))
         }
-        val df = build.persist()
-        memo.put(k, df)
-        lastUsed.put(k, tick.incrementAndGet())
-        evictLruLocked(spark, dir)
-        df
       }
+      // Per-entry build accounting (round-7 ask: build_sec was ONE
+      // unbroken number larger than the timed wall, so a regression in
+      // one memo build hid inside it). `persist()` is lazy for plain
+      // entries, so the closure time alone under-reports them; the
+      // builder thread therefore materializes its own entry eagerly —
+      // OUTSIDE buildLock, so concurrent builds of other entries are
+      // not serialized, and only at nesting depth 0 (a nested build's
+      // materialization is charged to the parent closure that consumes
+      // it). First-consumer cost is unchanged: some action was going to
+      // materialize this cache; now it is this timed one.
+      builtSec match {
+        case Some(closureSec) if buildDepth.get == 0 =>
+          val t1 = System.nanoTime()
+          try df.count() catch { case _: Throwable => () }
+          buildSecs.put(k, closureSec + (System.nanoTime() - t1) / 1e9)
+        case Some(closureSec) =>
+          buildSecs.put(k, closureSec)
+        case None => ()
+      }
+      df
     }
+  }
+
+  // per-entry build wall (closure + eager materialization); nesting
+  // depth distinguishes a top-level build from one re-entered by a
+  // parent's closure under buildLock
+  private val buildSecs = new ConcurrentHashMap[(SparkSession, String, String), Double]()
+  private val buildDepth = new ThreadLocal[Int] { override def initialValue(): Int = 0 }
+
+  /** Telemetry: (key, build seconds) per entry built this session,
+    * slowest first — Bench writes this into BENCH_DETAIL so a
+    * regression in one shared build is visible, not smeared into the
+    * single build_sec total. */
+  private[graft] def buildReport(): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.toSeq.map { case ((_, _, key), s) => (key, s) }.sortBy(-_._2)
   }
 
   /** Like [[getOrBuild]], but materializes the entry as a STAGE

@@ -107,18 +107,59 @@ object Similarity extends DetRounding {
     (0 until ProdBands * ProdBandBits).map(p => signVector(s"p$p"))
 
   /** IVF centroids for q41: 16 ±1 vertices; all share norm √64 so
-    * argmax dot ≡ argmax cosine. The CATALOG pins nlist = 16 because
-    * the oracle SQL holds the same centroids as literal rows; the
-    * geometry itself is a runtime knob via [[centroidsFor]] — the
-    * nlist ∝ √N scale rule (SCALE.md "Second scaling point") needs
-    * the cell count to grow with the corpus, and
-    * [[assignCells]]/`Graft.ivfAssign` open it. `centroidsFor(16)`
-    * IS `Cent` (same prefix-seeded sign vectors), so a 16-cell
-    * facade call reproduces every catalog assignment bit-for-bit. */
+    * argmax dot ≡ argmax cosine. The PROBE-PATH catalog queries
+    * (q41/q88/q96 &c., whose cost is cells-probed, not Σ cell²) pin
+    * nlist = 16 with the centroids as literal oracle rows; the
+    * CELL-LOCAL QUADRATICS (q68/q213/q218) derive their cell count
+    * from the corpus via [[sqrtNlist]] — the nlist ∝ √N scale rule
+    * (SCALE.md "Second scaling point") — with the oracle computing the
+    * same count + centroids in SQL ([[sqrtNlistCentsCte]]).
+    * [[assignCells]]/`Graft.ivfAssign` open the knob to any value;
+    * `centroidsFor(16)` IS `Cent` (same prefix-seeded sign vectors),
+    * so a 16-cell facade call reproduces every catalog assignment
+    * bit-for-bit. */
   private val NClusters = 16
   private[graft] def centroidsFor(nlist: Int): IndexedSeq[IndexedSeq[Int]] =
     (0 until nlist).map(j => signVector(s"c$j"))
   private val Cent: IndexedSeq[IndexedSeq[Int]] = centroidsFor(NClusters)
+
+  /** The nlist ∝ √N rule as arithmetic: cell count for a corpus of n
+    * vectors (floor NClusters so tiny test corpora keep probe-path
+    * determinism). With balanced cells every within-cell quadratic
+    * (hubness, SemDeDup pairs, hard-negative mining) costs Σ cell² ≈
+    * n²/nlist = n^1.5 — the FAISS-guideline geometry, executable.
+    * Round-7 finding: the CATALOG's cell-local heavies ran the pinned
+    * nlist = 16 whose Σ cell² grew superlinearly at sf3 (q218
+    * 28.7→47.5 s at 30×); they now derive their geometry from this
+    * rule, and the oracle twin [[sqrtNlistCentsCte]] computes the SAME
+    * count + centroids inside DuckDB, so the contract stays hash-exact
+    * at EVERY scale factor without per-sf SQL. */
+  private[graft] def sqrtNlist(n: Long): Int =
+    math.max(NClusters, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** √N cell count of THIS corpus (count rides the persisted embNorm
+    * entry — one cached-frame count, no extra scan). */
+  private def corpusNlist(spark: SparkSession, dir: String): Int =
+    sqrtNlist(embNorm(spark, dir).count())
+
+  /** DuckDB twin of [[corpusNlist]] + [[centroidsFor]]: `params`
+    * computes nlist = greatest(16, ceil(√count)) and `cents` GENERATES
+    * the md5-parity sign centroids for exactly that many cells —
+    * bit-identical to [[signVector]] (same "c{j}_{i}" strings, same
+    * first-8-hex-chars parity; verified value-equal in SimilaritySpec).
+    * Literal centroid tables ([[signTableSql]]) stay for the
+    * fixed-geometry queries; this CTE is for the √N-geometry ones,
+    * whose cell count is data-dependent. */
+  private val sqrtNlistCentsCte: String =
+    s"""params AS (
+       |  SELECT GREATEST($NClusters, CAST(ceil(sqrt(count(*))) AS INTEGER)) AS nlist
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT j,
+       |         [CAST(CAST(concat('0x', substr(md5(concat('c', CAST(j AS VARCHAR), '_', CAST(i-1 AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS INTEGER) * 2 - 1
+       |          for i in generate_series(1, $Dim)] AS w
+       |  FROM (SELECT unnest(generate_series(0, (SELECT nlist FROM params) - 1)) AS j)
+       |)""".stripMargin
 
   /** Add f64 `v` + L2 `nrm` to any frame carrying an `embedding`
     * column — the scan-speed normalization every vector stage shares.
@@ -892,13 +933,18 @@ object Similarity extends DetRounding {
     * on partial-aggregate order (oracle-parity rule).
     *
     * Scale shape: assignment is the same scan-speed projection as q41
-    * (16 fused dot products per row, no fit, no join), then a
+    * (nlist fused dot products per row, no fit, no join), then a
     * partial+final aggregate to #cells rows and window algebra over
-    * those few cells only. */
+    * those few cells only. Geometry is the √N rule ([[sqrtNlist]]):
+    * this audit EXISTS to validate the partitioning a deployment will
+    * probe, so it must audit the cell count that deployment would
+    * actually run — the pinned-16 audit was measuring a geometry the
+    * scale rule says not to use. */
   private def q68(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val arr = cellScores
+    val nq = corpusNlist(spark, dir)
+    val arr = cellScoresFor(nq)
     val cells = e
       .withColumn("cluster", cellFromScores(arr))
       .withColumn("cos_cent", array_max(arr) / ($"nrm" * math.sqrt(Dim)))
@@ -910,16 +956,14 @@ object Similarity extends DetRounding {
     cells
       .withColumn("share",
         $"n_vecs".cast("double") / sum($"n_vecs").over(Window.partitionBy()))
-      .withColumn("balance", $"share" * NClusters)
+      .withColumn("balance", $"share" * nq)
       .select($"cluster", $"n_vecs", $"share", $"balance",
         $"min_cos_centroid", $"max_cos_centroid")
       .orderBy($"cluster")
   }
 
   private val q68Sql: String =
-    s"""WITH $normsCte, cents AS (
-       |${signTableSql(Cent)}
-       |), scored AS (
+    s"""WITH $normsCte, $sqrtNlistCentsCte, scored AS (
        |  SELECT e.vec_id, e.nrm, c.j,
        |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
        |                         for i in generate_series(1, $Dim)]), 6) AS s
@@ -937,7 +981,8 @@ object Similarity extends DetRounding {
        |)
        |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
        |       CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () AS share,
-       |       CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () * $NClusters AS balance,
+       |       CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER ()
+       |         * (SELECT nlist FROM params) AS balance,
        |       min_cos_centroid, max_cos_centroid
        |FROM cells
        |ORDER BY cluster""".stripMargin
@@ -2163,7 +2208,11 @@ object Similarity extends DetRounding {
     val exclHit = sc.filter($"n_common" * 100 >= $"u" * exclPct)
     val excl = exclHit.select($"doc_a".as("anchor"), $"doc_b".as("vec_id"))
       .unionByName(exclHit.select($"doc_b".as("anchor"), $"doc_a".as("vec_id")))
-    val nb = embNorm(spark, dir).withColumn("cluster", cellCol)
+    // √N geometry (sqrtNlist): negative mining scans the anchor's own
+    // cell, so mean cell size — and with it the per-anchor candidate
+    // volume — must SHRINK as the corpus grows, not sit pinned at N/16
+    val nb = embNorm(spark, dir)
+      .withColumn("cluster", cellFromScores(cellScoresFor(corpusNlist(spark, dir))))
       .select($"vec_id", $"v", $"nrm", $"cluster")
     val anchors = pos.select($"anchor").distinct()
       .join(nb.select($"vec_id".as("anchor"), $"v".as("av"),
@@ -2209,9 +2258,7 @@ object Similarity extends DetRounding {
        |  UNION ALL
        |  SELECT doc_b, doc_a
        |  FROM scoredc WHERE n_common * 100 >= $TripletExclPct * u
-       |), $normsCte, cents AS (
-       |${signTableSql(Cent)}
-       |), cscored AS (
+       |), $normsCte, $sqrtNlistCentsCte, cscored AS (
        |  SELECT e.vec_id, c.j,
        |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
        |                         for i in generate_series(1, $Dim)]), 6) AS s
@@ -2775,11 +2822,14 @@ object Similarity extends DetRounding {
     * (the rank ordering is the 6-dp-rounded cosine + id tiebreak —
     * q29's discipline). Scale: neighbor lists are CELL-LOCAL (the same
     * per-cell window the IVF probe path pays — Σ cellsize², never
-    * corpus²), contraction to the histogram is two hash aggregates,
-    * and the k = 0 bucket densifies via one anti-join. */
+    * corpus²) at the √N geometry ([[sqrtNlist]]), so the quadratic is
+    * ~n^1.5 and the per-corpus ratio stays flat as N grows;
+    * contraction to the histogram is two hash aggregates, and the
+    * k = 0 bucket densifies via one anti-join. */
   private def q218(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nb = embNorm(spark, dir).withColumn("cluster", cellCol)
+    val nb = embNorm(spark, dir)
+      .withColumn("cluster", cellFromScores(cellScoresFor(corpusNlist(spark, dir))))
       .select($"vec_id", $"v", $"nrm", $"cluster")
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val wr = Window.partitionBy($"src")
@@ -2801,9 +2851,7 @@ object Similarity extends DetRounding {
   }
 
   private val q218Sql: String =
-    s"""WITH $normsCte, cents AS (
-       |${signTableSql(Cent)}
-       |), cscored AS (
+    s"""WITH $normsCte, $sqrtNlistCentsCte, cscored AS (
        |  SELECT e.vec_id, c.j,
        |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
        |                         for i in generate_series(1, $Dim)]), 6) AS s

@@ -75,10 +75,13 @@ class IvfSpec extends SparkSpecBase {
           r.getAs[Double]("rnrm"), r.getAs[Double]("nrm")))).toMap
     streamed.keySet shouldBe batchBuilt.keySet
     streamed.foreach { case (id, row) => row shouldBe batchBuilt(id) }
-    // and the cells agree with the catalog's own assignment (q68 report)
+    // and the cells agree with the catalog's 16-cell probe geometry
+    // (indexRows serves q96's pinned-nlist index; q68 now audits the
+    // √N geometry, so it is no longer this index's occupancy report)
     val cellCounts = streamed.values.groupBy(_._1).view.mapValues(_.size).toMap
-    val q68 = SparkEntry.queries("q68_cluster_balance")(spark, sfDir)
-      .select($"cluster", $"n_vecs").as[(Int, Long)].collect().toMap
-    cellCounts.foreach { case (cell, n) => q68(cell) shouldBe n.toLong }
+    val assigned = graft.operators.Similarity.assignCells(
+      graft.sources.Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding"), 16)
+      .groupBy($"cluster").count().as[(Int, Long)].collect().toMap
+    cellCounts.foreach { case (cell, n) => assigned(cell) shouldBe n.toLong }
   }
 }

@@ -122,14 +122,20 @@ class SimilaritySpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q68_cluster_balance")(spark, sfDir)
       .as[(Int, Long, Double, Double, Double, Double)].collect()
     val nVectors = graft.sources.Tables.embeddings(spark, sfDir).count()
-    // every cell reported once; occupancy partitions the corpus exactly
-    rows.map(_._1).sorted.toSeq shouldBe (0 until 16)
+    // √N geometry: the audit runs the cell count the scale rule would
+    // deploy, so the report covers nlist = max(16, ceil(√N)) cells
+    val nlist = graft.operators.Similarity.sqrtNlist(nVectors)
+    nlist shouldBe math.max(16, math.ceil(math.sqrt(nVectors.toDouble)).toInt)
+    // occupied cells only, each reported once, ids inside the geometry;
+    // occupancy partitions the corpus exactly
+    rows.map(_._1).distinct.length shouldBe rows.length
+    all(rows.map(_._1)) should (be >= 0 and be < nlist)
     rows.map(_._2).sum shouldBe nVectors
     rows.map(_._3).sum shouldBe 1.0 +- 1e-9
     rows.foreach { case (_, n, share, balance, minCos, maxCos) =>
       n should be > 0L
       share shouldBe n.toDouble / nVectors
-      balance shouldBe share * 16
+      balance shouldBe share * nlist
       minCos should be <= maxCos
       // cosine-to-centroid is a real cosine (6-dp rounding slack on the
       // projection feeding it)
@@ -414,9 +420,10 @@ class SimilaritySpec extends SparkSpecBase {
         r.getAs[Double]("jaccard")).toMap
     def jac(a: Long, b: Long): Double =
       pairs.getOrElse((math.min(a, b), math.max(a, b)), 0.0)
-    // IVF cells via the shared index-row builder (the one assignment)
-    val cells = graft.operators.Similarity.indexRows(
-        graft.sources.Tables.embeddings(spark, dir))
+    // IVF cells at q213's own √N geometry (the open-nlist assignment)
+    val embTable = graft.sources.Tables.embeddings(spark, dir)
+    val nlist = graft.operators.Similarity.sqrtNlist(embTable.count())
+    val cells = graft.operators.Similarity.assignCells(embTable, nlist)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
