@@ -41,7 +41,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # ScaleUp-generated rehearsal dirs (target/sf1, sf3) hold each
+        # table as a DIRECTORY of part files; driver testdata is one file
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
