@@ -1,0 +1,216 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+
+/** Periodic small-file compaction for a LIVE streaming parquet sink —
+  * the piece round 7's soak measured the absence of: a 200 ms
+  * micro-batch upsert log fragments into ~4,500 files in 15 minutes,
+  * and every COLD read of it (the "/" fallback recompute, the refit
+  * loop's training scan) pays a per-file listing/footer tax that grows
+  * linearly forever (SERVE_SOAK r7: 42 s after 15 min). The reference
+  * never sees this because Cassandra compacts its SSTables behind the
+  * same tables (resources/cassandra/schema.sql); a parquet log needs
+  * the compactor run AS PART OF ingest, not as an offline q173 plan.
+  *
+  * Mechanism — built on the sink's OWN manifest, not directory listing:
+  * `FileStreamSink` records every committed file in
+  * `<dir>/_spark_metadata` (one manifest per micro-batch). Each
+  * [[tick]] reads the manifests past the last folded batch, rewrites
+  * exactly those files into a few large parquet files under
+  * `<compactedDir>/t<batchId>/`, and advances the fold point. [[read]]
+  * then serves the table as
+  *
+  *   compacted tick dirs  ∪  tail files of manifests past the fold
+  *
+  * so a cold reader opens O(ticks + tick-interval/trigger) files
+  * regardless of how long ingest has been running — the raw sink dir is
+  * never read wholesale again (and never mutated: the sink stays sole
+  * owner of its directory and metadata, which is what makes this safe
+  * against exactly-once replay; files a failed task abandoned are in
+  * neither the manifest nor the compacted set, so they stay invisible
+  * here exactly as they are to `spark.read.parquet(sinkDir)`).
+  *
+  * Crash/idempotence: a tick writes its output dir with OVERWRITE
+  * keyed by the batch range's upper id — a re-run of the same range
+  * lands on the same path, so a crash between write and bookkeeping
+  * re-folds into the same dir instead of duplicating rows. Paths
+  * already folded are tracked by name (manifest COMPACT batches re-list
+  * all history; the set keeps a re-listed file from being folded
+  * twice). When tick dirs exceed [[foldThreshold]] they are merged into
+  * one; superseded dirs are deferred for deletion at [[close]] rather
+  * than deleted under a reader that may still hold a frame over them
+  * (the PersistedMemo staged-file lesson).
+  *
+  * Reference: the serving recompute this bounds is the reference's
+  * "GET /" full analysis (Analyzer.scala:93); its storage layer gets
+  * compaction for free from Cassandra, ours is this component. */
+/** `layoutPartitionBy`: partition columns applied AT FOLD TIME — the
+  * write-fast/cluster-later split (the raw sink writes one compact
+  * file per micro-batch; the compaction stage applies the read-
+  * optimized layout, exactly as q164/q173 do for the batch tables).
+  * Per-sensor point reads then prune on the compacted bulk while the
+  * unpartitioned tail stays small enough to scan wholesale. */
+final class EntryLogCompactor(
+    spark: SparkSession,
+    entryDir: String,
+    compactedDir: String,
+    targetFilesPerTick: Int = 2,
+    foldThreshold: Int = 32,
+    layoutPartitionBy: Seq[String] = Nil) {
+
+  private val sinkLog = new FileStreamSinkLog(
+    FileStreamSinkLog.VERSION, spark, s"$entryDir/_spark_metadata", None)
+
+  // all state guarded by `this`: tick() and read() snapshot consistently
+  private var lastFoldedBatch: Long = -1L
+  private val tickDirs = mutable.ArrayBuffer.empty[String]
+  private val foldedPaths = mutable.HashSet.empty[String]
+  private val supersededDirs = mutable.ArrayBuffer.empty[String]
+  /** ticks that actually folded files (telemetry). */
+  val folds = new AtomicLong()
+
+  private def manifestFiles(fromExclusive: Long, toInclusive: Long): Seq[String] =
+    if (toInclusive <= fromExclusive) Seq.empty
+    else sinkLog
+      .get(Some(fromExclusive + 1), Some(toInclusive))
+      .iterator
+      .flatMap(_._2)
+      .filter(_.action == FileStreamSinkLog.ADD_ACTION)
+      .map(_.path)
+      .toSeq
+      // a COMPACT manifest re-lists every file in history: a range
+      // spanning one repeats each earlier in-range file, and passing a
+      // repeated path to spark.read reads it TWICE — distinct is
+      // row-level correctness here, not tidiness
+      .distinct
+
+  private def latestBatch(): Long =
+    sinkLog.getLatest().map(_._1).getOrElse(-1L)
+
+  /** Fold every file committed since the last tick into a few large
+    * parquet files. Cheap when nothing new landed. Returns the number
+    * of small files folded. */
+  def tick(): Int = synchronized {
+    val latest = latestBatch()
+    if (latest <= lastFoldedBatch) return 0
+    val fresh = manifestFiles(lastFoldedBatch, latest)
+      .filterNot(foldedPaths.contains)
+    if (fresh.isEmpty) { lastFoldedBatch = latest; return 0 }
+    val out = s"$compactedDir/t$latest"
+    val folded = spark.read.option("basePath", entryDir).parquet(fresh: _*)
+      .coalesce(targetFilesPerTick)
+    val w = folded.write.mode("overwrite")
+    (if (layoutPartitionBy.nonEmpty) w.partitionBy(layoutPartitionBy: _*) else w)
+      .parquet(out)
+    tickDirs += out
+    foldedPaths ++= fresh
+    lastFoldedBatch = latest
+    folds.incrementAndGet()
+    if (tickDirs.size > foldThreshold) foldUpLocked()
+    fresh.size
+  }
+
+  /** Merge all tick dirs into one (the leveled-compaction step, run
+    * rarely); superseded dirs are deferred to [[close]]. */
+  private def foldUpLocked(): Unit = {
+    val out = s"$compactedDir/t${lastFoldedBatch}_merged"
+    val merged = tickDirs.map(d => spark.read.parquet(d))
+      .reduce(_.unionByName(_))
+      .coalesce(math.max(targetFilesPerTick, 8))
+    val w = merged.write.mode("overwrite")
+    (if (layoutPartitionBy.nonEmpty) w.partitionBy(layoutPartitionBy: _*) else w)
+      .parquet(out)
+    supersededDirs ++= tickDirs
+    tickDirs.clear()
+    tickDirs += out
+  }
+
+  /** The entry table, compaction-aware: compacted dirs ∪ the manifest
+    * tail since the fold point. A cold reader opens O(bounded) files —
+    * this is the read every batch consumer (fallback recompute, refit
+    * training scan) should use instead of `spark.read.parquet(sinkDir)`. */
+  def read(): DataFrame = {
+    val (dirs, tail) = synchronized {
+      // filterNot(foldedPaths): a manifest COMPACT batch re-lists all
+      // history, so a tail drawn from batch ids alone would re-include
+      // files already folded — double-counting every folded row
+      (tickDirs.toSeq,
+        manifestFiles(lastFoldedBatch, latestBatch()).filterNot(foldedPaths.contains))
+    }
+    // nothing folded yet → the manifest tail IS the whole sink; the
+    // metadata-index read of the dir is the same file set without the
+    // per-path planning cost of a giant explicit list
+    if (dirs.isEmpty) spark.read.parquet(entryDir)
+    else {
+      // one read PER tick dir: each dir is its own (possibly
+      // partitioned) table root, and a multi-root read conflicts on
+      // partition discovery; the union is a few dirs wide by design
+      val parts =
+        dirs.map(d => spark.read.parquet(d)) ++
+          (if (tail.nonEmpty)
+             Some(spark.read.option("basePath", entryDir).parquet(tail: _*))
+           else None)
+      parts.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Live small-file count a cold reader of the RAW dir would pay —
+    * telemetry for the soak report. */
+  def rawFileCount(): Long = synchronized {
+    foldedPaths.size +
+      manifestFiles(lastFoldedBatch, latestBatch()).count(!foldedPaths.contains(_))
+  }
+
+  /** Delete dirs superseded by fold-ups (safe once no reader frames are
+    * live — process teardown). */
+  def close(): Unit = synchronized {
+    supersededDirs.foreach { d =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () }
+    }
+    supersededDirs.clear()
+  }
+}
+
+object EntryLogCompactor {
+  /** Start a daemon tick loop — the "background compaction tick" a
+    * deployment wires next to its ingest stream. Returns the compactor
+    * (for [[EntryLogCompactor.read]]) and a stop handle. */
+  def start(
+      spark: SparkSession,
+      entryDir: String,
+      compactedDir: String,
+      intervalMs: Long,
+      initialDelayMs: Long = 0L,
+      pool: String = "background",
+      layoutPartitionBy: Seq[String] = Nil): (EntryLogCompactor, () => Unit) = {
+    val c = new EntryLogCompactor(spark, entryDir, compactedDir,
+      layoutPartitionBy = layoutPartitionBy)
+    @volatile var stopped = false
+    val t = new Thread(() => {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      val t0 = System.currentTimeMillis()
+      while (!stopped && System.currentTimeMillis() - t0 < initialDelayMs)
+        Thread.sleep(100)
+      while (!stopped) {
+        try c.tick()
+        catch { case e: Throwable =>
+          System.err.println(s"[compactor] tick failed: $e") }
+        var left = intervalMs
+        while (left > 0 && !stopped) {
+          val s = math.min(left, 200L); Thread.sleep(s); left -= s
+        }
+      }
+    }, "entry-log-compactor")
+    t.setDaemon(true)
+    t.start()
+    (c, () => { stopped = true; t.join(10000); c.close() })
+  }
+}

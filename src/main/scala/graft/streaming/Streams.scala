@@ -62,13 +62,26 @@ object IngestStream {
     * so a producer redelivering across a query bounce still cannot
     * duplicate a row. `dedupe = false` restores the raw append-only
     * log. */
+  /** `compactLog = true` switches the sink to the COMPACT-LOG shape:
+    * one file per micro-batch (coalesce(1)), no sensor partitioning.
+    * The default (sensor-partitioned, one file per sensor per batch —
+    * the Cassandra partition-key analog) optimizes point reads but
+    * writes #sensors × 5 files/s at the 200 ms tick, which is the
+    * small-file tax [[EntryLogCompactor]] exists to pay down; a
+    * deployment that runs the compactor writes the raw log compact and
+    * lets the COMPACTION STAGE apply the layout (partitionBy at fold
+    * time) — the same write-fast/cluster-later split q164/q173 encode
+    * for the batch tables. coalesce(1) is sized to micro-batch volume
+    * (tens of rows at the reference's cadence); a higher-volume
+    * deployment raises it to hold file sizes near the FS block size. */
   def start(
       source: DataFrame,
       entryDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"),
       dedupe: Boolean = true,
-      horizon: String = "1 hour"): StreamingQuery = {
+      horizon: String = "1 hour",
+      compactLog: Boolean = false): StreamingQuery = {
     val stamped =
       if (source.columns.contains("ts")) source
       else {
@@ -83,8 +96,10 @@ object IngestStream {
       }
     val upserted =
       if (dedupe) DedupStream.dropDuplicateReadings(stamped, horizon) else stamped
-    upserted
+    val shaped0 = upserted
       .select("sensor", "ts", "value", "anomaly")
+    val shaped = if (compactLog) shaped0.coalesce(1) else shaped0
+    val writer = shaped
       // named per-batch metrics on the PIPELINE's own rows (Spark's
       // observe API): row count, distinct sensors, anomaly count —
       // surfaced through QueryProgressEvent.observedMetrics, the hook a
@@ -98,7 +113,9 @@ object IngestStream {
       .format("parquet")
       .option("path", entryDir)
       .option("checkpointLocation", checkpointDir)
-      .partitionBy("sensor")
+
+    val laidOut = if (compactLog) writer else writer.partitionBy("sensor")
+    laidOut
       .trigger(trigger)
       .start()
   }
@@ -193,13 +210,22 @@ object AnalysisStream {
     * batch re-merges identical rows, and MERGE by key is content-
     * idempotent (TxLogSpec); a re-analysis of the same (sensor, ts)
     * snapshot is last-write-wins, exactly the CQL semantics. */
+  /** `updateSnapshot = false` runs this as the HISTORY stream of a
+    * two-stream topology — the reference's own split (Redis fast path
+    * via [[start]], Cassandra history via HistoryWriter): the fast
+    * stream owns the serving snapshot at its tighter cadence, and this
+    * stream owns the transactional record; letting both write the
+    * store would let the slower stream briefly regress a sensor to an
+    * older meta (ConcurrentHashMap.put is last-writer-wins, not
+    * max-ts-wins). */
   def startTx(
       entryStream: Dataset[Entry],
       analysisTable: String,
       checkpointDir: String,
       recentN: Int = 200,
       scorer: String => Option[Double => Double] = _ => None,
-      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"),
+      updateSnapshot: Boolean = true): StreamingQuery = {
     val spark = entryStream.sparkSession
     import spark.implicits._
     entryStream
@@ -216,7 +242,7 @@ object AnalysisStream {
         if (metas.nonEmpty) {
           graft.sources.TxLog.upsert(spark, analysisTable,
             spark.createDataset(metas).toDF(), Seq("name", "ts"))
-          SnapshotStore.update(metas)
+          if (updateSnapshot) SnapshotStore.update(metas)
         }
       }
       .trigger(trigger)
