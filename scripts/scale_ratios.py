@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
-"""Compare two BENCH_DETAIL-format runs and print per-query scaling ratios.
+"""Compare BENCH_DETAIL-format runs and print per-query scaling ratios.
 
-Usage: python3 scripts/scale_ratios.py <base.json> <scaled.json> [threshold]
+Two-point usage:
+    python3 scripts/scale_ratios.py <base.json> <scaled.json> [threshold]
+Three-point usage (sf0.1 / sf1 / sf3 — prints a combined table with
+both ratios so the 10x AND 30x stories reproduce from committed files):
+    python3 scripts/scale_ratios.py --three <sf0.1.json> <sf1.json> <sf3.json> [thr10] [thr30]
 
 Prints queries sorted by ratio (scaled/base), flagging those above
 `threshold` (default 12 — a 10x corpus with ~linear operators should
@@ -43,6 +47,40 @@ def main(base_p, scaled_p, thr=12.0):
     over = [q for q, b, s, r in big if r > thr]
     print(f"\nabove {thr}x (base >= 0.2s): {over if over else 'none'}")
 
+def main3(p01, p1, p3, thr10=12.0, thr30=36.0):
+    b, m, t = load(p01), load(p1), load(p3)
+    common = sorted(set(b) & set(m) & set(t))
+    rows = [(q, b[q], m[q], t[q],
+             m[q] / b[q] if b[q] > 0 else float("inf"),
+             t[q] / b[q] if b[q] > 0 else float("inf"))
+            for q in common if b[q] >= 0 and m[q] >= 0 and t[q] >= 0]
+    big = [r for r in rows if r[1] >= 0.2]
+    small = [r for r in rows if r[1] < 0.2]
+    big.sort(key=lambda r: -r[5])
+    print(f"{'query':42s} {'sf0.1':>8s} {'sf1':>8s} {'sf3':>8s} {'10x':>7s} {'30x':>7s}")
+    for q, x, y, z, r10, r30 in big:
+        flags = []
+        if r10 > thr10: flags.append(f"10x>{thr10:.0f}")
+        if r30 > thr30: flags.append(f"30x>{thr30:.0f}")
+        flag = ("  <-- " + ",".join(flags)) if flags else ""
+        print(f"{q:42s} {x:8.3f} {y:8.3f} {z:8.3f} {r10:6.1f}x {r30:6.1f}x{flag}")
+    tb, tm, tt = (sum(r[i] for r in rows) for i in (1, 2, 3))
+    print(f"\ntotals: sf0.1 {tb:.1f}s  sf1 {tm:.1f}s ({tm/tb:.2f}x)  "
+          f"sf3 {tt:.1f}s ({tt/tb:.2f}x) over {len(rows)} queries")
+    if small:
+        sb, sm_, st = (sum(r[i] for r in small) for i in (1, 2, 3))
+        print(f"sub-0.2s-base rows ({len(small)}): sf0.1 {sb:.1f}s -> sf1 {sm_:.1f}s "
+              f"-> sf3 {st:.1f}s (noise-dominated)")
+    over10 = [q for q, x, y, z, r10, r30 in big if r10 > thr10]
+    over30 = [q for q, x, y, z, r10, r30 in big if r30 > thr30]
+    print(f"\nabove {thr10}x at 10x (base >= 0.2s): {over10 if over10 else 'none'}")
+    print(f"above {thr30}x at 30x (base >= 0.2s): {over30 if over30 else 'none'}")
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         float(sys.argv[3]) if len(sys.argv) > 3 else 12.0)
+    if sys.argv[1] == "--three":
+        main3(sys.argv[2], sys.argv[3], sys.argv[4],
+              float(sys.argv[5]) if len(sys.argv) > 5 else 12.0,
+              float(sys.argv[6]) if len(sys.argv) > 6 else 36.0)
+    else:
+        main(sys.argv[1], sys.argv[2],
+             float(sys.argv[3]) if len(sys.argv) > 3 else 12.0)
