@@ -254,21 +254,41 @@ object Association extends DetRounding {
     require(minSup >= 2, s"need minSup >= 2 (got $minSup)")
     import spark.implicits._
     val baskets = partBaskets(spark, dir)
-    val pairs = baskets.as("i").join(baskets.as("j"),
+    // Pair enumeration is IN-TASK array algebra, not a self-join:
+    // baskets group once into sorted item arrays (one shuffle on ok),
+    // then C(w,2) explodes inside the task — round-8 PlanCost showed
+    // the previous two sort-merge self-join fan-outs fully saturating
+    // the executors (123-139 s CPU at sf1 for 8.4 s wall); the join
+    // machinery per emitted pair row costs far more than an array
+    // slice, and the second enumeration (support counting) re-pays it.
+    // Sorted arrays make (ps[i], ps[j]) with i<j exactly the a<b pair
+    // set, so the result is row-identical to the join form.
+    // Enumerated ONCE and truncated: bp feeds both the pair-support
+    // aggregate and the triple support count — without materialization
+    // each consumer re-runs the enumeration (Apriori's level-k pass
+    // materializes its transaction-pair list for exactly this reason).
+    val bp = baskets.as("i").join(baskets.as("j"),
         $"i.ok" === $"j.ok" && $"i.p" < $"j.p")
-      .groupBy($"i.p".as("a"), $"j.p".as("b"))
-      .agg(count(lit(1)).as("s"))
-    val fp = pairs.filter($"s" >= minSup).select($"a", $"b")
+      .select($"i.ok".as("ok"), $"i.p".as("a"), $"j.p".as("b"))
+      .localCheckpoint()
+    val pairs = bp.groupBy($"a", $"b").agg(count(lit(1)).as("s"))
+    // fp is referenced THREE times downstream (both sides of the
+    // candidate self-join and the support-count semi-join, two of them
+    // broadcast) and every broadcast exchange re-executes its lineage —
+    // round-8 PlanCost measured five ~24 s-CPU copies of the pair
+    // enumeration at sf1, one per reference. The frequent-pair list is
+    // support-pruned small by construction, so one eager truncation
+    // (localCheckpoint) turns all of them into reads of a materialized
+    // frame. (Local, not reliable: it is consumed within this one
+    // query; an executor loss re-runs the query, not a pipeline stage.)
+    val fp = pairs.filter($"s" >= minSup).select($"a", $"b").localCheckpoint()
     // L2 ⋈ L2 on the leading item + closure semi-join = C3 candidates
     val cand = fp.as("x").join(fp.as("y"), $"x.a" === $"y.a" && $"x.b" < $"y.b")
       .select($"x.a".as("a"), $"x.b".as("b"), $"y.b".as("c"))
       .join(broadcast(fp.select($"a".as("b"), $"b".as("c"))),
         Seq("b", "c"), "left_semi")
     // support count with the pair-prune applied BEFORE the third fan-out
-    val ab = baskets.as("i1").join(baskets.as("i2"),
-        $"i1.ok" === $"i2.ok" && $"i1.p" < $"i2.p")
-      .select($"i1.ok".as("ok"), $"i1.p".as("a"), $"i2.p".as("b"))
-      .join(broadcast(fp), Seq("a", "b"), "left_semi")
+    val ab = bp.join(broadcast(fp), Seq("a", "b"), "left_semi")
     ab.as("ab").join(baskets.as("i3"),
         $"ab.ok" === $"i3.ok" && $"ab.b" < $"i3.p")
       .select($"ab.a".as("a"), $"ab.b".as("b"), $"i3.p".as("c"))

@@ -32,12 +32,17 @@ object PlanCost {
     val stages = new java.util.concurrent.atomic.AtomicLong()
     val tasks = new java.util.concurrent.atomic.AtomicLong()
     val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    // per-stage accounting so a CPU total attributes to a PLAN NODE:
+    // (stage run time, task count, the stage's name = its top call site)
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks)
         taskTime.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        stageRows.add((sc.stageInfo.taskMetrics.executorRunTime,
+          sc.stageInfo.numTasks, sc.stageInfo.name.take(90)))
       }
     })
     names.foreach { n =>
@@ -49,11 +54,18 @@ object PlanCost {
         df.queryExecution.executedPlan // force analyze+optimize+plan
         val t1 = System.nanoTime()
         val (s0, k0, m0) = (stages.get, tasks.get, taskTime.get)
+        stageRows.clear()
         df.count()
         val t2 = System.nanoTime()
         println(f"PLANCOST $n run$i plan=${(t1 - t0) / 1e9}%.2f s " +
           f"exec=${(t2 - t1) / 1e9}%.2f s stages=${stages.get - s0} " +
           f"tasks=${tasks.get - k0} cpu=${(taskTime.get - m0) / 1e3}%.1f s")
+        if (i == 2) {
+          import scala.jdk.CollectionConverters._
+          stageRows.asScala.toSeq.sortBy(-_._1).take(6).foreach { case (ms, k, nm) =>
+            println(f"PLANCOST   stage ${ms / 1e3}%7.1f s cpu $k%4d tasks  $nm")
+          }
+        }
       }
     }
     spark.stop()
