@@ -160,8 +160,17 @@ object Bench {
     // separator under e.g. de_DE, which is invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // keys must be JSON-escaped: memo keys carry arbitrary bytes (the
+    // bm25 per-term-set keys join terms with NUL separators), and one
+    // raw control char invalidates the whole detail file
+    def jkey(k: String): String = "\"" + k.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def qsJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      rs.map { case (k, v) => jkey(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.mkString("[", ",", "]")
     // The harness keeps only the last ~2000 chars of stdout and parses a
