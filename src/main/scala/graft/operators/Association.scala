@@ -182,11 +182,24 @@ object Association extends DetRounding {
     require(topK > 0, s"need topK > 0 (got $topK)")
     import spark.implicits._
     val baskets = partBaskets(spark, dir)
-    val freq = baskets.groupBy($"p").agg(count(lit(1)).as("n"))
-    val sym = baskets.as("a")
-      .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" =!= $"b.p")
+    // freq is consumed by TWO broadcasts below and a broadcast exchange
+    // re-executes its lineage per reference (the q180 finding) — one
+    // eager truncation makes both reads of a materialized #parts-row frame
+    val freq = baskets.groupBy($"p").agg(count(lit(1)).as("n")).localCheckpoint()
+    // Enumerate each unordered pair ONCE (a.p < b.p — half the join
+    // fan-out and half the pre-aggregate volume of the =!= both-orders
+    // form), aggregate, then mirror the AGGREGATED frame: co(a,b) is
+    // symmetric, so the union touches #distinct-pairs rows, not the
+    // basket fan-out. The old both-orders rationale warned against
+    // unioning the UNAGGREGATED subtree (which re-executes it); the
+    // truncation makes the mirrored half a read, closing that loophole.
+    val half = baskets.as("a")
+      .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
       .groupBy($"a.p".as("part"), $"b.p".as("other"))
       .agg(count(lit(1)).as("co"))
+      .localCheckpoint()
+    val sym = half.unionByName(
+      half.select($"other".as("part"), $"part".as("other"), $"co"))
     val w = Window.partitionBy($"part").orderBy($"cosine".desc, $"other")
     sym
       .join(broadcast(freq.select($"p".as("part"), $"n".as("na"))), Seq("part"))
