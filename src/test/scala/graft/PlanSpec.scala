@@ -575,14 +575,17 @@ class PlanSpec extends SparkSpecBase {
     p should include("partial_max") // per-user conversion combines map-side
   }
 
-  test("q140: part baskets persist once; top-5 ranks limit before the shuffle") {
+  test("q140: hub frames are truncated leaves; top-5 ranks limit before the shuffle") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q140_item_similarity")
-    // every consumer (both self-join sides + the two frequency
-    // broadcasts) reads the persisted basket table — ONE real scan
-    p should include("InMemoryTableScan")
-    p.linesIterator.count(_.trim.startsWith("Location:")) shouldBe 1
-    // pair generation is an equi-join on orderkey (per-basket quadratic)
+    // round-8 shape: the half-pair aggregate and the frequency table
+    // are eagerly TRUNCATED (localCheckpoint) because each is consumed
+    // more than once and a broadcast exchange re-executes lineage per
+    // reference — so the final plan reads materialized leaves, pays no
+    // parquet scan, and the mirrored union is over the small aggregate
+    p should include("Scan ExistingRDD")
+    p.linesIterator.count(_.trim.startsWith("Location:")) shouldBe 0
+    // joins stay broadcast-hash over the leaves — no quadratic shapes
     (p should not).include("CartesianProduct")
     (p should not).include("SortMergeJoin")
     // frequencies broadcast; rank-5 prunes map-side BEFORE the part
