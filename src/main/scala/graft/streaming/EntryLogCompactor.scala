@@ -74,6 +74,67 @@ final class EntryLogCompactor(
   /** ticks that actually folded files (telemetry). */
   val folds = new AtomicLong()
 
+  // ---- restart persistence: a serving process restarts, and a fresh
+  // compactor with empty state would re-fold the ENTIRE history into
+  // one dir (correct but O(all data)) while the previous instance's
+  // tick dirs leak unread on disk. State (fold point, folded paths,
+  // live tick dirs) is therefore journaled to a marker file after each
+  // mutation — written to a temp name and renamed, so a crash mid-write
+  // leaves the previous intact state, and a stale marker only costs
+  // re-folding the unrecorded suffix into an idempotent t<batch> path.
+  private val stateFile = s"$compactedDir/_compactor_state"
+
+  private def saveStateLocked(): Unit =
+    try {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val json =
+        s"""{"lastFoldedBatch":$lastFoldedBatch,""" +
+          s""""tickDirs":[${tickDirs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
+          s""""foldedPaths":[${foldedPaths.toSeq.sorted.map(p => "\"" + esc(p) + "\"").mkString(",")}]}"""
+      val dir = java.nio.file.Paths.get(compactedDir)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Paths.get(stateFile + ".tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      System.err.println(s"[compactor] state save failed (will re-fold on restart): $e")
+    }
+
+  private def loadState(): Unit =
+    try {
+      val p = java.nio.file.Paths.get(stateFile)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.readString(p)
+        // flat known-shape parse (no JSON lib on the engine classpath):
+        // one long field + two string arrays whose elements we wrote
+        // ourselves with \-escaping
+        def arr(field: String): Seq[String] = {
+          val m = java.util.regex.Pattern
+            .compile("\"" + field + "\":\\[(.*?)\\]", java.util.regex.Pattern.DOTALL)
+            .matcher(s)
+          if (!m.find() || m.group(1).isEmpty) Seq.empty
+          else m.group(1).split("\",\"").toSeq
+            .map(_.stripPrefix("\"").stripSuffix("\"")
+              .replace("\\\"", "\"").replace("\\\\", "\\"))
+        }
+        val lb = java.util.regex.Pattern.compile("\"lastFoldedBatch\":(-?\\d+)").matcher(s)
+        if (lb.find()) lastFoldedBatch = lb.group(1).toLong
+        // resume only tick dirs that still exist (a crash between a
+        // fold-up's delete and the state write would otherwise resurrect
+        // a superseded dir)
+        tickDirs ++= arr("tickDirs").filter(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+        foldedPaths ++= arr("foldedPaths")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[compactor] state load failed (cold start): $e")
+      lastFoldedBatch = -1L; tickDirs.clear(); foldedPaths.clear()
+    }
+
+  loadState()
+
   private def manifestFiles(fromExclusive: Long, toInclusive: Long): Seq[String] =
     if (toInclusive <= fromExclusive) Seq.empty
     else sinkLog
@@ -100,7 +161,7 @@ final class EntryLogCompactor(
     if (latest <= lastFoldedBatch) return 0
     val fresh = manifestFiles(lastFoldedBatch, latest)
       .filterNot(foldedPaths.contains)
-    if (fresh.isEmpty) { lastFoldedBatch = latest; return 0 }
+    if (fresh.isEmpty) { lastFoldedBatch = latest; saveStateLocked(); return 0 }
     val out = s"$compactedDir/t$latest"
     val folded = spark.read.option("basePath", entryDir).parquet(fresh: _*)
       .coalesce(targetFilesPerTick)
@@ -112,6 +173,7 @@ final class EntryLogCompactor(
     lastFoldedBatch = latest
     folds.incrementAndGet()
     if (tickDirs.size > foldThreshold) foldUpLocked()
+    saveStateLocked()
     fresh.size
   }
 

@@ -90,6 +90,43 @@ class CompactorSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("a restarted compactor resumes from the state marker instead of re-folding history") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[MqttEntry]
+    val entryDir = tmp("graft-rentry")
+    val compDir = tmp("graft-rcomp")
+    val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-rckpt"),
+      Trigger.ProcessingTime(0))
+    (1 to 4).foreach { b =>
+      source.addData((1 to 8).map(i => MqttEntry(s"s${i % 2}", b * 10.0 + i, 0)): _*)
+      q.processAllAvailable()
+    }
+    val c1 = new EntryLogCompactor(spark, entryDir, compDir)
+    val folded1 = c1.tick()
+    folded1 should be > 0
+    val dirsAfterFirst = new java.io.File(compDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // process restart: a NEW instance over the same dirs
+    (5 to 6).foreach { b =>
+      source.addData((1 to 8).map(i => MqttEntry(s"s${i % 2}", b * 10.0 + i, 0)): _*)
+      q.processAllAvailable()
+    }
+    val c2 = new EntryLogCompactor(spark, entryDir, compDir)
+    // resumed state: only the post-restart batches fold (a cold instance
+    // would re-fold all 6 batches' files)
+    val folded2 = c2.tick()
+    folded2 should be > 0
+    // 2 post-restart batches fold fewer files than the 4 pre-restart
+    // ones did — a cold instance would have re-folded all 6 batches
+    folded2 should be < folded1
+    // content identical to the raw sink, old tick dir still served
+    rowSet(c2.read()) shouldBe rowSet(spark.read.parquet(entryDir))
+    val dirsAfterSecond = new java.io.File(compDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    dirsAfterFirst.subsetOf(dirsAfterSecond) shouldBe true
+    q.stop()
+  }
+
   test("a re-run tick of the same range is idempotent (overwrite keyed by batch id)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[MqttEntry]
