@@ -60,6 +60,13 @@ object Graft {
   def ivfAssign(df: org.apache.spark.sql.DataFrame, nlist: Int): org.apache.spark.sql.DataFrame =
     operators.Similarity.assignCells(df, nlist)
 
+  /** The nlist ∝ √N rule as arithmetic — the cell count to pass
+    * [[ivfAssign]]/[[vectorSearch]] for a corpus of n vectors (floored
+    * at the catalog's 16). The catalog's own cell-local quadratics
+    * (q68/q213/q218) derive their geometry from this rule, oracle-
+    * gated at every tested scale factor. */
+  def sqrtNlist(n: Long): Int = operators.Similarity.sqrtNlist(n)
+
   /** Retrieval evaluation (MRR + binary NDCG@10 against the corpus's
     * own near-dup pseudo-qrels) with the candidate scope open:
     * `probes = 0` ranks the full corpus per anchor (q217's

@@ -26,6 +26,19 @@ class ApiSpec extends SparkSpecBase {
     adhoc.head.getAs[Double]("score") should be > 0.0
   }
 
+  test("sqrtNlist pins the scale rule: 16 floor, ceil(sqrt) growth, q68 geometry") {
+    Graft.sqrtNlist(100) shouldBe 16
+    Graft.sqrtNlist(256) shouldBe 16
+    Graft.sqrtNlist(500) shouldBe 23
+    Graft.sqrtNlist(2000) shouldBe 45
+    Graft.sqrtNlist(20000) shouldBe 142
+    // the catalog's √N-geometry audit runs exactly this cell count
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val cells = SparkEntry.queries("q68_cluster_balance")(spark, dir)
+      .select("cluster").as[Int].collect()
+    all(cells) should be < Graft.sqrtNlist(n)
+  }
+
   test("retrievalEval(probes=0) equals q217; probes=2 equals q220; probes=16 closes the gap to brute") {
     rows(Graft.retrievalEval(spark, dir, probes = 0)) shouldBe
       rows(SparkEntry.queries("q217_retrieval_eval")(spark, dir))
