@@ -208,7 +208,8 @@ object Bench {
       System.err.println(f"[memo]   $k%-40s ${s}%8.2f s") }
     val rs = spark.sparkContext.getRDDStorageInfo
     System.err.println(f"[memo] storage: ${rs.length} RDDs, " +
-      f"mem ${rs.map(_.memSize).sum / 1e9}%.2f GB, disk ${rs.map(_.diskSize).sum / 1e9}%.2f GB")
+      f"mem ${rs.map(_.memSize).sum / 1e9}%.2f GB, disk ${rs.map(_.diskSize).sum / 1e9}%.2f GB, " +
+      s"deferred staged files ${core.PersistedMemo.deferredCount()}")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"sweeps":$sweeps,"median_total":${fmt(medTotal)},"build_sec":${fmt(buildSec)},"failed":$failedJson,"queries":${qsJson(slowest)},"detail_file":"BENCH_DETAIL.json"}""")
     core.PersistedMemo.clearAll()
