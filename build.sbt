@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the logger prefixes every stdout
+// line with "[info] ", and the bench driver json-parses raw stdout
+// lines — a prefixed JSON line never parses (rounds 1-8 all graded
+// from the tail text because of this).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -191,7 +191,11 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(detail)
+    // detail goes to the FILE and stderr only: stdout must hold nothing
+    // but the compact line below, so the driver's last-2KB tail parse
+    // always lands on one clean JSON line (build.sbt's StdoutOutput
+    // strategy keeps sbt from prefixing it with "[info] ")
+    System.err.println(detail)
     // The compact line keeps the driver-contract "queries" key but holds
     // only the slowest 12 (the regression-relevant rows): 162 entries are
     // ~6 KB and would push the line out of the harness's ~2000-char

@@ -191,14 +191,29 @@ object PersistedMemo {
   // NOT unbounded (round-7 advisory: a session cycling staged keys
   // without ever calling release would otherwise accumulate rdd-* dirs
   // monotonically): each deferred entry carries a WeakReference to the
-  // evicted frame, and [[sweepDeferredLocked]] — run on every locked
-  // build and every drop — deletes the files of entries whose frame has
-  // become weakly unreachable (no caller can run it again, so its files
-  // are dead). Files stay only while some caller still strongly holds
-  // the evicted frame, which is exactly when deletion would corrupt it.
+  // CHECKPOINTED RDD under the evicted frame's LogicalRDD leaf — not to
+  // the Dataset wrapper (round-8 advisory: a caller holding only a
+  // DERIVED frame, e.g. staged.filter(...).join(...), references that
+  // RDD through its plan but not the wrapper object, so a wrapper-keyed
+  // weak ref could clear while a derived plan is still runnable and the
+  // sweep would delete files under it). Any plan that can still read
+  // the files strongly holds that RDD, so its weak-unreachability
+  // exactly implies the files are dead. [[sweepDeferredLocked]] — run
+  // on every locked build and every drop — deletes the files of entries
+  // whose referent has become weakly unreachable.
   private val deferredFiles = new ConcurrentHashMap[
     (SparkSession, String),
-    Vector[(java.lang.ref.WeakReference[DataFrame], Seq[String])]]()
+    Vector[(java.lang.ref.WeakReference[AnyRef], Seq[String])]]()
+
+  /** The liveness referent for a staged frame's deferred files: the
+    * checkpointed RDD under its LogicalRDD leaf (held by EVERY plan —
+    * original or derived — that can still read the files). Falls back
+    * to the frame itself if the leaf can't be located (never null, so
+    * the weak ref stays meaningful). */
+  private def stagedReferent(df: DataFrame): AnyRef =
+    (try df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd: AnyRef
+    } catch { case _: Throwable => None }).getOrElse(df)
 
   /** Delete a checkpoint path through the Hadoop FileSystem API so
     * reclamation works for any configured checkpoint filesystem —
@@ -229,7 +244,8 @@ object PersistedMemo {
           val df = memo.remove(k)
           lastUsed.remove(k)
           Option(stagedFiles.remove(k)).foreach { fs =>
-            val entry = Vector((new java.lang.ref.WeakReference(df), fs))
+            val entry = Vector(
+              (new java.lang.ref.WeakReference(stagedReferent(df)), fs))
             deferredFiles.merge((k._1, k._2), entry, (a, b) => a ++ b)
           }
           if (df != null) try df.unpersist(false) catch { case _: Throwable => () }

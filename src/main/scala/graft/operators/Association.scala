@@ -267,19 +267,13 @@ object Association extends DetRounding {
     require(minSup >= 2, s"need minSup >= 2 (got $minSup)")
     import spark.implicits._
     val baskets = partBaskets(spark, dir)
-    // Pair enumeration is IN-TASK array algebra, not a self-join:
-    // baskets group once into sorted item arrays (one shuffle on ok),
-    // then C(w,2) explodes inside the task — round-8 PlanCost showed
-    // the previous two sort-merge self-join fan-outs fully saturating
-    // the executors (123-139 s CPU at sf1 for 8.4 s wall); the join
-    // machinery per emitted pair row costs far more than an array
-    // slice, and the second enumeration (support counting) re-pays it.
-    // Sorted arrays make (ps[i], ps[j]) with i<j exactly the a<b pair
-    // set, so the result is row-identical to the join form.
-    // Enumerated ONCE and truncated: bp feeds both the pair-support
-    // aggregate and the triple support count — without materialization
-    // each consumer re-runs the enumeration (Apriori's level-k pass
-    // materializes its transaction-pair list for exactly this reason).
+    // Pair enumeration, run ONCE and truncated: bp feeds both the
+    // pair-support aggregate and the triple support count, and without
+    // the localCheckpoint each consumer re-runs the enumeration —
+    // round-8 PlanCost attributed five ~24 s-CPU copies of it at sf1
+    // to the broadcast exchanges re-executing their subtree lineage
+    // per reference (Apriori's level-k pass materializes its
+    // transaction-pair list for exactly this reason).
     val bp = baskets.as("i").join(baskets.as("j"),
         $"i.ok" === $"j.ok" && $"i.p" < $"j.p")
       .select($"i.ok".as("ok"), $"i.p".as("a"), $"j.p".as("b"))

@@ -494,7 +494,13 @@ object ServeSoak {
     // the snapshot must be byte-stable across it, and the live file
     // count must be bounded by the compact cadence, not the commit count
     import graft.sources.TxLog
-    val txDataDirs = new java.io.File(analysisTable).listFiles()
+    // a short/degenerate run in which the history stream never committed
+    // must die with a diagnostic, not an NPE from listFiles()/history().last
+    require(TxLog.exists(analysisTable),
+      s"history stream never committed a TxLog version under $analysisTable " +
+        "— soak too short or the history stream failed; see stream logs above")
+    val txDataDirs = Option(new java.io.File(analysisTable).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("data-"))
       .map(_.getName).toSet
     val txReferenced = TxLog.referencedDirs(analysisTable)

@@ -154,6 +154,45 @@ class MemoSpec extends SparkSpecBase {
     PersistedMemo.release(spark, d)
   }
 
+  test("a derived frame alone keeps an evicted staged entry's files alive") {
+    // round-8 advisory: the deferred sweep used to weak-reference the
+    // Dataset WRAPPER — but a caller holding only a DERIVED frame
+    // (staged.filter(...)) references the checkpointed RDD through its
+    // plan, not the wrapper, so the wrapper could be collected and the
+    // sweep would delete the files under the still-runnable derived
+    // plan. The referent is now the checkpointed RDD itself, which any
+    // derived plan strongly holds.
+    val d = "/tmp/memospec-derivedpin"
+    val cap = PersistedMemo.MaxEntriesPerDataset
+    def stageDerived(): (org.apache.spark.sql.DataFrame, Option[String]) = {
+      val staged = PersistedMemo.getOrBuildStage(spark, d, "s0")(
+        spark.range(30).toDF("id"))
+      val ckpt = staged.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+      // only the DERIVED frame escapes this method frame; the wrapper
+      // `staged` becomes unreachable when it returns
+      (staged.filter("id >= 10").selectExpr("id + 1 AS id2"), ckpt)
+    }
+    val (derived, ckpt) = stageDerived()
+    ckpt.isDefined shouldBe true
+    val path = new org.apache.hadoop.fs.Path(ckpt.get)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overflow the cap so s0 is LRU-evicted (defers its files)
+    (1 to cap).foreach(i =>
+      PersistedMemo.getOrBuild(spark, d, s"pk$i")(spark.range(10).toDF("id")))
+    // push GC + sweeps hard: with the wrapper collected, only the
+    // RDD-keyed weak ref keeps the files from being deleted here
+    (1 to 10).foreach { i =>
+      System.gc(); Thread.sleep(20)
+      PersistedMemo.getOrBuild(spark, d, s"psweep$i")(spark.range(5).toDF("id"))
+    }
+    fs.exists(path) shouldBe true // files survived every sweep...
+    derived.count() shouldBe 20 // ...and the derived plan still runs
+    PersistedMemo.release(spark, d)
+    fs.exists(path) shouldBe false
+  }
+
   test("release reclaims only positively-owned checkpoint files") {
     // round-6 advisory: attribution by before/after directory diff also
     // claimed checkpoints written concurrently by USER code during the
