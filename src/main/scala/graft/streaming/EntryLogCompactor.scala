@@ -42,9 +42,26 @@ import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
   * already folded are tracked by name (manifest COMPACT batches re-list
   * all history; the set keeps a re-listed file from being folded
   * twice). When tick dirs exceed [[foldThreshold]] they are merged into
-  * one; superseded dirs are deferred for deletion at [[close]] rather
-  * than deleted under a reader that may still hold a frame over them
-  * (the PersistedMemo staged-file lesson).
+  * one.
+  *
+  * Locking (round-8 advisory): the instance monitor guards ONLY the
+  * state maps and is held for microseconds; the Spark fold/merge writes
+  * run under a separate [[tickLock]] that [[read]] never takes, so the
+  * serving path is never blocked behind a multi-second parquet write.
+  *
+  * Superseded-dir reclamation (round-8 advisory, twice over): a fold-up
+  * must not delete the dirs it supersedes while a reader still holds a
+  * frame over them, but deferring ALL reclamation to [[close]] let a
+  * long-lived serving process accumulate every superseded generation on
+  * disk (and a crash leaked them permanently — the in-memory buffer was
+  * the only record). Now each [[read]] registers a WeakReference to the
+  * returned frame's logical plan — the object every derived plan
+  * strongly holds — tagged with the tick dirs it draws from; a fold-up
+  * pins its superseded dirs on exactly the still-reachable readers that
+  * referenced them, and the per-tick sweep deletes a generation the
+  * moment its last pinning reader becomes weakly unreachable. The dirs
+  * are also journaled in the state marker, so a restart (which no frame
+  * survives) reclaims them immediately in [[loadState]].
   *
   * Reference: the serving recompute this bounds is the reference's
   * "GET /" full analysis (Analyzer.scala:93); its storage layer gets
@@ -66,31 +83,51 @@ final class EntryLogCompactor(
   private val sinkLog = new FileStreamSinkLog(
     FileStreamSinkLog.VERSION, spark, s"$entryDir/_spark_metadata", None)
 
-  // all state guarded by `this`: tick() and read() snapshot consistently
+  // serializes tick()/fold-up work (one folder at a time); NEVER taken
+  // by read(), so a fold write cannot stall the serving path
+  private val tickLock = new Object
+
+  // ---- state guarded by `this` (held briefly; no Spark I/O under it)
   private var lastFoldedBatch: Long = -1L
   private val tickDirs = mutable.ArrayBuffer.empty[String]
   private val foldedPaths = mutable.HashSet.empty[String]
-  private val supersededDirs = mutable.ArrayBuffer.empty[String]
+  // (reader plan weak-ref, tick dirs that reader draws from): a read()
+  // frame — or anything derived from it — strongly holds its logical
+  // plan, so weak-unreachability of the plan implies no caller can run
+  // a query over those dirs again
+  private val liveReaders =
+    mutable.ArrayBuffer.empty[(java.lang.ref.WeakReference[AnyRef], Set[String])]
+  // dirs superseded by a fold-up, each pinned by the readers that were
+  // still reachable at fold time and referenced it; swept per tick
+  private val deferredDirs = mutable.ArrayBuffer
+    .empty[(String, Vector[java.lang.ref.WeakReference[AnyRef]])]
   /** ticks that actually folded files (telemetry). */
   val folds = new AtomicLong()
+  /** fold-up merges of tick dirs past the threshold (telemetry). */
+  val foldUps = new AtomicLong()
+  /** superseded dirs reclaimed while the process lives (telemetry). */
+  val reclaimedDirs = new AtomicLong()
 
   // ---- restart persistence: a serving process restarts, and a fresh
   // compactor with empty state would re-fold the ENTIRE history into
   // one dir (correct but O(all data)) while the previous instance's
   // tick dirs leak unread on disk. State (fold point, folded paths,
-  // live tick dirs) is therefore journaled to a marker file after each
-  // mutation — written to a temp name and renamed, so a crash mid-write
-  // leaves the previous intact state, and a stale marker only costs
-  // re-folding the unrecorded suffix into an idempotent t<batch> path.
+  // live tick dirs, superseded-but-undeleted dirs) is journaled to a
+  // marker file after each mutation — written to a temp name and
+  // renamed, so a crash mid-write leaves the previous intact state, and
+  // a stale marker only costs re-folding the unrecorded suffix into an
+  // idempotent t<batch> path.
   private val stateFile = s"$compactedDir/_compactor_state"
 
   private def saveStateLocked(): Unit =
     try {
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      def sarr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString(",")
       val json =
         s"""{"lastFoldedBatch":$lastFoldedBatch,""" +
-          s""""tickDirs":[${tickDirs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
-          s""""foldedPaths":[${foldedPaths.toSeq.sorted.map(p => "\"" + esc(p) + "\"").mkString(",")}]}"""
+          s""""tickDirs":[${sarr(tickDirs.toSeq)}],""" +
+          s""""supersededDirs":[${sarr(deferredDirs.map(_._1).toSeq)}],""" +
+          s""""foldedPaths":[${sarr(foldedPaths.toSeq.sorted)}]}"""
       val dir = java.nio.file.Paths.get(compactedDir)
       java.nio.file.Files.createDirectories(dir)
       val tmp = java.nio.file.Paths.get(stateFile + ".tmp")
@@ -108,7 +145,7 @@ final class EntryLogCompactor(
       if (java.nio.file.Files.exists(p)) {
         val s = java.nio.file.Files.readString(p)
         // flat known-shape parse (no JSON lib on the engine classpath):
-        // one long field + two string arrays whose elements we wrote
+        // one long field + string arrays whose elements we wrote
         // ourselves with \-escaping
         def arr(field: String): Seq[String] = {
           val m = java.util.regex.Pattern
@@ -127,6 +164,20 @@ final class EntryLogCompactor(
         tickDirs ++= arr("tickDirs").filter(d =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
         foldedPaths ++= arr("foldedPaths")
+        // no frame survives a process restart, so every dir the dead
+        // process had deferred — plus any t* dir it wrote but never
+        // recorded (crash between write and save) — is reclaimable NOW;
+        // this is what keeps a crash from leaking generations forever
+        // compare by dir NAME (paths may differ in normalization across
+        // restarts; a false mismatch here would delete a LIVE tick dir)
+        val liveNames = tickDirs.map(d => new java.io.File(d).getName).toSet
+        val stale = arr("supersededDirs")
+          .filterNot(d => liveNames.contains(new java.io.File(d).getName)) ++
+          Option(new java.io.File(compactedDir).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("t") &&
+              !liveNames.contains(f.getName))
+            .map(_.getPath)
+        stale.distinct.foreach { d => deleteDir(d); reclaimedDirs.incrementAndGet() }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[compactor] state load failed (cold start): $e")
@@ -134,6 +185,13 @@ final class EntryLogCompactor(
     }
 
   loadState()
+
+  private def deleteDir(d: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } catch { case _: Throwable => () } // reclamation is best-effort
 
   private def manifestFiles(fromExclusive: Long, toInclusive: Long): Seq[String] =
     if (toInclusive <= fromExclusive) Seq.empty
@@ -153,49 +211,96 @@ final class EntryLogCompactor(
   private def latestBatch(): Long =
     sinkLog.getLatest().map(_._1).getOrElse(-1L)
 
-  /** Fold every file committed since the last tick into a few large
-    * parquet files. Cheap when nothing new landed. Returns the number
-    * of small files folded. */
-  def tick(): Int = synchronized {
-    val latest = latestBatch()
-    if (latest <= lastFoldedBatch) return 0
-    val fresh = manifestFiles(lastFoldedBatch, latest)
-      .filterNot(foldedPaths.contains)
-    if (fresh.isEmpty) { lastFoldedBatch = latest; saveStateLocked(); return 0 }
-    val out = s"$compactedDir/t$latest"
-    val folded = spark.read.option("basePath", entryDir).parquet(fresh: _*)
-      .coalesce(targetFilesPerTick)
-    val w = folded.write.mode("overwrite")
+  private def writeFold(df: DataFrame, out: String): Unit = {
+    val w = df.write.mode("overwrite")
     (if (layoutPartitionBy.nonEmpty) w.partitionBy(layoutPartitionBy: _*) else w)
       .parquet(out)
-    tickDirs += out
-    foldedPaths ++= fresh
-    lastFoldedBatch = latest
-    folds.incrementAndGet()
-    if (tickDirs.size > foldThreshold) foldUpLocked()
-    saveStateLocked()
+  }
+
+  /** Fold every file committed since the last tick into a few large
+    * parquet files. Cheap when nothing new landed. Returns the number
+    * of small files folded. The Spark writes run OUTSIDE the state
+    * monitor — a concurrent [[read]] (the serving path) proceeds
+    * against the pre-fold state and commits see it atomically. */
+  def tick(): Int = tickLock.synchronized {
+    val (latest, fresh) = this.synchronized {
+      val l = latestBatch()
+      if (l <= lastFoldedBatch) return 0
+      val f = manifestFiles(lastFoldedBatch, l).filterNot(foldedPaths.contains)
+      if (f.isEmpty) { lastFoldedBatch = l; saveStateLocked(); return 0 }
+      (l, f)
+    }
+    val out = s"$compactedDir/t$latest"
+    // the expensive parquet rewrite: no state lock held (tickLock keeps
+    // a second folder out; the overwrite-keyed path makes a racing
+    // crash-restart re-fold idempotent anyway)
+    writeFold(
+      spark.read.option("basePath", entryDir).parquet(fresh: _*)
+        .coalesce(targetFilesPerTick),
+      out)
+    val needFoldUp = this.synchronized {
+      tickDirs += out
+      foldedPaths ++= fresh
+      lastFoldedBatch = latest
+      folds.incrementAndGet()
+      tickDirs.size > foldThreshold
+    }
+    if (needFoldUp) foldUp()
+    this.synchronized { sweepDeferredLocked(); saveStateLocked() }
     fresh.size
   }
 
   /** Merge all tick dirs into one (the leveled-compaction step, run
-    * rarely); superseded dirs are deferred to [[close]]. */
-  private def foldUpLocked(): Unit = {
-    val out = s"$compactedDir/t${lastFoldedBatch}_merged"
-    val merged = tickDirs.map(d => spark.read.parquet(d))
+    * rarely, under [[tickLock]]); superseded dirs are pinned on the
+    * readers reachable at commit time and reclaimed by the per-tick
+    * sweep once those readers are gone. */
+  private def foldUp(): Unit = {
+    val (dirs, out) = this.synchronized {
+      (tickDirs.toVector, s"$compactedDir/t${lastFoldedBatch}_merged")
+    }
+    val merged = dirs.map(d => spark.read.parquet(d))
       .reduce(_.unionByName(_))
       .coalesce(math.max(targetFilesPerTick, 8))
-    val w = merged.write.mode("overwrite")
-    (if (layoutPartitionBy.nonEmpty) w.partitionBy(layoutPartitionBy: _*) else w)
-      .parquet(out)
-    supersededDirs ++= tickDirs
-    tickDirs.clear()
-    tickDirs += out
+    writeFold(merged, out) // outside the state monitor, like tick's write
+    this.synchronized {
+      // pin each superseded dir on the still-reachable readers that
+      // reference it; a dir no live reader draws from deletes on the
+      // very next sweep
+      pruneReadersLocked()
+      dirs.foreach { d =>
+        val pins = liveReaders.collect {
+          case (ref, ds) if ds.contains(d) => ref
+        }.toVector
+        deferredDirs += ((d, pins))
+      }
+      tickDirs.clear()
+      tickDirs += out
+      foldUps.incrementAndGet()
+      ()
+    }
+  }
+
+  /** Under `this`: drop reader registrations whose plan was collected. */
+  private def pruneReadersLocked(): Unit = {
+    val live = liveReaders.filter(_._1.get() != null)
+    liveReaders.clear()
+    liveReaders ++= live
+  }
+
+  /** Under `this`: delete superseded dirs whose pinning readers are all
+    * weakly unreachable (no plan over them can run again). */
+  private def sweepDeferredLocked(): Unit = {
+    val (dead, alive) = deferredDirs.partition(_._2.forall(_.get() == null))
+    dead.foreach { case (d, _) => deleteDir(d); reclaimedDirs.incrementAndGet() }
+    deferredDirs.clear()
+    deferredDirs ++= alive
   }
 
   /** The entry table, compaction-aware: compacted dirs ∪ the manifest
     * tail since the fold point. A cold reader opens O(bounded) files —
     * this is the read every batch consumer (fallback recompute, refit
-    * training scan) should use instead of `spark.read.parquet(sinkDir)`. */
+    * training scan) should use instead of `spark.read.parquet(sinkDir)`.
+    * Never blocks on a fold in progress (state monitor only). */
   def read(): DataFrame = {
     val (dirs, tail) = synchronized {
       // filterNot(foldedPaths): a manifest COMPACT batch re-lists all
@@ -217,7 +322,16 @@ final class EntryLogCompactor(
           (if (tail.nonEmpty)
              Some(spark.read.option("basePath", entryDir).parquet(tail: _*))
            else None)
-      parts.reduce(_.unionByName(_))
+      val df = parts.reduce(_.unionByName(_))
+      synchronized {
+        // register the frame for fold-up pinning: its logical plan is
+        // held by every derived plan, so the weak ref clears exactly
+        // when no query over these dirs can run again
+        liveReaders += ((new java.lang.ref.WeakReference[AnyRef](
+          df.queryExecution.logical), dirs.toSet))
+        pruneReadersLocked()
+      }
+      df
     }
   }
 
@@ -228,16 +342,17 @@ final class EntryLogCompactor(
       manifestFiles(lastFoldedBatch, latestBatch()).count(!foldedPaths.contains(_))
   }
 
-  /** Delete dirs superseded by fold-ups (safe once no reader frames are
-    * live — process teardown). */
+  /** Superseded dirs still on disk awaiting their readers (telemetry). */
+  def deferredDirCount(): Int = synchronized { deferredDirs.size }
+
+  /** Delete any still-deferred superseded dirs (process teardown — no
+    * reader frame outlives the session by contract). */
   def close(): Unit = synchronized {
-    supersededDirs.foreach { d =>
-      try {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      } catch { case _: Throwable => () }
+    deferredDirs.foreach { case (d, _) =>
+      deleteDir(d); reclaimedDirs.incrementAndGet()
     }
-    supersededDirs.clear()
+    deferredDirs.clear()
+    saveStateLocked()
   }
 }
 
@@ -252,8 +367,11 @@ object EntryLogCompactor {
       intervalMs: Long,
       initialDelayMs: Long = 0L,
       pool: String = "background",
-      layoutPartitionBy: Seq[String] = Nil): (EntryLogCompactor, () => Unit) = {
+      layoutPartitionBy: Seq[String] = Nil,
+      targetFilesPerTick: Int = 2,
+      foldThreshold: Int = 32): (EntryLogCompactor, () => Unit) = {
     val c = new EntryLogCompactor(spark, entryDir, compactedDir,
+      targetFilesPerTick = targetFilesPerTick, foldThreshold = foldThreshold,
       layoutPartitionBy = layoutPartitionBy)
     @volatile var stopped = false
     val t = new Thread(() => {

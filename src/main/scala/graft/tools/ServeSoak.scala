@@ -114,14 +114,28 @@ object ServeSoak {
       compactLog = true)
     // round-8: the background compaction tick next to the ingest stream
     // (round 7's one growing number — the cold recompute over the
-    // 200 ms sink's file fragments, 42 s after 15 min). DELIBERATELY
-    // delayed by a third of the soak so the committed recompute series
-    // shows the raw-log tax growing, then the post-compaction drop,
-    // then flat — the before/after in one artifact.
-    val (compactor, stopCompactor) = graft.streaming.EntryLogCompactor.start(
-      spark, entryDir, s"$dir/entries_compacted",
-      intervalMs = 60000, initialDelayMs = soakSec * 1000L / 2,
+    // 200 ms sink's file fragments, 42 s after 15 min). Round 9: folds
+    // run for ~5/6 of the soak (short initial delay keeps one or two
+    // raw-growth samples for the before/after), the threshold is low
+    // enough that the FOLD-UP merge path fires repeatedly under live
+    // load, and at 2/3 of the soak the compactor is crash-restarted —
+    // a fresh instance over the same dirs, no close() — so loadState's
+    // marker resume + superseded-dir reclamation run in anger against
+    // live readers, not just in CompactorSpec. Tick loop is inline
+    // (instead of EntryLogCompactor.start) so the restart can swap the
+    // instance.
+    val compDir = s"$dir/entries_compacted"
+    def newCompactor() = new graft.streaming.EntryLogCompactor(
+      spark, entryDir, compDir, foldThreshold = 8,
       layoutPartitionBy = Seq("sensor"))
+    @volatile var compactor = newCompactor()
+    // cumulative across the restart (the instance counters reset)
+    val foldsBase = new AtomicLong(); val foldUpsBase = new AtomicLong()
+    val reclaimedBase = new AtomicLong()
+    def foldsTotal = foldsBase.get + compactor.folds.get
+    def foldUpsTotal = foldUpsBase.get + compactor.foldUps.get
+    def reclaimedTotal = reclaimedBase.get + compactor.reclaimedDirs.get
+    @volatile var compactorRestartTSec = -1L
 
     @volatile var done = false
     val sent = new AtomicLong()
@@ -136,6 +150,33 @@ object ServeSoak {
     def napUnlessDone(ms: Long): Unit = {
       var left = ms
       while (left > 0 && !done) { val s = math.min(left, 200L); Thread.sleep(s); left -= s }
+    }
+
+    // background compaction tick loop, with the mid-soak crash-restart
+    val compactorTicker = thread("soak-compactor") {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "background")
+      val started = System.currentTimeMillis()
+      napUnlessDone(math.min(soakSec * 1000L / 6, 120000L))
+      var restarted = false
+      while (!done) {
+        if (!restarted &&
+            System.currentTimeMillis() - started >= soakSec * 1000L * 2 / 3) {
+          // crash-restart: abandon the live instance WITHOUT close().
+          // The new instance's loadState must resume the fold point
+          // from the marker (no re-fold of history) and reclaim any
+          // generation the dead instance had deferred — while readers,
+          // refits, and HTTP traffic keep running.
+          foldsBase.addAndGet(compactor.folds.get)
+          foldUpsBase.addAndGet(compactor.foldUps.get)
+          reclaimedBase.addAndGet(compactor.reclaimedDirs.get)
+          compactor = newCompactor()
+          compactorRestartTSec = (System.currentTimeMillis() - started) / 1000
+          restarted = true
+        }
+        try compactor.tick()
+        catch { case e: Throwable => errors.add(s"compactor-tick: ${e.getMessage}") }
+        napUnlessDone(15000)
+      }
     }
 
     // ---- producer: 20 sensors, ~200 msg/s, bursty anomaly episodes
@@ -363,7 +404,7 @@ object ServeSoak {
       val ms = (System.nanoTime() - t0) / 1e6
       recomputeMs.add(ms)
       coldSeries.add(ColdSample((System.currentTimeMillis() - soakStartMs) / 1000,
-        ms, Try(compactor.rawFileCount()).getOrElse(-1L), compactor.folds.get))
+        ms, Try(compactor.rawFileCount()).getOrElse(-1L), foldsTotal))
     }.failed.foreach(e => errors.add(s"cold-sample: ${e.getMessage}"))
     val coldSampler = thread("soak-cold-sampler") {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", "background")
@@ -478,7 +519,7 @@ object ServeSoak {
     while (System.currentTimeMillis() - t0 < soakSec * 1000L) Thread.sleep(500)
     done = true
     (clients :+ producer :+ snapWatcher :+ refitter :+ churner
-      :+ coldSampler :+ backfiller :+ txCompactor)
+      :+ coldSampler :+ backfiller :+ txCompactor :+ compactorTicker)
       .foreach(_.join(30000))
     sampleColdRecompute() // final point of the series (post-compaction)
     Thread.sleep(3000) // let the streams drain the topic tail
@@ -552,7 +593,7 @@ object ServeSoak {
       s"""{"metric":"serve_soak","duration_sec":$soakSec,"sla_ms":$sla,""" +
         s""""requests":${all.size},"failed_requests":$failedReqs,""" +
         s"""${routeJson("/stress")},${routeJson("/history")},${routeJson("/")},""" +
-        s"""$recJson,$seriesJson,"entry_folds":${compactor.folds.get},$txJson,""" +
+        s"""$recJson,$seriesJson,"entry_folds":$foldsTotal,"entry_fold_ups":$foldUpsTotal,"compactor_restart_t_sec":$compactorRestartTSec,"dirs_reclaimed_live":$reclaimedTotal,"deferred_dirs_end":${compactor.deferredDirCount()},$txJson,""" +
         s"""$staleJson,"full_fresh_hits":${freshHits.get},"full_recomputes":${onDemand.get},""" +
         s""""msgs_sent":${sent.get},"rows_ingested":$written,""" +
         s""""snapshot_refreshes":${snaps.get},"refits":${refits.get},""" +
@@ -587,7 +628,7 @@ object ServeSoak {
     // must DROP below the pre-compaction peak and stay bounded — the
     // linear-forever growth r7 measured (42 s at minute 15) is the
     // failure this gate rejects
-    if (compactor.folds.get > 0 && series.size >= 2) {
+    if (foldsTotal > 0 && series.size >= 2) {
       val (pre, post) = series.partition(_.folds == 0)
       require(post.nonEmpty, "compaction ran but no post-fold sample exists")
       // LAST vs pre-max (not post-max vs pre-max): one noisy post
@@ -603,6 +644,21 @@ object ServeSoak {
       require(post.last.ms <= 15000,
         f"cold recompute not bounded after compaction: ${post.last.ms}%.0f ms")
     }
+    // round-9 gates (long runs only — a short smoke can't reach them):
+    // the fold-up merge path fired under live load, the mid-soak
+    // crash-restart happened (loadState ran in anger), and on-disk
+    // compacted state is O(live generations), not O(soak age) — the
+    // reclamation path, not just the read path, is what stays bounded
+    if (soakSec >= 900) {
+      require(foldUpsTotal >= 1,
+        s"fold-up never fired live: $foldsTotal folds, threshold 8")
+      require(compactorRestartTSec >= 0, "mid-soak compactor restart never ran")
+      val compDirCount = Option(new java.io.File(compDir).listFiles())
+        .getOrElse(Array.empty).count(_.isDirectory)
+      require(compDirCount <= 8 + compactor.deferredDirCount() + 4,
+        s"compacted dirs not bounded: $compDirCount on disk " +
+          s"(${compactor.deferredDirCount()} legitimately deferred)")
+    }
     // the TxLog contract: vacuum reclaimed exactly the orphan dirs, the
     // snapshot rode through it untouched, and compaction kept the live
     // file count bounded by cadence rather than commit count
@@ -614,7 +670,7 @@ object ServeSoak {
       s"vacuum changed the snapshot: $preVacuumRows -> $postVacuumRows rows")
     require(txLiveFiles <= 8 + 2 * 60 * 2, // targetFiles + 2 min of 1 s commits
       s"TxLog live files not bounded: $txLiveFiles after ${txCompacts.get} compacts")
-    stopCompactor()
+    compactor.close()
     graft.core.PersistedMemo.clearAll()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()

@@ -168,4 +168,125 @@ class CompactorSpec extends SparkSpecBase {
     rowSet(c.read()) shouldBe rowSet(spark.read.parquet(entryDir))
     q.stop()
   }
+
+  test("fold-up under a live reader defers its dirs, then reclaims once the reader is gone") {
+    // round-8 advisory: reclamation deferred EVERYTHING to close(), so a
+    // long-lived serving process accumulated every superseded generation
+    // on disk. Now a fold-up pins superseded dirs on the readers that
+    // were reachable when it committed, and the per-tick sweep deletes a
+    // generation the moment its last pinning reader is collected.
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[MqttEntry]
+    val entryDir = tmp("graft-gentry")
+    val compDir = tmp("graft-gcomp")
+    val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-gckpt"),
+      Trigger.ProcessingTime(0))
+    val c = new EntryLogCompactor(spark, entryDir, compDir, foldThreshold = 2)
+    def batch(b: Int): Unit = {
+      source.addData((1 to 5).map(i => MqttEntry(s"s$i", b * 10.0 + i, 0)): _*)
+      q.processAllAvailable()
+    }
+    // two ticks → two tick dirs (at the threshold, no fold-up yet)
+    batch(1); c.tick()
+    batch(2); c.tick()
+    // a reader over the PRE-fold generation, taken in a nested frame so
+    // dropping the local is enough for it to become unreachable later
+    var preFold: org.apache.spark.sql.DataFrame = c.read()
+    val preFoldRows = rowSet(preFold)
+    // third tick crosses the threshold → fold-up; the reader pins the
+    // two superseded dirs on disk
+    batch(3); c.tick()
+    c.deferredDirCount() shouldBe 2
+    // the pinned generation still reads correctly (files intact)
+    rowSet(preFold) shouldBe preFoldRows
+    // post-fold reads see the full content
+    rowSet(c.read()) shouldBe rowSet(spark.read.parquet(entryDir))
+    // drop the reader; the sweep on a later tick reclaims the dirs
+    preFold = null
+    var reclaimed = false
+    var tries = 0
+    while (!reclaimed && tries < 20) {
+      System.gc(); Thread.sleep(50)
+      batch(10 + tries); c.tick()
+      reclaimed = c.deferredDirCount() == 0
+      tries += 1
+    }
+    reclaimed shouldBe true
+    // disk returned to O(live data): no pre-merge tick dir remains
+    val names = new java.io.File(compDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    names.count(!_.endsWith("_merged")) should be <= (10 + tries) // post-fold ticks only
+    rowSet(c.read()) shouldBe rowSet(spark.read.parquet(entryDir))
+    q.stop()
+  }
+
+  test("a restart reclaims dirs the dead process superseded but never deleted") {
+    // round-8 advisory: supersededDirs lived only in memory, so a crash
+    // (any restart without close) leaked them permanently. They are in
+    // the state marker now, and loadState deletes them — no frame
+    // survives a process death, so restart-time reclamation is safe.
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[MqttEntry]
+    val entryDir = tmp("graft-kentry")
+    val compDir = tmp("graft-kcomp")
+    val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-kckpt"),
+      Trigger.ProcessingTime(0))
+    val c1 = new EntryLogCompactor(spark, entryDir, compDir, foldThreshold = 2)
+    def batch(b: Int): Unit = {
+      source.addData((1 to 5).map(i => MqttEntry(s"s$i", b * 10.0 + i, 0)): _*)
+      q.processAllAvailable()
+    }
+    batch(1); c1.tick()
+    batch(2); c1.tick()
+    val pin = c1.read() // pins the generation the fold-up will supersede
+    batch(3); c1.tick() // fold-up fires; 2 dirs deferred under `pin`
+    c1.deferredDirCount() shouldBe 2
+    pin.count() should be > 0L // the pin is real
+    // "crash": no close(). A NEW instance over the same dirs reclaims
+    // the deferred generation from the marker at load time.
+    val c2 = new EntryLogCompactor(spark, entryDir, compDir, foldThreshold = 2)
+    val names = new java.io.File(compDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    names.count(!_.endsWith("_merged")) shouldBe 0 // superseded ticks gone
+    rowSet(c2.read()) shouldBe rowSet(spark.read.parquet(entryDir))
+    q.stop()
+  }
+
+  test("per-sensor point reads prune partitions on the folded bulk") {
+    // the layoutPartitionBy promise: the raw sink writes one compact
+    // file per micro-batch (write-fast), the fold applies the
+    // read-optimized per-sensor layout — so a point read over read()
+    // must touch ONLY the queried sensor's files in the compacted bulk,
+    // not scan every sensor's
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[MqttEntry]
+    val entryDir = tmp("graft-pentry")
+    val compDir = tmp("graft-pcomp")
+    val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-pckpt"),
+      Trigger.ProcessingTime(0))
+    (1 to 4).foreach { b =>
+      source.addData((1 to 12).map(i => MqttEntry(s"s${i % 4}", b * 10.0 + i, 0)): _*)
+      q.processAllAvailable()
+    }
+    val c = new EntryLogCompactor(spark, entryDir, compDir,
+      layoutPartitionBy = Seq("sensor"))
+    c.tick() should be > 0
+    val point = c.read().filter($"sensor" === "s1")
+    // plan-level: the scan over the compacted root carries a partition
+    // filter on sensor (pruning happens at planning, not per row)
+    val plan = point.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    (plan should include).regex("PartitionFilters: \\[[^\\]]*sensor")
+    // execution-level: every file actually opened lies under the
+    // sensor=s1 partition dir — the other 3 sensors' files are never read
+    import org.apache.spark.sql.functions.input_file_name
+    val filesRead = point.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    filesRead should not be empty
+    all(filesRead) should include("sensor=s1")
+    // and the point read returns exactly the raw table's s1 rows
+    rowSet(point) shouldBe rowSet(
+      spark.read.parquet(entryDir).filter($"sensor" === "s1"))
+    q.stop()
+  }
 }
