@@ -195,10 +195,16 @@ object Similarity extends DetRounding {
     * nlist = 64 and fell back to interpreted eval (~30 s of executor
     * CPU at sf1 for q221's assignment); scores are bit-identical (the
     * expression replicates round()'s BigDecimal HALF_UP exactly —
-    * every IVF oracle hash downstream is unchanged). */
+    * every IVF oracle hash downstream is unchanged). The matrix rides
+    * [[typedLit]] + [[call_function]] — ONE Literal node — rather than
+    * an `expr("array(…)")` string: at the √N geometry the array is
+    * nlist × 64 elements and parsing + analyzing that many literal
+    * nodes cost the DRIVER 1–13 s per plan build at nlist = 224–387
+    * (AssignProbe, round 9) while the row-side dots cost < 0.3 s —
+    * the entire "assignment tax" was plan construction, not FLOPs. */
   private def cellScoresFor(nlist: Int): Column = {
-    val flat = centroidsFor(nlist).flatten
-    expr(s"graft_cell_scores(v, array(${flat.map(x => s"${x}.0D").mkString(",")}))")
+    val flat = centroidsFor(nlist).flatten.map(_.toDouble)
+    call_function("graft_cell_scores", col("v"), typedLit(flat))
   }
 
   /** The 16 rounded centroid-dot scores over `v` — THE cell-assignment
@@ -316,9 +322,10 @@ object Similarity extends DetRounding {
   /** Native fused dot product over two array<double> columns (by name). */
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** Fused dot of column `vcol` with a ±1 literal vector. */
+  /** Fused dot of column `vcol` with a ±1 literal vector (single
+    * Literal node — the [[cellScoresFor]] parse-cost discipline). */
   private def dotLit(vcol: String, w: Seq[Int]): Column =
-    expr(s"graft_dot($vcol, array(${w.map(x => s"${x}.0D").mkString(",")}))")
+    call_function("graft_dot", col(vcol), typedLit(w.map(_.toDouble)))
 
   private val normsCte =
     """norms AS (
@@ -349,8 +356,11 @@ object Similarity extends DetRounding {
     * assignment can never fork. */
   private def bandBucketsCol(
       planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int): Column = {
-    val flat = planes.take(nBands * bandBits).flatten
-    expr(s"graft_band_buckets(v, array(${flat.map(x => s"${x}.0D").mkString(",")}), $bandBits)")
+    val flat = planes.take(nBands * bandBits).flatten.map(_.toDouble)
+    // One Literal node (the cellScoresFor parse-cost discipline): the
+    // q55 production calibration is 128 × 64 = 8,192 elements — as an
+    // expr("array(…)") string that was a hidden per-plan driver tax.
+    call_function("graft_band_buckets", col("v"), typedLit(flat), lit(bandBits))
   }
 
   // ------------------------------------------------- banded candidates
