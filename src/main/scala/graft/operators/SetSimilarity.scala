@@ -129,10 +129,19 @@ object SetSimilarity {
     // keeps the bound conservative under fp rounding of t/(1+t) for
     // arbitrary facade thresholds — infinitesimally fewer pruned rows,
     // never a lost pair.
+    //
+    // The join key is xxhash64(tk), not the ~25-char shingle string:
+    // the self-join shuffles only prefix rows, and an 8-byte key cuts
+    // both the shuffle width and the hash-probe cost (round-9 probe:
+    // the candidate stage was half of q167's sf3 wall). Collision-SAFE
+    // unconditionally: equal shingles always share a hash (no pair
+    // lost), and a cross-shingle collision only ADDS a candidate the
+    // exact verify stage rejects.
     val needed = lit(t / (1.0 + t)) * ($"x.n" + $"y.n") - lit(1e-9)
-    pfx.as("x")
-      .join(pfx.as("y"),
-        $"x.tk" === $"y.tk" && $"x.doc_id" < $"y.doc_id" &&
+    val px = pfx.select($"doc_id", xxhash64($"tk").as("hk"), $"n", $"r")
+    px.as("x")
+      .join(px.as("y"),
+        $"x.hk" === $"y.hk" && $"x.doc_id" < $"y.doc_id" &&
           // length filter: J ≥ t forces t ≤ min/max of the two sizes
           $"x.n" <= $"y.n" / t && $"y.n" <= $"x.n" / t &&
           (lit(1) + least($"x.n" - $"x.r", $"y.n" - $"y.r")).cast("double") >= needed)
@@ -155,25 +164,66 @@ object SetSimilarity {
     * join at scale); the candidate table is the only fact-sized input
     * and it flows through the joins unexploded. */
   private[graft] def prefixJoin(toks: DataFrame, t: Double): DataFrame =
-    verifyCandidates(candidatesFromPfx(prefixRows(toks, t), t), docArrays(toks), t)
+    prefixJoinForced(toks, t, hashed = hashInjective(toks))
+
+  /** [[prefixJoin]] with the verify representation pinned — the test
+    * hook proving hashed and string verification agree. */
+  private[graft] def prefixJoinForced(toks: DataFrame, t: Double,
+      hashed: Boolean): DataFrame =
+    verifyCandidates(candidatesFromPfx(prefixRows(toks, t), t),
+      docArrays(toks, hashed), t)
 
   /** [[prefixJoin]] over the default shingle sets with the prefix AND
     * packed-doc-array tables memoized per (session, dataset) — the
     * sort_array is paid once per dataset, not once per run. */
   private[graft] def prefixJoinDefault(spark: SparkSession, dir: String,
-      t: Double): DataFrame =
+      t: Double): DataFrame = {
+    // injectivity verdict rides a memoized 1-row aggregate, so the
+    // vocab scan is paid once per (session, dataset), not per sweep
+    val inj = graft.core.PersistedMemo.getOrBuild(spark, dir, "setsim:inj") {
+      injFrame(tok(spark, dir))
+    }.head()
+    val hashed = inj.getLong(0) == inj.getLong(1)
+    val key = if (hashed) "setsim:docarr:h" else "setsim:docarr"
     verifyCandidates(candidatesFromPfx(pfxMemo(spark, dir, t), t),
-      graft.core.PersistedMemo.getOrBuild(spark, dir, "setsim:docarr") {
-        docArrays(tok(spark, dir))
+      graft.core.PersistedMemo.getOrBuild(spark, dir, key) {
+        docArrays(tok(spark, dir), hashed)
       }, t)
+  }
 
-  /** (doc_id, tks SORTED ascending, n) — the verify side's packed form;
-    * sorted so the merge-intersect contract holds. */
-  private def docArrays(toks: DataFrame): DataFrame = {
+  /** (n_distinct_shingles, n_distinct_hashes) in one row — equal iff
+    * xxhash64 is injective on this corpus's shingle vocabulary. */
+  private def injFrame(toks: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
+    toks.agg(count_distinct($"tk").as("n_tk"),
+      count_distinct(xxhash64($"tk")).as("n_hk"))
+  }
+
+  /** True iff hashed verify arrays are EXACT for this corpus: xxhash64
+    * collides on none of the distinct shingles, so |A∩B| over hash
+    * arrays equals |A∩B| over the shingle sets for every pair. One
+    * vocabulary-width aggregate (the same shuffle class as the freq
+    * table); on a collision the verify stage falls back to the string
+    * arrays — exactness is never conditional on hash luck. */
+  private[graft] def hashInjective(toks: DataFrame): Boolean = {
+    val r = injFrame(toks).head()
+    r.getLong(0) == r.getLong(1)
+  }
+
+  /** (doc_id, tks SORTED ascending, n) — the verify side's packed form;
+    * sorted so the merge-intersect contract holds. `hashed` packs
+    * xxhash64 ids (8-byte compares in the merge loop — round-9 probe
+    * measured the string-compare verify as over half of q167's sf3
+    * wall) and is only legal under [[hashInjective]]; sorting by hash
+    * value is fine because the merge-intersect contract is "both sides
+    * ascending in the SAME order", not lexicographic specifically. */
+  private def docArrays(toks: DataFrame, hashed: Boolean): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val elem = if (hashed) xxhash64($"tk") else $"tk"
     toks.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"tk")).as("tks"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(elem)).as("tks"), count(lit(1)).as("n"))
   }
 
   private def verifyCandidates(cands: DataFrame, docArr: DataFrame,

@@ -42,6 +42,25 @@ class SetSimilaritySpec extends SparkSpecBase {
       .collect().head.getLong(0) shouldBe 0L
   }
 
+  test("q167 hashed verify equals the string-array fallback path") {
+    // the catalog path verifies over xxhash64 arrays when the hash is
+    // injective on the corpus vocabulary; the fallback (a collision, or
+    // hashInjective=false for any reason) verifies over the original
+    // shingle strings. Both must produce the identical pair set —
+    // exactness is never conditional on which path ran.
+    val toks = graft.operators.SetSimilarity.tokenSets(spark, sfDir)
+    graft.operators.SetSimilarity.hashInjective(toks) shouldBe true
+    val hashed = graft.operators.SetSimilarity.prefixJoin(toks, 0.5)
+      .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaStrings = graft.operators.SetSimilarity
+      .prefixJoinForced(toks, 0.5, hashed = false)
+      .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    hashed.size should be > 0
+    viaStrings shouldBe hashed
+  }
+
   test("q167 prefix candidates are far below all-pairs") {
     val docs = graft.sources.Tables.documents(spark, sfDir).count()
     val allPairs = docs * (docs - 1) / 2
