@@ -2224,11 +2224,28 @@ object Similarity extends DetRounding {
     val nb = embNorm(spark, dir)
       .withColumn("cluster", cellFromScores(cellScoresFor(corpusNlist(spark, dir))))
       .select($"vec_id", $"v", $"nrm", $"cluster")
-    val anchors = pos.select($"anchor").distinct()
-      .join(nb.select($"vec_id".as("anchor"), $"v".as("av"),
-        $"nrm".as("anrm"), $"cluster"), "anchor")
-    val cand = anchors.join(nb, Seq("cluster"))
-      .filter($"vec_id" =!= $"anchor")
+    // Shortlist kernel ([[cellShortlistKernel]]): per anchor, the top
+    // (n_excl + 1) same-cell cosines by RAW value (+ rounding margin)
+    // provably contain the best non-excluded neighbor — at most n_excl
+    // better-ranked ones can be excluded — so the anchor×cell pair
+    // rows never leave their task; the anti-join, rounded ordering,
+    // and argmax below are the SAME Catalyst expressions as the
+    // unfused form, re-ranking ~n_excl+1 rows per anchor instead of a
+    // whole cell. (A facade call at a loose exclPct just widens kq —
+    // correctness is unconditional, the win is calibration-typical.)
+    val exclN = excl.groupBy($"anchor").agg(count(lit(1)).as("ne"))
+    val anchorsK = pos.select($"anchor").distinct()
+      .join(exclN, Seq("anchor"), "left_outer")
+      .select($"anchor".as("vec_id"),
+        (coalesce($"ne", lit(0L)) + 1).cast("int").as("kq"))
+    val shortlist = cellShortlistKernel(
+        nb.join(anchorsK, Seq("vec_id"), "left_outer")
+          .withColumn("kq", coalesce($"kq", lit(0))))
+      .select($"src".as("anchor"), $"vec_id")
+    val cand = shortlist
+      .join(nb.select($"vec_id".as("anchor"), $"v".as("av"), $"nrm".as("anrm")),
+        Seq("anchor"))
+      .join(nb.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
       .join(excl, Seq("anchor", "vec_id"), "left_anti")
     val cos = dot("av", "v") / ($"anrm" * $"nrm")
     val wneg = Window.partitionBy($"anchor")
@@ -2817,6 +2834,119 @@ object Similarity extends DetRounding {
        |LEFT JOIN hits h ON h.anchor = n.anchor
        |ORDER BY n.anchor""".stripMargin
 
+  /** Per-cell top-k cosine SHORTLIST via a dense in-task kernel — the
+    * [[tiledThresholdPairs]] discipline applied to the CELL-LOCAL
+    * window family (q218's N₅ audit): the join+window form shuffles
+    * every same-cell pair as a row (Σ cell² ≈ N^1.5 rows at the √N
+    * geometry — 89 M at the sf10 rehearsal) only for `rn <= k` to
+    * throw all but ~kN away; here each cell is folded into one group
+    * (shuffle width N rows), a register-blocked loop computes the
+    * m dots per src, and only the shortlist leaves the task.
+    *
+    * PREFILTER contract, not an exactness claim: per src the kernel
+    * emits every same-cell neighbor whose RAW cosine is within
+    * [[ShortlistMargin]] of the k-th best raw cosine. `round(_, 6)`
+    * (the detRound floor form) moves a value by at most 5e-7, so any
+    * neighbor in the true rounded-order top-k is within 1e-6 raw of
+    * the raw k-th — the margin makes the shortlist a provable superset
+    * and the CALLER re-ranks it with the same Catalyst expressions as
+    * the unfused form (dot / norms / round / id tiebreak), so the
+    * oracle-checked ordering never depends on kernel arithmetic. A
+    * tie-degenerate corpus (many bit-equal vectors) only widens the
+    * shortlist back toward the old pair volume — correctness is
+    * unconditional, the win is on non-pathological data.
+    *
+    * Memory: O(m) per task beyond the cell itself (one raw-score row
+    * at a time, never an m×m matrix); a cell holds ~√N vectors at the
+    * [[sqrtNlist]] geometry. Emits (src, vec_id) candidate rows. */
+  private val ShortlistMargin = 2e-6
+
+  /** Fixed-k shortlist over every cell member as a source (q218). */
+  private def cellTopShortlist(nb: DataFrame, k: Int): DataFrame =
+    cellShortlistKernel(nb.withColumn("kq", lit(k)))
+
+  /** Test hook: the fixed-k shortlist on an ad-hoc nb frame, so the
+    * spec can pit kernel+re-rank against the join+window reference on
+    * adversarial inputs (ties, NaN, cells smaller than k). */
+  private[graft] def testCellTopShortlist(nb: DataFrame, k: Int): DataFrame =
+    cellTopShortlist(nb, k)
+
+  /** The kernel proper: `nb` carries (cluster, vec_id, v, nrm, kq)
+    * where kq is the PER-SOURCE shortlist size (kq = 0 → the row is a
+    * cell member but not a source — q213 mines negatives only for its
+    * anchors, against every member of the anchor's cell). */
+  private def cellShortlistKernel(nb: DataFrame): DataFrame = {
+    val spark = nb.sparkSession
+    import spark.implicits._
+    val margin = ShortlistMargin
+    nb.select($"cluster", $"vec_id", $"v", $"nrm", $"kq")
+      .as[(Int, Long, Seq[Double], Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val cell = it.toArray
+        val m = cell.length
+        val ids = new Array[Long](m)
+        val vs = new Array[Array[Double]](m)
+        val ns = new Array[Double](m)
+        val ks = new Array[Int](m)
+        var i = 0
+        while (i < m) {
+          val c = cell(i)
+          ids(i) = c._2; vs(i) = c._3.toArray; ns(i) = c._4; ks(i) = c._5
+          i += 1
+        }
+        val raw = new Array[Double](m) // reused per src
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        i = 0
+        while (i < m) {
+          val k = ks(i)
+          if (k > 0) {
+            val vi = vs(i); val ni = ns(i)
+            // top-k threshold over raw cosines (k-bounded insertion)
+            val top = new Array[Double](k)
+            var filled = 0
+            var j = 0
+            while (j < m) {
+              if (j != i) {
+                val vj = vs(j)
+                // same left-to-right association as the fused graft_dot
+                var s = 0.0
+                var d = 0
+                while (d < vi.length) { s += vi(d) * vj(d); d += 1 }
+                val c = s / (ni * ns(j))
+                raw(j) = c
+                if (filled < k) {
+                  var p = filled
+                  while (p > 0 && top(p - 1) < c) { top(p) = top(p - 1); p -= 1 }
+                  top(p) = c; filled += 1
+                } else if (c > top(k - 1)) {
+                  var p = k - 1
+                  while (p > 0 && top(p - 1) < c) { top(p) = top(p - 1); p -= 1 }
+                  top(p) = c
+                }
+              }
+              j += 1
+            }
+            val cut =
+              if (filled < k) Double.NegativeInfinity else top(filled - 1) - margin
+            j = 0
+            while (j < m) {
+              // NaN cosines (zero-norm vectors) sort GREATEST under the
+              // caller's desc window, but fail every comparison here —
+              // emit them unconditionally so the superset claim holds on
+              // any input. (NaNs never enter `top`, which only LOWERS the
+              // cut — still a superset.)
+              if (j != i && (raw(j) >= cut || java.lang.Double.isNaN(raw(j))))
+                out += ((ids(i), ids(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("src", "vec_id")
+  }
+
   // -------------------------------------------------------------- q218
   /** Hubness audit — the k-occurrence distribution N₅(x): for every
     * vector, how many OTHER vectors list it in their cell-local top-5
@@ -2844,10 +2974,15 @@ object Similarity extends DetRounding {
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val wr = Window.partitionBy($"src")
       .orderBy(round(cos, 6).desc, $"vec_id".asc)
-    val top5 = nb.select($"cluster", $"vec_id".as("src"),
-        $"v".as("qv"), $"nrm".as("qnrm"))
-      .join(nb, Seq("cluster"))
-      .filter($"vec_id" =!= $"src")
+    // Σ cell² stays inside per-task loops ([[cellTopShortlist]] — the
+    // tiledThresholdPairs discipline applied to the cell-local window):
+    // the kernel emits ~k rows per src instead of shuffling every
+    // same-cell pair into the window sort, and the shortlist is
+    // re-ranked HERE by the same Catalyst expressions as before, so
+    // the oracle-checked ordering never depends on kernel arithmetic.
+    val top5 = cellTopShortlist(nb, k = 5)
+      .join(nb.select($"vec_id".as("src"), $"v".as("qv"), $"nrm".as("qnrm")), Seq("src"))
+      .join(nb.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
       .withColumn("rn", row_number().over(wr))
       .filter($"rn" <= 5)
       .select($"vec_id")

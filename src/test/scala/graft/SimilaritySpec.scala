@@ -579,6 +579,47 @@ class SimilaritySpec extends SparkSpecBase {
     hist.length should be > 1
   }
 
+  test("cell shortlist kernel re-ranks to the exact window top-k under ties") {
+    // adversarial nb frame: duplicated vectors (bit-equal cosines →
+    // rounded ties resolved by vec_id) and cells smaller than k — the
+    // kernel's shortlist must re-rank to the IDENTICAL top-k the
+    // join+window form produces. (Zero-norm vectors are outside the
+    // reachable surface: ANSI mode makes the declarative cosine THROW
+    // on a zero divisor before any window ordering happens; the
+    // kernel's NaN emission is defensive superset behavior only.)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{expr, row_number}
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 120L).map { id =>
+      val cluster = (id % 7).toInt
+      val v: Seq[Double] =
+        if (id % 5 == 0) Seq.tabulate(8)(d => (cluster + 1.0) * (d + 1)) // duplicates
+        else Seq.fill(8)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      (id, v, nrm, cluster)
+    }
+    val nb = rows.toDF("vec_id", "v", "nrm", "cluster")
+    graft.functions.GraftFunctions.register(spark)
+    def r6(c: org.apache.spark.sql.Column) = graft.functions.Portable.detRound(c, 6)
+    val cos = expr("graft_dot(qv, v)") / ($"qnrm" * $"nrm")
+    val wr = Window.partitionBy($"src").orderBy(r6(cos).desc, $"vec_id".asc)
+    val reference = nb.select($"cluster", $"vec_id".as("src"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+      .join(nb, Seq("cluster"))
+      .filter($"vec_id" =!= $"src")
+      .withColumn("rn", row_number().over(wr)).filter($"rn" <= 3)
+      .select($"src", $"vec_id", $"rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaKernel = graft.operators.Similarity.testCellTopShortlist(nb, 3)
+      .join(nb.select($"vec_id".as("src"), $"v".as("qv"), $"nrm".as("qnrm")), Seq("src"))
+      .join(nb.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(wr)).filter($"rn" <= 3)
+      .select($"src", $"vec_id", $"rn")
+      .as[(Long, Long, Int)].collect().toSet
+    reference.size should be > 0
+    viaKernel shouldBe reference
+  }
+
   test("q219 drift cosines equal a driver centroid recompute; shares sum to 1") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q219_source_drift")(spark, dir).collect()
