@@ -56,11 +56,15 @@ import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
   * disk (and a crash leaked them permanently — the in-memory buffer was
   * the only record). Now each [[read]] registers a WeakReference to the
   * returned frame's logical plan — the object every derived plan
-  * strongly holds — tagged with the tick dirs it draws from; a fold-up
-  * pins its superseded dirs on exactly the still-reachable readers that
-  * referenced them, and the per-tick sweep deletes a generation the
-  * moment its last pinning reader becomes weakly unreachable. The dirs
-  * are also journaled in the state marker, so a restart (which no frame
+  * strongly holds — tagged with the tick dirs it draws from; the
+  * per-tick sweep deletes a superseded generation the moment no
+  * REACHABLE reader's dir-set references it (checked dynamically, not
+  * frozen at fold time: a reader that snapshotted before the fold but
+  * registered after it must still pin) and no read is mid-construction
+  * (an in-flight refcount covers the window between a read's dir
+  * snapshot and its weak-ref registration — the round-9 soak caught
+  * that gap as a near-miss WARN on a reclaimed t-dir). The dirs are
+  * also journaled in the state marker, so a restart (which no frame
   * survives) reclaims them immediately in [[loadState]].
   *
   * Reference: the serving recompute this bounds is the reference's
@@ -97,10 +101,18 @@ final class EntryLogCompactor(
   // a query over those dirs again
   private val liveReaders =
     mutable.ArrayBuffer.empty[(java.lang.ref.WeakReference[AnyRef], Set[String])]
-  // dirs superseded by a fold-up, each pinned by the readers that were
-  // still reachable at fold time and referenced it; swept per tick
-  private val deferredDirs = mutable.ArrayBuffer
-    .empty[(String, Vector[java.lang.ref.WeakReference[AnyRef]])]
+  // dirs a read() has SNAPSHOTTED but not yet registered a weak ref
+  // for: frame construction (spark.read listing/schema I/O) runs
+  // outside the monitor, so without this pin a concurrent fold-up +
+  // sweep could delete a snapshotted dir mid-construction — the round-9
+  // soak caught the near-miss as a FileStreamSink WARN on a reclaimed
+  // t-dir. Refcounted because reads overlap.
+  private val inFlight = mutable.HashMap.empty[String, Int]
+  // dirs superseded by a fold-up, swept per tick once NO live reader's
+  // dir-set references them (checked dynamically against liveReaders —
+  // a pin list frozen at fold time would miss a reader that snapshotted
+  // before the fold but registered after it) and no read is in flight
+  private val deferredDirs = mutable.ArrayBuffer.empty[String]
   /** ticks that actually folded files (telemetry). */
   val folds = new AtomicLong()
   /** fold-up merges of tick dirs past the threshold (telemetry). */
@@ -126,7 +138,7 @@ final class EntryLogCompactor(
       val json =
         s"""{"lastFoldedBatch":$lastFoldedBatch,""" +
           s""""tickDirs":[${sarr(tickDirs.toSeq)}],""" +
-          s""""supersededDirs":[${sarr(deferredDirs.map(_._1).toSeq)}],""" +
+          s""""supersededDirs":[${sarr(deferredDirs.toSeq)}],""" +
           s""""foldedPaths":[${sarr(foldedPaths.toSeq.sorted)}]}"""
       val dir = java.nio.file.Paths.get(compactedDir)
       java.nio.file.Files.createDirectories(dir)
@@ -263,16 +275,11 @@ final class EntryLogCompactor(
       .coalesce(math.max(targetFilesPerTick, 8))
     writeFold(merged, out) // outside the state monitor, like tick's write
     this.synchronized {
-      // pin each superseded dir on the still-reachable readers that
-      // reference it; a dir no live reader draws from deletes on the
-      // very next sweep
-      pruneReadersLocked()
-      dirs.foreach { d =>
-        val pins = liveReaders.collect {
-          case (ref, ds) if ds.contains(d) => ref
-        }.toVector
-        deferredDirs += ((d, pins))
-      }
+      // defer the superseded dirs; the sweep deletes each one once no
+      // live reader's dir-set references it and no read is in flight —
+      // checked dynamically so a reader that snapshotted before this
+      // fold but registers after it still pins its dirs
+      deferredDirs ++= dirs
       tickDirs.clear()
       tickDirs += out
       foldUps.incrementAndGet()
@@ -287,11 +294,15 @@ final class EntryLogCompactor(
     liveReaders ++= live
   }
 
-  /** Under `this`: delete superseded dirs whose pinning readers are all
-    * weakly unreachable (no plan over them can run again). */
+  /** Under `this`: delete superseded dirs no reachable reader draws
+    * from (no plan over them can run again) and no in-flight read has
+    * snapshotted. */
   private def sweepDeferredLocked(): Unit = {
-    val (dead, alive) = deferredDirs.partition(_._2.forall(_.get() == null))
-    dead.foreach { case (d, _) => deleteDir(d); reclaimedDirs.incrementAndGet() }
+    pruneReadersLocked()
+    val (dead, alive) = deferredDirs.partition { d =>
+      !inFlight.contains(d) && !liveReaders.exists(_._2.contains(d))
+    }
+    dead.foreach { d => deleteDir(d); reclaimedDirs.incrementAndGet() }
     deferredDirs.clear()
     deferredDirs ++= alive
   }
@@ -306,32 +317,47 @@ final class EntryLogCompactor(
       // filterNot(foldedPaths): a manifest COMPACT batch re-lists all
       // history, so a tail drawn from batch ids alone would re-include
       // files already folded — double-counting every folded row
-      (tickDirs.toSeq,
+      val snap = (tickDirs.toSeq,
         manifestFiles(lastFoldedBatch, latestBatch()).filterNot(foldedPaths.contains))
+      // pin the snapshotted dirs for the construction window: the
+      // spark.read calls below do listing/schema I/O outside the
+      // monitor, and a concurrent fold-up + sweep must not reclaim a
+      // dir this read is about to plan over
+      snap._1.foreach(d => inFlight.update(d, inFlight.getOrElse(d, 0) + 1))
+      snap
     }
-    // nothing folded yet → the manifest tail IS the whole sink; the
-    // metadata-index read of the dir is the same file set without the
-    // per-path planning cost of a giant explicit list
-    if (dirs.isEmpty) spark.read.parquet(entryDir)
-    else {
-      // one read PER tick dir: each dir is its own (possibly
-      // partitioned) table root, and a multi-root read conflicts on
-      // partition discovery; the union is a few dirs wide by design
-      val parts =
-        dirs.map(d => spark.read.parquet(d)) ++
-          (if (tail.nonEmpty)
-             Some(spark.read.option("basePath", entryDir).parquet(tail: _*))
-           else None)
-      val df = parts.reduce(_.unionByName(_))
-      synchronized {
-        // register the frame for fold-up pinning: its logical plan is
-        // held by every derived plan, so the weak ref clears exactly
-        // when no query over these dirs can run again
-        liveReaders += ((new java.lang.ref.WeakReference[AnyRef](
-          df.queryExecution.logical), dirs.toSet))
-        pruneReadersLocked()
+    try {
+      // nothing folded yet → the manifest tail IS the whole sink; the
+      // metadata-index read of the dir is the same file set without the
+      // per-path planning cost of a giant explicit list
+      if (dirs.isEmpty) spark.read.parquet(entryDir)
+      else {
+        // one read PER tick dir: each dir is its own (possibly
+        // partitioned) table root, and a multi-root read conflicts on
+        // partition discovery; the union is a few dirs wide by design
+        val parts =
+          dirs.map(d => spark.read.parquet(d)) ++
+            (if (tail.nonEmpty)
+               Some(spark.read.option("basePath", entryDir).parquet(tail: _*))
+             else None)
+        val df = parts.reduce(_.unionByName(_))
+        synchronized {
+          // register the frame for fold-up pinning BEFORE the in-flight
+          // pin releases (the finally below), so at every instant the
+          // dirs are covered by one pin or the other: its logical plan
+          // is held by every derived plan, so the weak ref clears
+          // exactly when no query over these dirs can run again
+          liveReaders += ((new java.lang.ref.WeakReference[AnyRef](
+            df.queryExecution.logical), dirs.toSet))
+          pruneReadersLocked()
+        }
+        df
       }
-      df
+    } finally synchronized {
+      dirs.foreach { d =>
+        val c = inFlight.getOrElse(d, 1) - 1
+        if (c <= 0) inFlight.remove(d) else inFlight.update(d, c)
+      }
     }
   }
 
@@ -348,9 +374,7 @@ final class EntryLogCompactor(
   /** Delete any still-deferred superseded dirs (process teardown — no
     * reader frame outlives the session by contract). */
   def close(): Unit = synchronized {
-    deferredDirs.foreach { case (d, _) =>
-      deleteDir(d); reclaimedDirs.incrementAndGet()
-    }
+    deferredDirs.foreach { d => deleteDir(d); reclaimedDirs.incrementAndGet() }
     deferredDirs.clear()
     saveStateLocked()
   }

@@ -606,6 +606,13 @@ object ServeSoak {
 
     // the soak's contract — loud failure, never a quietly-bad artifact
     require(failedReqs == 0, s"$failedReqs HTTP requests failed during the soak")
+    // background threads must survive the whole run error-free too: the
+    // round-9 r1 soak passed every latency gate while its refit thread
+    // had died once on a compactor race (PATH_NOT_FOUND on a reclaimed
+    // t-dir) — an error queue that is only REPORTED lets a real bug
+    // ride a green artifact
+    require(errors.isEmpty,
+      s"${errors.size} background errors: ${errors.asScala.take(3).mkString(" | ")}")
     val overall = all.map(_.ms)
     require(pct(overall, 0.99) <= sla,
       f"overall p99 ${pct(overall, 0.99)}%.1f ms breaches the $sla%.0f ms SLA")

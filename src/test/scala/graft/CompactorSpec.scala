@@ -220,6 +220,53 @@ class CompactorSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("reads racing continuous fold-ups never lose a dir under themselves") {
+    // the round-9 soak near-miss: read() snapshots its dir list under
+    // the monitor but builds the Spark frames outside it, so a
+    // concurrent fold-up + sweep could reclaim a snapshotted dir before
+    // the read registered its weak-ref pin. foldThreshold = 1 makes
+    // EVERY tick a fold-up; a reader hammers read().count() in
+    // parallel. Any reclaimed-under-reader dir surfaces as a
+    // FileNotFound/PATH_NOT_FOUND here.
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[MqttEntry]
+    val entryDir = tmp("graft-rentry")
+    val compDir = tmp("graft-rcomp")
+    val q = IngestStream.start(source.toDF(), entryDir, tmp("graft-rckpt"),
+      Trigger.ProcessingTime(0))
+    source.addData((1 to 10).map(i => MqttEntry(s"s${i % 3}", i.toDouble, 0)): _*)
+    q.processAllAvailable()
+    val c = new EntryLogCompactor(spark, entryDir, compDir, foldThreshold = 1)
+    c.tick()
+    val readerErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var stop = false
+    val readers = (1 to 2).map { _ =>
+      val t = new Thread(() => {
+        while (!stop) {
+          try c.read().count()
+          catch { case e: Throwable => readerErrors.add(e); stop = true }
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    (2 to 25).foreach { b =>
+      source.addData((1 to 10).map(i => MqttEntry(s"s${i % 3}", b * 100.0 + i, 0)): _*)
+      q.processAllAvailable()
+      c.tick() // fold + fold-up + sweep racing the reader threads
+    }
+    stop = true
+    readers.foreach(_.join(10000))
+    withClue(s"reader errors: ${Option(readerErrors.peek()).map(_.toString).getOrElse("none")}") {
+      readerErrors.isEmpty shouldBe true
+    }
+    // content survives the churn
+    rowSet(c.read()) shouldBe rowSet(spark.read.parquet(entryDir))
+    // fold-ups actually fired and reclamation actually happened live
+    c.foldUps.get() should be > 5L
+    c.reclaimedDirs.get() should be > 0L
+    q.stop()
+  }
+
   test("a restart reclaims dirs the dead process superseded but never deleted") {
     // round-8 advisory: supersededDirs lived only in memory, so a crash
     // (any restart without close) leaked them permanently. They are in
