@@ -67,6 +67,19 @@ object Graft {
     * gated at every tested scale factor. */
   def sqrtNlist(n: Long): Int = operators.Similarity.sqrtNlist(n)
 
+  /** Cell-local kNN graph over the embeddings table — (src,
+    * neighbor_id, cosine, rn) edges, each vector ranked against its
+    * own IVF cell by exact rounded cosine (6-dp ordering, id
+    * tiebreak). `nlist = 0` (default) applies the √N rule, so the
+    * inherent within-cell quadratic is N^1.5; the pair volume never
+    * leaves its task (a dense per-cell kernel emits a rounding-margin
+    * shortlist that a Catalyst window re-ranks — q218's top-5 stage IS
+    * this graph at k = 5). The primitive under SemDeDup-style semantic
+    * dedup, hubness audits, and graph-based curation. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+      nlist: Int = 0): DataFrame =
+    operators.Similarity.knnGraph(spark, dir, k, nlist)
+
   /** Retrieval evaluation (MRR + binary NDCG@10 against the corpus's
     * own near-dup pseudo-qrels) with the candidate scope open:
     * `probes = 0` ranks the full corpus per anchor (q217's

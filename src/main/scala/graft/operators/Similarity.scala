@@ -2947,6 +2947,39 @@ object Similarity extends DetRounding {
       }.toDF("src", "vec_id")
   }
 
+  /** Cell-local kNN GRAPH over the embeddings table — the
+    * SemDeDup/hubness/graph-dedup workhorse primitive, exposed on the
+    * facade ([[graft.Graft.knnGraph]]): for every vector, its top-`k`
+    * same-cell neighbors by exact rounded cosine (6-dp ordering,
+    * vec_id tiebreak — q29's discipline), emitted as
+    * (src, neighbor_id, cosine, rn) edges. Candidate scope is the
+    * vector's own IVF cell (pass nlist ≈ √N via [[sqrtNlist]] and the
+    * inherent quadratic is N^1.5, never N²); ranking rides
+    * [[cellShortlistKernel]] + a Catalyst re-rank, so the shuffle is
+    * ~kN edge rows, not Σ cell² pairs — q218's top-5 stage is exactly
+    * this graph's edge list at k = 5, contracted. */
+  private[graft] def knnGraph(spark: SparkSession, dir: String,
+      k: Int, nlist0: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"need k > 0 (got $k)")
+    require(nlist0 >= 0, s"need nlist >= 0 (0 = sqrtNlist rule; got $nlist0)")
+    val nlist = if (nlist0 > 0) nlist0 else corpusNlist(spark, dir)
+    val nb = embNorm(spark, dir)
+      .withColumn("cluster", cellFromScores(cellScoresFor(nlist)))
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
+    val wr = Window.partitionBy($"src")
+      .orderBy(round(cos, 6).desc, $"vec_id".asc)
+    cellTopShortlist(nb, k)
+      .join(nb.select($"vec_id".as("src"), $"v".as("qv"), $"nrm".as("qnrm")), Seq("src"))
+      .join(nb.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(wr))
+      .filter($"rn" <= k)
+      .select($"src", $"vec_id".as("neighbor_id"),
+        round(cos, 4).as("cosine"), $"rn".cast("int").as("rn"))
+      .orderBy($"src", $"rn")
+  }
+
   // -------------------------------------------------------------- q218
   /** Hubness audit — the k-occurrence distribution N₅(x): for every
     * vector, how many OTHER vectors list it in their cell-local top-5

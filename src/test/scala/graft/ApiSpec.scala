@@ -445,4 +445,43 @@ class ApiSpec extends SparkSpecBase {
     r4.select("shard").distinct().count() shouldBe 4L
   }
 
+  test("knnGraph equals the join+window reference and reproduces q218's histogram") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val g = Graft.knnGraph(spark, dir, k = 5)
+      .select($"src", $"neighbor_id", $"rn")
+      .as[(Long, Long, Int)].collect()
+    g.length should be > 0
+    // reference: the unfused cell equi-join + window over the SAME
+    // assignment (√N rule at this corpus = the 16 floor)
+    val nlist = Graft.sqrtNlist(
+      graft.sources.Tables.embeddings(spark, dir).count())
+    val nb = Graft.ivfAssign(graft.sources.Tables.embeddings(spark, dir), nlist)
+      .join(graft.sources.Tables.embeddings(spark, dir), Seq("vec_id"))
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
+      .select($"vec_id", $"v", $"nrm", $"cluster")
+    graft.functions.GraftFunctions.register(spark)
+    val cos = expr("graft_dot(qv, v)") / ($"qnrm" * $"nrm")
+    val wr = Window.partitionBy($"src")
+      .orderBy(graft.functions.Portable.detRound(cos, 6).desc, $"vec_id".asc)
+    val ref = nb.select($"cluster", $"vec_id".as("src"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .join(nb, Seq("cluster"))
+      .filter($"vec_id" =!= $"src")
+      .withColumn("rn", row_number().over(wr)).filter($"rn" <= 5)
+      .select($"src", $"vec_id", $"rn".cast("int"))
+      .as[(Long, Long, Int)].collect()
+    g.toSet shouldBe ref.toSet
+    // q218's histogram is this graph contracted: occurrence counts of
+    // neighbor_id, zero-densified over the corpus
+    val occ = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val hist = (0L until n).map(v => occ.getOrElse(v, 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val q218 = SparkEntry.queries("q218_hubness_audit")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    hist shouldBe q218
+  }
+
 }
