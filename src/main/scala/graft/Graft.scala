@@ -75,7 +75,12 @@ object Graft {
     * leaves its task (a dense per-cell kernel emits a rounding-margin
     * shortlist that a Catalyst window re-ranks — q218's top-5 stage IS
     * this graph at k = 5). The primitive under SemDeDup-style semantic
-    * dedup, hubness audits, and graph-based curation. */
+    * dedup, hubness audits, and graph-based curation; oracle-gated as
+    * catalog row q222_knn_graph (full edge list vs a DuckDB unrolled
+    * top-k). The kernel assumes task-sized cells: an explicit `nlist`
+    * whose mean cell exceeds ~8k vectors falls back to the distributed
+    * join+window form — same expressions, identical output, no
+    * single-task corpus funnel at e.g. nlist = 1. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
       nlist: Int = 0): DataFrame =
     operators.Similarity.knnGraph(spark, dir, k, nlist)

@@ -1114,19 +1114,33 @@ object Relational extends DetRounding {
   private def q206(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val df = Tables.lineitem(spark, dir)
-    val agg = df.select(cols.map(col): _*).agg(
-      count(lit(1)).as("n"),
-      cols.map(c => sum(col(c).isNull.cast("long")).as(s"nn_$c")) ++
-        cols.map(c => countDistinct(col(c)).as(s"ndv_$c")) ++
-        cols.map(c => approx_count_distinct(col(c)).as(s"andv_$c")): _*)
-    val stacked = cols.map(c =>
-      s"'$c', nn_$c, ndv_$c, andv_$c").mkString(", ")
-    agg.select(col("n"), expr(
-        s"stack(${cols.size}, $stacked) AS (col_name, n_null, ndv, andv)"))
-      .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
-        (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
-          <= lit(4 * 0.05)).cast("int").as("ndv_in_bound"))
-      .orderBy(col("col_name"))
+    // Round-10 restructure (the round-9 top-cost finding): mixing
+    // countDistinct with approx_count_distinct in ONE aggregate makes
+    // the distinct-rewrite's FIRST HashAggregate — whose keys are the
+    // distinct values themselves — carry every HLL buffer (4 × 52
+    // longs) PER DISTINCT-KEY GROUP through a 218-column shuffle: the
+    // sketches were being built NDV-many times and merged, an
+    // NDV-proportional memory/shuffle tax that made q206 2× q106 at
+    // every SF (~3 s flat). Instead, fold each column to its distinct
+    // values first (one narrow partial+final grouped pass per column —
+    // the same shuffle class q106's rewrite pays, minus the width),
+    // then compute ALL FOUR stats over the distinct keys: n = Σ
+    // multiplicity, n_null = multiplicity of the null key, exact ndv =
+    // non-null key count, and the HLL over the keys — duplicate-
+    // insensitive, so its register state and estimate are BIT-IDENTICAL
+    // to a raw-column sketch and the verdict contract (|approx−exact|/
+    // exact ≤ 4·rsd, exact companions in-query) is unchanged, as is the
+    // oracle hash. The four single-column branches union into one job.
+    cols.map { c =>
+      df.groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"),
+          coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col("k")).as("ndv"),
+          approx_count_distinct(col("k")).as("andv"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"), col("ndv"),
+          (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
+            <= lit(4 * 0.05)).cast("int").as("ndv_in_bound"))
+    }.reduce(_.unionByName(_)).orderBy(col("col_name"))
   }
 
   private val q206Sql: String = {

@@ -151,6 +151,19 @@ object SetSimilarity {
 
   /** Candidates → exact-intersection verify → Jaccard ≥ `t`.
     *
+    * Snapshot discipline: the injectivity verdict is an EAGER action at
+    * plan-build time while the prefix/verify frames evaluate lazily at
+    * query execution, so the two must read the SAME rows — an un-pinned
+    * `toks` over mutable input could pass the hash-injectivity check
+    * and then collide at execution with no fallback. The facade
+    * therefore persists `toks` and materializes it THROUGH the verdict
+    * aggregate (a full-scan action) before any lazy consumer is built;
+    * the returned frame draws from that pinned snapshot. (Cache
+    * eviction recomputes from the source by lineage — a caller whose
+    * underlying files are mutable across the query's lifetime should
+    * checkpoint first; the memoized catalog path reads immutable
+    * parquet.) The caller may unpersist after consuming the result.
+    *
     * Verification rides PACKED per-document shingle arrays: two
     * doc-keyed equi-joins hang the (set, size) of each side on every
     * candidate row, and the overlap is counted by
@@ -163,8 +176,13 @@ object SetSimilarity {
     * document (dimension-sized → broadcast at small SF, plain hash
     * join at scale); the candidate table is the only fact-sized input
     * and it flows through the joins unexploded. */
-  private[graft] def prefixJoin(toks: DataFrame, t: Double): DataFrame =
-    prefixJoinForced(toks, t, hashed = hashInjective(toks))
+  private[graft] def prefixJoin(toks: DataFrame, t: Double): DataFrame = {
+    // pin one snapshot for verdict AND execution (scaladoc above): the
+    // verdict aggregate scans every partition, so the persist is fully
+    // materialized before this returns
+    val snap = toks.persist()
+    prefixJoinForced(snap, t, hashed = hashInjective(snap))
+  }
 
   /** [[prefixJoin]] with the verify representation pinned — the test
     * hook proving hashed and string verification agree. */

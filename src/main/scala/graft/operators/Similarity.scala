@@ -2915,14 +2915,23 @@ object Similarity extends DetRounding {
                 while (d < vi.length) { s += vi(d) * vj(d); d += 1 }
                 val c = s / (ni * ns(j))
                 raw(j) = c
-                if (filled < k) {
-                  var p = filled
-                  while (p > 0 && top(p - 1) < c) { top(p) = top(p - 1); p -= 1 }
-                  top(p) = c; filled += 1
-                } else if (c > top(k - 1)) {
-                  var p = k - 1
-                  while (p > 0 && top(p - 1) < c) { top(p) = top(p - 1); p -= 1 }
-                  top(p) = c
+                // guarded: a NaN cosine (zero-norm vector) must not
+                // consume a top slot — unguarded, the filled<k insertion
+                // path admitted it (every NaN comparison is false, so the
+                // shift loop never ran) and the cut rose to the (k-e)-th
+                // best real value. Keeping NaNs out means `top` holds the
+                // k best REAL cosines, which only LOWERS the cut — the
+                // emission loop below hands NaN rows through separately.
+                if (!java.lang.Double.isNaN(c)) {
+                  if (filled < k) {
+                    var p = filled
+                    while (p > 0 && top(p - 1) < c) { top(p) = top(p - 1); p -= 1 }
+                    top(p) = c; filled += 1
+                  } else if (c > top(k - 1)) {
+                    var p = k - 1
+                    while (p > 0 && top(p - 1) < c) { top(p) = top(p - 1); p -= 1 }
+                    top(p) = c
+                  }
                 }
               }
               j += 1
@@ -2931,11 +2940,16 @@ object Similarity extends DetRounding {
               if (filled < k) Double.NegativeInfinity else top(filled - 1) - margin
             j = 0
             while (j < m) {
-              // NaN cosines (zero-norm vectors) sort GREATEST under the
-              // caller's desc window, but fail every comparison here —
-              // emit them unconditionally so the superset claim holds on
-              // any input. (NaNs never enter `top`, which only LOWERS the
-              // cut — still a superset.)
+              // NaN cosines (zero-norm vectors, 0/0 in JVM arithmetic)
+              // fail every comparison here — emit them unconditionally
+              // so the superset claim holds on any input: under a
+              // NaN-capable caller ordering NaN sorts GREATEST desc, and
+              // under Spark's ANSI default the caller's declarative
+              // cosine throws DIVIDE_BY_ZERO identically on either path.
+              // (NaNs never enter `top` — the insertion above guards
+              // them out — so with e NaNs in the cell the cut is the
+              // k-th best REAL cosine, at or below the true rounded
+              // top-k's weakest real member: still a superset.)
               if (j != i && (raw(j) >= cut || java.lang.Double.isNaN(raw(j))))
                 out += ((ids(i), ids(j)))
               j += 1
@@ -2958,19 +2972,42 @@ object Similarity extends DetRounding {
     * [[cellShortlistKernel]] + a Catalyst re-rank, so the shuffle is
     * ~kN edge rows, not Σ cell² pairs — q218's top-5 stage is exactly
     * this graph's edge list at k = 5, contracted. */
+  /** Mean-cell-size ceiling above which [[knnGraph]] abandons the
+    * per-task kernel for the distributed join+window form: the kernel
+    * folds a WHOLE cell into one task (`it.toArray` + dense copies),
+    * so a user-supplied nlist far below √N (nlist = 1 funnels the
+    * entire corpus into a handful of tasks) would trade the shuffle
+    * saving for an executor OOM / straggler. 8192 vectors × 64 dims
+    * is ~4 MB of doubles per cell and a ~4·10⁹-flop task quadratic —
+    * comfortably inside one task; beyond it the join+window form
+    * distributes the same pair volume per src instead. Both paths
+    * re-rank with the SAME Catalyst expressions, so the choice is
+    * invisible in the output. */
+  private val KernelMaxMeanCell = 8192L
+
   private[graft] def knnGraph(spark: SparkSession, dir: String,
       k: Int, nlist0: Int = 0): DataFrame = {
     import spark.implicits._
     require(k > 0, s"need k > 0 (got $k)")
     require(nlist0 >= 0, s"need nlist >= 0 (0 = sqrtNlist rule; got $nlist0)")
-    val nlist = if (nlist0 > 0) nlist0 else corpusNlist(spark, dir)
+    val n = embNorm(spark, dir).count()
+    val nlist = if (nlist0 > 0) nlist0 else sqrtNlist(n)
     val nb = embNorm(spark, dir)
       .withColumn("cluster", cellFromScores(cellScoresFor(nlist)))
       .select($"vec_id", $"v", $"nrm", $"cluster")
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val wr = Window.partitionBy($"src")
       .orderBy(round(cos, 6).desc, $"vec_id".asc)
-    cellTopShortlist(nb, k)
+    // candidate scope: the kernel shortlist at sane cell sizes (√N
+    // default always qualifies), the distributed all-same-cell-pairs
+    // join when a user-supplied nlist makes cells task-hostile
+    val cands =
+      if (n / math.max(nlist, 1) <= KernelMaxMeanCell) cellTopShortlist(nb, k)
+      else nb.select($"cluster", $"vec_id".as("src"))
+        .join(nb.select($"cluster", $"vec_id"), Seq("cluster"))
+        .filter($"src" =!= $"vec_id")
+        .select($"src", $"vec_id")
+    cands
       .join(nb.select($"vec_id".as("src"), $"v".as("qv"), $"nrm".as("qnrm")), Seq("src"))
       .join(nb.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
       .withColumn("rn", row_number().over(wr))
@@ -2979,6 +3016,43 @@ object Similarity extends DetRounding {
         round(cos, 4).as("cosine"), $"rn".cast("int").as("rn"))
       .orderBy($"src", $"rn")
   }
+
+  // -------------------------------------------------------------- q222
+  /** The [[knnGraph]] facade primitive oracle-gated as its own catalog
+    * row: the FULL cell-local kNN edge list (src, neighbor_id, cosine,
+    * rn) at k = 5 under the √N geometry, hashed against a DuckDB
+    * unrolled per-cell top-k. q218 gates only this graph's CONTRACTED
+    * occurrence histogram; this row pins the edges a SemDeDup-style
+    * consumer reads directly — ids, rounded cosines, AND rank order. */
+  private def q222(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir, k = 5)
+
+  private val q222Sql: String =
+    s"""WITH $normsCte, $sqrtNlistCentsCte, cscored AS (
+       |  SELECT e.vec_id, c.j,
+       |         round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.w[i]
+       |                         for i in generate_series(1, $Dim)]), 6) AS s
+       |  FROM norms e CROSS JOIN cents c
+       |), assignx AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY s DESC, j ASC) AS rnc
+       |        FROM cscored) t
+       |  WHERE rnc = 1
+       |), nb AS (
+       |  SELECT n.vec_id, n.nrm, n.embedding, a.cluster
+       |  FROM norms n JOIN assignx a ON n.vec_id = a.vec_id
+       |), scored AS (
+       |  SELECT q.vec_id AS src, c.vec_id AS neighbor_id,
+       |         ${dotSql("q", "c")} / (q.nrm * c.nrm) AS cos
+       |  FROM nb q JOIN nb c ON c.cluster = q.cluster AND c.vec_id <> q.vec_id
+       |)
+       |SELECT src, neighbor_id, round(cos, 4) AS cosine, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY src
+       |                                   ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
+       |      FROM scored) t
+       |WHERE rn <= 5
+       |ORDER BY src, rn""".stripMargin
 
   // -------------------------------------------------------------- q218
   /** Hubness audit — the k-occurrence distribution N₅(x): for every
@@ -3154,6 +3228,7 @@ object Similarity extends DetRounding {
     Q("q217_retrieval_eval", q217, Some(q217Sql)),
     Q("q220_retrieval_eval_ivf", q220, Some(q220Sql)),
     Q("q218_hubness_audit", q218, Some(q218Sql)),
+    Q("q222_knn_graph", q222, Some(q222Sql)),
     Q("q219_source_drift", q219, Some(q219Sql)),
     Q("q28_embedding_neardup", q28, Some(q28Sql)),
     Q("q187_jl_projection", q187, Some(q187Sql)),

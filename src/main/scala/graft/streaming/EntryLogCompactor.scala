@@ -371,6 +371,28 @@ final class EntryLogCompactor(
   /** Superseded dirs still on disk awaiting their readers (telemetry). */
   def deferredDirCount(): Int = synchronized { deferredDirs.size }
 
+  /** Run a deferred-dir sweep NOW, outside the tick loop — the soak
+    * gate calls this at shutdown so its pin-leak census reads
+    * post-sweep state, not dirs that merely await their next tick. */
+  def sweepNow(): Unit = synchronized { sweepDeferredLocked(); saveStateLocked() }
+
+  /** Pin evidence per still-deferred dir: (dir, reachable readers whose
+    * snapshot set contains it, in-flight construction refs). After a
+    * [[sweepNow]], a (0, 0) row is a pin LEAK by definition — the sweep
+    * reclaims exactly the unpinned dirs — so healthy deferral
+    * (`deferred ≤ Σ pins`) is distinguishable from a pin that never
+    * releases, which the bare count could not show. */
+  def deferredEvidence(): Seq[(String, Int, Int)] = synchronized {
+    pruneReadersLocked()
+    deferredDirs.toSeq.map { d =>
+      (d, liveReaders.count(_._2.contains(d)), inFlight.getOrElse(d, 0))
+    }
+  }
+
+  /** Reachable reader registrations (post-prune) — the deferral bound's
+    * other side: every deferred dir must trace to one of these. */
+  def liveReaderCount(): Int = synchronized { pruneReadersLocked(); liveReaders.size }
+
   /** Delete any still-deferred superseded dirs (process teardown — no
     * reader frame outlives the session by contract). */
   def close(): Unit = synchronized {

@@ -589,11 +589,25 @@ object ServeSoak {
         s""""orphans_expected":${expectedOrphans.size},""" +
         s""""orphans_reclaimed":${reclaimedOrphans.size},""" +
         s""""rows_pre_vacuum":$preVacuumRows,"rows_post_vacuum":$postVacuumRows}"""
+    // ---- final deferral census (round-9 verdict wrong #2): freeze the
+    // LIVE reclamation figure, then run one shutdown sweep and demand
+    // every still-deferred dir trace to a reachable reader or an
+    // in-flight read. The bare deferred count could not tell healthy
+    // deferral (readers pinned it at snapshot time) from a pin that
+    // never releases — this census can, and the gate below enforces it.
+    val reclaimedLive = reclaimedTotal
+    System.gc() // collect dead reader plans so the weak-ref prune is honest
+    compactor.sweepNow()
+    val deferredEv = compactor.deferredEvidence()
+    val liveReadersEnd = compactor.liveReaderCount()
+    deferredEv.foreach { case (d, nr, nf) =>
+      System.err.println(s"[soak] deferred $d: $nr reader pins, $nf in-flight refs") }
+    val unpinnedEnd = deferredEv.count(e => e._2 == 0 && e._3 == 0)
     val json =
       s"""{"metric":"serve_soak","duration_sec":$soakSec,"sla_ms":$sla,""" +
         s""""requests":${all.size},"failed_requests":$failedReqs,""" +
         s"""${routeJson("/stress")},${routeJson("/history")},${routeJson("/")},""" +
-        s"""$recJson,$seriesJson,"entry_folds":$foldsTotal,"entry_fold_ups":$foldUpsTotal,"compactor_restart_t_sec":$compactorRestartTSec,"dirs_reclaimed_live":$reclaimedTotal,"deferred_dirs_end":${compactor.deferredDirCount()},$txJson,""" +
+        s"""$recJson,$seriesJson,"entry_folds":$foldsTotal,"entry_fold_ups":$foldUpsTotal,"compactor_restart_t_sec":$compactorRestartTSec,"dirs_reclaimed_live":$reclaimedLive,"deferred_dirs_end":${deferredEv.size},"live_readers_end":$liveReadersEnd,"deferred_unpinned_end":$unpinnedEnd,$txJson,""" +
         s"""$staleJson,"full_fresh_hits":${freshHits.get},"full_recomputes":${onDemand.get},""" +
         s""""msgs_sent":${sent.get},"rows_ingested":$written,""" +
         s""""snapshot_refreshes":${snaps.get},"refits":${refits.get},""" +
@@ -666,6 +680,15 @@ object ServeSoak {
         s"compacted dirs not bounded: $compDirCount on disk " +
           s"(${compactor.deferredDirCount()} legitimately deferred)")
     }
+    // deferral is only legitimate while something pins it: after the
+    // shutdown sweep, a deferred dir with zero reader pins and zero
+    // in-flight refs is a pin leak (the sweep reclaims exactly the
+    // unpinned set, so such a row should be unreachable — this gate
+    // turns "should" into "is"). Runs at every soak length: the
+    // invariant holds by construction, not by duration.
+    require(unpinnedEnd == 0,
+      s"$unpinnedEnd deferred dirs have no reader pin after the final sweep " +
+        s"(${deferredEv.size} deferred, $liveReadersEnd live readers) — pin leak")
     // the TxLog contract: vacuum reclaimed exactly the orphan dirs, the
     // snapshot rode through it untouched, and compaction kept the live
     // file count bounded by cadence rather than commit count

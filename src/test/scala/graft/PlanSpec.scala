@@ -34,6 +34,28 @@ class PlanSpec extends SparkSpecBase {
     owns("q28_embedding_neardup", "bandbuckets")
   }
 
+  test("assignCells carries its centroid matrix as O(1) Literal nodes at large nlist") {
+    // round-9 parse-tax lock: the nlist×64 centroid matrix must ride
+    // ONE typedLit Literal into graft_cell_scores — the previous
+    // expr("array(…)") string form minted nlist×64 parsed Literal
+    // nodes and taxed the DRIVER 1–13 s of plan build per query at
+    // the √N geometry (AssignProbe, SCALE.md round 9; the fix bought
+    // ~14 s of catalog wall). A refactor that reintroduces a parsed
+    // matrix at nlist = 256 would census 16,384+ Literals and fail
+    // here instead of resurfacing as silent driver drag.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val assigned = Graft.ivfAssign(
+      graft.sources.Tables.embeddings(spark, sfDir), 256)
+    val nLits = assigned.queryExecution.analyzed
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case l: Literal => l })
+      .size
+    assert(nLits >= 1, "expected at least the matrix literal")
+    assert(nLits < 100,
+      s"assignCells(analyzed) carries $nLits Literal nodes at nlist=256 — " +
+        "the centroid matrix is no longer a single typedLit Literal")
+  }
+
   test("q0: predicates and projection reach the parquet scan") {
     val p = plan("q0_filter_project")
     p should include("PushedFilters: [IsNotNull(l_returnflag)")

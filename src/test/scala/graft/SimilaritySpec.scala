@@ -581,14 +581,19 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("cell shortlist kernel re-ranks to the exact window top-k under ties") {
     // adversarial nb frame: duplicated vectors (bit-equal cosines →
-    // rounded ties resolved by vec_id) and cells smaller than k — the
-    // kernel's shortlist must re-rank to the IDENTICAL top-k the
-    // join+window form produces. (Zero-norm vectors are outside the
-    // reachable surface: ANSI mode makes the declarative cosine THROW
-    // on a zero divisor before any window ordering happens; the
-    // kernel's NaN emission is defensive superset behavior only.)
+    // rounded ties resolved by vec_id), cells smaller than k, AND
+    // zero-norm vectors. Under Spark 4's ANSI default the PRODUCTION
+    // declarative cosine THROWS on the zero divisor (DIVIDE_BY_ZERO —
+    // verified: plain `/` fails this frame), identically in the kernel
+    // and join+window forms, so no silent divergence is reachable
+    // there. The kernel itself still computes 0/0 → NaN in JVM
+    // arithmetic and promises superset emission for NaN rows; that
+    // path is exercised here with an explicitly NaN-producing cosine
+    // (the shape a caller gets with ANSI off or a NaN-capable scoring
+    // expression), where NaN sorts GREATEST under the desc window and
+    // both forms must produce the identical top-k.
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{expr, row_number}
+    import org.apache.spark.sql.functions.{expr, lit, row_number, when}
     val rnd = new scala.util.Random(11)
     val rows = (0L until 120L).map { id =>
       val cluster = (id % 7).toInt
@@ -597,11 +602,16 @@ class SimilaritySpec extends SparkSpecBase {
         else Seq.fill(8)(rnd.nextGaussian())
       val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
       (id, v, nrm, cluster)
+    } ++ (200L until 203L).map { id => // zero-norm rows → NaN cosines
+      (id, Seq.fill(8)(0.0): Seq[Double], 0.0, (id % 3).toInt)
     }
     val nb = rows.toDF("vec_id", "v", "nrm", "cluster")
     graft.functions.GraftFunctions.register(spark)
     def r6(c: org.apache.spark.sql.Column) = graft.functions.Portable.detRound(c, 6)
-    val cos = expr("graft_dot(qv, v)") / ($"qnrm" * $"nrm")
+    // NaN-producing cosine (ANSI-safe): zero divisor → NaN explicitly,
+    // matching the kernel's JVM 0/0 arithmetic
+    val cos = when($"qnrm" * $"nrm" === 0.0, lit(Double.NaN))
+      .otherwise(expr("graft_dot(qv, v)") / ($"qnrm" * $"nrm"))
     val wr = Window.partitionBy($"src").orderBy(r6(cos).desc, $"vec_id".asc)
     val reference = nb.select($"cluster", $"vec_id".as("src"),
         $"v".as("qv"), $"nrm".as("qnrm"))
