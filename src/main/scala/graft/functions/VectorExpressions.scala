@@ -382,6 +382,122 @@ case class CellScores(left: Expression, right: Expression) extends BinaryExpress
       l: Expression, r: Expression): CellScores = copy(left = l, right = r)
 }
 
+/** PQ code assignment in ONE fused pass: `graft_pq_codes(v, cbs)` →
+  * array<int> of, for each subspace j, the first-match argmin over k of
+  * round(Σ_{d} (v[j·ds+d] − cbs[j][k][d])², 6) — the product-quantizer
+  * encode step with the codebook as a nested array COLUMN (it is
+  * trained at runtime and broadcast, not a foldable literal; m, kk and
+  * ds all derive from its shape).
+  *
+  * Replaces the nested higher-order-function form
+  * `transform(seq(m), j -> transform(seq(kk), k -> round(aggregate(
+  * seq(ds), …), 6)))` + `array_position(dl, array_min(dl)) − 1`: at
+  * m·kk = 256 cells per row the HOF tree pays per-cell lambda
+  * dispatch, per-row nested array materialization, and interpreted
+  * eval — the sf10 corpus encode (`sim:pq` memo build) measured 651 s,
+  * virtually all of it this expression tree. One fused loop with the
+  * SAME left-to-right accumulation, the SAME round-half-up (BigDecimal
+  * shortest-decimal → setScale(6, HALF_UP), non-finite pass-through —
+  * [[CellScores]]' discipline), and the SAME first-match argmin under
+  * Spark's total double ordering (java.lang.Double.compare — NaN
+  * greatest, −0.0 < 0.0 — exactly `array_min`/`array_position`
+  * equivalence), so codes, every downstream ADC ranking, and every
+  * oracle hash are bit-identical to the HOF form. */
+case class PqCodes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<double>, array<array<array<double>>>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cbs = r.asInstanceOf[ArrayData]
+    val m = cbs.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val sub = cbs.getArray(j)
+      val kk = sub.numElements()
+      var best = 0.0
+      var bestK = 0
+      var k = 0
+      while (k < kk) {
+        val cent = sub.getArray(k)
+        val ds = cent.numElements()
+        var s = 0.0
+        var d = 0
+        while (d < ds) {
+          val diff = v.getDouble(j * ds + d) - cent.getDouble(d)
+          s += diff * diff
+          d += 1
+        }
+        val rd =
+          if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
+          else java.math.BigDecimal.valueOf(s)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (k == 0 || java.lang.Double.compare(rd, best) < 0) { best = rd; bestK = k }
+        k += 1
+      }
+      out(j) = bestK
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cbs) => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rd = ctx.freshName("rd")
+      val diff = ctx.freshName("diff")
+      val sub = ctx.freshName("sub")
+      val cent = ctx.freshName("cent")
+      val ds = ctx.freshName("ds")
+      val kk = ctx.freshName("kk")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      s"""
+         |int $m = $cbs.numElements();
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $sub = $cbs.getArray($j);
+         |  int $kk = $sub.numElements();
+         |  double $best = 0.0;
+         |  int $bestK = 0;
+         |  for (int $k = 0; $k < $kk; $k++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $sub.getArray($k);
+         |    int $ds = $cent.numElements();
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $ds; $d++) {
+         |      double $diff = $v.getDouble($j * $ds + $d) - $cent.getDouble($d);
+         |      $s += $diff * $diff;
+         |    }
+         |    double $rd = (Double.isNaN($s) || Double.isInfinite($s)) ? $s
+         |      : java.math.BigDecimal.valueOf($s)
+         |          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    if ($k == 0 || Double.compare($rd, $best) < 0) { $best = $rd; $bestK = $k; }
+         |  }
+         |  $out[$j] = $bestK;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqCodes = copy(left = l, right = r)
+}
+
 /** All band bucket-ids in ONE fused pass:
   * `graft_band_buckets(v, flatPlanes, bandBits)` → array<int> where
   * bucket b folds its `bandBits` hyperplane signs
@@ -572,6 +688,8 @@ object GraftFunctions {
       "graft_byte_entropy", exprs => ByteEntropyStats(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_cell_scores", exprs => CellScores(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_pq_codes", exprs => PqCodes(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_band_buckets",
       exprs => BandBuckets(exprs(0), exprs(1), exprs(2)), "built-in")

@@ -1389,8 +1389,27 @@ object Similarity extends DetRounding {
   private val PqRounds = 2
 
   /** Per-vector PQ codes against a `cbs` ([[PqM]]×[[PqK]]×[[PqDs]])
-    * codebook column: argmin of 6-dp-rounded subspace distances. */
-  private def pqWithCodes(e: DataFrame, cb: DataFrame): DataFrame =
+    * codebook column: argmin of 6-dp-rounded subspace distances.
+    *
+    * One fused [[graft.functions.PqCodes]] call (round 10): the
+    * previous nested `transform(… transform(… round(aggregate(…))))` +
+    * `array_position(array_min)` HOF tree paid per-cell lambda
+    * dispatch and nested array materialization for m·k = 256 cells per
+    * row — at the sf10 corpus the `sim:pq` memo build measured 651 s,
+    * virtually all of it this expression. The native form is
+    * bit-identical (same fold order, same BigDecimal half-up rounding,
+    * same first-match argmin under Spark's total double ordering —
+    * the expression's scaladoc carries the equivalence argument) and
+    * PqSpec pins it against the HOF form on adversarial vectors. */
+  private def pqWithCodes(e: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    e.crossJoin(broadcast(cb))
+      .withColumn("codes", expr("graft_pq_codes(v, cbs)"))
+  }
+
+  /** The pre-round-10 HOF encode — kept as the equivalence reference
+    * for PqSpec (never on the hot path). */
+  private[graft] def pqWithCodesHof(e: DataFrame, cb: DataFrame): DataFrame =
     e.crossJoin(broadcast(cb))
       .withColumn("dists", expr(
         s"""transform(sequence(0, ${PqM - 1}), j ->
@@ -1401,6 +1420,10 @@ object Similarity extends DetRounding {
       .withColumn("codes", expr(
         "transform(dists, dl -> cast(array_position(dl, array_min(dl)) - 1 as int))"))
       .drop("dists")
+
+  /** Test hook: the fused encode on an ad-hoc (v) frame + codebook. */
+  private[graft] def pqWithCodesFused(e: DataFrame, cb: DataFrame): DataFrame =
+    pqWithCodes(e, cb)
 
   /** One Lloyd update: encode with `cb`, recompute per-(subspace, code)
     * means (4 dp), keep the previous centroid for empty cells. */

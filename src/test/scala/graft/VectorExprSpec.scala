@@ -185,4 +185,54 @@ class VectorExprSpec extends SparkSpecBase {
     functions.IntersectCountSorted(
       lit(Seq(null, "a", "b")), lit(Seq(null, "b", "c"))).eval(null) shouldBe 1L
   }
+
+  test("graft_pq_codes is bit-identical to the HOF round/argmin encode (incl. ties)") {
+    // the fused PQ encode must reproduce the higher-order-function form
+    // it replaced — round(Σ(v−c)², 6) per (subspace, centroid) then
+    // array_position(array_min) first-match argmin — on adversarial
+    // inputs: duplicated centroids (exact distance ties → first index
+    // wins), an exact-centroid hit (zero distance), and a constant
+    // vector (many equal distances per subspace)
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val m = 16; val kk = 16; val ds = 4
+    val cbs: Seq[Seq[Seq[Double]]] = Seq.tabulate(m) { _ =>
+      val base = Seq.fill(kk)(Seq.fill(ds)(rnd.nextDouble() * 2 - 1))
+      base.updated(3, base(1)) // centroid 3 == centroid 1: forced tie
+    }
+    val vs: Seq[Seq[Double]] =
+      (1 to 100).map(_ => Seq.fill(m * ds)(rnd.nextDouble() * 2 - 1)) ++
+        Seq(cbs.flatMap(_(5)),        // exact hit on centroid 5 everywhere
+          Seq.fill(m * ds)(0.25))     // constant vector
+    val df = vs.toDF("v").withColumn("cbs", typedLit(cbs))
+    val hof =
+      s"""transform(
+         |  transform(sequence(0, ${m - 1}), j ->
+         |    transform(sequence(0, ${kk - 1}), k ->
+         |      round(aggregate(sequence(0, ${ds - 1}), cast(0 as double), (acc, d) ->
+         |        acc + (v[j*$ds+d] - cbs[j][k][d])
+         |            * (v[j*$ds+d] - cbs[j][k][d])), 6))),
+         |  dl -> cast(array_position(dl, array_min(dl)) - 1 as int))""".stripMargin
+    val rows = df.select(
+      expr("graft_pq_codes(v, cbs)").as("fused"),
+      expr(hof).as("ref"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    rows.length shouldBe vs.length
+    rows.foreach { case (f, r) => f shouldBe r }
+    // the forced tie actually bit: some subspace of some vector chose
+    // centroid 1 (never 3 — first-match) — i.e. the tie path executed
+    assert(rows.exists(_._1.contains(1)))
+    // code 3 is unreachable: its centroid duplicates centroid 1 in
+    // every subspace, so first-match can never pick the higher index
+    rows.foreach { case (f, _) => f should not contain 3 }
+    // interpreted path (nullSafeEval) agrees with the codegen'd result
+    // on the exact-hit row: every subspace encodes to centroid 5
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types.{ArrayType => AT, DoubleType => DT}
+    val interp = functions.PqCodes(
+      CatLit.create(cbs.flatMap(_(5)), AT(DT)),
+      CatLit.create(cbs, AT(AT(AT(DT)))))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until m).foreach(j => interp.getInt(j) shouldBe 5)
+  }
 }
