@@ -3009,7 +3009,10 @@ object Similarity extends DetRounding {
   private val KernelMaxMeanCell = 8192L
 
   private[graft] def knnGraph(spark: SparkSession, dir: String,
-      k: Int, nlist0: Int = 0): DataFrame = {
+      k: Int, nlist0: Int = 0,
+      // test hook: the spec lowers this to force the join+window
+      // fallback on fixture-sized cells and prove dispatch-invariance
+      kernelMaxMeanCell: Long = KernelMaxMeanCell): DataFrame = {
     import spark.implicits._
     require(k > 0, s"need k > 0 (got $k)")
     require(nlist0 >= 0, s"need nlist >= 0 (0 = sqrtNlist rule; got $nlist0)")
@@ -3025,7 +3028,7 @@ object Similarity extends DetRounding {
     // default always qualifies), the distributed all-same-cell-pairs
     // join when a user-supplied nlist makes cells task-hostile
     val cands =
-      if (n / math.max(nlist, 1) <= KernelMaxMeanCell) cellTopShortlist(nb, k)
+      if (n / math.max(nlist, 1) <= kernelMaxMeanCell) cellTopShortlist(nb, k)
       else nb.select($"cluster", $"vec_id".as("src"))
         .join(nb.select($"cluster", $"vec_id"), Seq("cluster"))
         .filter($"src" =!= $"vec_id")

@@ -484,4 +484,23 @@ class ApiSpec extends SparkSpecBase {
     hist shouldBe q218
   }
 
+  test("knnGraph's join+window fallback is dispatch-invariant with the kernel path") {
+    // the task-hostile-cell guard (mean cell > kernelMaxMeanCell →
+    // distributed all-same-cell-pairs join instead of the per-task
+    // kernel) is unreachable at fixture scale with the real threshold;
+    // the test hook lowers it to 1 so BOTH branches run on the same
+    // corpus and must emit the IDENTICAL full edge list — ids, rounded
+    // cosines, AND ranks
+    val dir = "/root/testdata/sf0.001"
+    def edges(maxMeanCell: Long) =
+      graft.operators.Similarity.knnGraph(spark, dir, k = 4,
+          nlist0 = 16, kernelMaxMeanCell = maxMeanCell)
+        .select($"src", $"neighbor_id", $"cosine", $"rn")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    val viaKernel = edges(Long.MaxValue)
+    val viaFallback = edges(1L)
+    viaKernel.length should be > 0
+    viaFallback shouldBe viaKernel
+  }
+
 }
