@@ -186,8 +186,17 @@ object Bench {
     // a regression in ONE shared build (q55's banded calibration is the
     // largest) reads from the artifact instead of hiding in the total
     val buildMap = core.PersistedMemo.buildReport()
+    // per-sweep pressure telemetry (round-10 verdict ask #4): whole-sweep
+    // wall + GC totals and the memo layer's retained bytes at bench end —
+    // a heavy row whose in-sweep cost exceeds its isolated-warm cost
+    // correlates against these instead of an unexplained "session
+    // pressure" (gc climbing sweep-over-sweep = heap drag from memo
+    // retention; flat gc with wall spread = host steal)
+    val sweepWalls = sweepRuns.map(s => fmt(s.map(_._2).sum)).mkString("[", ",", "]")
+    val sweepGcs = sweepRuns.map(s => fmt(s.map(_._3).sum)).mkString("[", ",", "]")
+    val memoBytes = core.PersistedMemo.report().map(_._3).filter(_ > 0).sum
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"queries_median":${qsJson(medians)},"median_total":${fmt(medTotal)},"sweeps":$sweeps,"gc_sec":${qsJson(gcSecs)},"build_sec":${fmt(buildSec)},"build":${qsJson(buildMap)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results)},"queries_median":${qsJson(medians)},"median_total":${fmt(medTotal)},"sweeps":$sweeps,"gc_sec":${qsJson(gcSecs)},"sweep_walls":$sweepWalls,"sweep_gc_sec":$sweepGcs,"memo_bytes":$memoBytes,"build_sec":${fmt(buildSec)},"build":${qsJson(buildMap)},"failed":$failedJson,"sf":"$sfDir","n_queries":${names.size}}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

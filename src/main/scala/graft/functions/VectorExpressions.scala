@@ -416,21 +416,64 @@ case class PqCodes(left: Expression, right: Expression) extends BinaryExpression
           s"${l.simpleString}, ${r.simpleString}")
     }
 
+  // Static nullability of the ELEMENT positions (the type check above
+  // accepts containsNull on every level). UnsafeArrayData.getDouble /
+  // getArray do NOT bounds- or null-check, so without the runtime gates
+  // below a null element or a dimension-mismatched vector silently
+  // reads garbage and returns plausible-but-wrong codes — and
+  // graft_pq_codes is registered as a user-callable SQL function,
+  // unlike the HOF form it replaced (which errored under ANSI). The
+  // flags are static per plan, so the null scans cost nothing on the
+  // internal non-null paths.
+  private lazy val vElemNullable =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val cbsAnyNullable = right.dataType match {
+    case ArrayType(ArrayType(ArrayType(_, e), c), s) => s || c || e
+    case _ => true
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val v = l.asInstanceOf[ArrayData]
     val cbs = r.asInstanceOf[ArrayData]
     val m = cbs.numElements()
+    val n = v.numElements()
+    if (vElemNullable) {
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) PqCodes.fail(s"vector element $i is NULL")
+        i += 1
+      }
+    }
     val out = new Array[Int](m)
     var j = 0
+    var ds0 = -1
     while (j < m) {
+      if (cbsAnyNullable && cbs.isNullAt(j))
+        PqCodes.fail(s"codebook subspace $j is NULL")
       val sub = cbs.getArray(j)
       val kk = sub.numElements()
       var best = 0.0
       var bestK = 0
       var k = 0
       while (k < kk) {
+        if (cbsAnyNullable && sub.isNullAt(k))
+          PqCodes.fail(s"codebook centroid ($j,$k) is NULL")
         val cent = sub.getArray(k)
         val ds = cent.numElements()
+        if (ds0 < 0) {
+          ds0 = ds
+          if (n != m.toLong * ds) PqCodes.fail(
+            s"vector length $n != m*ds = $m*$ds (codebook shape mismatch)")
+        } else if (ds != ds0) PqCodes.fail(
+          s"ragged codebook: centroid ($j,$k) has $ds dims, expected $ds0")
+        if (cbsAnyNullable) {
+          var d = 0
+          while (d < ds) {
+            if (cent.isNullAt(d))
+              PqCodes.fail(s"codebook element ($j,$k,$d) is NULL")
+            d += 1
+          }
+        }
         var s = 0.0
         var d = 0
         while (d < ds) {
@@ -454,6 +497,8 @@ case class PqCodes(left: Expression, right: Expression) extends BinaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, cbs) => {
       val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       val out = ctx.freshName("out")
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
@@ -464,20 +509,58 @@ case class PqCodes(left: Expression, right: Expression) extends BinaryExpression
       val sub = ctx.freshName("sub")
       val cent = ctx.freshName("cent")
       val ds = ctx.freshName("ds")
+      val ds0 = ctx.freshName("ds0")
       val kk = ctx.freshName("kk")
       val best = ctx.freshName("best")
       val bestK = ctx.freshName("bestK")
+      val fail = "graft.functions.PqCodes$.MODULE$.fail"
+      // the runtime gates mirror nullSafeEval exactly; null scans are
+      // emitted only when the static element type admits nulls
+      val vNullScan = if (vElemNullable)
+        s"""
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($v.isNullAt($i)) $fail("vector element " + $i + " is NULL");
+           |}""".stripMargin
+      else ""
+      val subNullCheck = if (cbsAnyNullable)
+        s"""if ($cbs.isNullAt($j)) $fail("codebook subspace " + $j + " is NULL");"""
+      else ""
+      val centNullCheck = if (cbsAnyNullable)
+        s"""if ($sub.isNullAt($k)) $fail("codebook centroid (" + $j + "," + $k + ") is NULL");"""
+      else ""
+      val elemNullScan = if (cbsAnyNullable)
+        s"""
+           |for (int $d = 0; $d < $ds; $d++) {
+           |  if ($cent.isNullAt($d))
+           |    $fail("codebook element (" + $j + "," + $k + "," + $d + ") is NULL");
+           |}""".stripMargin
+      else ""
       s"""
          |int $m = $cbs.numElements();
+         |int $n = $v.numElements();
+         |$vNullScan
          |int[] $out = new int[$m];
+         |int $ds0 = -1;
          |for (int $j = 0; $j < $m; $j++) {
+         |  $subNullCheck
          |  org.apache.spark.sql.catalyst.util.ArrayData $sub = $cbs.getArray($j);
          |  int $kk = $sub.numElements();
          |  double $best = 0.0;
          |  int $bestK = 0;
          |  for (int $k = 0; $k < $kk; $k++) {
+         |    $centNullCheck
          |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $sub.getArray($k);
          |    int $ds = $cent.numElements();
+         |    if ($ds0 < 0) {
+         |      $ds0 = $ds;
+         |      if ($n != (long) $m * $ds)
+         |        $fail("vector length " + $n + " != m*ds = " + $m + "*" + $ds +
+         |          " (codebook shape mismatch)");
+         |    } else if ($ds != $ds0) {
+         |      $fail("ragged codebook: centroid (" + $j + "," + $k + ") has " +
+         |        $ds + " dims, expected " + $ds0);
+         |    }
+         |    $elemNullScan
          |    double $s = 0.0;
          |    for (int $d = 0; $d < $ds; $d++) {
          |      double $diff = $v.getDouble($j * $ds + $d) - $cent.getDouble($d);
@@ -496,6 +579,14 @@ case class PqCodes(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PqCodes = copy(left = l, right = r)
+}
+
+object PqCodes {
+  /** Shared failure path for the interpreted and generated code —
+    * malformed input (shape mismatch, ragged codebook, null elements)
+    * must error loudly instead of silently reading out-of-bounds. */
+  def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("graft_pq_codes: " + msg)
 }
 
 /** All band bucket-ids in ONE fused pass:

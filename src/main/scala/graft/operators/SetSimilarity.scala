@@ -156,13 +156,15 @@ object SetSimilarity {
     * query execution, so the two must read the SAME rows — an un-pinned
     * `toks` over mutable input could pass the hash-injectivity check
     * and then collide at execution with no fallback. The facade
-    * therefore persists `toks` and materializes it THROUGH the verdict
-    * aggregate (a full-scan action) before any lazy consumer is built;
-    * the returned frame draws from that pinned snapshot. (Cache
-    * eviction recomputes from the source by lineage — a caller whose
-    * underlying files are mutable across the query's lifetime should
-    * checkpoint first; the memoized catalog path reads immutable
-    * parquet.) The caller may unpersist after consuming the result.
+    * therefore LOCAL-CHECKPOINTS `toks` (eager) before the verdict
+    * aggregate runs; the returned frame draws from that pinned
+    * snapshot. A checkpoint, not a persist (round-10 advisory): an
+    * evicted persist recomputes from live lineage — reopening exactly
+    * the divergence the pin closes on mutable sources — while a
+    * checkpoint has no lineage to recompute from; and the blocks are
+    * released by the ContextCleaner once the caller drops the result,
+    * so threshold sweeps over evolving facade inputs don't accumulate
+    * session-lifetime caches.
     *
     * Verification rides PACKED per-document shingle arrays: two
     * doc-keyed equi-joins hang the (set, size) of each side on every
@@ -178,9 +180,9 @@ object SetSimilarity {
     * and it flows through the joins unexploded. */
   private[graft] def prefixJoin(toks: DataFrame, t: Double): DataFrame = {
     // pin one snapshot for verdict AND execution (scaladoc above): the
-    // verdict aggregate scans every partition, so the persist is fully
-    // materialized before this returns
-    val snap = toks.persist()
+    // eager localCheckpoint is fully materialized — and lineage-free —
+    // before the verdict aggregate or any lazy consumer is built
+    val snap = toks.localCheckpoint(true)
     prefixJoinForced(snap, t, hashed = hashInjective(snap))
   }
 

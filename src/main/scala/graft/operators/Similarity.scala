@@ -1400,7 +1400,9 @@ object Similarity extends DetRounding {
     * bit-identical (same fold order, same BigDecimal half-up rounding,
     * same first-match argmin under Spark's total double ordering —
     * the expression's scaladoc carries the equivalence argument) and
-    * PqSpec pins it against the HOF form on adversarial vectors. */
+    * VectorExprSpec pins it against the HOF form ([[pqWithCodesHof]],
+    * the production reference, not a test-local copy) on adversarial
+    * vectors. */
   private def pqWithCodes(e: DataFrame, cb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     e.crossJoin(broadcast(cb))
@@ -1408,7 +1410,8 @@ object Similarity extends DetRounding {
   }
 
   /** The pre-round-10 HOF encode — kept as the equivalence reference
-    * for PqSpec (never on the hot path). */
+    * VectorExprSpec pins [[pqWithCodesFused]] against (never on the
+    * hot path). */
   private[graft] def pqWithCodesHof(e: DataFrame, cb: DataFrame): DataFrame =
     e.crossJoin(broadcast(cb))
       .withColumn("dists", expr(
@@ -2995,44 +2998,92 @@ object Similarity extends DetRounding {
     * [[cellShortlistKernel]] + a Catalyst re-rank, so the shuffle is
     * ~kN edge rows, not Σ cell² pairs — q218's top-5 stage is exactly
     * this graph's edge list at k = 5, contracted. */
-  /** Mean-cell-size ceiling above which [[knnGraph]] abandons the
-    * per-task kernel for the distributed join+window form: the kernel
-    * folds a WHOLE cell into one task (`it.toArray` + dense copies),
-    * so a user-supplied nlist far below √N (nlist = 1 funnels the
-    * entire corpus into a handful of tasks) would trade the shuffle
-    * saving for an executor OOM / straggler. 8192 vectors × 64 dims
-    * is ~4 MB of doubles per cell and a ~4·10⁹-flop task quadratic —
+  /** Cell-size ceiling above which [[knnGraph]] abandons the per-task
+    * kernel for the distributed join+window form: the kernel folds a
+    * WHOLE cell into one task (`it.toArray` + dense copies), so a
+    * user-supplied nlist far below √N (nlist = 1 funnels the entire
+    * corpus into a handful of tasks) would trade the shuffle saving
+    * for an executor OOM / straggler. 8192 vectors × 64 dims is ~4 MB
+    * of doubles per cell and a ~4·10⁹-flop task quadratic —
     * comfortably inside one task; beyond it the join+window form
     * distributes the same pair volume per src instead. Both paths
     * re-rank with the SAME Catalyst expressions, so the choice is
-    * invisible in the output. */
+    * invisible in the output.
+    *
+    * Dispatch evidence differs by path: under the √N default the MEAN
+    * cell (= √N) is compared — the trained-centroid assignment is
+    * near-balanced at that geometry and the corpus count is already in
+    * hand, but a pathological assignment could still overshoot the
+    * mean (accepted: the default geometry keeps even a 10×-skewed cell
+    * inside one task until N ≈ 7·10⁵ cells²). Under a USER-supplied
+    * nlist the MAX observed cell is compared (one groupBy-count over
+    * the assignment) — a skewed explicit assignment cannot funnel a
+    * giant cell into a single kernel task past the guard. */
   private val KernelMaxMeanCell = 8192L
+
+  /** Same-cell pair ceiling for the join+window fallback: the
+    * distributed form shuffles every same-cell pair into a per-src
+    * window, so past ~10⁹ candidate pairs it is an N²-class shuffle
+    * measured in hours, not a graceful degradation. [[pairTiles]]'
+    * refuse-loudly contract applies: fail naming the sane nlist
+    * instead of launching the plan. */
+  private val FallbackPairBudget = 1000000000L
 
   private[graft] def knnGraph(spark: SparkSession, dir: String,
       k: Int, nlist0: Int = 0,
-      // test hook: the spec lowers this to force the join+window
-      // fallback on fixture-sized cells and prove dispatch-invariance
-      kernelMaxMeanCell: Long = KernelMaxMeanCell): DataFrame = {
+      // test hooks: the spec lowers these to force the join+window
+      // fallback on fixture-sized cells (dispatch-invariance) and to
+      // prove the pair-budget refusal without a 10⁹-pair corpus
+      kernelMaxMeanCell: Long = KernelMaxMeanCell,
+      fallbackPairBudget: Long = FallbackPairBudget): DataFrame = {
     import spark.implicits._
     require(k > 0, s"need k > 0 (got $k)")
     require(nlist0 >= 0, s"need nlist >= 0 (0 = sqrtNlist rule; got $nlist0)")
-    val n = embNorm(spark, dir).count()
-    val nlist = if (nlist0 > 0) nlist0 else sqrtNlist(n)
-    val nb = embNorm(spark, dir)
-      .withColumn("cluster", cellFromScores(cellScoresFor(nlist)))
+    val norm = embNorm(spark, dir)
+    def nbFor(nl: Int) = norm
+      .withColumn("cluster", cellFromScores(cellScoresFor(nl)))
       .select($"vec_id", $"v", $"nrm", $"cluster")
+    // (assignment, kernel-eligible, fallback pair volume, sane nlist).
+    // √N default: one count() of the memoized norms sets nlist; mean
+    // cell = √N decides dispatch and n·mean estimates pairs — no extra
+    // pass. Explicit nlist: NO corpus count at plan time; the guard's
+    // one groupBy-count over the assignment yields the max cell, the
+    // EXACT same-cell pair volume Σ|c|·(|c|−1), and n, all in one job.
+    val (nb, useKernel, pairs, saneNlist) =
+      if (nlist0 == 0) {
+        val n = norm.count()
+        val nlist = sqrtNlist(n)
+        val mean = n / math.max(nlist, 1)
+        (nbFor(nlist), mean <= kernelMaxMeanCell, mean * n, nlist)
+      } else {
+        val nb0 = nbFor(nlist0)
+        val st = nb0.groupBy($"cluster").agg(count(lit(1)).as("c"))
+          .agg(max($"c"), sum($"c" * ($"c" - 1L)), sum($"c")).head()
+        val (maxCell, pr, n) =
+          if (st.isNullAt(0)) (0L, 0L, 0L)
+          else (st.getLong(0), st.getLong(1), st.getLong(2))
+        (nb0, maxCell <= kernelMaxMeanCell, pr, sqrtNlist(n))
+      }
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val wr = Window.partitionBy($"src")
       .orderBy(round(cos, 6).desc, $"vec_id".asc)
     // candidate scope: the kernel shortlist at sane cell sizes (√N
     // default always qualifies), the distributed all-same-cell-pairs
-    // join when a user-supplied nlist makes cells task-hostile
+    // join when a user-supplied nlist makes cells task-hostile — and
+    // a loud refusal when that join's pair volume is itself hopeless
     val cands =
-      if (n / math.max(nlist, 1) <= kernelMaxMeanCell) cellTopShortlist(nb, k)
-      else nb.select($"cluster", $"vec_id".as("src"))
+      if (useKernel) cellTopShortlist(nb, k)
+      else {
+        require(pairs <= fallbackPairBudget,
+          s"knnGraph join+window fallback would shuffle $pairs same-cell " +
+            s"pairs (budget $fallbackPairBudget): nlist=$nlist0 leaves " +
+            s"task-hostile cells AND an N²-class pair volume — use " +
+            s"nlist ≈ $saneNlist (the √N rule) instead")
+        nb.select($"cluster", $"vec_id".as("src"))
         .join(nb.select($"cluster", $"vec_id"), Seq("cluster"))
         .filter($"src" =!= $"vec_id")
         .select($"src", $"vec_id")
+      }
     cands
       .join(nb.select($"vec_id".as("src"), $"v".as("qv"), $"nrm".as("qnrm")), Seq("src"))
       .join(nb.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))

@@ -381,12 +381,39 @@ final class EntryLogCompactor(
     * [[sweepNow]], a (0, 0) row is a pin LEAK by definition — the sweep
     * reclaims exactly the unpinned dirs — so healthy deferral
     * (`deferred ≤ Σ pins`) is distinguishable from a pin that never
-    * releases, which the bare count could not show. */
+    * releases, which the bare count could not show.
+    *
+    * NOTE: a gate that calls [[sweepNow]] and then this method takes the
+    * lock twice, and a reader plan GC'd BETWEEN the calls (weak refs
+    * clear on the collector's schedule, not the lock's) makes a dir that
+    * was legitimately pinned at sweep time report (0, 0) — a spurious
+    * "leak". Census gates should use [[sweepWithEvidence]] instead. */
   def deferredEvidence(): Seq[(String, Int, Int)] = synchronized {
     pruneReadersLocked()
     deferredDirs.toSeq.map { d =>
       (d, liveReaders.count(_._2.contains(d)), inFlight.getOrElse(d, 0))
     }
+  }
+
+  /** Atomic sweep + census for the pin-leak gate: ONE lock acquisition
+    * prunes readers, computes per-dir pin evidence, reclaims exactly the
+    * dirs that evidence shows unpinned, and returns the survivors' rows
+    * — so every returned row has ≥ 1 pin from the SAME reachability
+    * snapshot the sweep acted on. The sweep-then-census race (a reader
+    * GC'd between two lock acquisitions showing a stale (0, 0) row)
+    * is structurally impossible here: (0, 0) rows are reclaimed, not
+    * returned. */
+  def sweepWithEvidence(): Seq[(String, Int, Int)] = synchronized {
+    pruneReadersLocked()
+    val ev = deferredDirs.toSeq.map { d =>
+      (d, liveReaders.count(_._2.contains(d)), inFlight.getOrElse(d, 0))
+    }
+    val (dead, alive) = ev.partition(e => e._2 == 0 && e._3 == 0)
+    dead.foreach { case (d, _, _) => deleteDir(d); reclaimedDirs.incrementAndGet() }
+    deferredDirs.clear()
+    deferredDirs ++= alive.map(_._1)
+    saveStateLocked()
+    alive
   }
 
   /** Reachable reader registrations (post-prune) — the deferral bound's

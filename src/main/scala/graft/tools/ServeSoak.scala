@@ -597,8 +597,13 @@ object ServeSoak {
     // never releases — this census can, and the gate below enforces it.
     val reclaimedLive = reclaimedTotal
     System.gc() // collect dead reader plans so the weak-ref prune is honest
-    compactor.sweepNow()
-    val deferredEv = compactor.deferredEvidence()
+    // ONE atomic sweep+census (round-10 advisory): sweepNow() followed by
+    // deferredEvidence() took the lock twice, so a reader plan GC'd
+    // between the calls made a dir that was legitimately pinned at sweep
+    // time report (0, 0) and spuriously fail the pin-leak require. The
+    // atomic form reclaims exactly the unpinned set and returns the
+    // survivors' evidence from the SAME reachability snapshot.
+    val deferredEv = compactor.sweepWithEvidence()
     val liveReadersEnd = compactor.liveReaderCount()
     deferredEv.foreach { case (d, nr, nf) =>
       System.err.println(s"[soak] deferred $d: $nr reader pins, $nf in-flight refs") }

@@ -503,4 +503,21 @@ class ApiSpec extends SparkSpecBase {
     viaFallback shouldBe viaKernel
   }
 
+  test("knnGraph's fallback refuses loudly past its pair budget, naming the sane nlist") {
+    // pairTiles' refuse-loudly contract on the join+window branch: a
+    // user-supplied nlist that is BOTH task-hostile (max cell over the
+    // kernel ceiling) and over the same-cell pair budget must fail with
+    // the √N suggestion, not launch an N²-class shuffle. The budget
+    // hook stands in for a 10⁹-pair corpus at fixture scale.
+    val dir = "/root/testdata/sf0.001"
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraph(spark, dir, k = 4,
+        nlist0 = 1, kernelMaxMeanCell = 1L, fallbackPairBudget = 10L)
+    }
+    ex.getMessage should include("pair")
+    ex.getMessage should include("nlist")
+    // the message names a concrete sane nlist (the √N rule's value)
+    ex.getMessage should include regex "nlist ≈ \\d+"
+  }
+
 }

@@ -204,20 +204,19 @@ class VectorExprSpec extends SparkSpecBase {
       (1 to 100).map(_ => Seq.fill(m * ds)(rnd.nextDouble() * 2 - 1)) ++
         Seq(cbs.flatMap(_(5)),        // exact hit on centroid 5 everywhere
           Seq.fill(m * ds)(0.25))     // constant vector
-    val df = vs.toDF("v").withColumn("cbs", typedLit(cbs))
-    val hof =
-      s"""transform(
-         |  transform(sequence(0, ${m - 1}), j ->
-         |    transform(sequence(0, ${kk - 1}), k ->
-         |      round(aggregate(sequence(0, ${ds - 1}), cast(0 as double), (acc, d) ->
-         |        acc + (v[j*$ds+d] - cbs[j][k][d])
-         |            * (v[j*$ds+d] - cbs[j][k][d])), 6))),
-         |  dl -> cast(array_position(dl, array_min(dl)) - 1 as int))""".stripMargin
-    val rows = df.select(
-      expr("graft_pq_codes(v, cbs)").as("fused"),
-      expr(hof).as("ref"))
-      .as[(Seq[Int], Seq[Int])].collect()
-    rows.length shouldBe vs.length
+    // the equivalence runs through the PRODUCTION pair —
+    // Similarity.pqWithCodesFused (the hot path) vs pqWithCodesHof (the
+    // retained pre-round-10 reference) — not a test-local HOF string
+    // that could silently drift from what the code actually pins
+    val vdf = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    val cbDf = Seq(Tuple1(cbs)).toDF("cbs")
+    val fusedM = graft.operators.Similarity.pqWithCodesFused(vdf, cbDf)
+      .select($"id", $"codes").as[(Int, Seq[Int])].collect().toMap
+    val refM = graft.operators.Similarity.pqWithCodesHof(vdf, cbDf)
+      .select($"id", $"codes").as[(Int, Seq[Int])].collect().toMap
+    refM.size shouldBe vs.length
+    fusedM.size shouldBe vs.length
+    val rows = (0 until vs.length).map(i => (fusedM(i), refM(i)))
     rows.foreach { case (f, r) => f shouldBe r }
     // the forced tie actually bit: some subspace of some vector chose
     // centroid 1 (never 3 — first-match) — i.e. the tie path executed
