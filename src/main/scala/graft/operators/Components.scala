@@ -57,7 +57,19 @@ object Components {
     var converged = false
     var rounds = 0
     // each round: (1) take the min label over self+neighbors, then
-    // (2) pointer-jump — adopt the label OF your label.
+    // (2) PUSH the improvement to the previous label tree's root (a
+    // node that just learned a smaller label hands it straight to the
+    // node it pointed at, so a whole basin re-labels on the next jump
+    // instead of diffusing the new min node-by-node through its
+    // interior — without this, two meeting label basins merge in
+    // O(basin radius) rounds and a high-diameter percolated graph
+    // (q223's density-normalized ε-grid was the round-11 trigger:
+    // >32 rounds with thousands of labels still moving) degrades the
+    // loop to O(diameter)), then
+    // (3) pointer-jump — adopt the label OF your label.
+    // All three steps are monotone label decreases within the node's
+    // own component, so the fixpoint — min id per component — is
+    // unchanged; only the round count changes.
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("dst"), $"lbl".as("nbl")), Seq("dst"))
@@ -66,15 +78,24 @@ object Components {
         .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left_outer")
         .select($"doc_id", least($"lbl", coalesce($"nbl", $"lbl")).as("lbl"),
           $"lbl".as("olbl"))
-      val parents = relabeled.select($"doc_id".as("pid"), $"lbl".as("plbl"))
+      val rootMin = relabeled.groupBy($"olbl").agg(min($"lbl").as("rmin"))
+        .select($"olbl".as("doc_id"), $"rmin")
+      val pushed = relabeled
+        .join(rootMin, Seq("doc_id"), "left_outer")
+        .select($"doc_id", least($"lbl", coalesce($"rmin", $"lbl")).as("lbl"),
+          $"olbl")
+      val parents = pushed.select($"doc_id".as("pid"), $"lbl".as("plbl"))
       val stepped = freeze(
-        relabeled.join(parents, relabeled("lbl") === parents("pid"), "left_outer")
-          .select(relabeled("doc_id"),
-            least(relabeled("lbl"), coalesce($"plbl", relabeled("lbl"))).as("nlbl"),
+        pushed.join(parents, pushed("lbl") === parents("pid"), "left_outer")
+          .select(pushed("doc_id"),
+            least(pushed("lbl"), coalesce($"plbl", pushed("lbl"))).as("nlbl"),
             $"olbl"))
       // count(), not isEmpty: materializes EVERY partition of the new
       // cache before the old one is dropped
-      converged = stepped.filter($"nlbl" < $"olbl").count() == 0
+      val moved = stepped.filter($"nlbl" < $"olbl").count()
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round ${rounds + 1}: $moved moved")
+      converged = moved == 0
       cached.unpersist()
       cached = stepped
       labels = stepped.select($"doc_id", $"nlbl".as("lbl"))

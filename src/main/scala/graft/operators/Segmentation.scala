@@ -516,7 +516,97 @@ object Segmentation extends DetRounding {
   private val DbscanEps = 0.05
   private val DbscanMinPts = 4L // ε-neighbors INCLUDING the point itself
 
-  /** Generic core, opened via [[graft.Graft.dbscan]]. */
+  /** Generic core, opened via [[graft.Graft.dbscan]].
+    *
+    * Round-11 rebuild of the heavy stage (the round-10 sf10 build tail:
+    * the old form materialized the FULL directed ε-graph — ~3·10⁸ rows
+    * at sf10 density — recomputed it three times (degrees, core edges,
+    * border attach), and ran connected components over ~10⁸ core-core
+    * edges). Three structural moves, every output bit unchanged:
+    *
+    *  1. **Half-ε grid, same-cell pairs free.** Cell width = ε/2, so
+    *     the cell diagonal is ε/√2 < ε and every same-cell pair
+    *     qualifies BY CONSTRUCTION (fp-safe: dist² < ε²/2, far below
+    *     the ε² threshold on both engines) — the densest slice of the
+    *     quadratic (|cell|² pairs per cell) is counted via one
+    *     cell-size aggregate and never materialized or
+    *     distance-checked. Qualifying CROSS-cell pairs span ≤ 2 cells
+    *     per axis → 12 forward offsets enumerate each unordered pair
+    *     exactly once (half the distance evaluations of a symmetric
+    *     enumeration).
+    *  2. **Clique→star compression feeding CC.** Same-cell cores are
+    *     mutually ε-connected, so the per-cell clique is replaced by a
+    *     star on the cell's min core id (the anchor), and EVERY
+    *     qualifying cross-cell core-core pair contracts to one
+    *     (anchorA, anchorB) edge per cell pair. Connectivity is
+    *     preserved both ways (star/anchor edges are witnessed by real
+    *     ε-edges; every real ε-edge is subsumed by stars + its cells'
+    *     anchor edge), so components — and their min-id labels — are
+    *     IDENTICAL to the full core graph's, while the CC input drops
+    *     from ~10⁸ edges to #core + #adjacent-core-cell-pairs.
+    *  3. **Memoize the MEMBERS frame, not the labels.** The catalog
+    *     path used to re-run the ε-join every sweep for degrees and
+    *     border attach; now the per-point (id, cluster_id, is_core)
+    *     table is the shared intermediate (N rows — the natural
+    *     materialization of a clustering) and a sweep pays one
+    *     aggregate over it.
+    *
+    * The one candidate join that remains is persisted for its three
+    * consumers (degrees, anchor edges, border attach) and unpersisted
+    * once members materialize. Cell-boundary fp displacement (a point
+    * within 1 ulp of a cell edge landing one cell over, pushing a
+    * REAL pair past the 2-cell probe ring) needs Δx within an ulp of
+    * 2w AND a boundary coincidence — the same measure-zero class the
+    * old ε-width/±1-ring form accepted.
+    *
+    * Border parity detail: all same-cell cores of a non-core point are
+    * its ε-neighbors and share one component, so the same-cell border
+    * candidate is the cell anchor's cluster_id; cross-cell candidates
+    * come from the pair table in both directions. min() over the union
+    * equals the oracle's min over all core ε-neighbors. */
+  /** The ε-join's candidate stage as a LAZY frame (PlanSpec inspects
+    * this shape — the memoized q212 steady-state plan reads the members
+    * table, so the join's scale contract must be assertable without
+    * executing a build): every qualifying unordered CROSS-cell pair of
+    * `pts` (id, x, y, cx, cy at cell width ε/2), exactly once.
+    *
+    * Joins on the RAW (jx, jy) pair — an encoded scalar cell id would
+    * collide on grids wider than its stride (a tiny ε over a wide
+    * range), silently inflating the candidate join toward quadratic.
+    * The forward half of the 24-offset ring (dx > 0, or dx = 0 ∧
+    * dy > 0) enumerates each unordered pair once — half the distance
+    * evaluations of a symmetric ring. */
+  private[graft] def epsCrossPairs(pts: DataFrame, eps: Double): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val eps2 = eps * eps
+    val fwd = for { dx <- 0 to 2; dy <- -2 to 2
+      if dx > 0 || (dx == 0 && dy > 0) } yield (dx, dy)
+    val probe = pts.select($"id", $"x", $"y", explode(array(
+      fwd.map { case (dx, dy) =>
+        struct(($"cx" + dx).as("jx"), ($"cy" + dy).as("jy")) }: _*)).as("c"))
+      .select($"id", $"x", $"y", $"c.jx".as("jx"), $"c.jy".as("jy"))
+    val build = pts.select($"id".as("idb"), $"x".as("xb"), $"y".as("yb"),
+      $"cx".as("jx"), $"cy".as("jy"))
+    probe.join(build, Seq("jx", "jy"))
+      .filter(($"x" - $"xb") * ($"x" - $"xb") +
+        ($"y" - $"yb") * ($"y" - $"yb") <= eps2)
+      .select($"id", $"idb")
+  }
+
+  /** `points` projected to (id, x, y) with ε/2-grid cell coordinates —
+    * [[dbscan]]'s working frame, shared with [[epsCrossPairs]]. */
+  private[graft] def dbscanPts(points: DataFrame, idCol: String,
+      xCol: String, yCol: String, eps: Double): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val w = eps / 2
+    points.select(col(idCol).as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", floor($"x" / w).cast("long"))
+      .withColumn("cy", floor($"y" / w).cast("long"))
+  }
+
   private[graft] def dbscan(points: DataFrame, idCol: String, xCol: String,
       yCol: String, eps: Double = DbscanEps, minPts: Long = DbscanMinPts,
       memoKey: Option[(String, String)] = None): DataFrame = {
@@ -524,58 +614,83 @@ object Segmentation extends DetRounding {
     require(minPts >= 1, s"need minPts >= 1 (got $minPts)")
     val spark = points.sparkSession
     import spark.implicits._
-    val eps2 = eps * eps
-    val pts = points.select(col(idCol).as("id"),
-        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      .withColumn("cx", floor($"x" / eps).cast("long"))
-      .withColumn("cy", floor($"y" / eps).cast("long"))
-    // join on the RAW (cx, cy) pair — an encoded scalar cell id would
-    // collide on grids wider than its stride (a tiny ε over a wide
-    // range), silently inflating the candidate join toward quadratic
-    val probe = pts.select($"id", $"x", $"y", explode(array(
-      (for { dx <- -1 to 1; dy <- -1 to 1 }
-        yield struct(($"cx" + dx).as("jx"), ($"cy" + dy).as("jy"))): _*)).as("c"))
-      .select($"id", $"x", $"y", $"c.jx".as("jx"), $"c.jy".as("jy"))
-    val build = pts.select($"id".as("idb"), $"x".as("xb"), $"y".as("yb"),
-      $"cx".as("jx"), $"cy".as("jy"))
-    // every true ε-pair shares adjacent cells (cell width = ε) → the
-    // candidate set is exact, the filter just removes corner slack
-    val nb = probe.join(build, Seq("jx", "jy"))
-      .filter(($"x" - $"xb") * ($"x" - $"xb") +
-        ($"y" - $"yb") * ($"y" - $"yb") <= eps2)
-      .select($"id", $"idb")
-    val core = nb.groupBy($"id").agg(count(lit(1)).as("deg"))
-      .filter($"deg" >= minPts).select($"id")
-    val coreEdges = nb
-      .join(core, "id")
-      .join(core.select($"id".as("idb")), "idb")
-      .filter($"id" < $"idb")
-      .select($"id".as("src"), $"idb".as("dst"))
-    def ccLabels() = Components.run(coreEdges).labels
-    val lbl = (memoKey match {
+    val pts = dbscanPts(points, idCol, xCol, yCol, eps)
+    // every qualifying unordered CROSS-cell pair, exactly once; the
+    // persist serves its three consumers below. Bounded by the true
+    // ε-graph edge count (the inherent output of a fixed-ε density
+    // scan), spills to disk past memory.
+    val cp = epsCrossPairs(pts, eps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg = |own cell| (every same-cell point incl. self qualifies —
+    // cell diagonal ε/√2) + qualifying cross-cell neighbors
+    val cellSize = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("csz"))
+    val crossDeg = cp.select(explode(array($"id", $"idb")).as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("xdeg"))
+    val core = pts.join(cellSize, Seq("cx", "cy"))
+      .join(crossDeg, Seq("id"), "left")
+      .filter($"csz" + coalesce($"xdeg", lit(0L)) >= minPts)
+      .select($"id", $"cx", $"cy")
+      .persist()
+    // clique→star: per-cell anchor + spokes; cross-cell core pairs
+    // contract to one undirected anchor edge per qualifying cell pair
+    val anchors = core.groupBy($"cx", $"cy").agg(min($"id").as("anchor"))
+    val coreAnchor = core.join(anchors, Seq("cx", "cy"))
+      .select($"id", $"anchor").persist()
+    val starEdges = coreAnchor.filter($"id" =!= $"anchor")
+      .select($"anchor".as("src"), $"id".as("dst"))
+    val crossCoreEdges = cp
+      .join(coreAnchor.select($"id", $"anchor".as("aa")), Seq("id"))
+      .join(coreAnchor.select($"id".as("idb"), $"anchor".as("ab")), Seq("idb"))
+      .select(least($"aa", $"ab").as("src"), greatest($"aa", $"ab").as("dst"))
+      .distinct()
+    def buildMembers(): DataFrame = {
+      val lblRes = Components.run(starEdges.unionByName(crossCoreEdges))
+      val lbl = lblRes.labels.withColumnRenamed("doc_id", "id")
+      val corelbl = core.select($"id").join(lbl, Seq("id"), "left")
+        .select($"id", coalesce($"lbl", $"id").as("cluster_id"))
+        .persist()
+      // border attach: same-cell candidates ride the anchor's label
+      // (one per core cell), cross-cell candidates read the pair table
+      // in both directions
+      val anchorLbl = anchors
+        .join(corelbl.withColumnRenamed("id", "anchor"), Seq("anchor"))
+        .select($"cx", $"cy", $"cluster_id")
+      val coreIds = core.select($"id")
+      val nonCore = pts.join(coreIds, Seq("id"), "left_anti")
+        .select($"id", $"cx", $"cy")
+      val sameCellCand = nonCore.join(anchorLbl, Seq("cx", "cy"))
+        .select($"id", $"cluster_id")
+      val cl = corelbl.withColumnRenamed("cluster_id", "cl")
+      val crossCand1 = cp
+        .join(cl.withColumnRenamed("id", "idb"), Seq("idb"))
+        .join(coreIds, Seq("id"), "left_anti")
+        .select($"id", $"cl".as("cluster_id"))
+      val crossCand2 = cp
+        .join(cl, Seq("id"))
+        .join(coreIds.withColumnRenamed("id", "idb"), Seq("idb"), "left_anti")
+        .select($"idb".as("id"), $"cl".as("cluster_id"))
+      val border = sameCellCand.unionByName(crossCand1).unionByName(crossCand2)
+        .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
+      val m = corelbl.withColumn("is_core", lit(1L))
+        .unionByName(border.withColumn("is_core", lit(0L)))
+      // snapshot members THROUGH the intermediates, then drop them: the
+      // checkpoint is lineage-free, so the unpersists below can never
+      // force recomputation through a released cache
+      val snap = m.localCheckpoint(true)
+      lblRes.labels.unpersist()
+      corelbl.unpersist()
+      snap
+    }
+    val members = memoKey match {
       case Some((dir, key)) =>
-        graft.core.PersistedMemo.getOrBuild(spark, dir, key)(ccLabels())
-      case None =>
-        // facade path (no memo): Components.run hands back a PERSISTED
-        // frame whose lifecycle the caller owns — snapshot it into a
-        // checkpoint (blocks released by the ContextCleaner when the
-        // frame is collected) and release the persist immediately, so
-        // repeated facade calls (eps/minPts sweeps) don't accumulate
-        // session-lifetime caches
-        val l = ccLabels()
-        val snap = l.localCheckpoint(true)
-        l.unpersist()
-        snap
-    }).withColumnRenamed("doc_id", "id")
-    val corelbl = core.join(lbl, Seq("id"), "left")
-      .select($"id", coalesce($"lbl", $"id").as("cluster_id"))
-    val border = nb
-      .join(core.select($"id".as("idb")), "idb") // neighbor is core
-      .join(core, Seq("id"), "left_anti") // the point itself is not
-      .join(corelbl.select($"id".as("idb"), $"cluster_id"), "idb")
-      .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
-    val members = corelbl.withColumn("is_core", lit(1L))
-      .unionByName(border.withColumn("is_core", lit(0L)))
+        graft.core.PersistedMemo.getOrBuild(spark, dir, key)(buildMembers())
+      case None => buildMembers()
+    }
+    // the heavy intermediates are scoped to the build: on a memo HIT
+    // none of them was ever materialized and these are no-ops
+    cp.unpersist()
+    core.unpersist()
+    coreAnchor.unpersist()
     val noise = pts.select($"id")
       .join(members.select($"id"), Seq("id"), "left_anti")
     members.groupBy($"cluster_id")
@@ -594,7 +709,7 @@ object Segmentation extends DetRounding {
       Tables.embeddings(spark, dir)
         .select($"vec_id", element_at($"embedding", 1).as("x"),
           element_at($"embedding", 2).as("y")),
-      "vec_id", "x", "y", memoKey = Some((dir, "segmentation:dbscan-cc")))
+      "vec_id", "x", "y", memoKey = Some((dir, "segmentation:dbscan-members")))
   }
 
   private val q212Sql: String =
@@ -646,6 +761,100 @@ object Segmentation extends DetRounding {
        |             WHERE id NOT IN (SELECT id FROM members)) AS BIGINT)
        |ORDER BY cluster_id""".stripMargin
 
+  // -------------------------------------------------------------- q223
+  /** Density-NORMALIZED DBSCAN — the production form q212's scaladoc
+    * points to, oracle-gated as its own row. q212 keeps ε fixed at the
+    * sf0.1 calibration (0.05), so its ε-graph edge count grows as
+    * N²·πε²/area — the right parity calibration, the wrong production
+    * contract: at growing corpus density a fixed radius degenerates
+    * toward one giant cluster AND a quadratic edge volume. The
+    * production rule scales the radius to hold the EXPECTED
+    * ε-neighborhood constant:
+    *
+    *   ε(N) = ε₀ / √(N / N₀)      (ε₀ = 0.05, N₀ = 2000 — the sf0.1
+    *                               calibration corpus)
+    *
+    * so E[deg] ≈ ρπε² = const and the edge volume — hence the whole
+    * build: candidate pairs, degrees, CC input — is LINEAR in N at
+    * every scale factor (the q212 ladder accelerates 1.5× → 38× across
+    * the decade; this row's ratio stays ~linear by construction).
+    * Exact-semantics DBSCAN at that radius: same core/border/noise
+    * trichotomy, same min-label components, same output contract as
+    * q212.
+    *
+    * Engine parity of the radius itself: both engines compute
+    * ε = ε₀ / sqrt(N / N₀) over the same BIGINT N with the same IEEE
+    * divide/sqrt/divide chain, and the predicate compares against
+    * ε·ε spelled as the same multiply — bit-identical thresholds, no
+    * rounding anywhere (q212's discipline). */
+  private val DbscanCalibN = 2000L // embeddings rows at the sf0.1 calibration
+
+  private def q223(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val eps = DbscanEps / math.sqrt(n / DbscanCalibN.toDouble)
+    dbscan(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", element_at($"embedding", 1).as("x"),
+          element_at($"embedding", 2).as("y")),
+      "vec_id", "x", "y", eps = eps,
+      memoKey = Some((dir, "segmentation:dbscan-scaled-members")))
+  }
+
+  private val q223Sql: String =
+    s"""WITH RECURSIVE nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |), ee AS (
+       |  SELECT ($DbscanEps / sqrt(n / $DbscanCalibN.0)) *
+       |         ($DbscanEps / sqrt(n / $DbscanCalibN.0)) AS eps2 FROM nn
+       |), p AS (
+       |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+       |         CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings
+       |), nb AS (
+       |  SELECT a.id AS ida, b.id AS idb
+       |  FROM p a JOIN p b ON (a.x - b.x) * (a.x - b.x) +
+       |                       (a.y - b.y) * (a.y - b.y)
+       |                       <= (SELECT eps2 FROM ee)
+       |), core AS (
+       |  SELECT ida AS id FROM nb GROUP BY 1 HAVING count(*) >= $DbscanMinPts
+       |), e AS (
+       |  SELECT n.ida AS src, n.idb AS dst
+       |  FROM nb n JOIN core ca ON ca.id = n.ida JOIN core cb ON cb.id = n.idb
+       |  WHERE n.ida <> n.idb
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+       |), lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY 1
+       |), corelbl AS (
+       |  SELECT c.id, COALESCE(l.cluster_id, c.id) AS cluster_id
+       |  FROM core c LEFT JOIN lbl l ON l.id = c.id
+       |), border AS (
+       |  SELECT n.ida AS id, min(cl.cluster_id) AS cluster_id
+       |  FROM nb n
+       |  JOIN corelbl cl ON cl.id = n.idb
+       |  LEFT JOIN core isc ON isc.id = n.ida
+       |  WHERE isc.id IS NULL
+       |  GROUP BY 1
+       |), members AS (
+       |  SELECT id, cluster_id, 1 AS is_core FROM corelbl
+       |  UNION ALL
+       |  SELECT id, cluster_id, 0 AS is_core FROM border
+       |)
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       |       CAST(sum(is_core) AS BIGINT) AS n_core,
+       |       CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+       |       CAST(count(*) AS BIGINT) AS n_points
+       |FROM members GROUP BY 1
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |       CAST((SELECT count(*) FROM p
+       |             WHERE id NOT IN (SELECT id FROM members)) AS BIGINT)
+       |ORDER BY cluster_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q137_rfm_segments", q137, Some(q137Sql)),
     Q("q138_ab_test", q138, Some(q138Sql)),
@@ -653,5 +862,6 @@ object Segmentation extends DetRounding {
     Q("q161_mann_whitney", q161, Some(q161Sql)),
     Q("q165_grid_density", q165, Some(q165Sql)),
     Q("q212_dbscan", q212, Some(q212Sql)),
+    Q("q223_dbscan_scaled", q223, Some(q223Sql)),
   )
 }

@@ -941,12 +941,27 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("q212: the eps-join is a cell equi-join, never a cartesian pair") {
-    val p = plan("q212_dbscan")
+    // the steady-state q212 plan reads the memoized members table, so
+    // the ε-join's scale contract is asserted on the BUILD stage's lazy
+    // candidate frame (the exact plan dbscan persists and consumes)
+    import org.apache.spark.sql.functions.{col, element_at}
+    val pts = graft.operators.Segmentation.dbscanPts(
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), element_at(col("embedding"), 1).as("x"),
+          element_at(col("embedding"), 2).as("y")),
+      "vec_id", "x", "y", eps = 0.05)
+    val p = graft.operators.Segmentation.epsCrossPairs(pts, 0.05)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
     // candidate pairs hash-join on the raw (jx, jy) cell coordinates
     p should include("jx")
     p should include("jy")
+    // the memoized steady-state plan itself never re-runs the pair join
+    val steady = plan("q212_dbscan")
+    (steady should not).include("CartesianProduct")
+    (steady should not).include("BroadcastNestedLoopJoin")
   }
 
   test("catalog-wide: no unpartitioned window over an unbounded fact subtree") {

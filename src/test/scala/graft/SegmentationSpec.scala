@@ -199,11 +199,20 @@ class SegmentationSpec extends SparkSpecBase {
   }
 
   test("q212 counts reconcile with a quadratic driver DBSCAN on the corpus") {
+    reconcileQuadratic("q212_dbscan", 0.05)
+  }
+
+  test("q223 (density-normalized eps) reconciles with a quadratic driver DBSCAN") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    reconcileQuadratic("q223_dbscan_scaled", 0.05 / math.sqrt(n / 2000.0))
+  }
+
+  private def reconcileQuadratic(query: String, eps: Double): Unit = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
       .select($"vec_id", element_at($"embedding", 1).cast("double").as("x"),
         element_at($"embedding", 2).cast("double").as("y"))
       .as[(Long, Double, Double)].collect()
-    val eps2 = 0.05 * 0.05
+    val eps2 = eps * eps
     def nbrs(p: (Long, Double, Double)) = emb.filter(q =>
       (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3) <= eps2)
     val core = emb.filter(p => nbrs(p).length >= 4).map(_._1).toSet
@@ -230,7 +239,7 @@ class SegmentationSpec extends SparkSpecBase {
         c -> (m.count(_._2 == 1).toLong, m.count(_._2 == 0).toLong, m.size.toLong)
       }
     val noise = emb.length - core.size - borders.size
-    val got = SparkEntry.queries("q212_dbscan")(spark, dir).collect()
+    val got = SparkEntry.queries(query)(spark, dir).collect()
       .map(r => r.getAs[Long]("cluster_id") ->
         (r.getAs[Long]("n_core"), r.getAs[Long]("n_border"),
           r.getAs[Long]("n_points"))).toMap
