@@ -621,6 +621,19 @@ object Segmentation extends DetRounding {
     // scan), spills to disk past memory.
     val cp = epsCrossPairs(pts, eps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Joins AGAINST the pair table must never shuffle it: at fixed-ε
+    // density cp is ~N²πε²/area rows (1.3·10⁹ at the sf30 rehearsal —
+    // each sort-shuffle of it writes ~20 GB, and three of them blew a
+    // 70 GB disk), while every other side is id-keyed and ≤ N rows.
+    // Past the 10 MB auto-broadcast threshold Spark picks sort-merge,
+    // so hint the small sides explicitly while N is broadcast-sane;
+    // beyond that a real cluster shuffles — the standard trade.
+    val hintBroadcast = {
+      // one cheap count decides the hint; the memo-hit path never gets
+      // here (this sits inside the build-only consumers below)
+      lazy val n = pts.count()
+      (df: DataFrame) => if (n <= 8000000L) broadcast(df) else df
+    }
     // deg = |own cell| (every same-cell point incl. self qualifies —
     // cell diagonal ε/√2) + qualifying cross-cell neighbors
     val cellSize = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("csz"))
@@ -636,14 +649,15 @@ object Segmentation extends DetRounding {
     val anchors = core.groupBy($"cx", $"cy").agg(min($"id").as("anchor"))
     val coreAnchor = core.join(anchors, Seq("cx", "cy"))
       .select($"id", $"anchor").persist()
-    val starEdges = coreAnchor.filter($"id" =!= $"anchor")
-      .select($"anchor".as("src"), $"id".as("dst"))
-    val crossCoreEdges = cp
-      .join(coreAnchor.select($"id", $"anchor".as("aa")), Seq("id"))
-      .join(coreAnchor.select($"id".as("idb"), $"anchor".as("ab")), Seq("idb"))
-      .select(least($"aa", $"ab").as("src"), greatest($"aa", $"ab").as("dst"))
-      .distinct()
     def buildMembers(): DataFrame = {
+      val bc = hintBroadcast
+      val starEdges = coreAnchor.filter($"id" =!= $"anchor")
+        .select($"anchor".as("src"), $"id".as("dst"))
+      val crossCoreEdges = cp
+        .join(bc(coreAnchor.select($"id", $"anchor".as("aa"))), Seq("id"))
+        .join(bc(coreAnchor.select($"id".as("idb"), $"anchor".as("ab"))), Seq("idb"))
+        .select(least($"aa", $"ab").as("src"), greatest($"aa", $"ab").as("dst"))
+        .distinct()
       val lblRes = Components.run(starEdges.unionByName(crossCoreEdges))
       val lbl = lblRes.labels.withColumnRenamed("doc_id", "id")
       val corelbl = core.select($"id").join(lbl, Seq("id"), "left")
@@ -662,12 +676,12 @@ object Segmentation extends DetRounding {
         .select($"id", $"cluster_id")
       val cl = corelbl.withColumnRenamed("cluster_id", "cl")
       val crossCand1 = cp
-        .join(cl.withColumnRenamed("id", "idb"), Seq("idb"))
-        .join(coreIds, Seq("id"), "left_anti")
+        .join(bc(cl.withColumnRenamed("id", "idb")), Seq("idb"))
+        .join(bc(coreIds), Seq("id"), "left_anti")
         .select($"id", $"cl".as("cluster_id"))
       val crossCand2 = cp
-        .join(cl, Seq("id"))
-        .join(coreIds.withColumnRenamed("id", "idb"), Seq("idb"), "left_anti")
+        .join(bc(cl), Seq("id"))
+        .join(bc(coreIds.withColumnRenamed("id", "idb")), Seq("idb"), "left_anti")
         .select($"idb".as("id"), $"cl".as("cluster_id"))
       val border = sameCellCand.unionByName(crossCand1).unionByName(crossCand2)
         .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))

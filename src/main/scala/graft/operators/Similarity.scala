@@ -401,6 +401,30 @@ object Similarity extends DetRounding {
       val e = embNorm(spark, dir)
       val banded = e.select($"vec_id",
         posexplode(bandBucketsCol(planes, nBands, bandBits)).as(Seq("band", "bucket")))
+      // PRE-FLIGHT volume gate (round 11): the fraction cap below reads
+      // the POST-distinct count, which is too late for a build whose raw
+      // self-join is box-hostile — and the birthday floor of a fixed
+      // band width keeps the FRACTION constant while the absolute volume
+      // grows N²/2^bandBits (random cross-corpus sign collisions put
+      // N/2^bandBits vectors in every bucket regardless of true
+      // similarity; the sf30 rehearsal died of ENOSPC in the distinct's
+      // sort-shuffle at ~1.2·10¹⁰ raw rows with the fraction still at
+      // ~6%). One bucket-histogram aggregate bounds the raw join output
+      // EXACTLY (Σ C(occupancy, 2)); refuse past the budget — default
+      // 4·10⁹ rows, a single-box sort ceiling; a real cluster raises
+      // `graft.neardup.maxCandidateRows` — naming the fix (wider bands,
+      // the same calibration message the fraction cap uses).
+      val rawBudget = spark.conf.getOption("graft.neardup.maxCandidateRows")
+        .map(_.toLong).getOrElse(4000000000L)
+      val rawRow = banded.groupBy($"band", $"bucket").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * ($"c" - 1L))).head() // SQL `/` widens to double — halve in Scala
+      val raw = (if (rawRow.isNullAt(0)) 0L else rawRow.getLong(0)) / 2
+      if (raw > rawBudget) throw new IllegalStateException(
+        s"$key banding would self-join $raw raw candidate rows " +
+          s"(budget $rawBudget, graft.neardup.maxCandidateRows): at this corpus " +
+          s"size the $bandBits-bit band is below its birthday floor — widen " +
+          "bandBits (halves random collisions per bit) or raise the budget " +
+          "on a cluster sized for the shuffle")
       val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
         .where($"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))

@@ -503,6 +503,25 @@ class ApiSpec extends SparkSpecBase {
     viaFallback shouldBe viaKernel
   }
 
+  test("bandCandidates refuses loudly BEFORE the shuffle past the raw-volume budget") {
+    // the fraction cap reads the post-distinct count — too late when the
+    // raw self-join is box-hostile (the sf30 rehearsal ENOSPC'd in the
+    // distinct's sort-shuffle at ~1.2e10 raw rows with the fraction
+    // still ~6%: a fixed band width's birthday floor grows the ABSOLUTE
+    // volume as N²/2^bandBits while the fraction stays flat). The
+    // pre-flight bucket-histogram gate fires first; the budget knob
+    // stands in for a 1e10-row corpus at fixture scale.
+    spark.conf.set("graft.neardup.maxCandidateRows", "1")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Graft.embeddingNearDupPairs(spark, dir, threshold = 0.9,
+          bands = 2, bandBits = 2, capFraction = 1.0).count()
+      }
+      ex.getMessage should include("widen")
+      ex.getMessage should include("maxCandidateRows")
+    } finally spark.conf.unset("graft.neardup.maxCandidateRows")
+  }
+
   test("knnGraph's fallback refuses loudly past its pair budget, naming the sane nlist") {
     // pairTiles' refuse-loudly contract on the join+window branch: a
     // user-supplied nlist that is BOTH task-hostile (max cell over the
