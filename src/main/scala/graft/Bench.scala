@@ -30,24 +30,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Round-7 root cause of the "graph-family drift": Spark's
-      // generated-class cache holds 100 entries by default, the 221-query
-      // catalog mints thousands of codegen units, so every sweep evicted
-      // the iteration-loop queries' ~50 classes and their next run paid
-      // ~50 janino recompiles — driver-side, single-threaded, zero GC
-      // (SessionDrag measured q147 at 4.8 s + 49 compiles in a filled
-      // session vs 2.3 s + 0 compiles cache-warm; SCALE.md §codegen).
-      // 8192 entries fits the whole catalog's units with room.
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ToolSession carries the standing confs (codegen cache sized for
+    // the catalog — the round-7 janino-recompile fix — UTC, nanos) plus
+    // the round-12 input-scaled shuffle parallelism: partitions pinned
+    // to cpus made sf30's per-partition sorts spill superlinearly
+    // (q140's 5.96× artifact); they now scale with the data directory.
+    val spark = ToolSession.build(sfDir, "graft-bench")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // pass 1 — untimed warmup: builds shared intermediates + codegen.
     // Failures are ignored here; the timed pass reports them. Runs 8

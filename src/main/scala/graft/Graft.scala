@@ -105,20 +105,36 @@ object Graft {
     operators.Dedup.jaccardPairs(spark, dir)
       .filter(col("jaccard") >= minJaccard)
 
-  /** Banded-SRP embedding near-dup pairs at an ad-hoc calibration —
-    * q55's production pipeline with the band-width knob open. The
-    * candidate-volume cap still throws on a mis-calibrated run. */
+  /** Banded-SRP embedding near-dup pairs — q55's production pipeline
+    * with the calibration knobs open. `bandBits = 0` (the DEFAULT,
+    * round 12) derives the width from the corpus by the occupancy rule
+    * (`Similarity.bandBitsFor`: hold expected random-collision bucket
+    * occupancy at the sf0.1 calibration's ≈ 7.8, so candidate volume is
+    * linear in N; exactly the 16×8 production calibration for any
+    * N ≤ 2000, wider — with the exact pre-flight histogram as the
+    * backstop — as the corpus grows). An EXPLICIT `bandBits > 0` is
+    * honored verbatim: the pre-flight raw-volume gate and the
+    * candidate-fraction cap still throw on a width the corpus outgrew,
+    * naming the fix. Recall at wider widths is the standard LSH trade —
+    * raise `bands` alongside (recall = 1−(1−p^bits)^bands) when the
+    * passing set matters more than cost. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.85, bands: Int = 16, bandBits: Int = 8,
+      threshold: Double = 0.85, bands: Int = 16, bandBits: Int = 0,
       capFraction: Double = 0.25): DataFrame = {
-    require(bands > 0 && bandBits > 0,
-      s"need bands > 0 and bandBits > 0 (got $bands, $bandBits)")
+    require(bands > 0 && bandBits >= 0,
+      s"need bands > 0 and bandBits >= 0 (0 = occupancy rule; got $bands, $bandBits)")
     require(threshold >= -1.0 && threshold <= 1.0 && capFraction > 0,
       s"need -1 <= threshold <= 1 and capFraction > 0 (got $threshold, $capFraction)")
-    val planes = (0 until bands * bandBits)
-      .map(p => operators.Similarity.testSignVector(s"p$p"))
-    val cands = operators.Similarity.bandCandidates(
-      spark, dir, planes, bands, bandBits, s"api:$bands,$bandBits", capFraction)
+    val cands =
+      if (bandBits == 0)
+        operators.Similarity.bandCandidatesAuto(
+          spark, dir, bands, s"api:$bands,auto", capFraction)._1
+      else {
+        val planes = (0 until bands * bandBits)
+          .map(p => operators.Similarity.testSignVector(s"p$p"))
+        operators.Similarity.bandCandidates(
+          spark, dir, planes, bands, bandBits, s"api:$bands,$bandBits", capFraction)
+      }
     operators.Similarity.verified(
       operators.Similarity.embNorm(spark, dir), cands)
       .filter(col("cosine") >= threshold)
@@ -699,13 +715,38 @@ object Graft {
       out: String = "hd"): DataFrame =
     operators.Maintenance.withHilbert(df, xCol, yCol, out)
 
-  /** Point-level DBSCAN over any (id, x, y) frame with ε and minPts
-    * open (q212 fixes 0.05/4 on the embedding projection):
-    * cell-bucketed ε-join, core/border/noise trichotomy, components
-    * on the shared pointer-jumping engine. */
+  /** Point-level DBSCAN over any (id, x, y) frame: cell-bucketed
+    * ε-join, core/border/noise trichotomy, components on the shared
+    * pointer-jumping engine.
+    *
+    * The DEFAULT radius is DENSITY-NORMALIZED (round 12, promoting
+    * q223's production rule to the facade): `eps <= 0` (the default)
+    * computes ε(N) = ε₀/√(N/N₀) from the frame's own row count against
+    * the (ε₀ = 0.05, N₀ = 2000) sf0.1 calibration — open via
+    * `eps0`/`calibN` for a differently-calibrated corpus — so the
+    * expected ε-neighborhood, hence the ε-graph edge volume and the
+    * whole build, stays LINEAR in N (q223's measured ladder: 1.26× wall
+    * for 100× data; the fixed radius's build was 16.5× costlier at sf30
+    * and degenerates toward one giant cluster as density grows). A
+    * FIXED radius is the explicit opt-in: pass `eps > 0` verbatim
+    * (q212 stays the fixed-ε calibration row). ApiSpec pins the
+    * dispatch: default == explicit ε₀/√(N/N₀), and an explicit eps is
+    * honored unchanged. */
   def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
-      eps: Double = 0.05, minPts: Long = 4L): DataFrame =
-    operators.Segmentation.dbscan(points, idCol, xCol, yCol, eps, minPts)
+      eps: Double = 0.0, minPts: Long = 4L,
+      eps0: Double = 0.05, calibN: Long = 2000L): DataFrame = {
+    require(eps0 > 0 && calibN > 0,
+      s"need eps0 > 0 and calibN > 0 (got $eps0, $calibN)")
+    val e =
+      if (eps > 0) eps
+      else {
+        val n = points.count()
+        require(n > 0, "density-normalized dbscan needs a non-empty frame " +
+          "(pass an explicit eps > 0 to scan an empty one)")
+        operators.Segmentation.scaledEps(n, eps0, calibN)
+      }
+    operators.Segmentation.dbscan(points, idCol, xCol, yCol, e, minPts)
+  }
 
   /** Contrastive (anchor, positive, negative) triplet mining with the
     * near-dup thresholds open (q213 fixes 80/60): text near-dup

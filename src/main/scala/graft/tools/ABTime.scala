@@ -25,16 +25,7 @@ object ABTime {
     val sfDir = args(0)
     val sweeps = args(1).toInt
     val names = args.drop(2).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ToolSession.build(sfDir, "graft-abtime")
     val fns = names.map(n => n -> graft.SparkEntry.queries.getOrElse(n,
       sys.error(s"no such query: $n")))
     // untimed warmup: memo builds + codegen, like Bench pass 1

@@ -25,16 +25,7 @@ object NearDupProbe {
     val sfDir = args(0)
     val bandBits = args(1).toInt
     val threshold = if (args.length > 2) args(2).toDouble else 0.85
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.ToolSession.build(sfDir, "graft-neardup-probe")
     def once(): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = graft.Graft.embeddingNearDupPairs(

@@ -2,7 +2,9 @@
 // minutes and measured end to end over real HTTP:
 //
 //  - continuous MQTT ingest (producer → MiniBroker → DSv2 source →
-//    IngestStream parquet upsert log) at ~10× the reference's 20 msg/s;
+//    IngestStream parquet upsert log) at SPARK_GRAFT_SOAK_RATE msg/s
+//    (default 200 = 10× the reference's 20 msg/s; the round-12
+//    production-pressure artifact runs 2000 = 100×);
 //  - the speed layer: AnalysisStream (stateful per-sensor windows)
 //    refreshing the serving snapshot every micro-batch with the live RF
 //    scorer injected, plus a FULL model refit every ~20 s (T5's
@@ -179,19 +181,31 @@ object ServeSoak {
       }
     }
 
-    // ---- producer: 20 sensors, ~200 msg/s, bursty anomaly episodes
+    // ---- producer: 20 sensors, bursty anomaly episodes, rate-targeted.
+    // SPARK_GRAFT_SOAK_RATE (msg/s, default 200 = the standing 10× of
+    // the reference's 20 msg/s) opens the write-pressure axis — the
+    // round-12 production-ingest soak runs 2000 msg/s (100× reference),
+    // so the compactor, the tx-log MERGE stream, and the pin census are
+    // exercised under sf1-scale volume, not a trickle. Pacing is 10 ms
+    // quanta (rate/100 messages per quantum) so bursts stay small
+    // relative to the 200 ms ingest trigger.
+    val rate = sys.env.getOrElse("SPARK_GRAFT_SOAK_RATE", "200").toInt
     val producer = thread("soak-producer") {
       val c = new MqttClient("127.0.0.1", broker.port, "soak-producer")
       val rnd = new java.util.Random(7)
+      val burst = math.max(1, rate / 100)
       var i = 0L
       while (!done) {
-        val anomalous = (i / 2000) % 3 == 2 && i % 5 == 0
-        val v = rnd.nextGaussian() * 5 + (if (anomalous) 40.0 else 10.0)
-        c.publish("sensors/power",
-          PayloadCodec.encode(MqttEntry(s"sensor${i % 20}", v, if (anomalous) 1 else 0)))
-        sent.incrementAndGet()
-        i += 1
-        if (i % 20 == 0) Thread.sleep(95)
+        var b = 0
+        while (b < burst && !done) {
+          val anomalous = (i / 2000) % 3 == 2 && i % 5 == 0
+          val v = rnd.nextGaussian() * 5 + (if (anomalous) 40.0 else 10.0)
+          c.publish("sensors/power",
+            PayloadCodec.encode(MqttEntry(s"sensor${i % 20}", v, if (anomalous) 1 else 0)))
+          sent.incrementAndGet()
+          i += 1; b += 1
+        }
+        Thread.sleep(10)
       }
       c.disconnect()
     }
@@ -609,7 +623,7 @@ object ServeSoak {
       System.err.println(s"[soak] deferred $d: $nr reader pins, $nf in-flight refs") }
     val unpinnedEnd = deferredEv.count(e => e._2 == 0 && e._3 == 0)
     val json =
-      s"""{"metric":"serve_soak","duration_sec":$soakSec,"sla_ms":$sla,""" +
+      s"""{"metric":"serve_soak","duration_sec":$soakSec,"sla_ms":$sla,"ingest_rate_target":$rate,""" +
         s""""requests":${all.size},"failed_requests":$failedReqs,""" +
         s"""${routeJson("/stress")},${routeJson("/history")},${routeJson("/")},""" +
         s"""$recJson,$seriesJson,"entry_folds":$foldsTotal,"entry_fold_ups":$foldUpsTotal,"compactor_restart_t_sec":$compactorRestartTSec,"dirs_reclaimed_live":$reclaimedLive,"deferred_dirs_end":${deferredEv.size},"live_readers_end":$liveReadersEnd,"deferred_unpinned_end":$unpinnedEnd,$txJson,""" +
