@@ -50,10 +50,23 @@ object ToolSession {
       }
     } catch { case _: Exception => 0L }
 
-  /** The partition rule, exposed for specs: max(cpus, bytes/64MB) ∧ 1024. */
+  /** The partition rule, exposed for specs: the input-derived width
+    * (bytes/64MB) rounded to the NEAREST whole multiple of cpus, floor
+    * cpus, cap 1024.
+    *
+    * FULL WAVES ONLY (round-12 finding, measured): the raw rule gave 33
+    * partitions at sf10 (2.19 GB) and every shuffle stage ran one full
+    * 32-task wave plus ONE straggler with 31 cores idle — the
+    * iteration-loop family, whose cost is stage-latency-dominated
+    * (pagerank 9.6→14.4 s, modularity 22.6→38.2 s, link-prediction
+    * 14.6→21.1 s), paid ~2× per stage; ABTime reproduced the inflated
+    * numbers from the same rule. Rounding to whole waves removes the
+    * quantization while keeping the input scaling (sf10 → 32, sf30 →
+    * 96). */
   def shufflePartitionsFor(cpus: Int, inputBytes: Long): Int = {
-    val byInput = math.ceil(inputBytes / 67108864.0).toInt
-    math.min(1024, math.max(cpus, byInput))
+    val byInput = math.ceil(inputBytes / 67108864.0)
+    val waves = math.max(1L, math.round(byInput / cpus.toDouble))
+    math.max(cpus.toLong, math.min(1024L, waves * cpus)).toInt
   }
 
   /** Build the measurement session over `sfDir` with the engine's

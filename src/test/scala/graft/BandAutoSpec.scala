@@ -65,14 +65,18 @@ class BandAutoSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.neardup.maxCandidateRows")
   }
 
-  test("ToolSession.shufflePartitionsFor pins the input-scaled rule") {
+  test("ToolSession.shufflePartitionsFor pins the input-scaled full-wave rule") {
     // floor: every committed tier keeps the 32-partition geometry
     ToolSession.shufflePartitionsFor(32, 17L << 20) shouldBe 32        // sf0.1
     ToolSession.shufflePartitionsFor(32, 183L << 20) shouldBe 32       // sf1
-    ToolSession.shufflePartitionsFor(32, 563L << 20) shouldBe 32      // sf3
-    ToolSession.shufflePartitionsFor(32, 2100000000L) shouldBe 32      // sf10: 2.1 GB -> ceil 32
-    // sf30 (6.4 GB) scales past the pin — the q140 fix
+    ToolSession.shufflePartitionsFor(32, 563L << 20) shouldBe 32       // sf3
+    // sf10 (2.19 GB): raw width 33 would run 32 tasks + ONE straggler
+    // per stage — the measured 1.5-1.7× iteration-family tax; whole
+    // waves round it back to 32
+    ToolSession.shufflePartitionsFor(32, 2186000000L) shouldBe 32
+    // sf30 (6.4-6.9 GB) scales past the pin in WHOLE waves (3 × 32)
     ToolSession.shufflePartitionsFor(32, 6400000000L) shouldBe 96
+    ToolSession.shufflePartitionsFor(32, 6842000000L) shouldBe 96
     // cap and floor
     ToolSession.shufflePartitionsFor(32, 1L << 50) shouldBe 1024
     ToolSession.shufflePartitionsFor(64, 0L) shouldBe 64
