@@ -461,30 +461,45 @@ object Similarity extends DetRounding {
     * and RUNS (instead of refusing) at sf30, where the fixed width died
     * of its birthday floor. Returns (candidates, chosen width); the
     * widening passes are linear scans, each ≪ the join they gate. */
+  // Chosen auto width per (session, dir, nBands, budget) — the
+  // count + histogram passes that pick it are corpus scans, so they
+  // run once per session like every other derived state (the first
+  // r12 sf0.1 freeze measured q55 at 4× its r11 row — +0.4 s absolute
+  // — from re-running exactly these per call). Values are Ints; the
+  // map can never hold meaningful memory, and a stopped session's
+  // keys are inert (same convention as PersistedMemo's session keys,
+  // without frames to leak).
+  private val autoWidthCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long), Integer]()
+
   private[graft] def bandCandidatesAuto(
       spark: SparkSession, dir: String, nBands: Int,
       key: String, capFraction: Double): (DataFrame, Int) = {
     import spark.implicits._
-    val e = embNorm(spark, dir)
-    val n = e.count()
     val budget = rawCandidateBudget(spark)
-    var bits = bandBitsFor(n)
-    def volumeAt(b: Int): Long = rawPairVolume(
-      e.select(posexplode(
-        bandBucketsCol(prodPlanesFor(nBands, b), nBands, b)).as(Seq("band", "bucket"))))
-    var vol = volumeAt(bits)
-    while (vol > budget && bits < 30) {
-      System.err.println(s"[graft] $key auto-banding: $bits-bit width reads " +
-        s"$vol raw rows (budget $budget) — widening")
-      bits += 1
-      vol = volumeAt(bits)
-    }
-    if (vol > budget) throw new IllegalStateException(
-      s"$key banding would self-join $vol raw candidate rows even at the " +
-        s"30-bit width ceiling (budget $budget, graft.neardup.maxCandidateRows): " +
-        "the bucket distribution is degenerate (duplicate-heavy corpus) — " +
-        "dedup exact duplicates first or raise the budget on a cluster " +
-        "sized for the shuffle")
+    val bits: Int = autoWidthCache.computeIfAbsent(
+      (spark, dir, nBands, budget), _ => {
+        val e = embNorm(spark, dir)
+        val n = e.count()
+        var b = bandBitsFor(n)
+        def volumeAt(w: Int): Long = rawPairVolume(
+          e.select(posexplode(
+            bandBucketsCol(prodPlanesFor(nBands, w), nBands, w)).as(Seq("band", "bucket"))))
+        var vol = volumeAt(b)
+        while (vol > budget && b < 30) {
+          System.err.println(s"[graft] $key auto-banding: $b-bit width reads " +
+            s"$vol raw rows (budget $budget) — widening")
+          b += 1
+          vol = volumeAt(b)
+        }
+        if (vol > budget) throw new IllegalStateException(
+          s"$key banding would self-join $vol raw candidate rows even at the " +
+            s"30-bit width ceiling (budget $budget, graft.neardup.maxCandidateRows): " +
+            "the bucket distribution is degenerate (duplicate-heavy corpus) — " +
+            "dedup exact duplicates first or raise the budget on a cluster " +
+            "sized for the shuffle")
+        Integer.valueOf(b)
+      })
     (bandCandidates(spark, dir, prodPlanesFor(nBands, bits), nBands, bits,
       key, capFraction), bits)
   }
