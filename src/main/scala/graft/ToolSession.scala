@@ -24,8 +24,9 @@ import org.apache.spark.sql.SparkSession
   *  - the floor keeps every catalog tier at exactly the committed
   *    geometry (sf0.1 = 17 MB, sf1 = 183 MB, sf3 = 563 MB → all 32, so
   *    committed bench artifacts and oracle hashes are untouched);
-  *  - sf10 (2.1 GB) → 33 ≈ unchanged; sf30 (6.4 GB) → 100 partitions,
-  *    which is where the q140 fix lands (measured in SCALE.md r12);
+  *  - whole waves only (the measured round-12 rule, :57-65): sf10
+  *    (2.1 GB) → 32 = unchanged; sf30 (6.4 GB) → 96 partitions, which
+  *    is where the q140 fix lands (measured in SCALE.md r12);
   *  - the 1024 cap bounds task-scheduling overhead on one box — past it
   *    a single machine is the wrong rehearsal rig anyway.
   *
@@ -66,7 +67,11 @@ object ToolSession {
   def shufflePartitionsFor(cpus: Int, inputBytes: Long): Int = {
     val byInput = math.ceil(inputBytes / 67108864.0)
     val waves = math.max(1L, math.round(byInput / cpus.toDouble))
-    math.max(cpus.toLong, math.min(1024L, waves * cpus)).toInt
+    // cap at WHOLE waves too (r12 advisory): min(1024, waves*cpus) broke
+    // the multiple-of-cpus invariant whenever cpus ∤ 1024 (e.g. 48 cores
+    // on huge input → 1024 ≈ 21.3 waves — the exact partial-wave
+    // straggler tax, measured 1.5-1.7×, the rule exists to eliminate)
+    (math.min(math.max(1L, 1024L / cpus), waves) * cpus).toInt
   }
 
   /** Build the measurement session over `sfDir` with the engine's

@@ -464,42 +464,72 @@ object Similarity extends DetRounding {
   // Chosen auto width per (session, dir, nBands, budget) — the
   // count + histogram passes that pick it are corpus scans, so they
   // run once per session like every other derived state (the first
-  // r12 sf0.1 freeze measured q55 at 4× its r11 row — +0.4 s absolute
-  // — from re-running exactly these per call). Values are Ints; the
-  // map can never hold meaningful memory, and a stopped session's
-  // keys are inert (same convention as PersistedMemo's session keys,
-  // without frames to leak).
+  // r12 sf0.1 freeze measured q55 at 4× its r12 row — +0.4 s absolute
+  // — from re-running exactly these per call). Round-13 lifecycle fix
+  // (r12 advisory): keys strongly retained stopped SparkSession object
+  // graphs for the JVM lifetime, and the width scans ran INSIDE
+  // computeIfAbsent — multi-second Spark jobs under a CHM bin lock
+  // blocking unrelated sessions that hash to the same bin. Now the
+  // width is computed OUTSIDE the map (putIfAbsent publishes it; a
+  // racing duplicate scan is idempotent and cheaper than a held lock)
+  // and a per-session application-end listener evicts the session's
+  // entries — the same lifecycle PersistedMemo uses for its frames.
   private val autoWidthCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Long), Integer]()
+  private val autoWidthHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop every cached width decision for `spark` — invoked by the
+    * application-end listener; exposed for the lifecycle spec. */
+  private[graft] def autoWidthEvict(spark: SparkSession): Unit = {
+    autoWidthCache.keySet.removeIf(k => k._1 eq spark)
+    autoWidthHooked.remove(spark)
+  }
+
+  private[graft] def autoWidthEntries(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    autoWidthCache.keySet.asScala.count(_._1 eq spark)
+  }
 
   private[graft] def bandCandidatesAuto(
       spark: SparkSession, dir: String, nBands: Int,
       key: String, capFraction: Double): (DataFrame, Int) = {
     import spark.implicits._
     val budget = rawCandidateBudget(spark)
-    val bits: Int = autoWidthCache.computeIfAbsent(
-      (spark, dir, nBands, budget), _ => {
-        val e = embNorm(spark, dir)
-        val n = e.count()
-        var b = bandBitsFor(n)
-        def volumeAt(w: Int): Long = rawPairVolume(
-          e.select(posexplode(
-            bandBucketsCol(prodPlanesFor(nBands, w), nBands, w)).as(Seq("band", "bucket"))))
-        var vol = volumeAt(b)
-        while (vol > budget && b < 30) {
-          System.err.println(s"[graft] $key auto-banding: $b-bit width reads " +
-            s"$vol raw rows (budget $budget) — widening")
-          b += 1
-          vol = volumeAt(b)
-        }
-        if (vol > budget) throw new IllegalStateException(
-          s"$key banding would self-join $vol raw candidate rows even at the " +
-            s"30-bit width ceiling (budget $budget, graft.neardup.maxCandidateRows): " +
-            "the bucket distribution is degenerate (duplicate-heavy corpus) — " +
-            "dedup exact duplicates first or raise the budget on a cluster " +
-            "sized for the shuffle")
-        Integer.valueOf(b)
-      })
+    val cacheKey = (spark, dir, nBands, budget)
+    val cached = autoWidthCache.get(cacheKey)
+    val bits: Int = if (cached != null) cached.intValue
+    else {
+      if (autoWidthHooked.add(spark)) {
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              autoWidthEvict(spark)
+          })
+      }
+      val e = embNorm(spark, dir)
+      val n = e.count()
+      var b = bandBitsFor(n)
+      def volumeAt(w: Int): Long = rawPairVolume(
+        e.select(posexplode(
+          bandBucketsCol(prodPlanesFor(nBands, w), nBands, w)).as(Seq("band", "bucket"))))
+      var vol = volumeAt(b)
+      while (vol > budget && b < 30) {
+        System.err.println(s"[graft] $key auto-banding: $b-bit width reads " +
+          s"$vol raw rows (budget $budget) — widening")
+        b += 1
+        vol = volumeAt(b)
+      }
+      if (vol > budget) throw new IllegalStateException(
+        s"$key banding would self-join $vol raw candidate rows even at the " +
+          s"30-bit width ceiling (budget $budget, graft.neardup.maxCandidateRows): " +
+          "the bucket distribution is degenerate (duplicate-heavy corpus) — " +
+          "dedup exact duplicates first or raise the budget on a cluster " +
+          "sized for the shuffle")
+      val prev = autoWidthCache.putIfAbsent(cacheKey, Integer.valueOf(b))
+      if (prev != null) prev.intValue else b
+    }
     (bandCandidates(spark, dir, prodPlanesFor(nBands, bits), nBands, bits,
       key, capFraction), bits)
   }

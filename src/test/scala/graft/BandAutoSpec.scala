@@ -80,6 +80,43 @@ class BandAutoSpec extends SparkSpecBase {
     // cap and floor
     ToolSession.shufflePartitionsFor(32, 1L << 50) shouldBe 1024
     ToolSession.shufflePartitionsFor(64, 0L) shouldBe 64
+    // the cap itself honors whole waves (r12 advisory): at 48 cores the
+    // old min(1024, waves*cpus) returned 1024 ≈ 21.3 waves — a partial
+    // wave at exactly the scale where the straggler tax is largest
+    ToolSession.shufflePartitionsFor(48, 1L << 50) shouldBe 1008 // 21 × 48
+    ToolSession.shufflePartitionsFor(48, 1L << 50) % 48 shouldBe 0
+  }
+
+  test("GraftSession rides the same full-wave partition rule as the tools") {
+    // r12 verdict ask #4: the pure-SQL surface must not keep the 32-pin
+    // the measurement sessions dropped. coresFor parses the master; the
+    // partitions GraftSession.build computes are the ToolSession rule.
+    GraftSession.coresFor("local[32]") shouldBe 32
+    GraftSession.coresFor("local[8]") shouldBe 8
+    GraftSession.coresFor("local[*]") should be >= 1
+    // ≤ sf10 inputs keep the committed 32-partition geometry on 32 cores
+    ToolSession.shufflePartitionsFor(32, ToolSession.dirBytes(dir)) shouldBe 32
+    ToolSession.shufflePartitionsFor(32, 17L << 20) shouldBe 32       // sf0.1
+    // an sf30-sized input scales to whole waves — the pin is gone
+    ToolSession.shufflePartitionsFor(32, 6400000000L) shouldBe 96
+  }
+
+  test("autoWidthCache is session-lifecycle-safe: eviction drops a session's entries") {
+    // a DISTINCT SparkSession object (shared context, separate key
+    // identity — the map is identity-keyed like PersistedMemo's)
+    val s2 = spark.newSession()
+    val (_, bits) = Similarity.bandCandidatesAuto(
+      s2, dir, 16, "spec:lifecycle", capFraction = 1.0)
+    bits shouldBe 8
+    Similarity.autoWidthEntries(s2) should be >= 1
+    // the unit the application-end listener invokes — a stopped session
+    // must not pin its object graph through the width map for the JVM
+    // lifetime (r12 advisory, the round-2 PersistedMemo leak class)
+    Similarity.autoWidthEvict(s2)
+    Similarity.autoWidthEntries(s2) shouldBe 0
+    // other sessions' entries are untouched
+    Similarity.bandCandidatesAuto(spark, dir, 16, "spec:auto", capFraction = 1.0)
+    Similarity.autoWidthEntries(spark) should be >= 1
   }
 
   test("facade dbscan defaults to the density-normalized radius; explicit eps is honored") {

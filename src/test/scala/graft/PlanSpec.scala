@@ -597,16 +597,20 @@ class PlanSpec extends SparkSpecBase {
     p should include("partial_max") // per-user conversion combines map-side
   }
 
-  test("q140: hub frames are truncated leaves; top-5 ranks limit before the shuffle") {
+  test("q140: hub frames are memoized leaves; top-5 ranks limit before the shuffle") {
     graft.core.PersistedMemo.release(spark, sfDir)
     val p = plan("q140_item_similarity")
-    // round-8 shape: the half-pair aggregate and the frequency table
-    // are eagerly TRUNCATED (localCheckpoint) because each is consumed
-    // more than once and a broadcast exchange re-executes lineage per
-    // reference — so the final plan reads materialized leaves, pays no
-    // parquet scan, and the mirrored union is over the small aggregate
+    // round-12 shape: the co-count MODEL (topK-independent) moved from a
+    // per-call localCheckpoint into PersistedMemo — both union legs and
+    // the mirrored half read the persisted aggregate (InMemoryTableScan),
+    // and the rebuild lineage inside the memo pays exactly ONE pruned
+    // lineitem scan (l_orderkey, l_partkey only). The frequency table
+    // stays an eagerly truncated leaf (localCheckpoint → ExistingRDD)
+    // because a broadcast exchange re-executes lineage per reference.
+    p should include("InMemoryTableScan")
     p should include("Scan ExistingRDD")
-    p.linesIterator.count(_.trim.startsWith("Location:")) shouldBe 0
+    p.linesIterator.count(_.trim.startsWith("Location:")) shouldBe 1
+    p should include("struct<l_orderkey:bigint,l_partkey:bigint>")
     // joins stay broadcast-hash over the leaves — no quadratic shapes
     (p should not).include("CartesianProduct")
     (p should not).include("SortMergeJoin")
