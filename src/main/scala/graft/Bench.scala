@@ -57,7 +57,15 @@ object Bench {
     // overlapping queries cuts the untimed pass ~4× without touching
     // the timed pass (which stays strictly sequential).
     val t0 = System.nanoTime()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // SF-scaled warmup concurrency (round-13, the r12 sf30 remediation):
+    // 8-way warmup is right when warmup cost is driver-side plan compile
+    // + codegen (≤ sf10), but at sf30 eight concurrent memo builds stack
+    // their shuffle transients on one box's disk (the ENOSPC root cause,
+    // SCALE.md r12) — scale down to 3-way past ~3 GB of input.
+    // SPARK_GRAFT_WARMUP_THREADS overrides for A/B.
+    val warmThreads = sys.env.get("SPARK_GRAFT_WARMUP_THREADS").map(_.toInt)
+      .getOrElse(if (ToolSession.dirBytes(sfDir) > (3L << 30)) 3 else 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val warm = names.map { case (_, fn) =>

@@ -90,6 +90,22 @@ object ToolSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Shuffle files of COMPLETED jobs linger until a driver GC lets
+      // ContextCleaner reclaim them; Spark's periodicGC default (30 min)
+      // is longer than a whole bench warmup, so a big-SF session
+      // accumulates every build's transients at once — the round-12
+      // sf30 sweep died of ENOSPC under a single 70 GB blockmgr dir
+      // with most of it dead (SCALE.md r12). 3 min keeps a measurement
+      // session's transient footprint near its live working set; a
+      // long-lived serving deployment sizes spark.local.dir instead.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "3min"))
+      // shuffle/spill IO codec, A/B-able per run (guide §2.3: zstd
+      // trades CPU for ~2× smaller shuffle transients — the same disk
+      // wall the periodicGC interval attacks; lz4 stays the default
+      // pending a measured win)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(f"[session] $appName sf=$sfDir cpus=$cpus " +

@@ -119,22 +119,34 @@ object Allocation extends DetRounding {
       orders: DataFrame): DataFrame = {
     val ship = lineitem.groupBy(col("l_orderkey"))
       .agg(max(col("l_shipdate")).as("ship_end"))
+    // The exploded recognition rows aggregate on an INTEGER month index
+    // (year·12 + month−1 of the order month, plus the explode offset)
+    // and the "yyyy-MM" label is formatted AFTER the aggregate — on the
+    // ≤ #months ledger rows, not per exploded row (round-13, guide
+    // §2.3/§1.2-2: the hot path ran date add + calendar formatting +
+    // string hashing per exploded row, and shuffled a string key where
+    // an int suffices; the stage is the query's single hot task). The
+    // label algebra is exact: m0 is the first-of-month, so month
+    // arithmetic is pure index arithmetic — same strings, same hash.
     orders
       .join(ship, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("r"),
-        trunc(col("o_orderdate"), "MM").as("m0"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi0"),
         greatest(lit(1L),
           (months_between(trunc(col("ship_end"), "MM"),
             trunc(col("o_orderdate"), "MM")).cast("long") + 1L)).as("m"))
       .withColumn("idx", explode(expr("sequence(0L, m - 1L)")))
-      .select(
-        date_format(add_months(col("m0"), col("idx").cast("int")), "yyyy-MM")
-          .as("month"),
+      .select((col("mi0") + col("idx")).as("mi"),
         (expr("r div m") +
           when(col("idx") < expr("r % m"), 1L).otherwise(0L)).as("cents"))
-      .groupBy(col("month"))
+      .groupBy(col("mi"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .select(
+        format_string("%04d-%02d", expr("mi div 12"), expr("mi % 12 + 1"))
+          .as("month"),
+        col("n_orders"), col("cents"))
       .orderBy(col("month"))
   }
 

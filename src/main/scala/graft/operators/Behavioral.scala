@@ -139,13 +139,20 @@ object Behavioral extends DetRounding {
     * date strings (both engines truncate to Monday). */
   private def q46(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // weeks ride as truncated VALUES through distinct/min/groupBy; the
+    // ISO render happens once per output cell (round-13, guide §2.3 —
+    // the calendar format + string keys ran per event row; week values
+    // are 1:1 with their rendered strings and order identically)
     val ev = Tables.events(spark, dir)
-      .select($"user_id", date_format(date_trunc("week", $"ts"), "yyyy-MM-dd").as("week"))
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
     val cohort = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     ev.distinct()
       .join(cohort, Seq("user_id"))
       .groupBy($"cohort_week", $"week".as("activity_week"))
       .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
+        date_format($"activity_week", "yyyy-MM-dd").as("activity_week"),
+        $"n_users")
       .orderBy($"cohort_week", $"activity_week")
   }
 

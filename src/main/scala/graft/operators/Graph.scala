@@ -110,7 +110,7 @@ object Graph extends DetRounding {
     var ranks =
       if (seeds.isEmpty) nodes.select($"node", lit(1.0 / nVal).as("r"))
       else nodes.select($"node", personalTeleport($"node").as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // name-based join condition: `ranks` derives from `edges` after
       // the first round, so df("col") instance refs would hit the
       // self-join attribute-reuse trap; (src,dst,w,p) and (node,r) are
@@ -128,16 +128,20 @@ object Graph extends DetRounding {
         else contrib.select($"dst".as("node"),
           (lit(1.0 - damping) * personalTeleport($"dst") +
             lit(damping) * $"contrib").as("r"))
-      // truncate lineage every round: without this the K rounds build
-      // ONE deep lazy tree that Catalyst re-optimizes and AQE re-plans
-      // wholesale (optimizer cost compounds quadratically in K — the
-      // other half of the round-4 q100 outlier). localCheckpoint
-      // materializes the #nodes-row vector and replaces the subtree
-      // with a LogicalRDD leaf; the float values pass through
-      // unchanged, so the unrolled DuckDB oracle still matches. The
-      // K−1 superseded checkpoint RDDs (#nodes rows each) stay pinned
-      // until session end — bounded, documented.
-      ranks = next.localCheckpoint()
+      // ROUNDS STAY LAZY up to a freeze cadence (round-13): the
+      // per-round localCheckpoint dated from round 4, when each uniform
+      // round embedded a crossJoin(broadcast(count)) subtree and the
+      // K-round tree exploded super-linearly; with the node count a
+      // driver literal the tree is LINEAR in K — exactly
+      // [[labelPropagation]]'s documented shape — and the K eager
+      // checkpoint jobs were pure per-round stage latency (K sequential
+      // actions, each paying job submit + schedule + a materialize
+      // barrier, with the rank vector re-shuffled from an unpartitioned
+      // leaf every round). One lazy tree pays ONE action and lets
+      // ReuseExchange share the per-round subtrees. Deep facade runs
+      // (≤ 64) still truncate every 8 rounds so the analyzer never sees
+      // an unbounded unroll — the Components.run freeze, at a cadence.
+      ranks = if (i % 8 == 0 && i < iterations) next.localCheckpoint() else next
     }
     ranks
   }

@@ -224,16 +224,21 @@ object Relational extends DetRounding {
     * activity) — preserves days present on either side. */
   private def q7(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // dates rendered as ISO strings: unambiguous across engines/parquet
+    // dates rendered as ISO strings: unambiguous across engines/parquet.
+    // Aggregate and JOIN on the raw day value; format once per OUTPUT
+    // row (round-13, guide §2.3 — the string render + string group key
+    // ran per input row and the join shuffled string keys; day values
+    // are midnight-exact in this schema, so raw-value grouping is
+    // 1:1 with the rendered day and the output is bit-identical)
     val o = Tables.orders(spark, dir)
-      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("d"))
+      .groupBy($"o_orderdate".as("dd"))
       .agg(count(lit(1)).as("n_orders"))
     val l = Tables.lineitem(spark, dir)
-      .groupBy(date_format($"l_shipdate", "yyyy-MM-dd").as("d"))
+      .groupBy($"l_shipdate".as("dd"))
       .agg(count(lit(1)).as("n_ships"))
-    o.join(l, Seq("d"), "full_outer")
+    o.join(l, Seq("dd"), "full_outer")
       .select(
-        $"d",
+        date_format($"dd", "yyyy-MM-dd").as("d"),
         coalesce($"n_orders", lit(0L)).as("n_orders"),
         coalesce($"n_ships", lit(0L)).as("n_ships"))
       .orderBy($"d")
@@ -348,14 +353,19 @@ object Relational extends DetRounding {
     * month truncation, extraction, grouped rollup by calendar month. */
   private def q11(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // group on the truncated month VALUE, render once per output row
+    // (round-13, guide §2.3: the calendar format + string key ran per
+    // input row; month values are 1:1 with their rendered strings)
     Tables.orders(spark, dir)
       .groupBy(
-        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month"),
+        date_trunc("month", $"o_orderdate").as("mm"),
         year($"o_orderdate").as("yr"))
       .agg(
         count(lit(1)).as("n_orders"),
         round(sum($"o_totalprice"), 2).as("total"),
         (round(sum($"o_totalprice"), 2) / count(lit(1))).as("avg_price"))
+      .select(date_format($"mm", "yyyy-MM-dd").as("month"), $"yr",
+        $"n_orders", $"total", $"avg_price")
       .orderBy($"month")
   }
 
@@ -886,18 +896,21 @@ object Relational extends DetRounding {
     * materialize distributed, never on the driver. */
   private def q48(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the day rides as a DATE through aggregation, spine and join; the
+    // ISO render happens once per OUTPUT row (round-13, guide §2.3 —
+    // formatting + a string group/join key ran per event row; date
+    // min/max order ≡ ISO-string order, so the result is identical)
     val ev = Tables.events(spark, dir)
-      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"), $"value")
+      .select($"event_type", to_date($"ts").as("day"), $"value")
     val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
     val spine = bounds
-      .select(explode(expr("sequence(to_date(d0), to_date(d1), interval 1 day)")).as("d"))
-      .select(date_format($"d", "yyyy-MM-dd").as("day"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       .crossJoin(ev.select($"event_type").distinct())
     val daily = ev.groupBy($"event_type", $"day")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
     spine.join(daily, Seq("event_type", "day"), "left_outer")
       .select(
-        $"event_type", $"day",
+        $"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
         coalesce($"n", lit(0L)).as("n"),
         coalesce($"sum_value", lit(0.0)).as("sum_value"))
       .orderBy($"event_type", $"day")

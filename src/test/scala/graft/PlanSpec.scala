@@ -379,18 +379,25 @@ class PlanSpec extends SparkSpecBase {
     (fin should not).include("CartesianProduct")
   }
 
-  test("q100: rounds are checkpoint-truncated; final plan joins the cached edges") {
+  test("q100: rounds stay lazy over the cached edges; shuffle-hash, no re-sort") {
     val df = SparkEntry.queries("q100_pagerank")(spark, sfDir)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
-    // round-5 design: each round localCheckpoints the #nodes-row rank
-    // vector, so the FINAL plan sees only the last round — its rank
-    // input is a materialized RDD leaf, not the K-1 preceding rounds
-    // (the round-4 17 s outlier was the un-truncated K-round tree)
-    fin should include("Scan ExistingRDD")
-    // the per-round join stays the shuffle-hash of ranks into the
-    // src-partitioned cached edge table — never a sort-merge re-sort
-    (fin should not).include("SortMergeJoin")
+    // round-13 design: the K catalog rounds ride ONE lazy linear tree
+    // (labelPropagation's documented shape) — the round-5 per-round
+    // localCheckpoint paid K sequential actions of pure stage latency
+    // once the node count became a driver literal (measured 2.13 →
+    // 1.74 s min at sf0.1, ABTime 5 sweeps); deep facade runs still
+    // freeze every 8 rounds. The final plan therefore joins the
+    // persisted edge memo directly, one shuffle-hash join per round.
+    fin should include("InMemoryTableScan")
+    // the rounds' rank joins stay shuffle-hash (the hint pins them;
+    // AQE may legitimately demote the tiny first round to broadcast).
+    // NOTE the string dump inlines the MEMO's one-per-session rebuild
+    // lineage under InMemoryRelation — its build join may sort-merge
+    // (a big⋈big aggregate paid once), so no blanket no-SMJ here; the
+    // per-round shape is what this spec owns.
+    "ShuffledHashJoin".r.findAllIn(fin).length should be >= 4
     (fin should not).include("CartesianProduct")
     // the node count is a driver literal now — no 1-row broadcast frame
     (fin should not).include("BroadcastNestedLoopJoin")
